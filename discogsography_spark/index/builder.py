@@ -1,0 +1,400 @@
+"""Inverted-index build: the Spark restatement of the reference extractor
+pipeline (SURVEY.md §3.2; /root/reference/extractor/src/extractor.rs:85-439).
+
+Stages (each checkpointed in the manifest, resume = diff):
+
+1. **docs**: stable docID assignment (range-sort dense rank) → vectorized
+   tokenize (Arrow pandas UDF — the strict upgrade over the reference's
+   row-at-a-time consumers, SURVEY.md §2.10) → materialize
+   `docs/` parquet (doc_id, conv_id, turn_idx, dl, tokens) + corpus stats
+   (N, total_tokens — the materialized-aggregate pattern of
+   /root/reference/graphinator/graphinator.py:572-701).
+2. **segments**: explode tokens → (term, doc_id, tf, dl) → term-sharded
+   (crc32(term) % S) posting-list construction via applyInPandas, with
+   **salted two-phase merge for head terms** (df > threshold): phase 1
+   groups on (term, salt) where salt = contiguous docID range, phase 2
+   concatenates partials in salt order — loss-free, order-stable, and the
+   skew analog of the reference's mega-genre caps
+   (/root/reference/api/queries/recommend_queries.py:160-191) done WITHOUT
+   dropping data. One Spark job writes all pending segments partitionBy(seg)
+   into a tmp dir; the driver then atomically promotes each segment dir and
+   commits its manifest record (lineage + metrics: terms, postings written,
+   bytes compressed — the FileProcessingStatus analog,
+   /root/reference/extractor/src/state_marker.rs:63-77).
+3. **_SUCCESS** marker last — send-then-commit ordering
+   (/root/reference/extractor/src/extractor.rs:584-600).
+
+Resume: a killed build re-runs `build()`; committed stages/segments are
+skipped via manifest diff and the result is byte-identical (tested).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import zlib
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from discogsography_spark.analysis import TOKEN_PATTERN, tokenize_pandas
+from discogsography_spark.codec import encode_term_postings
+from discogsography_spark.index.docids import assign_doc_ids
+from discogsography_spark.index.manifest import Manifest, SegmentRecord
+from discogsography_spark.params import (
+    BLOCK_SIZE,
+    BM25Params,
+    DEFAULT_NUM_SEGMENTS,
+    HEAD_TERM_DF_THRESHOLD,
+    HEAD_TERM_SALTS,
+)
+
+SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("seg", T.IntegerType(), False),
+        T.StructField("df", T.LongType(), False),
+        T.StructField("cf", T.LongType(), False),
+        T.StructField("doc_blob", T.BinaryType(), False),
+        T.StructField("tf_blob", T.BinaryType(), False),
+        T.StructField("dl_blob", T.BinaryType(), False),
+        T.StructField("block_last_doc", T.ArrayType(T.LongType()), False),
+        T.StructField("block_doc_off", T.ArrayType(T.LongType()), False),
+        T.StructField("block_tf_off", T.ArrayType(T.LongType()), False),
+        T.StructField("block_dl_off", T.ArrayType(T.LongType()), False),
+        T.StructField("block_max_tfnorm", T.ArrayType(T.DoubleType()), False),
+        T.StructField("max_tfnorm", T.DoubleType(), False),
+        T.StructField("is_head", T.BooleanType(), False),
+    ]
+)
+
+PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("seg", T.IntegerType(), False),
+        T.StructField("salt", T.IntegerType(), False),
+        T.StructField("doc_bytes", T.BinaryType(), False),
+        T.StructField("tf_bytes", T.BinaryType(), False),
+        T.StructField("dl_bytes", T.BinaryType(), False),
+    ]
+)
+
+
+def term_segment(term: str, num_segments: int) -> int:
+    """Stable term→segment shard; crc32 matches Spark's F.crc32 so the
+    query side can prune segments driver-side."""
+    return zlib.crc32(term.encode("utf-8")) % num_segments
+
+
+def _encode_pdf(
+    pdf: pd.DataFrame, k1: float, b: float, avgdl: float, block_size: int, is_head: bool
+) -> pd.DataFrame:
+    """Encode one term group (columns doc_id, tf, dl) into a segment row."""
+    term = pdf["term"].iloc[0]
+    seg = int(pdf["seg"].iloc[0])
+    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+    doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
+    tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
+    dls = pdf["dl"].to_numpy()[order].astype(np.int64)
+    tf_f = tfs.astype(np.float64)
+    norm = k1 * (1.0 - b + b * (dls.astype(np.float64) / avgdl))
+    tfnorm = tf_f / (tf_f + norm)
+    enc = encode_term_postings(doc_ids, tfs, dls, tfnorm, block_size)
+    enc.update({"term": term, "seg": seg, "is_head": is_head})
+    return pd.DataFrame([enc])
+
+
+@dataclass
+class BuildResult:
+    index_dir: str
+    n_docs: int
+    total_tokens: int
+    resumed: bool
+    segments_built: list[int]
+
+
+class IndexBuilder:
+    def __init__(
+        self,
+        index_dir: str,
+        params: BM25Params | None = None,
+        num_segments: int = DEFAULT_NUM_SEGMENTS,
+        block_size: int = BLOCK_SIZE,
+        head_df_threshold: int = HEAD_TERM_DF_THRESHOLD,
+        head_salts: int = HEAD_TERM_SALTS,
+    ):
+        self.index_dir = index_dir
+        self.params = params or BM25Params()
+        self.num_segments = num_segments
+        self.block_size = block_size
+        self.head_df_threshold = head_df_threshold
+        self.head_salts = head_salts
+        self.manifest = Manifest(index_dir)
+
+    # paths ---------------------------------------------------------------
+    @property
+    def docs_dir(self) -> str:
+        return os.path.join(self.index_dir, "docs")
+
+    @property
+    def segments_dir(self) -> str:
+        return os.path.join(self.index_dir, "segments")
+
+    @property
+    def _segments_tmp(self) -> str:
+        return os.path.join(self.index_dir, "segments__tmp")
+
+    def seg_dir(self, seg: int) -> str:
+        return os.path.join(self.segments_dir, f"seg={seg}")
+
+    # stage 1 ---------------------------------------------------------------
+    def _build_docs(self, transcripts: DataFrame) -> dict[str, Any]:
+        tokenize_udf = F.pandas_udf(tokenize_pandas, T.ArrayType(T.StringType()))
+        docs = (
+            assign_doc_ids(transcripts)
+            .withColumn("tokens", tokenize_udf(F.col("text")))
+            .withColumn("dl", F.size("tokens").cast("int"))
+            .select("doc_id", "conv_id", "turn_idx", "dl", "tokens")
+        )
+        tmp = self.docs_dir + "__tmp"
+        docs.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(self.docs_dir):
+            shutil.rmtree(self.docs_dir)
+        os.replace(tmp, self.docs_dir)
+
+        spark = transcripts.sparkSession
+        agg = (
+            spark.read.parquet(self.docs_dir)
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("total_tokens"),
+            )
+            .collect()[0]
+        )
+        stats = {
+            "n_docs": int(agg["n_docs"]),
+            "total_tokens": int(agg["total_tokens"]),
+            "num_segments": self.num_segments,
+            "block_size": self.block_size,
+            "k1": self.params.k1,
+            "b": self.params.b,
+            "head_df_threshold": self.head_df_threshold,
+            "head_salts": self.head_salts,
+            "analyzer": TOKEN_PATTERN,
+        }
+        self.manifest.commit_docs(stats)
+        return stats
+
+    # stage 2 ---------------------------------------------------------------
+    def _build_segments(
+        self, spark: SparkSession, stats: dict[str, Any], pending: list[int]
+    ) -> None:
+        n_docs = int(stats["n_docs"])
+        avgdl = stats["total_tokens"] / n_docs if n_docs else 1.0
+        k1, b = self.params.k1, self.params.b
+        block_size = self.block_size
+
+        docs = spark.read.parquet(self.docs_dir)
+        postings = (
+            docs.select("doc_id", "dl", F.explode("tokens").alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+            .withColumn(
+                "seg",
+                (F.crc32(F.col("term")) % F.lit(self.num_segments)).cast("int"),
+            )
+            .filter(F.col("seg").isin(pending))
+        )
+        postings = postings.persist()
+
+        # head-term detection: exact DF per term (map-side combined — cheap
+        # relative to the posting shuffle even at scale).
+        head_rows = (
+            postings.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > self.head_df_threshold)
+            .select("term")
+            .collect()
+        )
+        head_terms = sorted(r["term"] for r in head_rows)
+
+        def encode_normal(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _encode_pdf(pdf, k1, b, avgdl, block_size, is_head=False)
+
+        normal = postings
+        branches: list[DataFrame] = []
+        if head_terms:
+            salt_width = max(1, -(-n_docs // self.head_salts))  # ceil div
+            head = postings.filter(F.col("term").isin(head_terms)).withColumn(
+                "salt", (F.col("doc_id") / F.lit(salt_width)).cast("int")
+            )
+
+            def encode_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+                order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+                return pd.DataFrame(
+                    [
+                        {
+                            "term": pdf["term"].iloc[0],
+                            "seg": int(pdf["seg"].iloc[0]),
+                            "salt": int(pdf["salt"].iloc[0]),
+                            "doc_bytes": pdf["doc_id"].to_numpy()[order]
+                            .astype(np.int64)
+                            .tobytes(),
+                            "tf_bytes": pdf["tf"].to_numpy()[order]
+                            .astype(np.int64)
+                            .tobytes(),
+                            "dl_bytes": pdf["dl"].to_numpy()[order]
+                            .astype(np.int64)
+                            .tobytes(),
+                        }
+                    ]
+                )
+
+            def merge_partials(pdf: pd.DataFrame) -> pd.DataFrame:
+                # salts are contiguous docID ranges → concat in salt order IS
+                # the sorted merge (loss-free, order-stable).
+                pdf = pdf.sort_values("salt")
+                doc_ids = np.concatenate(
+                    [np.frombuffer(x, dtype=np.int64) for x in pdf["doc_bytes"]]
+                )
+                tfs = np.concatenate(
+                    [np.frombuffer(x, dtype=np.int64) for x in pdf["tf_bytes"]]
+                )
+                dls = np.concatenate(
+                    [np.frombuffer(x, dtype=np.int64) for x in pdf["dl_bytes"]]
+                )
+                merged = pd.DataFrame(
+                    {
+                        "term": pdf["term"].iloc[0],
+                        "seg": int(pdf["seg"].iloc[0]),
+                        "doc_id": doc_ids,
+                        "tf": tfs,
+                        "dl": dls,
+                    }
+                )
+                return _encode_pdf(merged, k1, b, avgdl, block_size, is_head=True)
+
+            head_encoded = (
+                head.groupBy("seg", "term", "salt")
+                .applyInPandas(encode_partial, schema=PARTIAL_SCHEMA)
+                .groupBy("seg", "term")
+                .applyInPandas(merge_partials, schema=SEGMENT_SCHEMA)
+            )
+            branches.append(head_encoded)
+            normal = postings.filter(~F.col("term").isin(head_terms))
+
+        normal_encoded = normal.groupBy("seg", "term").applyInPandas(
+            encode_normal, schema=SEGMENT_SCHEMA
+        )
+        branches.append(normal_encoded)
+        encoded = branches[0]
+        for br in branches[1:]:
+            encoded = encoded.unionByName(br)
+
+        tmp = self._segments_tmp
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        (
+            encoded.repartition(max(len(pending), 1), "seg")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("seg")
+            .parquet(tmp)
+        )
+        postings.unpersist()
+
+    def _promote_segments(
+        self, spark: SparkSession, pending: list[int], fail_after: int | None
+    ) -> list[int]:
+        promoted: list[int] = []
+        os.makedirs(self.segments_dir, exist_ok=True)
+        for i, seg in enumerate(sorted(pending)):
+            if fail_after is not None and i >= fail_after:
+                raise RuntimeError(
+                    f"injected failure after {fail_after} segment promotions"
+                )
+            src = os.path.join(self._segments_tmp, f"seg={seg}")
+            dst = self.seg_dir(seg)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            if os.path.isdir(src):
+                os.replace(src, dst)
+            else:
+                os.makedirs(dst, exist_ok=True)  # segment with zero terms
+            # metrics from the durable files (lineage record)
+            files = [
+                os.path.join(dst, f)
+                for f in os.listdir(dst)
+                if f.endswith(".parquet")
+            ]
+            if files:
+                m = (
+                    spark.read.parquet(dst)
+                    .agg(
+                        F.count("*").alias("terms"),
+                        F.coalesce(F.sum("df"), F.lit(0)).alias("postings"),
+                        F.coalesce(F.sum(F.length("doc_blob")), F.lit(0)).alias("db"),
+                        F.coalesce(F.sum(F.length("tf_blob")), F.lit(0)).alias("tb"),
+                        F.coalesce(F.sum(F.length("dl_blob")), F.lit(0)).alias("lb"),
+                        F.coalesce(
+                            F.sum(F.when(F.col("is_head"), 1).otherwise(0)), F.lit(0)
+                        ).alias("heads"),
+                    )
+                    .collect()[0]
+                )
+                rec = SegmentRecord(
+                    segment=seg,
+                    terms=int(m["terms"]),
+                    postings=int(m["postings"]),
+                    doc_blob_bytes=int(m["db"]),
+                    tf_blob_bytes=int(m["tb"]),
+                    dl_blob_bytes=int(m["lb"]),
+                    head_terms=int(m["heads"]),
+                )
+            else:
+                rec = SegmentRecord(seg, 0, 0, 0, 0, 0, 0)
+            self.manifest.commit_segment(rec)
+            promoted.append(seg)
+        return promoted
+
+    # entry ------------------------------------------------------------------
+    def build(
+        self,
+        transcripts: DataFrame,
+        fail_after_segments: int | None = None,
+    ) -> BuildResult:
+        spark = transcripts.sparkSession
+        resumed = False
+        stats = self.manifest.docs()
+        if stats is None:
+            stats = self._build_docs(transcripts)
+        else:
+            resumed = True
+
+        if self.manifest.is_complete():
+            return BuildResult(
+                self.index_dir, stats["n_docs"], stats["total_tokens"], True, []
+            )
+
+        pending = self.manifest.pending_segments(self.num_segments)
+        promoted: list[int] = []
+        if pending:
+            self._build_segments(spark, stats, pending)
+            promoted = self._promote_segments(spark, pending, fail_after_segments)
+        if os.path.isdir(self._segments_tmp):
+            shutil.rmtree(self._segments_tmp)
+        self.manifest.commit_success(
+            {"n_docs": stats["n_docs"], "num_segments": self.num_segments}
+        )
+        return BuildResult(
+            self.index_dir,
+            stats["n_docs"],
+            stats["total_tokens"],
+            resumed,
+            promoted,
+        )

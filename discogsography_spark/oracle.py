@@ -1,0 +1,93 @@
+"""Pure-Python reference engine (NO Spark): tokenizer + inverted index + BM25
+top-k. This is "the reference engine" that BASELINE.json's north_rule demands
+rank-identity against — an executable restatement of the reference's two
+full-text engines (PostgreSQL ts_rank top-k, /root/reference/api/queries/
+search_queries.py:227-234; Lucene BM25 `ORDER BY score DESC LIMIT k`,
+/root/reference/api/queries/neo4j_queries.py:120-129).
+
+Determinism discipline (matched exactly by the Spark engine):
+- docIDs = dense rank over global (conv_id ASC, turn_idx ASC) sort;
+- conjunctive AND over distinct analyzed terms (plainto_tsquery semantics);
+- score = sum of idf*tfnorm in SORTED term order, float64 throughout;
+- top-k tiebreak (score DESC, doc_id ASC) — the `rank DESC, data_id`
+  discipline of /root/reference/api/queries/search_queries.py:132-134.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass, field
+
+from discogsography_spark.analysis import analyze_query, tokenize_py
+from discogsography_spark.params import BM25Params
+
+
+@dataclass
+class OracleIndex:
+    n_docs: int = 0
+    total_tokens: int = 0
+    # term -> {doc_id: tf}
+    postings: dict[str, dict[int, int]] = field(default_factory=dict)
+    doc_len: dict[int, int] = field(default_factory=dict)
+    params: BM25Params = field(default_factory=BM25Params)
+
+    @property
+    def avgdl(self) -> float:
+        return self.total_tokens / self.n_docs if self.n_docs else 0.0
+
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, {}))
+
+
+def build_oracle_index(
+    rows: list[tuple[str, int, str]], params: BM25Params | None = None
+) -> OracleIndex:
+    """rows: (conv_id, turn_idx, text). docIDs assigned by sorted
+    (conv_id, turn_idx) dense rank — identical to the Spark engine."""
+    idx = OracleIndex(params=params or BM25Params())
+    ordered = sorted(rows, key=lambda r: (r[0], r[1]))
+    for doc_id, (_conv, _turn, text) in enumerate(ordered):
+        toks = tokenize_py(text)
+        idx.doc_len[doc_id] = len(toks)
+        idx.total_tokens += len(toks)
+        for term, tf in Counter(toks).items():
+            idx.postings.setdefault(term, {})[doc_id] = tf
+    idx.n_docs = len(ordered)
+    return idx
+
+
+def bm25_topk(
+    idx: OracleIndex, query_text: str, k: int
+) -> list[tuple[int, float]]:
+    """Conjunctive BM25 top-k: [(doc_id, score)] sorted by
+    (score DESC, doc_id ASC). Empty if any term is absent (AND semantics)."""
+    terms = analyze_query(query_text)
+    if not terms:
+        return []
+    plists = []
+    for t in terms:
+        p = idx.postings.get(t)
+        if not p:
+            return []
+        plists.append((t, p))
+    # intersect on the smallest list
+    plists_by_size = sorted(plists, key=lambda tp: len(tp[1]))
+    candidates = set(plists_by_size[0][1].keys())
+    for _t, p in plists_by_size[1:]:
+        candidates &= p.keys()
+        if not candidates:
+            return []
+    p_ = idx.params
+    n, avgdl = idx.n_docs, idx.avgdl
+    idfs = {t: p_.idf(n, len(p)) for t, p in plists}
+    scored: list[tuple[int, float]] = []
+    for d in candidates:
+        dl = idx.doc_len[d]
+        norm = p_.k1 * (1.0 - p_.b + p_.b * (dl / avgdl))
+        s = 0.0
+        for t in terms:  # sorted order — fixed float64 summation order
+            tf = float(idx.postings[t][d])
+            s = s + idfs[t] * (tf / (tf + norm))
+        scored.append((d, s))
+    scored.sort(key=lambda ds: (-ds[1], ds[0]))
+    return scored[:k]
