@@ -1,38 +1,862 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship BM25 query at sf0.001.
+`queries()` — one entry per implemented operator family from SURVEY.md §2,
+each (spark, sf_dir) -> DataFrame.
+`oracle_sql()` — DuckDB-equivalent SQL per query (omitted only for the
+genuinely non-SQL-expressible approximate ops: MinHash-LSH, SimHash, which
+get the weaker rows-only check).
+
+Parity rules used throughout (so the driver's order-insensitive value-hash
+matches): identical column aliases both sides; doubles rounded (2dp for big
+money sums, 4-6dp for ratios/scores); Spark counts/sizes cast to long and
+DuckDB sums cast to BIGINT; timestamps compared as epoch seconds.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
+from discogsography_spark.analysis import TOKEN_PATTERN, analyze_query
+from discogsography_spark.operators.textstats import tokens_col
+from discogsography_spark.query.dataframe_bm25 import bm25_topk_dataframe
+
+# ---------------------------------------------------------------- helpers
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+_TOKS_SQL = f"regexp_extract_all(lower(coalesce(text, '')), '{TOKEN_PATTERN}')"
+
+# deterministic ANN query vector (dim 64, fixed seed, 4dp literals parse to
+# identical doubles in both engines)
+_QVEC: list[float] = [
+    float(x) for x in np.round(np.random.default_rng(7).standard_normal(64), 4)
+]
+_QVEC_SQL = "[" + ", ".join(repr(x) for x in _QVEC) + "]::DOUBLE[]"
+
+_K1, _B = 1.2, 0.75
+
+
+def _bm25_oracle(terms: list[str], k: int) -> str:
+    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    nt = len(set(terms))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT count(*) FROM toks)::DOUBLE AS total_tokens
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ({tl}) GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         count(*) AS nt,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * (tf.tf / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * (dl.dl / (s.total_tokens / s.n_docs))))) ) AS raw
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw, 5) AS score FROM scored WHERE nt = {nt}
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: conjunctive BM25 top-20 over sf0.001 documents, enriched
+    with the matched docs' source facet (outer-join pattern)."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _read(spark, sf_dir, "documents")
+    top = bm25_topk_dataframe(docs, "table value", k=20)
+    return top.join(docs.select("doc_id", "source"), "doc_id", "left").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
 
+
+# ---------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- full-text engine family (documents) ----
+    def fts_bm25_topk(spark, sf_dir):
+        return bm25_topk_dataframe(_read(spark, sf_dir, "documents"), "table value", k=20)
 
+    q["fts_bm25_topk"] = fts_bm25_topk
+
+    def fts_bm25_topk_head(spark, sf_dir):
+        # single head term — the skew path ("Rock" analog)
+        return bm25_topk_dataframe(_read(spark, sf_dir, "documents"), "table", k=50)
+
+    q["fts_bm25_topk_head"] = fts_bm25_topk_head
+
+    def fts_match_conjunctive_count(spark, sf_dir):
+        docs = _read(spark, sf_dir, "documents")
+        toks = F.array_distinct(tokens_col("text"))
+        cond = (
+            F.array_contains(toks, "table")
+            & F.array_contains(toks, "value")
+            & F.array_contains(toks, "query")
+        )
+        return docs.filter(cond).agg(F.count("*").cast("long").alias("n_matched"))
+
+    q["fts_match_conjunctive_count"] = fts_match_conjunctive_count
+
+    def fts_term_stats(spark, sf_dir):
+        # materialized term-stats table: DF + CF per term (top 20 by DF)
+        docs = _read(spark, sf_dir, "documents")
+        return (
+            docs.select(F.col("doc_id"), F.explode(tokens_col("text")).alias("term"))
+            .groupBy("term")
+            .agg(
+                F.countDistinct("doc_id").cast("long").alias("df"),
+                F.count("*").cast("long").alias("cf"),
+            )
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(20)
+        )
+
+    q["fts_term_stats"] = fts_term_stats
+
+    def fts_facet_source(spark, sf_dir):
+        # facet aggregation over the matched set (search_queries.py:274-354)
+        docs = _read(spark, sf_dir, "documents")
+        matched = docs.filter(
+            F.array_contains(F.array_distinct(tokens_col("text")), "table")
+        )
+        return (
+            matched.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("source"))
+        )
+
+    q["fts_facet_source"] = fts_facet_source
+
+    def fts_capped_count(spark, sf_dir):
+        # capped approximate count — LIMIT inside the counting subquery
+        # (search_queries.py:242-271): reported total is a lower bound
+        docs = _read(spark, sf_dir, "documents")
+        matched = docs.filter(
+            F.array_contains(F.array_distinct(tokens_col("text")), "value")
+        ).limit(100)
+        return matched.agg(F.count("*").cast("long").alias("capped_total"))
+
+    q["fts_capped_count"] = fts_capped_count
+
+    def fts_highlight(spark, sf_dir):
+        # ts_headline analog (search_queries.py:144): wrap matches
+        docs = _read(spark, sf_dir, "documents")
+        return (
+            docs.filter(F.array_contains(F.array_distinct(tokens_col("text")), "spark"))
+            .select(
+                "doc_id",
+                F.regexp_replace(F.col("text"), "(spark)", "<<$1>>").alias("headline"),
+            )
+            .orderBy("doc_id")
+            .limit(10)
+        )
+
+    q["fts_highlight"] = fts_highlight
+
+    # ---- text analysis family (documents) ----
+    def doc_token_count(spark, sf_dir):
+        docs = _read(spark, sf_dir, "documents")
+        return (
+            docs.select(
+                "doc_id", F.size(tokens_col("text")).cast("long").alias("n_word_tokens")
+            )
+            .orderBy(F.desc("n_word_tokens"), F.asc("doc_id"))
+            .limit(30)
+        )
+
+    q["doc_token_count"] = doc_token_count
+
+    def doc_quality_by_source(spark, sf_dir):
+        from discogsography_spark.operators.textstats import quality_score
+
+        docs = quality_score(_read(spark, sf_dir, "documents"))
+        return (
+            docs.groupBy("source")
+            .agg(
+                F.round(F.avg("quality"), 6).alias("avg_quality"),
+                F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
+                F.count("*").cast("long").alias("n"),
+            )
+            .orderBy("source")
+        )
+
+    q["doc_quality_by_source"] = doc_quality_by_source
+
+    def doc_lang_id(spark, sf_dir):
+        from discogsography_spark.operators.textstats import language_id
+
+        docs = language_id(_read(spark, sf_dir, "documents"))
+        return (
+            docs.groupBy("lang_pred")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy("lang_pred")
+        )
+
+    q["doc_lang_id"] = doc_lang_id
+
+    def doc_fingerprint_summary(spark, sf_dir):
+        docs = _read(spark, sf_dir, "documents")
+        h = docs.select(
+            F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("content_sha256")
+        )
+        return h.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("content_sha256").cast("long").alias("n_distinct"),
+        )
+
+    q["doc_fingerprint_summary"] = doc_fingerprint_summary
+
+    # ---- dedup family ----
+    def dedup_ngram_jaccard(spark, sf_dir):
+        from discogsography_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = _read(spark, sf_dir, "documents")
+        return ngram_jaccard_pairs(docs, threshold=0.12, n=2).orderBy("doc_a", "doc_b")
+
+    q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
+
+    def dedup_minhash_lsh(spark, sf_dir):
+        # approximate — no SQL oracle; driver records rows-only check
+        from discogsography_spark.operators.dedup import minhash_lsh_pairs
+
+        docs = _read(spark, sf_dir, "documents")
+        return minhash_lsh_pairs(docs, num_hashes=32, bands=8, threshold=0.2, n=2)
+
+    q["dedup_minhash_lsh"] = dedup_minhash_lsh
+
+    def dedup_simhash(spark, sf_dir):
+        # xxhash64 fingerprint family — no DuckDB equivalent; rows-only check
+        from discogsography_spark.operators.dedup import simhash_fingerprints
+
+        docs = _read(spark, sf_dir, "documents")
+        return simhash_fingerprints(docs).orderBy("doc_id").limit(50)
+
+    q["dedup_simhash"] = dedup_simhash
+
+    # ---- similarity family (embeddings) ----
+    def embedding_cosine_topk(spark, sf_dir):
+        from discogsography_spark.operators.similarity import brute_force_cosine_topk
+
+        emb = _read(spark, sf_dir, "embeddings")
+        return brute_force_cosine_topk(emb, _QVEC, k=10)
+
+    q["embedding_cosine_topk"] = embedding_cosine_topk
+
+    def embedding_dup_pairs(spark, sf_dir):
+        # exact pairwise near-dup pairs (small-side exact path; the LSH
+        # bucket-join variant is the 100 TB path, tested in tests/)
+        emb = _read(spark, sf_dir, "embeddings")
+        a = emb.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").cast("array<double>").alias("va"),
+        )
+        b = emb.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").cast("array<double>").alias("vb"),
+        )
+        dot = F.aggregate(
+            F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a_, v: a_ + v
+        )
+        norm = lambda c: F.sqrt(  # noqa: E731
+            F.aggregate(
+                F.transform(c, lambda x: x * x), F.lit(0.0), lambda a_, v: a_ + v
+            )
+        )
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6))
+            .filter(F.col("cosine") >= 0.5)
+            .select("id_a", "id_b", "cosine")
+            .orderBy("id_a", "id_b")
+        )
+
+    q["embedding_dup_pairs"] = embedding_dup_pairs
+
+    # ---- relational operator coverage (TPC-H-ish tables) ----
+    def agg_filtered_multi(spark, sf_dir):
+        # one-scan multi-agg with FILTER (insights_pg_queries.py:33-47)
+        orders = _read(spark, sf_dir, "orders")
+        return (
+            orders.groupBy("o_orderpriority")
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.count(F.when(F.col("o_orderstatus") == "O", 1))
+                .cast("long")
+                .alias("n_open"),
+                F.count(F.when(F.col("o_totalprice") > 100000.0, 1))
+                .cast("long")
+                .alias("n_big"),
+                F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            )
+            .orderBy("o_orderpriority")
+        )
+
+    q["agg_filtered_multi"] = agg_filtered_multi
+
+    def agg_year_bucket(spark, sf_dir):
+        # group-by bucketing: genre × decade analog (search_queries.py:333-350)
+        orders = _read(spark, sf_dir, "orders")
+        return (
+            orders.groupBy(
+                F.year("o_orderdate").cast("long").alias("order_year"), "o_orderstatus"
+            )
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+            .orderBy("order_year", "o_orderstatus")
+        )
+
+    q["agg_year_bucket"] = agg_year_bucket
+
+    def window_top1_per_group(spark, sf_dir):
+        # per-group top-1 (insights_neo4j_queries.py:79-84)
+        orders = _read(spark, sf_dir, "orders")
+        customer = _read(spark, sf_dir, "customer")
+        nation = _read(spark, sf_dir, "nation")
+        spend = (
+            orders.join(customer, orders.o_custkey == customer.c_custkey)
+            .groupBy("c_nationkey", "c_custkey")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        )
+        w = W.partitionBy("c_nationkey").orderBy(F.desc("spend"), F.asc("c_custkey"))
+        top = (
+            spend.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        return (
+            top.join(nation, top.c_nationkey == nation.n_nationkey)
+            .select(
+                F.col("n_name").alias("nation"),
+                F.col("c_custkey").alias("top_custkey"),
+                "spend",
+            )
+            .orderBy("nation")
+        )
+
+    q["window_top1_per_group"] = window_top1_per_group
+
+    def window_topk_tiebreak(spark, sf_dir):
+        # per-partition rank cap with deterministic tiebreak
+        # (search_queries.py:130-134) — top-3 orders per priority
+        orders = _read(spark, sf_dir, "orders")
+        w = W.partitionBy("o_orderpriority").orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        return (
+            orders.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select(
+                "o_orderpriority",
+                F.col("rn").cast("long").alias("rn"),
+                "o_orderkey",
+                F.round("o_totalprice", 2).alias("price"),
+            )
+            .orderBy("o_orderpriority", "rn")
+        )
+
+    q["window_topk_tiebreak"] = window_topk_tiebreak
+
+    def join_anti_customers_without_orders(spark, sf_dir):
+        # anti-join (gap_queries.py:41-56)
+        orders = _read(spark, sf_dir, "orders")
+        customer = _read(spark, sf_dir, "customer")
+        no_orders = customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        )
+        return no_orders.groupBy("c_mktsegment").agg(
+            F.count("*").cast("long").alias("n_customers_no_orders")
+        ).orderBy("c_mktsegment")
+
+    q["join_anti_customers_without_orders"] = join_anti_customers_without_orders
+
+    def join_semi_parts_ordered(spark, sf_dir):
+        # semi-join / EXISTS (network_queries.py:49-54)
+        part = _read(spark, sf_dir, "part")
+        lineitem = _read(spark, sf_dir, "lineitem")
+        ordered = part.join(
+            lineitem, part.p_partkey == lineitem.l_partkey, "left_semi"
+        )
+        return ordered.groupBy("p_brand").agg(
+            F.count("*").cast("long").alias("n_parts_ordered")
+        ).orderBy("p_brand")
+
+    q["join_semi_parts_ordered"] = join_semi_parts_ordered
+
+    def join_self_shared_nation(spark, sf_dir):
+        # self-join pattern (credits_queries.py:97-108): supplier pairs per nation
+        supplier = _read(spark, sf_dir, "supplier")
+        a = supplier.alias("a")
+        b = supplier.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+        )
+        return (
+            pairs.groupBy(F.col("a.s_nationkey").cast("long").alias("nationkey"))
+            .agg(F.count("*").cast("long").alias("n_pairs"))
+            .orderBy("nationkey")
+        )
+
+    q["join_self_shared_nation"] = join_self_shared_nation
+
+    def join_outer_enrich(spark, sf_dir):
+        # OPTIONAL MATCH analog (user_queries.py:33-47): orders left-joined to
+        # customer; count per (status, segment incl. nulls)
+        orders = _read(spark, sf_dir, "orders")
+        customer = _read(spark, sf_dir, "customer")
+        j = orders.join(
+            customer, orders.o_custkey == customer.c_custkey, "left_outer"
+        )
+        return (
+            j.groupBy("o_orderstatus", "c_mktsegment")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy("o_orderstatus", "c_mktsegment")
+        )
+
+    q["join_outer_enrich"] = join_outer_enrich
+
+    def union_dedup_actives(spark, sf_dir):
+        # UNION-dedup (insights_compute.py:260-264)
+        orders = _read(spark, sf_dir, "orders")
+        customer = _read(spark, sf_dir, "customer")
+        u = (
+            orders.filter(F.col("o_orderstatus") == "O")
+            .select(F.col("o_custkey").alias("custkey"))
+            .union(
+                customer.filter(F.col("c_acctbal") > 5000.0).select(
+                    F.col("c_custkey").alias("custkey")
+                )
+            )
+            .distinct()
+        )
+        return u.agg(F.count("*").cast("long").alias("n_active"))
+
+    q["union_dedup_actives"] = union_dedup_actives
+
+    def sort_null_last_topk(spark, sf_dir):
+        # null-last global top-k with secondary key (neo4j_queries.py:301)
+        supplier = _read(spark, sf_dir, "supplier")
+        return (
+            supplier.select(
+                "s_suppkey", F.round("s_acctbal", 2).alias("acctbal")
+            )
+            .orderBy(F.col("acctbal").desc_nulls_last(), F.asc("s_suppkey"))
+            .limit(10)
+        )
+
+    q["sort_null_last_topk"] = sort_null_last_topk
+
+    def time_bucket_avg(spark, sf_dir):
+        # date_trunc time bucketing (metrics_queries.py:94-107)
+        events = _read(spark, sf_dir, "events")
+        return (
+            events.groupBy(
+                F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+                .cast("long")
+                .alias("hour_epoch"),
+                "event_type",
+            )
+            .agg(
+                F.round(F.avg("value"), 4).alias("avg_value"),
+                F.count("*").cast("long").alias("n"),
+            )
+            .orderBy("hour_epoch", "event_type")
+            .limit(200)
+        )
+
+    q["time_bucket_avg"] = time_bucket_avg
+
+    def entropy_user_event_types(spark, sf_dir):
+        # Shannon entropy (user_queries.py:284-294)
+        events = _read(spark, sf_dir, "events")
+        counts = events.groupBy("user_id", "event_type").agg(
+            F.count("*").alias("cnt")
+        )
+        totals = counts.groupBy("user_id").agg(F.sum("cnt").alias("total"))
+        ent = (
+            counts.join(totals, "user_id")
+            .withColumn("p", F.col("cnt") / F.col("total"))
+            .groupBy("user_id")
+            .agg(F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("entropy"))
+        )
+        return ent.orderBy(F.desc("entropy"), F.asc("user_id")).limit(20)
+
+    q["entropy_user_event_types"] = entropy_user_event_types
+
+    def percentile_order_value(spark, sf_dir):
+        # exact percentile/median (rarity_queries.py:312-316, taste_queries.py:80-86)
+        orders = _read(spark, sf_dir, "orders")
+        return (
+            orders.groupBy("o_orderpriority")
+            .agg(
+                F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+                F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95_price"),
+            )
+            .orderBy("o_orderpriority")
+        )
+
+    q["percentile_order_value"] = percentile_order_value
+
+    def weighted_composite_part_score(spark, sf_dir):
+        # weighted multi-signal score + tier bucketing (rarity_queries.py:28-35,161-166)
+        part = _read(spark, sf_dir, "part")
+        stats = part.agg(
+            F.max("p_retailprice").alias("max_price"),
+            F.max("p_size").alias("max_size"),
+        )
+        scored = part.crossJoin(F.broadcast(stats)).withColumn(
+            "score",
+            F.round(
+                0.6 * (F.col("p_retailprice") / F.col("max_price"))
+                + 0.4 * (F.col("p_size") / F.col("max_size")),
+                6,
+            ),
+        )
+        tiered = scored.withColumn(
+            "tier",
+            F.when(F.col("score") >= 0.8, "high")
+            .when(F.col("score") >= 0.5, "mid")
+            .otherwise("low"),
+        )
+        return (
+            tiered.groupBy("tier")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.round(F.avg("score"), 6).alias("avg_score"),
+            )
+            .orderBy("tier")
+        )
+
+    q["weighted_composite_part_score"] = weighted_composite_part_score
+
+    def json_extract_props(spark, sf_dir):
+        # JSONB path extraction analog (search_queries.py:128-148)
+        events = _read(spark, sf_dir, "events")
+        return (
+            events.withColumn(
+                "k", F.get_json_object(F.col("props"), "$.k").cast("long")
+            )
+            .groupBy("event_type")
+            .agg(
+                F.round(F.avg("k"), 4).alias("avg_k"),
+                F.max("k").cast("long").alias("max_k"),
+            )
+            .orderBy("event_type")
+        )
+
+    q["json_extract_props"] = json_extract_props
+
+    return q
+
+
+# ---------------------------------------------------------------- oracles
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = _TOKS_SQL
+    o: dict[str, str] = {}
+
+    o["fts_bm25_topk"] = _bm25_oracle(analyze_query("table value"), 20)
+    o["fts_bm25_topk_head"] = _bm25_oracle(analyze_query("table"), 50)
+
+    o["fts_match_conjunctive_count"] = f"""
+SELECT count(*)::BIGINT AS n_matched FROM documents
+WHERE list_contains(list_distinct({toks}), 'table')
+  AND list_contains(list_distinct({toks}), 'value')
+  AND list_contains(list_distinct({toks}), 'query')
+"""
+
+    o["fts_term_stats"] = f"""
+WITH t AS (SELECT doc_id, unnest({toks}) AS term FROM documents)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM t GROUP BY term ORDER BY df DESC, term ASC LIMIT 20
+"""
+
+    o["fts_facet_source"] = f"""
+SELECT source, count(*)::BIGINT AS n FROM documents
+WHERE list_contains(list_distinct({toks}), 'table')
+GROUP BY source ORDER BY n DESC, source ASC
+"""
+
+    o["fts_capped_count"] = f"""
+SELECT count(*)::BIGINT AS capped_total FROM (
+  SELECT 1 FROM documents
+  WHERE list_contains(list_distinct({toks}), 'value') LIMIT 100
+)
+"""
+
+    o["fts_highlight"] = f"""
+SELECT doc_id, regexp_replace(text, '(spark)', '<<\\1>>', 'g') AS headline
+FROM documents
+WHERE list_contains(list_distinct({toks}), 'spark')
+ORDER BY doc_id LIMIT 10
+"""
+
+    o["doc_token_count"] = f"""
+SELECT doc_id, len({toks})::BIGINT AS n_word_tokens FROM documents
+ORDER BY n_word_tokens DESC, doc_id ASC LIMIT 30
+"""
+
+    # quality formula mirrored from operators/textstats.quality_score
+    _stop = "['the','and','of','to','is','in','that','it','for','with']"
+    o["doc_quality_by_source"] = f"""
+WITH q AS (
+  SELECT source,
+         length(coalesce(text,'')) AS n_chars,
+         len({toks}) AS n_toks,
+         len(list_intersect(list_distinct({toks}), {_stop})) AS n_stop,
+         length(regexp_replace(coalesce(text,''), '[a-zA-Z0-9\\s]', '', 'g')) AS punct
+  FROM documents
+), r AS (
+  SELECT source,
+         CASE WHEN n_chars > 0 THEN punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_toks > 0 THEN n_chars::DOUBLE / n_toks ELSE 0.0 END AS mean_wlen,
+         CASE WHEN n_toks > 0 THEN n_stop::DOUBLE / 10.0 ELSE 0.0 END AS stop_ratio,
+         n_toks
+  FROM q
+), s AS (
+  SELECT source,
+         round(punct_ratio, 6) AS punct_ratio,
+         round(0.3 * (CASE WHEN n_toks BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END)
+             + 0.2 * (CASE WHEN mean_wlen BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+             + 0.2 * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
+             + 0.3 * least(stop_ratio, 1.0), 6) AS quality
+  FROM r
+)
+SELECT source, round(avg(quality), 6) AS avg_quality,
+       round(avg(punct_ratio), 6) AS avg_punct_ratio,
+       count(*)::BIGINT AS n
+FROM s GROUP BY source ORDER BY source
+"""
+
+    _langs = """(VALUES
+      ('de', ['der','die','das','und','ist','nicht','ein','mit','von']),
+      ('en', ['the','and','of','to','is','in','that','it','for','with']),
+      ('es', ['el','los','las','es','una','por','para','con','del']),
+      ('fr', ['le','la','les','et','est','une','pour','dans','que'])
+    ) AS langs(lang, markers)"""
+    o["doc_lang_id"] = f"""
+WITH d AS (SELECT doc_id, list_distinct({toks}) AS dt FROM documents),
+h AS (
+  SELECT doc_id, lang, len(list_intersect(dt, markers)) AS hits
+  FROM d CROSS JOIN {_langs}
+),
+best AS (
+  SELECT doc_id, lang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+  FROM h
+)
+SELECT CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred,
+       count(*)::BIGINT AS n
+FROM best WHERE rn = 1 GROUP BY 1 ORDER BY lang_pred
+"""
+
+    o["doc_fingerprint_summary"] = """
+SELECT count(*)::BIGINT AS n_docs,
+       count(DISTINCT sha256(coalesce(text,'')))::BIGINT AS n_distinct
+FROM documents
+"""
+
+    # exact n-gram jaccard — mirrors operators/dedup.ngram_jaccard_pairs
+    o["dedup_ngram_jaccard"] = f"""
+WITH toks AS (SELECT doc_id, {toks} AS tk FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))]) AS shingles
+  FROM toks WHERE len(tk) >= 2
+),
+sized AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh WHERE len(shingles) > 0),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sized),
+hot AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) > 1000),
+pruned AS (SELECT * FROM ex WHERE shingle NOT IN (SELECT shingle FROM hot)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM pruned a JOIN pruned b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM pairs
+JOIN sized sa ON sa.doc_id = doc_a
+JOIN sized sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.12
+ORDER BY doc_a, doc_b
+"""
+
+    o["embedding_cosine_topk"] = f"""
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], {_QVEC_SQL})
+             / (sqrt(list_dot_product({_QVEC_SQL}, {_QVEC_SQL}))
+                * sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS cosine
+FROM embeddings
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+    o["embedding_dup_pairs"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+    o["agg_filtered_multi"] = """
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       count(*) FILTER (WHERE o_orderstatus = 'O')::BIGINT AS n_open,
+       count(*) FILTER (WHERE o_totalprice > 100000.0)::BIGINT AS n_big,
+       round(avg(o_totalprice), 2) AS avg_price
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+    o["agg_year_bucket"] = """
+SELECT year(o_orderdate)::BIGINT AS order_year, o_orderstatus,
+       count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1, 2 ORDER BY order_year, o_orderstatus
+"""
+
+    o["window_top1_per_group"] = """
+WITH spend AS (
+  SELECT c_nationkey, c_custkey, round(sum(o_totalprice), 2) AS spend
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                               ORDER BY spend DESC, c_custkey ASC) AS rn
+  FROM spend
+)
+SELECT n_name AS nation, c_custkey AS top_custkey, spend
+FROM ranked JOIN nation ON c_nationkey = n_nationkey
+WHERE rn = 1 ORDER BY nation
+"""
+
+    o["window_topk_tiebreak"] = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+SELECT o_orderpriority, rn::BIGINT AS rn, o_orderkey, round(o_totalprice, 2) AS price
+FROM ranked WHERE rn <= 3 ORDER BY o_orderpriority, rn
+"""
+
+    o["join_anti_customers_without_orders"] = """
+SELECT c_mktsegment, count(*)::BIGINT AS n_customers_no_orders
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+    o["join_semi_parts_ordered"] = """
+SELECT p_brand, count(*)::BIGINT AS n_parts_ordered
+FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+    o["join_self_shared_nation"] = """
+SELECT a.s_nationkey::BIGINT AS nationkey, count(*)::BIGINT AS n_pairs
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+GROUP BY 1 ORDER BY nationkey
+"""
+
+    o["join_outer_enrich"] = """
+SELECT o_orderstatus, c_mktsegment, count(*)::BIGINT AS n
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2 ORDER BY o_orderstatus, c_mktsegment
+"""
+
+    o["union_dedup_actives"] = """
+SELECT count(*)::BIGINT AS n_active FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+  UNION
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+)
+"""
+
+    o["sort_null_last_topk"] = """
+SELECT s_suppkey, round(s_acctbal, 2) AS acctbal
+FROM supplier ORDER BY acctbal DESC NULLS LAST, s_suppkey ASC LIMIT 10
+"""
+
+    o["time_bucket_avg"] = """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
+       round(avg(value), 4) AS avg_value, count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type LIMIT 200
+"""
+
+    o["entropy_user_event_types"] = """
+WITH c AS (
+  SELECT user_id, event_type, count(*)::DOUBLE AS cnt FROM events GROUP BY 1, 2
+),
+t AS (SELECT user_id, sum(cnt) AS total FROM c GROUP BY 1)
+SELECT c.user_id, round(-sum((cnt/total) * log2(cnt/total)), 6) AS entropy
+FROM c JOIN t USING (user_id)
+GROUP BY c.user_id ORDER BY entropy DESC, user_id ASC LIMIT 20
+"""
+
+    o["percentile_order_value"] = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       round(quantile_cont(o_totalprice, 0.95), 4) AS p95_price
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+    o["weighted_composite_part_score"] = """
+WITH stats AS (
+  SELECT max(p_retailprice) AS max_price, max(p_size) AS max_size FROM part
+),
+scored AS (
+  SELECT round(0.6 * (p_retailprice / max_price)
+             + 0.4 * (p_size / max_size), 6) AS score
+  FROM part CROSS JOIN stats
+),
+tiered AS (
+  SELECT score,
+         CASE WHEN score >= 0.8 THEN 'high'
+              WHEN score >= 0.5 THEN 'mid'
+              ELSE 'low' END AS tier
+  FROM scored
+)
+SELECT tier, count(*)::BIGINT AS n, round(avg(score), 6) AS avg_score
+FROM tiered GROUP BY tier ORDER BY tier
+"""
+
+    o["json_extract_props"] = """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+    return o

@@ -1,0 +1,142 @@
+"""Benchmark driver. Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline workloads:
+- index_build_sec: full inverted-index build (docIDs → tokenize → postings →
+  salted merge → segments + manifests) over the deterministic synthetic
+  transcripts corpus scaled to the sf (FIXTURES.md §1; the engine's primary
+  input per BASELINE.json input_hint). Also reports turns/sec.
+- bm25_p50/p95_ms: top-k BM25 query latency over the built index via the
+  LocalSearcher serving path, across the reference query set.
+- q_*: headline analytics queries over the driver's sf tables (documents/
+  embeddings/orders/events).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default: all cores).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+# transcripts corpus size scaled to sf: sf0.1 → ~120k turns
+CONVS_PER_SF = 120_000
+
+
+def ensure_corpus(sf: float, cache_root: str = "/tmp/spark_graft_bench") -> str:
+    from discogsography_spark.corpus import write_corpus
+
+    n_conv = max(100, int(CONVS_PER_SF * sf))
+    out = os.path.join(cache_root, f"corpus_sf{sf}")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        if os.path.isdir(out):
+            shutil.rmtree(out)
+        write_corpus(out, n_conversations=n_conv, mean_turns=10, vocab_size=20_000)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = sf_of(sf_dir)
+
+    from discogsography_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # ---- 1. index build ----
+    import pandas as pd
+
+    from discogsography_spark.index.builder import IndexBuilder
+    from discogsography_spark.query.engine import LocalSearcher
+
+    corpus = ensure_corpus(sf)
+    idx_dir = os.path.join("/tmp/spark_graft_bench", f"index_sf{sf}_{cpus}")
+    if os.path.isdir(idx_dir):
+        shutil.rmtree(idx_dir)
+    transcripts = spark.read.parquet(os.path.join(corpus, "transcripts.parquet"))
+    n_turns = transcripts.count()
+
+    t0 = time.time()
+    builder = IndexBuilder(
+        idx_dir,
+        num_segments=max(8, cpus // 2),
+        head_df_threshold=max(2000, n_turns // 20),
+    )
+    builder.build(transcripts)
+    build_sec = time.time() - t0
+    queries["index_build"] = round(build_sec, 3)
+    extra["index_build_turns_per_sec"] = round(n_turns / build_sec, 1)
+    extra["n_turns"] = n_turns
+
+    # ---- 2. BM25 query latency over the reference query set ----
+    qdf = pd.read_parquet(os.path.join(corpus, "queries.parquet"))
+    searcher = LocalSearcher(idx_dir)
+    lat = []
+    t0 = time.time()
+    for _, row in qdf.iterrows():
+        s = time.time()
+        searcher.topk(row["query_text"], int(row["k"]))
+        lat.append(time.time() - s)
+    queries["bm25_queries_total"] = round(time.time() - t0, 3)
+    lat_ms = np.array(lat) * 1000.0
+    extra["bm25_p50_ms"] = round(float(np.percentile(lat_ms, 50)), 2)
+    extra["bm25_p95_ms"] = round(float(np.percentile(lat_ms, 95)), 2)
+    extra["bm25_n_queries"] = len(lat)
+
+    # ---- 3. headline analytics over the driver's sf tables ----
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in [
+        "fts_bm25_topk",
+        "fts_term_stats",
+        "dedup_minhash_lsh",
+        "embedding_cosine_topk",
+        "window_top1_per_group",
+        "entropy_user_event_types",
+    ]:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Fully-declarative BM25 over an arbitrary documents DataFrame — no
+prebuilt index, single logical plan, SQL-mirrorable (the DuckDB oracle in
+__spark_entry__ runs the byte-for-byte analogous query).
+
+This is the "one query layer serves all frontends" restatement (SURVEY.md
+§3.3): the segment-index engine (query/engine.py) and this ad-hoc pipeline
+share the analyzer, the BM25 formula, the conjunctive-AND semantics
+(/root/reference/api/queries/search_queries.py:228), and the deterministic
+(score DESC, id ASC) tiebreak.
+
+Scale notes: the whole plan is native expressions (tokenize via
+regexp_extract_all inside codegen); corpus stats are two scalar aggregates
+broadcast as a 1-row cross join; the conjunctive filter prunes candidates
+BEFORE scoring (filter-before-rank-cap, the semantic contract of
+/root/reference/api/queries/search_queries.py:119-139); top-k is Spark's
+TakeOrderedAndProject (per-partition heaps + merge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from discogsography_spark.analysis import analyze_query
+from discogsography_spark.operators.textstats import tokens_col
+from discogsography_spark.params import BM25Params
+
+
+def bm25_topk_dataframe(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    params: BM25Params | None = None,
+    round_dp: int = 5,
+) -> DataFrame:
+    """Top-k (id, score) for a conjunctive BM25 query over `docs`.
+
+    Scores are rounded to `round_dp` decimals and the tiebreak is
+    (rounded score DESC, id ASC) so results are stable across engines.
+    """
+    p = params or BM25Params()
+    terms = analyze_query(query_text)
+    spark = docs.sparkSession
+    if not terms:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("_dl"), F.lit(0)).alias("total_tokens"),
+    )
+
+    tf = (
+        toks.select("_id", "_dl", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("_dl").alias("dl"))
+    )
+    df_per_term = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(df_per_term), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.col("total_tokens") / F.col("n_docs"))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "partial",
+            F.col("idf")
+            * (
+                F.col("tf").cast("double")
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(p.k1)
+                    * (
+                        F.lit(1.0 - p.b)
+                        + F.lit(p.b) * (F.col("dl").cast("double") / F.col("avgdl"))
+                    )
+                )
+            ),
+        )
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("nt"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "partial"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["partial"],
+            ).alias("raw_score"),
+        )
+        .filter(F.col("nt") == F.lit(len(terms)))
+        .select(
+            F.col("_id").alias(id_col), F.round("raw_score", round_dp).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+    return scored
