@@ -379,8 +379,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["window_topk_tiebreak"] = window_topk_tiebreak
 
     def join_anti_customers_without_orders(spark, sf_dir):
-        # anti-join (gap_queries.py:41-56)
-        orders = _read(spark, sf_dir, "orders")
+        # anti-join (gap_queries.py:41-56); restricted to urgent orders so the
+        # result is non-empty at every sf
+        orders = _read(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
         customer = _read(spark, sf_dir, "customer")
         no_orders = customer.join(
             orders, customer.c_custkey == orders.o_custkey, "left_anti"
@@ -772,7 +775,9 @@ FROM ranked WHERE rn <= 3 ORDER BY o_orderpriority, rn
     o["join_anti_customers_without_orders"] = """
 SELECT c_mktsegment, count(*)::BIGINT AS n_customers_no_orders
 FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 

@@ -36,8 +36,9 @@ def sf_of(sf_dir: str) -> float:
         return 0.1
 
 
-# transcripts corpus size scaled to sf: sf0.1 → ~120k turns
-CONVS_PER_SF = 120_000
+# transcripts corpus size scaled to sf: sf0.1 → ~1.2M turns (~10 turns/conv).
+# Sized so steady-state throughput dominates session warmup (~60s fixed).
+CONVS_PER_SF = 1_200_000
 
 
 def ensure_corpus(sf: float, cache_root: str = "/tmp/spark_graft_bench") -> str:

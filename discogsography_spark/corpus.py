@@ -90,7 +90,10 @@ def make_transcripts(
             "conv_id": conv_ids,
             "turn_idx": turn_idx,
             "role": roles,
-            "text": texts.astype(str),
+            # keep object dtype: .astype(str) would allocate a fixed-width
+            # <U{maxlen} array sized by the 20 KB edge-case turn (~10 GB at
+            # 100k turns)
+            "text": texts,
             "tool": tools,
             "ts": ts.astype("datetime64[us]"),
         }

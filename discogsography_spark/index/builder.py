@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from discogsography_spark.analysis import TOKEN_PATTERN, tokenize_pandas
+from discogsography_spark.analysis import TOKEN_PATTERN
 from discogsography_spark.codec import encode_term_postings
 from discogsography_spark.index.docids import assign_doc_ids
 from discogsography_spark.index.manifest import Manifest, SegmentRecord
@@ -89,6 +89,73 @@ def term_segment(term: str, num_segments: int) -> int:
     """Stable term→segment shard; crc32 matches Spark's F.crc32 so the
     query side can prune segments driver-side."""
     return zlib.crc32(term.encode("utf-8")) % num_segments
+
+
+def _encode_arrays(
+    term: str,
+    seg: int,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    k1: float,
+    b: float,
+    avgdl: float,
+    block_size: int,
+    is_head: bool,
+) -> dict:
+    """Encode one term's (already doc-sorted) postings into a segment row."""
+    tf_f = tfs.astype(np.float64)
+    norm = k1 * (1.0 - b + b * (dls.astype(np.float64) / avgdl))
+    tfnorm = tf_f / (tf_f + norm)
+    enc = encode_term_postings(doc_ids, tfs, dls, tfnorm, block_size)
+    enc.update({"term": term, "seg": seg, "is_head": is_head})
+    return enc
+
+
+def _encode_sorted_stream(
+    batches, k1: float, b: float, avgdl: float, block_size: int
+):
+    """mapInPandas encoder over partitions sorted by (term, doc_id): buffers
+    the partition-trailing term across Arrow batches, emits one segment row
+    per term. This replaces per-term applyInPandas groups — one Arrow
+    exchange per PARTITION instead of per TERM, which is the difference
+    between O(vocab) and O(partitions) framing overhead at 10^12 scale."""
+    carry: pd.DataFrame | None = None
+
+    def encode_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+        terms = pdf["term"].to_numpy()
+        # distinct-term boundaries in the sorted stream
+        starts = np.flatnonzero(
+            np.concatenate(([True], terms[1:] != terms[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(terms)]))
+        doc_ids = pdf["doc_id"].to_numpy().astype(np.int64)
+        tfs = pdf["tf"].to_numpy().astype(np.int64)
+        dls = pdf["dl"].to_numpy().astype(np.int64)
+        segs = pdf["seg"].to_numpy()
+        rows = [
+            _encode_arrays(
+                terms[s], int(segs[s]), doc_ids[s:e], tfs[s:e], dls[s:e],
+                k1, b, avgdl, block_size, False,
+            )
+            for s, e in zip(starts, ends)
+        ]
+        return pd.DataFrame(rows)
+
+    for pdf in batches:
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        if len(pdf) == 0:
+            continue
+        terms = pdf["term"].to_numpy()
+        # hold back the final term: it may continue in the next batch
+        cut = int(np.searchsorted(terms, terms[-1], side="left"))
+        head, carry = pdf.iloc[:cut], pdf.iloc[cut:]
+        if len(head):
+            yield encode_frame(head)
+    if carry is not None and len(carry):
+        yield encode_frame(carry)
 
 
 def _encode_pdf(
@@ -154,12 +221,8 @@ class IndexBuilder:
 
     # stage 1 ---------------------------------------------------------------
     def _build_docs(self, transcripts: DataFrame) -> dict[str, Any]:
-        tokenize_udf = F.pandas_udf(tokenize_pandas, T.ArrayType(T.StringType()))
-        docs = (
-            assign_doc_ids(transcripts)
-            .withColumn("tokens", tokenize_udf(F.col("text")))
-            .withColumn("dl", F.size("tokens").cast("int"))
-            .select("doc_id", "conv_id", "turn_idx", "dl", "tokens")
+        docs = assign_doc_ids(transcripts, with_tokens=True).select(
+            "doc_id", "conv_id", "turn_idx", "dl", "tokens"
         )
         tmp = self.docs_dir + "__tmp"
         docs.write.mode("overwrite").parquet(tmp)
@@ -223,9 +286,6 @@ class IndexBuilder:
         )
         head_terms = sorted(r["term"] for r in head_rows)
 
-        def encode_normal(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _encode_pdf(pdf, k1, b, avgdl, block_size, is_head=False)
-
         normal = postings
         branches: list[DataFrame] = []
         if head_terms:
@@ -288,8 +348,19 @@ class IndexBuilder:
             branches.append(head_encoded)
             normal = postings.filter(~F.col("term").isin(head_terms))
 
-        normal_encoded = normal.groupBy("seg", "term").applyInPandas(
-            encode_normal, schema=SEGMENT_SCHEMA
+        # normal terms: term-hash repartition + in-partition sort, then a
+        # streaming mapInPandas encoder (one Arrow exchange per partition,
+        # not per term — see _encode_sorted_stream)
+        shuffle_p = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        normal_encoded = (
+            normal.repartition(shuffle_p, "term")
+            .sortWithinPartitions("term", "doc_id")
+            .mapInPandas(
+                lambda it: _encode_sorted_stream(it, k1, b, avgdl, block_size),
+                schema=SEGMENT_SCHEMA,
+            )
         )
         branches.append(normal_encoded)
         encoded = branches[0]
@@ -300,10 +371,17 @@ class IndexBuilder:
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
         (
+            # sort by (seg, term): the partitionBy writer requires seg order
+            # and would otherwise insert its own UNSTABLE sort on seg,
+            # destroying the term order the serving-path dictionary needs
             encoded.repartition(max(len(pending), 1), "seg")
-            .sortWithinPartitions("term")
+            .sortWithinPartitions("seg", "term")
             .write.mode("overwrite")
             .partitionBy("seg")
+            # small row groups: the serving path reads one row group per term
+            # lookup (term-sorted files + in-memory term dictionary), so row
+            # group size is the unit of query-time I/O
+            .option("parquet.block.size", str(256 * 1024))
             .parquet(tmp)
         )
         postings.unpersist()
@@ -311,6 +389,40 @@ class IndexBuilder:
     def _promote_segments(
         self, spark: SparkSession, pending: list[int], fail_after: int | None
     ) -> list[int]:
+        # per-segment metrics in ONE job over the staged output (lineage
+        # records — the FileProcessingStatus analog)
+        metrics: dict[int, SegmentRecord] = {}
+        if any(
+            os.path.isdir(os.path.join(self._segments_tmp, f"seg={s}"))
+            for s in pending
+        ):
+            rows = (
+                spark.read.option("basePath", self._segments_tmp)
+                .parquet(self._segments_tmp)
+                .groupBy("seg")
+                .agg(
+                    F.count("*").alias("terms"),
+                    F.coalesce(F.sum("df"), F.lit(0)).alias("postings"),
+                    F.coalesce(F.sum(F.length("doc_blob")), F.lit(0)).alias("db"),
+                    F.coalesce(F.sum(F.length("tf_blob")), F.lit(0)).alias("tb"),
+                    F.coalesce(F.sum(F.length("dl_blob")), F.lit(0)).alias("lb"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("is_head"), 1).otherwise(0)), F.lit(0)
+                    ).alias("heads"),
+                )
+                .collect()
+            )
+            for m in rows:
+                metrics[int(m["seg"])] = SegmentRecord(
+                    segment=int(m["seg"]),
+                    terms=int(m["terms"]),
+                    postings=int(m["postings"]),
+                    doc_blob_bytes=int(m["db"]),
+                    tf_blob_bytes=int(m["tb"]),
+                    dl_blob_bytes=int(m["lb"]),
+                    head_terms=int(m["heads"]),
+                )
+
         promoted: list[int] = []
         os.makedirs(self.segments_dir, exist_ok=True)
         for i, seg in enumerate(sorted(pending)):
@@ -326,39 +438,7 @@ class IndexBuilder:
                 os.replace(src, dst)
             else:
                 os.makedirs(dst, exist_ok=True)  # segment with zero terms
-            # metrics from the durable files (lineage record)
-            files = [
-                os.path.join(dst, f)
-                for f in os.listdir(dst)
-                if f.endswith(".parquet")
-            ]
-            if files:
-                m = (
-                    spark.read.parquet(dst)
-                    .agg(
-                        F.count("*").alias("terms"),
-                        F.coalesce(F.sum("df"), F.lit(0)).alias("postings"),
-                        F.coalesce(F.sum(F.length("doc_blob")), F.lit(0)).alias("db"),
-                        F.coalesce(F.sum(F.length("tf_blob")), F.lit(0)).alias("tb"),
-                        F.coalesce(F.sum(F.length("dl_blob")), F.lit(0)).alias("lb"),
-                        F.coalesce(
-                            F.sum(F.when(F.col("is_head"), 1).otherwise(0)), F.lit(0)
-                        ).alias("heads"),
-                    )
-                    .collect()[0]
-                )
-                rec = SegmentRecord(
-                    segment=seg,
-                    terms=int(m["terms"]),
-                    postings=int(m["postings"]),
-                    doc_blob_bytes=int(m["db"]),
-                    tf_blob_bytes=int(m["tb"]),
-                    dl_blob_bytes=int(m["lb"]),
-                    head_terms=int(m["heads"]),
-                )
-            else:
-                rec = SegmentRecord(seg, 0, 0, 0, 0, 0, 0)
-            self.manifest.commit_segment(rec)
+            self.manifest.commit_segment(metrics.get(seg, SegmentRecord(seg, 0, 0, 0, 0, 0, 0)))
             promoted.append(seg)
         return promoted
 

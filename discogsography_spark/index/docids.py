@@ -34,11 +34,16 @@ def assign_doc_ids(
     df: DataFrame,
     key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
     num_partitions: int | None = None,
+    with_tokens: bool = False,
 ) -> DataFrame:
     """Return df + `doc_id` (long) = dense rank over key_cols.
 
     The input's key must be unique per row (enforced by the transcripts
     fixture; violations would make the rank order ambiguous).
+
+    with_tokens=True fuses tokenization (+ `tokens`, `dl` columns, `text`
+    dropped) into the same Arrow pass — one Python stage for the whole
+    docID+analyze step instead of two.
     """
     spark = df.sparkSession
     num_partitions = num_partitions or int(
@@ -61,23 +66,33 @@ def assign_doc_ids(
         acc += counts[pid]
     boff = spark.sparkContext.broadcast(offsets)
 
-    out_schema = T.StructType(
-        parted.schema.fields
-        + [T.StructField("doc_id", T.LongType(), False)]
-    )
+    base_fields = [f for f in parted.schema.fields if not (with_tokens and f.name == "text")]
+    extra = [T.StructField("doc_id", T.LongType(), False)]
+    if with_tokens:
+        extra += [
+            T.StructField("tokens", T.ArrayType(T.StringType()), False),
+            T.StructField("dl", T.IntegerType(), False),
+        ]
+    out_schema = T.StructType(base_fields + extra)
+    out_cols = [f.name for f in out_schema.fields]
 
     def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from discogsography_spark.analysis import tokenize_pandas
+
         local = 0
         for pdf in batches:
             if len(pdf) == 0:
-                yield pdf.assign(doc_id=pd.Series(dtype="int64"))
                 continue
             pid = int(pdf["_pid"].iloc[0])
             start = boff.value[pid] + local
             pdf = pdf.copy()
             pdf["doc_id"] = range(start, start + len(pdf))
             local += len(pdf)
-            yield pdf
+            if with_tokens:
+                toks = tokenize_pandas(pdf["text"])
+                pdf["tokens"] = toks
+                pdf["dl"] = toks.map(len).astype("int32")
+            yield pdf[out_cols]
 
     out = parted.mapInPandas(add_ids, schema=out_schema).drop("_pid")
     return out

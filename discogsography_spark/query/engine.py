@@ -35,14 +35,12 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-import pyarrow.dataset as pads
-import pyarrow.compute as pc
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from discogsography_spark.analysis import analyze_query
-from discogsography_spark.codec import decode_block, decode_postings, varbyte_decode
+from discogsography_spark.codec import decode_postings, delta_decode, varbyte_decode
 from discogsography_spark.index.builder import term_segment
 from discogsography_spark.index.manifest import Manifest
 from discogsography_spark.params import BM25Params
@@ -69,29 +67,41 @@ class TermPostings:
     def decode_blocks(
         self, block_indices: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        docs_l, tfs_l, dls_l = [], [], []
-        for bi in block_indices:
-            d, t = decode_block(
-                self.doc_blob,
-                self.tf_blob,
-                int(bi),
-                self.block_last_doc,
-                self.block_doc_off,
-                self.block_tf_off,
-            )
-            l0 = int(self.block_dl_off[bi])
-            l1 = (
-                int(self.block_dl_off[bi + 1])
-                if bi + 1 < len(self.block_dl_off)
-                else len(self.dl_blob)
-            )
-            dl = varbyte_decode(self.dl_blob[l0:l1]).astype(np.int64)
-            docs_l.append(d)
-            tfs_l.append(t)
-            dls_l.append(dl)
-        if not docs_l:
+        """Decode the given (sorted, unique) blocks. Consecutive blocks are
+        decoded as single contiguous runs — docID gaps chain across block
+        boundaries (block k's first gap is relative to block k-1's last doc),
+        so one varbyte+delta pass covers a whole run. For dense candidate
+        sets (head terms) this collapses thousands of per-block decodes into
+        one vectorized call."""
+        bi = np.asarray(block_indices, dtype=np.int64)
+        if bi.size == 0:
             e = np.empty(0, dtype=np.int64)
             return e, e.copy(), e.copy()
+        run_starts = np.flatnonzero(np.concatenate(([True], np.diff(bi) != 1)))
+        run_ends = np.concatenate((run_starts[1:], [bi.size]))
+        n_blocks = len(self.block_last_doc)
+
+        def span(offsets: np.ndarray, blob: bytes, b0: int, b1: int) -> bytes:
+            s = int(offsets[b0])
+            e = int(offsets[b1 + 1]) if b1 + 1 < n_blocks else len(blob)
+            return blob[s:e]
+
+        docs_l, tfs_l, dls_l = [], [], []
+        for rs, re_ in zip(run_starts, run_ends):
+            b0, b1 = int(bi[rs]), int(bi[re_ - 1])
+            prev = -1 if b0 == 0 else int(self.block_last_doc[b0 - 1])
+            gaps = varbyte_decode(span(self.block_doc_off, self.doc_blob, b0, b1))
+            docs_l.append(delta_decode(gaps, prev=prev))
+            tfs_l.append(
+                varbyte_decode(span(self.block_tf_off, self.tf_blob, b0, b1)).astype(
+                    np.int64
+                )
+            )
+            dls_l.append(
+                varbyte_decode(span(self.block_dl_off, self.dl_blob, b0, b1)).astype(
+                    np.int64
+                )
+            )
         return (
             np.concatenate(docs_l),
             np.concatenate(tfs_l),
@@ -139,13 +149,63 @@ _TP_COLS = [
 ]
 
 
+class _SegmentReader:
+    """Lucene-terms-dictionary analog over a term-sorted parquet segment:
+    the `term` column is loaded once at open (cheap — no blobs); a lookup
+    binary-searches the dictionary, then reads ONLY the row group containing
+    the hit (segment files are written with small row groups for exactly this
+    access pattern). A tiny row-group cache makes repeated head-term lookups
+    free."""
+
+    def __init__(self, files: list[str]):
+        import pyarrow.parquet as pq
+
+        self._pfs = [pq.ParquetFile(f) for f in files]
+        self._terms: list[np.ndarray] = []
+        self._rg_ends: list[np.ndarray] = []
+        self._order: list[np.ndarray] = []  # argsort per file (robust to
+        # unsorted files, e.g. hand-written or legacy segments)
+        for pf in self._pfs:
+            tcol = pf.read(columns=["term"]).column("term")
+            terms = np.asarray(tcol.to_pylist(), dtype=object)
+            order = np.argsort(terms, kind="stable")
+            self._terms.append(terms[order])  # sorted dictionary view
+            self._order.append(order)
+            counts = [pf.metadata.row_group(i).num_rows for i in range(pf.num_row_groups)]
+            self._rg_ends.append(np.cumsum(counts))
+        self._rg_cache: dict[tuple[int, int], object] = {}
+
+    def lookup(self, wanted: list[str]) -> list[dict]:
+        out: list[dict] = []
+        for fi, terms in enumerate(self._terms):
+            if terms.size == 0:
+                continue
+            order = self._order[fi]
+            pos = np.searchsorted(terms, wanted)
+            for w, p in zip(wanted, pos):
+                if p >= terms.size or terms[p] != w:
+                    continue
+                idx = int(order[p])  # raw row index in file order
+                rg = int(np.searchsorted(self._rg_ends[fi], idx, side="right"))
+                key = (fi, rg)
+                tbl = self._rg_cache.get(key)
+                if tbl is None:
+                    tbl = self._pfs[fi].read_row_group(rg, columns=_TP_COLS)
+                    if len(self._rg_cache) > 64:
+                        self._rg_cache.clear()
+                    self._rg_cache[key] = tbl
+                start = 0 if rg == 0 else int(self._rg_ends[fi][rg - 1])
+                out.append(tbl.slice(idx - start, 1).to_pylist()[0])
+        return out
+
+
 class LocalSearcher:
     def __init__(self, index_dir: str):
         self.meta = IndexMeta(index_dir)
-        self._datasets: dict[int, pads.Dataset] = {}
+        self._readers: dict[int, _SegmentReader | None] = {}
 
-    def _dataset(self, seg: int) -> pads.Dataset | None:
-        if seg not in self._datasets:
+    def _reader(self, seg: int) -> _SegmentReader | None:
+        if seg not in self._readers:
             d = self.meta.seg_dir(seg)
             files = (
                 [
@@ -156,20 +216,17 @@ class LocalSearcher:
                 if os.path.isdir(d)
                 else []
             )
-            self._datasets[seg] = pads.dataset(files, format="parquet") if files else None
-        return self._datasets[seg]
+            self._readers[seg] = _SegmentReader(files) if files else None
+        return self._readers[seg]
 
     def lookup_terms(self, terms: list[str]) -> dict[str, TermPostings]:
-        """Segment-pruned, predicate-pushed term row fetch."""
+        """Segment-pruned, dictionary-indexed term row fetch."""
         out: dict[str, TermPostings] = {}
         for seg, seg_terms in self.meta.seg_dirs_for_terms(terms).items():
-            ds = self._dataset(seg)
-            if ds is None:
+            rd = self._reader(seg)
+            if rd is None:
                 continue
-            tbl = ds.to_table(
-                columns=_TP_COLS, filter=pc.field("term").isin(seg_terms)
-            )
-            for row in tbl.to_pylist():
+            for row in rd.lookup(sorted(seg_terms)):
                 out[row["term"]] = TermPostings(
                     term=row["term"],
                     df=int(row["df"]),
@@ -239,50 +296,32 @@ class LocalSearcher:
             if cand_docs.size == 0:
                 return []
 
-        # block-max pruning: exact-safe candidate skipping when the upper
-        # bound cannot beat the current kth score. Upper bound = driving
-        # term's block max + other terms' block maxes.
-        blk0 = np.searchsorted(rows[t0].block_last_doc, cand_docs, side="left")
-        ub = ub_extra + idfs[t0] * rows[t0].block_max_tfnorm[blk0]
-
+        # Exact scoring, fully vectorized. Block-level pruning already
+        # happened where it pays — non-driving terms decode only the blocks
+        # whose docID ranges contain candidates — so scoring the surviving
+        # candidate set is a handful of elementwise ops per term (~10 ms per
+        # million candidates), cheaper than any upper-bound chunk machinery.
+        # `ub_extra` (block-max sums) remains available as the pruning bound
+        # for a future disjunctive (OR) mode.
         k1, b, avgdl = p.k1, p.b, m.avgdl
         norm = k1 * (1.0 - b + b * (cand_dl.astype(np.float64) / avgdl))
+        scores = np.zeros(cand_docs.size, dtype=np.float64)
+        for t in terms:  # sorted order — oracle-identical summation
+            tf = tf_by_term[t].astype(np.float64)
+            scores = scores + idfs[t] * (tf / (tf + norm))
 
-        def score_subset(sel: np.ndarray) -> np.ndarray:
-            s = np.zeros(sel.sum() if sel.dtype == bool else len(sel), np.float64)
-            nrm = norm[sel]
-            for t in terms:  # sorted order — oracle-identical summation
-                tf = tf_by_term[t][sel].astype(np.float64)
-                s = s + idfs[t] * (tf / (tf + nrm))
-            return s
-
+        # top-k: argpartition to k survivors, then exact (score DESC, doc ASC)
         n_cand = cand_docs.size
-        if n_cand <= max(4 * k, 1024):
-            scores = score_subset(np.arange(n_cand))
-            sel_docs = cand_docs
+        if n_cand > 4 * k:
+            # every doc scoring >= the kth score stays in play, so boundary
+            # ties still resolve by the doc_id tiebreak — exact
+            kth = np.partition(-scores, k - 1)[k - 1]
+            sel = np.flatnonzero(-scores <= kth)
         else:
-            # score in descending-UB chunks; stop once the next chunk's max
-            # UB is strictly below the kth best score.
-            order = np.argsort(-ub, kind="stable")
-            chunk = max(4 * k, 1024)
-            kept_scores: list[np.ndarray] = []
-            kept_docs: list[np.ndarray] = []
-            kth = -np.inf
-            for s0 in range(0, n_cand, chunk):
-                idx = order[s0 : s0 + chunk]
-                if kth > -np.inf and ub[idx].max() < kth:
-                    break
-                sc = score_subset(idx)
-                kept_scores.append(sc)
-                kept_docs.append(cand_docs[idx])
-                allsc = np.concatenate(kept_scores)
-                if allsc.size >= k:
-                    kth = np.partition(allsc, allsc.size - k)[allsc.size - k]
-            scores = np.concatenate(kept_scores)
-            sel_docs = np.concatenate(kept_docs)
-
-        order = np.lexsort((sel_docs, -scores))[:k]
-        return [(int(sel_docs[i]), float(scores[i])) for i in order]
+            sel = np.arange(n_cand)
+        sub_docs, sub_scores = cand_docs[sel], scores[sel]
+        order = np.lexsort((sub_docs, -sub_scores))[:k]
+        return [(int(sub_docs[i]), float(sub_scores[i])) for i in order]
 
 
 class DistributedQueryEngine:

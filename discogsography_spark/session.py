@@ -29,6 +29,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # split single large files across cores (local inputs are often one
+        # file; on a cluster this is the standard 128m — smaller here keeps
+        # 32 threads busy on small benchmark inputs)
+        .config("spark.sql.files.maxPartitionBytes", "16m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,66 @@
+"""Scale contracts, enforced on physical plans: predicate pushdown reaches
+the parquet scan, query-term lookup prunes segments, small dimensions
+broadcast, and hot paths stay inside whole-stage codegen."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from discogsography_spark.plans.inspect import explain_str, plan_report
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_term_filter_pushed_to_segment_scan(spark, built_index):
+    from discogsography_spark.query.engine import DistributedQueryEngine
+
+    eng = DistributedQueryEngine(spark, built_index)
+    terms = ["spark", "index"]
+    decoded = eng._decoded_postings_df(terms)
+    assert decoded is not None
+    s = explain_str(decoded)
+    assert "PushedFilters" in s and "In(term" in s, s
+
+
+def test_segment_pruning_reads_only_matching_shards(built_index):
+    from discogsography_spark.index.builder import term_segment
+    from discogsography_spark.query.engine import IndexMeta
+
+    meta = IndexMeta(built_index)
+    seg_map = meta.seg_dirs_for_terms(["spark"])
+    assert set(seg_map) == {term_segment("spark", meta.num_segments)}
+
+
+def test_bm25_dataframe_plan_shape(spark):
+    from discogsography_spark.query.dataframe_bm25 import bm25_topk_dataframe
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    top = bm25_topk_dataframe(docs, "table value", k=10)
+    rep = plan_report(top)
+    assert rep["has_broadcast_join"], "df-stats and term-df joins must broadcast"
+    s = explain_str(top, "simple")
+    assert "TakeOrderedAndProject" in s, "global top-k must be heap-merge, not full sort"
+    # map-side partial aggregation before the shuffle (tf and score aggs)
+    assert "partial_count" in s
+    assert "CartesianProduct" not in s  # 1-row stats join is broadcast-NL, fine
+
+
+def test_broadcast_join_for_small_dim(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    j = orders.join(customer, orders.o_custkey == customer.c_custkey).join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    )
+    rep = plan_report(j)
+    assert rep["has_broadcast_join"]
+
+
+def test_filter_pushdown_documents(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = docs.filter(F.col("lang") == "en").select("doc_id", "n_chars")
+    s = explain_str(q)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in s
+    # column pruning: scan schema should not include `text`
+    assert "text" not in s.split("ReadSchema")[-1]
