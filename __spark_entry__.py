@@ -555,6 +555,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["weighted_composite_part_score"] = weighted_composite_part_score
 
+    def jaccard_drift_daily(spark, sf_dir):
+        # Jaccard distance between consecutive buckets' sets
+        # (user_queries.py:296-305): per user, day-over-day event-type drift
+        events = _read(spark, sf_dir, "events")
+        day_sets = events.groupBy(
+            "user_id", F.to_date("ts").alias("day")
+        ).agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+        a = day_sets.alias("a")
+        b = day_sets.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.day") == F.date_add(F.col("a.day"), 1)),
+        ).select(
+            F.col("a.user_id").alias("user_id"),
+            (
+                F.size(F.array_intersect(F.col("a.types"), F.col("b.types")))
+                / F.size(F.array_union(F.col("a.types"), F.col("b.types")))
+            ).alias("jac"),
+        )
+        return (
+            pairs.groupBy("user_id")
+            .agg(
+                F.round(F.avg(F.lit(1.0) - F.col("jac")), 6).alias("avg_drift"),
+                F.count("*").cast("long").alias("n_transitions"),
+            )
+            .orderBy(F.desc("avg_drift"), F.asc("user_id"))
+            .limit(25)
+        )
+
+    q["jaccard_drift_daily"] = jaccard_drift_daily
+
+    def max_normalized_value(spark, sf_dir):
+        # max-normalization (recommend_queries.py:271-278): scores scaled to
+        # [0,1] by the per-group max via a window
+        events = _read(spark, sf_dir, "events")
+        w = W.partitionBy("event_type")
+        return (
+            events.withColumn("norm_value", F.col("value") / F.max("value").over(w))
+            .groupBy("event_type")
+            .agg(
+                F.round(F.avg("norm_value"), 6).alias("avg_norm"),
+                F.round(F.min("norm_value"), 6).alias("min_norm"),
+            )
+            .orderBy("event_type")
+        )
+
+    q["max_normalized_value"] = max_normalized_value
+
     def json_extract_props(spark, sf_dir):
         # JSONB path extraction analog (search_queries.py:128-148)
         events = _read(spark, sf_dir, "events")
@@ -855,6 +904,35 @@ tiered AS (
 )
 SELECT tier, count(*)::BIGINT AS n, round(avg(score), 6) AS avg_score
 FROM tiered GROUP BY tier ORDER BY tier
+"""
+
+    o["jaccard_drift_daily"] = """
+WITH day_sets AS (
+  SELECT user_id, date_trunc('day', ts)::DATE AS day,
+         list_sort(list_distinct(list(event_type))) AS types
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.user_id,
+         len(list_intersect(a.types, b.types))::DOUBLE
+           / len(list_distinct(list_concat(a.types, b.types))) AS jac
+  FROM day_sets a JOIN day_sets b
+    ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+)
+SELECT user_id, round(avg(1.0 - jac), 6) AS avg_drift,
+       count(*)::BIGINT AS n_transitions
+FROM pairs GROUP BY user_id
+ORDER BY avg_drift DESC, user_id ASC LIMIT 25
+"""
+
+    o["max_normalized_value"] = """
+WITH n AS (
+  SELECT event_type, value / max(value) OVER (PARTITION BY event_type) AS norm_value
+  FROM events
+)
+SELECT event_type, round(avg(norm_value), 6) AS avg_norm,
+       round(min(norm_value), 6) AS min_norm
+FROM n GROUP BY event_type ORDER BY event_type
 """
 
     o["json_extract_props"] = """
