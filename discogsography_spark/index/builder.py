@@ -112,6 +112,18 @@ def _encode_arrays(
     return enc
 
 
+def _runlength_tf(
+    doc_ids: np.ndarray, dls: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Collapse a doc-sorted token stream (one row per occurrence) into
+    (unique_doc_ids, tf, dl) via run-length — the map-side-combine work done
+    vectorized at encode time instead of as its own shuffle stage."""
+    chg = np.flatnonzero(np.concatenate(([True], doc_ids[1:] != doc_ids[:-1])))
+    u = doc_ids[chg]
+    tf = np.diff(np.concatenate((chg, [doc_ids.size])))
+    return u, tf.astype(np.int64), dls[chg]
+
+
 def _encode_sorted_stream(
     batches, k1: float, b: float, avgdl: float, block_size: int
 ):
@@ -119,7 +131,12 @@ def _encode_sorted_stream(
     the partition-trailing term across Arrow batches, emits one segment row
     per term. This replaces per-term applyInPandas groups — one Arrow
     exchange per PARTITION instead of per TERM, which is the difference
-    between O(vocab) and O(partitions) framing overhead at 10^12 scale."""
+    between O(vocab) and O(partitions) framing overhead at 10^12 scale.
+
+    Input rows are RAW token occurrences (term, seg, doc_id, dl), one per
+    token: term frequencies are computed here by run-length over the sorted
+    stream, which removes the dedicated groupBy(term, doc_id) shuffle from
+    the build (SURVEY.md §4 "minimize shuffles")."""
     carry: pd.DataFrame | None = None
 
     def encode_frame(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -130,16 +147,17 @@ def _encode_sorted_stream(
         )
         ends = np.concatenate((starts[1:], [len(terms)]))
         doc_ids = pdf["doc_id"].to_numpy().astype(np.int64)
-        tfs = pdf["tf"].to_numpy().astype(np.int64)
         dls = pdf["dl"].to_numpy().astype(np.int64)
         segs = pdf["seg"].to_numpy()
-        rows = [
-            _encode_arrays(
-                terms[s], int(segs[s]), doc_ids[s:e], tfs[s:e], dls[s:e],
-                k1, b, avgdl, block_size, False,
+        rows = []
+        for s, e in zip(starts, ends):
+            u, tf, dl_u = _runlength_tf(doc_ids[s:e], dls[s:e])
+            rows.append(
+                _encode_arrays(
+                    terms[s], int(segs[s]), u, tf, dl_u,
+                    k1, b, avgdl, block_size, False,
+                )
             )
-            for s, e in zip(starts, ends)
-        ]
         return pd.DataFrame(rows)
 
     for pdf in batches:
@@ -183,6 +201,7 @@ class BuildResult:
     total_tokens: int
     resumed: bool
     segments_built: list[int]
+    timings: dict[str, float] | None = None
 
 
 class IndexBuilder:
@@ -263,54 +282,55 @@ class IndexBuilder:
         block_size = self.block_size
 
         docs = spark.read.parquet(self.docs_dir)
-        postings = (
+        # raw token occurrences — ONE row per token. tf is computed by
+        # run-length inside the encoders, so the build has exactly one full
+        # shuffle of posting data (the term-hash repartition below) instead
+        # of a groupBy(term, doc) shuffle followed by a second one.
+        tokens = (
             docs.select("doc_id", "dl", F.explode("tokens").alias("term"))
-            .groupBy("term", "doc_id")
-            .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
             .withColumn(
                 "seg",
                 (F.crc32(F.col("term")) % F.lit(self.num_segments)).cast("int"),
             )
             .filter(F.col("seg").isin(pending))
         )
-        postings = postings.persist()
 
-        # head-term detection: exact DF per term (map-side combined — cheap
-        # relative to the posting shuffle even at scale).
+        # head-term detection on collection frequency (map-side combined agg
+        # → tiny shuffle). CF ≥ DF, so thresholding CF salts a superset of
+        # the df-threshold terms — salting is a lossless safety valve, and
+        # exact DF still lands in each encoded row.
         head_rows = (
-            postings.groupBy("term")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > self.head_df_threshold)
+            tokens.groupBy("term")
+            .agg(F.count("*").alias("cf"))
+            .filter(F.col("cf") > self.head_df_threshold)
             .select("term")
             .collect()
         )
         head_terms = sorted(r["term"] for r in head_rows)
 
-        normal = postings
+        normal = tokens
         branches: list[DataFrame] = []
         if head_terms:
             salt_width = max(1, -(-n_docs // self.head_salts))  # ceil div
-            head = postings.filter(F.col("term").isin(head_terms)).withColumn(
+            head = tokens.filter(F.col("term").isin(head_terms)).withColumn(
                 "salt", (F.col("doc_id") / F.lit(salt_width)).cast("int")
             )
 
             def encode_partial(pdf: pd.DataFrame) -> pd.DataFrame:
                 order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+                u, tf, dl_u = _runlength_tf(
+                    pdf["doc_id"].to_numpy()[order].astype(np.int64),
+                    pdf["dl"].to_numpy()[order].astype(np.int64),
+                )
                 return pd.DataFrame(
                     [
                         {
                             "term": pdf["term"].iloc[0],
                             "seg": int(pdf["seg"].iloc[0]),
                             "salt": int(pdf["salt"].iloc[0]),
-                            "doc_bytes": pdf["doc_id"].to_numpy()[order]
-                            .astype(np.int64)
-                            .tobytes(),
-                            "tf_bytes": pdf["tf"].to_numpy()[order]
-                            .astype(np.int64)
-                            .tobytes(),
-                            "dl_bytes": pdf["dl"].to_numpy()[order]
-                            .astype(np.int64)
-                            .tobytes(),
+                            "doc_bytes": u.tobytes(),
+                            "tf_bytes": tf.tobytes(),
+                            "dl_bytes": dl_u.tobytes(),
                         }
                     ]
                 )
@@ -346,7 +366,7 @@ class IndexBuilder:
                 .applyInPandas(merge_partials, schema=SEGMENT_SCHEMA)
             )
             branches.append(head_encoded)
-            normal = postings.filter(~F.col("term").isin(head_terms))
+            normal = tokens.filter(~F.col("term").isin(head_terms))
 
         # normal terms: term-hash repartition + in-partition sort, then a
         # streaming mapInPandas encoder (one Arrow exchange per partition,
@@ -384,7 +404,6 @@ class IndexBuilder:
             .option("parquet.block.size", str(256 * 1024))
             .parquet(tmp)
         )
-        postings.unpersist()
 
     def _promote_segments(
         self, spark: SparkSession, pending: list[int], fail_after: int | None
@@ -448,24 +467,33 @@ class IndexBuilder:
         transcripts: DataFrame,
         fail_after_segments: int | None = None,
     ) -> BuildResult:
+        import time as _time
+
         spark = transcripts.sparkSession
+        timings: dict[str, float] = {}
         resumed = False
         stats = self.manifest.docs()
         if stats is None:
+            t0 = _time.time()
             stats = self._build_docs(transcripts)
+            timings["docs_sec"] = round(_time.time() - t0, 2)
         else:
             resumed = True
 
         if self.manifest.is_complete():
             return BuildResult(
-                self.index_dir, stats["n_docs"], stats["total_tokens"], True, []
+                self.index_dir, stats["n_docs"], stats["total_tokens"], True, [], timings
             )
 
         pending = self.manifest.pending_segments(self.num_segments)
         promoted: list[int] = []
         if pending:
+            t0 = _time.time()
             self._build_segments(spark, stats, pending)
+            timings["segments_sec"] = round(_time.time() - t0, 2)
+            t0 = _time.time()
             promoted = self._promote_segments(spark, pending, fail_after_segments)
+            timings["promote_sec"] = round(_time.time() - t0, 2)
         if os.path.isdir(self._segments_tmp):
             shutil.rmtree(self._segments_tmp)
         self.manifest.commit_success(
@@ -477,4 +505,5 @@ class IndexBuilder:
             stats["total_tokens"],
             resumed,
             promoted,
+            timings,
         )

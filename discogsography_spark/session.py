@@ -33,6 +33,10 @@ def get_spark(
         # file; on a cluster this is the standard 128m — smaller here keeps
         # 32 threads busy on small benchmark inputs)
         .config("spark.sql.files.maxPartitionBytes", "16m")
+        # shuffle + cache spill through tmpfs: local mode funnels all shuffle
+        # through one disk, which serializes multi-core runs; a cluster's
+        # shuffle fabric scales with executors, tmpfs is the local analog
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -43,6 +43,7 @@ def main() -> None:
                 "build_sec": round(elapsed, 3),
                 "turns_per_sec": round(n_turns / elapsed, 1),
                 "segments_built": len(res.segments_built),
+                "timings": res.timings,
             }
         )
     )
