@@ -95,13 +95,15 @@ def main() -> None:
     # ---- 2. BM25 query latency over the reference query set ----
     qdf = pd.read_parquet(os.path.join(corpus, "queries.parquet"))
     searcher = LocalSearcher(idx_dir)
-    lat = []
     t0 = time.time()
-    for _, row in qdf.iterrows():
+    for _, row in qdf.iterrows():  # cold pass: includes segment/page-cache I/O
+        searcher.topk(row["query_text"], int(row["k"]))
+    queries["bm25_queries_cold_total"] = round(time.time() - t0, 3)
+    lat = []
+    for _, row in qdf.iterrows():  # steady-state serving pass
         s = time.time()
         searcher.topk(row["query_text"], int(row["k"]))
         lat.append(time.time() - s)
-    queries["bm25_queries_total"] = round(time.time() - t0, 3)
     lat_ms = np.array(lat) * 1000.0
     extra["bm25_p50_ms"] = round(float(np.percentile(lat_ms, 50)), 2)
     extra["bm25_p95_ms"] = round(float(np.percentile(lat_ms, 95)), 2)

@@ -23,6 +23,7 @@ pairs at any parallelism.
 
 from __future__ import annotations
 
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -120,11 +121,19 @@ def ngram_jaccard_pairs(
     return out
 
 
-def _minhash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+def _minhash_seeds(num_hashes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.int64)
-    return a, b
+    return rng.integers(1, 2**63 - 1, num_hashes).astype(np.uint64)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — a full-avalanche 64-bit permutation
+    per seed, pure uint64 wraparound (no object-dtype bigint math)."""
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+        x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+        return x ^ (x >> np.uint64(31))
 
 
 def minhash_signatures(
@@ -138,7 +147,7 @@ def minhash_signatures(
     """(doc_id, sig array<long>) MinHash signatures over word n-gram shingles.
     Shingle hashing + permutations are numpy-vectorized inside an Arrow
     mapInPandas — the engine's one sanctioned slow-path shape."""
-    a_vec, b_vec = _minhash_params(num_hashes, seed)
+    seeds = _minhash_seeds(num_hashes, seed)
     sh = df.select(
         F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("sh")
     ).filter(F.size("sh") > 0)
@@ -154,14 +163,13 @@ def minhash_signatures(
             ids, sigs = [], []
             for doc_id, shingles in zip(pdf["doc_id"], pdf["sh"]):
                 hv = np.array(
-                    [hash_shingle(s) for s in shingles], dtype=np.int64
+                    [hash_shingle(s) for s in shingles], dtype=np.uint64
                 )
-                # (a*h + b) mod p, per hash function; min over shingles
-                m = (
-                    (a_vec[None, :].astype(object) * hv[:, None] + b_vec[None, :])
-                    % _MERSENNE
-                )
-                sigs.append(np.min(m, axis=0).astype(np.int64).tolist())
+                with np.errstate(over="ignore"):
+                    mixed = _splitmix64(hv[:, None] ^ seeds[None, :])
+                # min over shingles per hash fn; shift into signed-long range
+                sig = (np.min(mixed, axis=0) >> np.uint64(1)).astype(np.int64)
+                sigs.append(sig.tolist())
                 ids.append(doc_id)
             yield pd.DataFrame({"doc_id": ids, "sig": sigs})
 
@@ -169,12 +177,11 @@ def minhash_signatures(
 
 
 def hash_shingle(s: str) -> int:
-    """Deterministic 61-bit shingle hash (FNV-1a folded into the Mersenne
-    field). Stable across processes — unlike Python's salted hash()."""
-    h = 1469598103934665603
-    for ch in s.encode("utf-8"):
-        h = ((h ^ ch) * 1099511628211) & ((1 << 64) - 1)
-    return h % _MERSENNE
+    """Deterministic 64-bit shingle hash: two independent crc32 passes
+    (C-speed), concatenated. Stable across processes — unlike Python's
+    salted hash(); the splitmix64 finalizer downstream provides avalanche."""
+    b = s.encode("utf-8")
+    return (zlib.crc32(b) << 32) | zlib.crc32(b, 0x9E3779B9)
 
 
 def minhash_lsh_pairs(
