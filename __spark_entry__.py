@@ -44,6 +44,13 @@ _QVEC_SQL = "[" + ", ".join(repr(x) for x in _QVEC) + "]::DOUBLE[]"
 
 _K1, _B = 1.2, 0.75
 
+_BATCH_QUERIES: list[tuple[str, str]] = [
+    ("q-head", "table"),
+    ("q-pair", "table value"),
+    ("q-triple", "spark query fast"),
+    ("q-rare", "customer window"),
+]
+
 
 def _bm25_oracle(terms: list[str], k: int) -> str:
     tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
@@ -104,6 +111,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bm25_topk_dataframe(_read(spark, sf_dir, "documents"), "table", k=50)
 
     q["fts_bm25_topk_head"] = fts_bm25_topk_head
+
+    def fts_bm25_batch(spark, sf_dir):
+        # many queries, one shared plan (batched fan-out — the concurrent
+        # per-query execution of search_queries.py:410-416, restated)
+        from discogsography_spark.query.dataframe_bm25 import bm25_batch_dataframe
+
+        return bm25_batch_dataframe(
+            _read(spark, sf_dir, "documents"), _BATCH_QUERIES, k=10
+        ).select("query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank"))
+
+    q["fts_bm25_batch"] = fts_bm25_batch
 
     def fts_match_conjunctive_count(spark, sf_dir):
         docs = _read(spark, sf_dir, "documents")
@@ -632,6 +650,44 @@ def oracle_sql() -> dict[str, str]:
 
     o["fts_bm25_topk"] = _bm25_oracle(analyze_query("table value"), 20)
     o["fts_bm25_topk_head"] = _bm25_oracle(analyze_query("table"), 50)
+
+    qvals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, qtext in _BATCH_QUERIES
+        for t in analyze_query(qtext)
+    )
+    o["fts_bm25_batch"] = f"""
+WITH qterms(query_id, term) AS (VALUES {qvals}),
+nq AS (SELECT query_id, count(*) AS n_query_terms FROM qterms GROUP BY 1),
+toks AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT count(*) FROM toks)::DOUBLE AS total_tokens
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT q.query_id, tf.doc_id, count(*) AS nt,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * (tf.tf / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * (dl.dl / (s.total_tokens / s.n_docs))))) ) AS raw
+  FROM tf JOIN qterms q USING (term) JOIN dft USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(raw, 5) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 5) DESC, doc_id ASC) AS rank
+  FROM scored JOIN nq USING (query_id)
+  WHERE nt = n_query_terms
+)
+SELECT query_id, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 10
+"""
 
     o["fts_match_conjunctive_count"] = f"""
 SELECT count(*)::BIGINT AS n_matched FROM documents

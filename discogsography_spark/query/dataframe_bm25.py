@@ -26,6 +26,99 @@ from discogsography_spark.operators.textstats import tokens_col
 from discogsography_spark.params import BM25Params
 
 
+def bm25_batch_dataframe(
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    params: BM25Params | None = None,
+    round_dp: int = 5,
+) -> DataFrame:
+    """Score MANY conjunctive BM25 queries in ONE plan: (query_id, doc_id,
+    score, rank). The reference runs its search fan-out as concurrent
+    single-query SQL (search_queries.py:410-416); batched scoring shares the
+    corpus scan, the tf build, and the stats pass across every query — the
+    shape that matters when replaying a large query log at 100 TB.
+
+    Per-query top-k = rank-cap window (row_number over score DESC, doc ASC),
+    the per-table LIMIT discipline of search_queries.py:130-134.
+    """
+    from pyspark.sql import Window as W
+
+    p = params or BM25Params()
+    spark = docs.sparkSession
+    qterms = [
+        (qid, t) for qid, qtext in queries for t in analyze_query(qtext)
+    ]
+    if not qterms:
+        return spark.createDataFrame(
+            [], f"query_id string, {id_col} long, score double, rank int"
+        )
+    qdf = spark.createDataFrame(qterms, "query_id string, term string")
+    nq = qdf.groupBy("query_id").agg(F.count("*").alias("n_query_terms"))
+    all_terms = sorted({t for _, t in qterms})
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("_dl"), F.lit(0)).alias("total_tokens"),
+    )
+    tf = (
+        toks.select("_id", "_dl", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(all_terms))
+        .groupBy("_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("_dl").alias("dl"))
+    )
+    df_per_term = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    partial = (
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        )
+        * (
+            F.col("tf").cast("double")
+            / (
+                F.col("tf").cast("double")
+                + F.lit(p.k1)
+                * (
+                    F.lit(1.0 - p.b)
+                    + F.lit(p.b)
+                    * (F.col("dl").cast("double") / (F.col("total_tokens") / F.col("n_docs")))
+                )
+            )
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(df_per_term), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("partial", partial)
+        .groupBy("query_id", "_id")
+        .agg(
+            F.count("*").alias("nt"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "partial"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["partial"],
+            ).alias("raw_score"),
+        )
+        .join(F.broadcast(nq), "query_id")
+        .filter(F.col("nt") == F.col("n_query_terms"))
+        .select(
+            "query_id",
+            F.col("_id").alias(id_col),
+            F.round("raw_score", round_dp).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def bm25_topk_dataframe(
     docs: DataFrame,
     query_text: str,

@@ -36,7 +36,13 @@ def get_spark(
         # shuffle + cache spill through tmpfs: local mode funnels all shuffle
         # through one disk, which serializes multi-core runs; a cluster's
         # shuffle fabric scales with executors, tmpfs is the local analog
-        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_LOCAL_DIRS",
+                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
