@@ -165,6 +165,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_facet_source"] = fts_facet_source
 
+    def fts_facets_multi(spark, sf_dir):
+        # the reference's search fan-out: independent facet aggregations over
+        # the matched set (search_queries.py:274-354,410-416) — expressed as
+        # one unioned facet table (facet, value, n)
+        docs = _read(spark, sf_dir, "documents")
+        matched = docs.filter(
+            F.array_contains(F.array_distinct(tokens_col("text")), "table")
+        )
+        by_source = matched.groupBy(
+            F.lit("source").alias("facet"), F.col("source").alias("value")
+        ).agg(F.count("*").cast("long").alias("n"))
+        by_lang = matched.groupBy(
+            F.lit("lang").alias("facet"), F.col("lang").alias("value")
+        ).agg(F.count("*").cast("long").alias("n"))
+        by_len = matched.groupBy(
+            F.lit("len_bucket").alias("facet"),
+            (F.floor(F.col("n_chars") / 500) * 500).cast("string").alias("value"),
+        ).agg(F.count("*").cast("long").alias("n"))
+        return by_source.unionByName(by_lang).unionByName(by_len).orderBy(
+            "facet", "value"
+        )
+
+    q["fts_facets_multi"] = fts_facets_multi
+
+    def agg_cube_orders(spark, sf_dir):
+        # grouping-sets/cube — the one-pass form of the reference's separate
+        # facet queries (SURVEY.md §2.4 "grouping sets: none — could be one cube")
+        orders = _read(spark, sf_dir, "orders")
+        return (
+            orders.cube("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+            .orderBy("o_orderstatus", "o_orderpriority")
+        )
+
+    q["agg_cube_orders"] = agg_cube_orders
+
     def fts_capped_count(spark, sf_dir):
         # capped approximate count — LIMIT inside the counting subquery
         # (search_queries.py:242-271): reported total is a lower bound
@@ -706,6 +745,29 @@ FROM t GROUP BY term ORDER BY df DESC, term ASC LIMIT 20
 SELECT source, count(*)::BIGINT AS n FROM documents
 WHERE list_contains(list_distinct({toks}), 'table')
 GROUP BY source ORDER BY n DESC, source ASC
+"""
+
+    o["fts_facets_multi"] = f"""
+WITH matched AS (
+  SELECT * FROM documents
+  WHERE list_contains(list_distinct({toks}), 'table')
+)
+SELECT 'source' AS facet, source AS value, count(*)::BIGINT AS n
+FROM matched GROUP BY source
+UNION ALL
+SELECT 'lang', lang, count(*)::BIGINT FROM matched GROUP BY lang
+UNION ALL
+SELECT 'len_bucket', (floor(n_chars / 500) * 500)::BIGINT::VARCHAR,
+       count(*)::BIGINT
+FROM matched GROUP BY 2
+ORDER BY facet, value
+"""
+
+    o["agg_cube_orders"] = """
+SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
 """
 
     o["fts_capped_count"] = f"""

@@ -1,0 +1,119 @@
+"""Command-line frontend — the engine's analog of the reference's rule that
+one query layer serves every frontend (HTTP API, MCP server, NLQ all dispatch
+to the same query functions, SURVEY.md §3.3). This CLI, the pytest suite,
+and bench.py all consume the same library surface.
+
+    python -m discogsography_spark.cli build  <transcripts.parquet> <index_dir> [--segments N]
+    python -m discogsography_spark.cli query  <index_dir> "<query text>" [--k K] [--show-text <transcripts>]
+    python -m discogsography_spark.cli stats  <index_dir>
+    python -m discogsography_spark.cli compact <index_dir>
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="discogsography_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("transcripts")
+    b.add_argument("index_dir")
+    b.add_argument("--segments", type=int, default=16)
+    b.add_argument("--format", default="parquet")
+
+    q = sub.add_parser("query", help="BM25 top-k query (serving path, no Spark)")
+    q.add_argument("index_dir")
+    q.add_argument("query_text")
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--show-text", metavar="TRANSCRIPTS", default=None)
+
+    s = sub.add_parser("stats", help="print index manifest stats")
+    s.add_argument("index_dir")
+
+    c = sub.add_parser("compact", help="fold streaming deltas into the base index")
+    c.add_argument("index_dir")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "build":
+        from discogsography_spark.index.builder import IndexBuilder
+        from discogsography_spark.session import get_spark
+        from discogsography_spark.sources import load_transcripts
+
+        spark = get_spark("cli-build")
+        df = load_transcripts(spark, args.transcripts, format=args.format)
+        res = IndexBuilder(args.index_dir, num_segments=args.segments).build(df)
+        print(
+            json.dumps(
+                {
+                    "n_docs": res.n_docs,
+                    "total_tokens": res.total_tokens,
+                    "resumed": res.resumed,
+                    "segments_built": res.segments_built,
+                    "timings": res.timings,
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "query":
+        from discogsography_spark.query.engine import LocalSearcher
+
+        searcher = LocalSearcher(args.index_dir)
+        hits = searcher.topk(args.query_text, args.k)
+        texts = {}
+        if args.show_text and hits:
+            import pandas as pd
+            import pyarrow.dataset as pads
+
+            import os
+
+            docs = (
+                pads.dataset(os.path.join(args.index_dir, "docs"))
+                .to_table(columns=["doc_id", "conv_id", "turn_idx"])
+                .to_pandas()
+            )
+            docmap = docs.set_index("doc_id")
+            src = pd.read_parquet(args.show_text, columns=["conv_id", "turn_idx", "text"])
+            src = src.set_index(["conv_id", "turn_idx"])
+            for d, _ in hits:
+                row = docmap.loc[d]
+                texts[d] = str(src.loc[(row["conv_id"], int(row["turn_idx"]))]["text"])[:160]
+        for rank, (doc_id, score) in enumerate(hits, 1):
+            line = {"rank": rank, "doc_id": doc_id, "score": round(score, 6)}
+            if doc_id in texts:
+                line["text"] = texts[doc_id]
+            print(json.dumps(line))
+        if not hits:
+            print(json.dumps({"matches": 0}))
+        return 0
+
+    if args.cmd == "stats":
+        from discogsography_spark.index.manifest import Manifest
+
+        man = Manifest(args.index_dir)
+        out = {"docs": man.docs(), "complete": man.is_complete(), "segments": {}}
+        for seg in sorted(man.committed_segments()):
+            out["segments"][seg] = man.segment(seg)
+        print(json.dumps(out, indent=2))
+        return 0
+
+    if args.cmd == "compact":
+        from discogsography_spark.session import get_spark
+        from discogsography_spark.streaming.incremental import compact
+
+        spark = get_spark("cli-compact")
+        n = compact(spark, args.index_dir)
+        print(json.dumps({"deltas_folded": n}))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -70,8 +70,17 @@ SEGMENT_SCHEMA = T.StructType(
         T.StructField("block_max_tfnorm", T.ArrayType(T.DoubleType()), False),
         T.StructField("max_tfnorm", T.DoubleType(), False),
         T.StructField("is_head", T.BooleanType(), False),
+        # champion list: top-CHAMPION_LIST_SIZE postings by (tfnorm DESC,
+        # doc_id ASC). Single-term BM25 rank is monotone in tfnorm, so a
+        # single-term top-k (k ≤ C) is answered EXACTLY from this list —
+        # Lucene's impact-ordered early termination, specialized
+        T.StructField("champ_doc", T.ArrayType(T.LongType()), False),
+        T.StructField("champ_tf", T.ArrayType(T.LongType()), False),
+        T.StructField("champ_dl", T.ArrayType(T.LongType()), False),
     ]
 )
+
+CHAMPION_LIST_SIZE = 128
 
 PARTIAL_SCHEMA = T.StructType(
     [
@@ -108,7 +117,26 @@ def _encode_arrays(
     norm = k1 * (1.0 - b + b * (dls.astype(np.float64) / avgdl))
     tfnorm = tf_f / (tf_f + norm)
     enc = encode_term_postings(doc_ids, tfs, dls, tfnorm, block_size)
-    enc.update({"term": term, "seg": seg, "is_head": is_head})
+    c = min(CHAMPION_LIST_SIZE, doc_ids.size)
+    if doc_ids.size > c:
+        # tie-safe selection: keep everything at/above the c-th tfnorm, then
+        # exact (tfnorm DESC, doc ASC) order — avoids a full-list lexsort
+        kth = np.partition(-tfnorm, c - 1)[c - 1]
+        cand = np.flatnonzero(-tfnorm <= kth)
+    else:
+        cand = np.arange(doc_ids.size)
+    order = np.lexsort((doc_ids[cand], -tfnorm[cand]))[:c]
+    champs = cand[order]
+    enc.update(
+        {
+            "term": term,
+            "seg": seg,
+            "is_head": is_head,
+            "champ_doc": doc_ids[champs].tolist(),
+            "champ_tf": tfs[champs].astype(np.int64).tolist(),
+            "champ_dl": dls[champs].astype(np.int64).tolist(),
+        }
+    )
     return enc
 
 
@@ -186,11 +214,9 @@ def _encode_pdf(
     doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
     tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
     dls = pdf["dl"].to_numpy()[order].astype(np.int64)
-    tf_f = tfs.astype(np.float64)
-    norm = k1 * (1.0 - b + b * (dls.astype(np.float64) / avgdl))
-    tfnorm = tf_f / (tf_f + norm)
-    enc = encode_term_postings(doc_ids, tfs, dls, tfnorm, block_size)
-    enc.update({"term": term, "seg": seg, "is_head": is_head})
+    enc = _encode_arrays(
+        term, seg, doc_ids, tfs, dls, k1, b, avgdl, block_size, is_head
+    )
     return pd.DataFrame([enc])
 
 
