@@ -148,9 +148,7 @@ def minhash_signatures(
     Shingle hashing + permutations are numpy-vectorized inside an Arrow
     mapInPandas — the engine's one sanctioned slow-path shape."""
     seeds = _minhash_seeds(num_hashes, seed)
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -159,11 +157,24 @@ def minhash_signatures(
     )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # tokenize + shingle + hash in ONE Arrow pass: nested higher-order
+        # expressions (transform+slice per position) are ~100x slower JVM-side
+        # for this shape than a vectorized pandas pass
+        from discogsography_spark.analysis import tokenize_pandas
+
         for pdf in batches:
+            toks_series = tokenize_pandas(pdf["_text"])
             ids, sigs = [], []
-            for doc_id, shingles in zip(pdf["doc_id"], pdf["sh"]):
-                hv = np.array(
-                    [hash_shingle(s) for s in shingles], dtype=np.uint64
+            for doc_id, toks in zip(pdf["doc_id"], toks_series):
+                if len(toks) < n:
+                    continue
+                shingles = {
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                }
+                hv = np.fromiter(
+                    (hash_shingle(s) for s in shingles),
+                    dtype=np.uint64,
+                    count=len(shingles),
                 )
                 with np.errstate(over="ignore"):
                     mixed = _splitmix64(hv[:, None] ^ seeds[None, :])
@@ -173,7 +184,7 @@ def minhash_signatures(
                 ids.append(doc_id)
             yield pd.DataFrame({"doc_id": ids, "sig": sigs})
 
-    return sh.mapInPandas(compute, schema=out_schema)
+    return src.mapInPandas(compute, schema=out_schema)
 
 
 def hash_shingle(s: str) -> int:
