@@ -56,6 +56,36 @@ def build_oracle_index(
     return idx
 
 
+def bm25_topk_or(
+    idx: OracleIndex, query_text: str, k: int
+) -> list[tuple[int, float]]:
+    """Disjunctive (OR) BM25 top-k: candidates = union of postings; missing
+    terms contribute nothing. Same determinism discipline: per-doc sum in
+    sorted term order (absent terms skipped), (score DESC, doc_id ASC)."""
+    terms = analyze_query(query_text)
+    present = [t for t in terms if idx.postings.get(t)]
+    if not present:
+        return []
+    p_ = idx.params
+    n, avgdl = idx.n_docs, idx.avgdl
+    idfs = {t: p_.idf(n, len(idx.postings[t])) for t in present}
+    candidates: set[int] = set()
+    for t in present:
+        candidates.update(idx.postings[t].keys())
+    scored: list[tuple[int, float]] = []
+    for d in candidates:
+        dl = idx.doc_len[d]
+        norm = p_.k1 * (1.0 - p_.b + p_.b * (dl / avgdl))
+        s = 0.0
+        for t in present:  # sorted order — fixed float64 summation order
+            tf = idx.postings[t].get(d)
+            if tf is not None:
+                s = s + idfs[t] * (float(tf) / (float(tf) + norm))
+        scored.append((d, s))
+    scored.sort(key=lambda ds: (-ds[1], ds[0]))
+    return scored[:k]
+
+
 def bm25_topk(
     idx: OracleIndex, query_text: str, k: int
 ) -> list[tuple[int, float]]:

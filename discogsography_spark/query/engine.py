@@ -254,9 +254,14 @@ class LocalSearcher:
                 )
         return out
 
-    def topk(self, query_text: str, k: int) -> list[tuple[int, float]]:
-        """Exact conjunctive BM25 top-k with block skipping + block-max
-        pruning. Returns [(doc_id, score)] ordered (score DESC, doc_id ASC)."""
+    def topk(
+        self, query_text: str, k: int, mode: str = "and"
+    ) -> list[tuple[int, float]]:
+        """Exact BM25 top-k. mode='and' (default): conjunctive, plainto_tsquery
+        semantics; mode='or': disjunctive with max-score/block-max pruning.
+        Returns [(doc_id, score)] ordered (score DESC, doc_id ASC)."""
+        if mode == "or":
+            return self._topk_or(query_text, k)
         terms = analyze_query(query_text)
         if not terms:
             return []
@@ -353,6 +358,102 @@ class LocalSearcher:
         else:
             sel = np.arange(n_cand)
         sub_docs, sub_scores = cand_docs[sel], scores[sel]
+        order = np.lexsort((sub_docs, -sub_scores))[:k]
+        return [(int(sub_docs[i]), float(sub_scores[i])) for i in order]
+
+    def _topk_or(self, query_text: str, k: int) -> list[tuple[int, float]]:
+        """Disjunctive BM25 top-k with max-score pruning over block-max
+        metadata (the WAND family):
+
+        1. seed a threshold θ from champion lists — each champion doc's exact
+           partial contribution is a LOWER bound of its true OR score;
+        2. split terms into essential/non-essential by descending max
+           contribution: a maximal suffix whose summed max contributions stay
+           strictly below θ cannot, even best-case, lift a doc that appears
+           ONLY there into the top-k (strict < keeps doc_id tie candidates);
+        3. candidates = union of ESSENTIAL postings only — the pruning win:
+           a 1M-posting head term that lands non-essential is never decoded
+           in full, only block-skip probed for the candidates;
+        4. exact scoring in sorted-term order (absent term adds nothing —
+           float-identical to the oracle's skip).
+        """
+        terms = analyze_query(query_text)
+        if not terms:
+            return []
+        rows = self.lookup_terms(terms)
+        present = sorted(t for t in terms if t in rows)
+        if not present:
+            return []
+        m, p = self.meta, self.meta.params
+        k1, b, avgdl = p.k1, p.b, m.avgdl
+        idfs = {t: p.idf(m.n_docs, rows[t].df) for t in present}
+        maxcontrib = {
+            t: idfs[t] * float(rows[t].block_max_tfnorm.max()) for t in present
+        }
+
+        # 1. θ from champion partials (exact lower bounds)
+        champ_scores: dict[int, float] = {}
+        for t in present:
+            tp = rows[t]
+            if tp.champ_doc is None or tp.champ_doc.size == 0:
+                continue
+            tf = tp.champ_tf.astype(np.float64)
+            norm = k1 * (1.0 - b + b * (tp.champ_dl.astype(np.float64) / avgdl))
+            contrib = idfs[t] * (tf / (tf + norm))
+            for d, c in zip(tp.champ_doc, contrib):
+                champ_scores[int(d)] = champ_scores.get(int(d), 0.0) + float(c)
+        theta = (
+            sorted(champ_scores.values(), reverse=True)[k - 1]
+            if len(champ_scores) >= k
+            else -np.inf
+        )
+
+        # 2. essential prefix under (maxcontrib DESC, term ASC)
+        by_contrib = sorted(present, key=lambda t: (-maxcontrib[t], t))
+        essential = list(by_contrib)
+        tail_sum = 0.0
+        for t in reversed(by_contrib):
+            if len(essential) == 1:
+                break
+            if tail_sum + maxcontrib[t] < theta:
+                tail_sum += maxcontrib[t]
+                essential.pop()
+            else:
+                break
+
+        # 3. candidate union from essential lists
+        cand = np.unique(
+            np.concatenate([rows[t].decode_all()[0] for t in essential])
+        )
+        if cand.size == 0:
+            return []
+
+        # 4. exact scoring, sorted-term accumulation
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for t in present:
+            tp = rows[t]
+            blk = np.searchsorted(tp.block_last_doc, cand, side="left")
+            valid = blk < len(tp.block_last_doc)
+            if not valid.any():
+                continue
+            needed = np.unique(blk[valid])
+            d, tfv, dlv = tp.decode_blocks(needed)
+            pos = np.searchsorted(d, cand[valid])
+            ok = pos < d.size
+            hit_local = np.zeros(valid.sum(), dtype=bool)
+            hit_local[ok] = d[pos[ok]] == cand[valid][ok]
+            hit = np.flatnonzero(valid)[hit_local]
+            tf = tfv[pos[hit_local]].astype(np.float64)
+            dl = dlv[pos[hit_local]].astype(np.float64)
+            norm = k1 * (1.0 - b + b * (dl / avgdl))
+            scores[hit] = scores[hit] + idfs[t] * (tf / (tf + norm))
+
+        if cand.size > 4 * k:
+            kth = np.partition(-scores, k - 1)[k - 1]
+            sel = np.flatnonzero(-scores <= kth)
+        else:
+            sel = np.arange(cand.size)
+        sub_docs, sub_scores = cand[sel], scores[sel]
         order = np.lexsort((sub_docs, -sub_scores))[:k]
         return [(int(sub_docs[i]), float(sub_scores[i])) for i in order]
 
