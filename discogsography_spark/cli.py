@@ -30,6 +30,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("index_dir")
     q.add_argument("query_text")
     q.add_argument("--k", type=int, default=10)
+    q.add_argument("--mode", choices=("and", "or"), default="and")
     q.add_argument("--show-text", metavar="TRANSCRIPTS", default=None)
 
     s = sub.add_parser("stats", help="print index manifest stats")
@@ -65,7 +66,7 @@ def main(argv: list[str] | None = None) -> int:
         from discogsography_spark.query.engine import LocalSearcher
 
         searcher = LocalSearcher(args.index_dir)
-        hits = searcher.topk(args.query_text, args.k)
+        hits = searcher.topk(args.query_text, args.k, mode=args.mode)
         texts = {}
         if args.show_text and hits:
             import pandas as pd
