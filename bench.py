@@ -84,7 +84,7 @@ def main() -> None:
     builder = IndexBuilder(
         idx_dir,
         num_segments=max(8, cpus // 2),
-        head_df_threshold=max(2000, n_turns // 20),
+        head_df_threshold=max(2000, min(100_000, n_turns // 20)),  # absolute cap: per-group size must stay bounded as the corpus grows
     )
     builder.build(transcripts)
     build_sec = time.time() - t0

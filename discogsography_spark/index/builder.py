@@ -164,8 +164,13 @@ def _encode_sorted_stream(
     Input rows are RAW token occurrences (term, seg, doc_id, dl), one per
     token: term frequencies are computed here by run-length over the sorted
     stream, which removes the dedicated groupBy(term, doc_id) shuffle from
-    the build (SURVEY.md §4 "minimize shuffles")."""
-    carry: pd.DataFrame | None = None
+    the build (SURVEY.md §4 "minimize shuffles").
+
+    Buffering is fragment-based: Arrow batches accumulate in a list and are
+    concatenated only once per ~TARGET rows (NOT per batch — a per-batch
+    concat of the open tail is quadratic in the largest term's posting count
+    and turned 6M-turn builds superlinear)."""
+    TARGET = 1 << 19  # rows per concat+flush cycle
 
     def encode_frame(pdf: pd.DataFrame) -> pd.DataFrame:
         terms = pdf["term"].to_numpy()
@@ -188,20 +193,29 @@ def _encode_sorted_stream(
             )
         return pd.DataFrame(rows)
 
+    frags: list[pd.DataFrame] = []
+    frag_rows = 0
     for pdf in batches:
-        if carry is not None:
-            pdf = pd.concat([carry, pdf], ignore_index=True)
-            carry = None
         if len(pdf) == 0:
             continue
-        terms = pdf["term"].to_numpy()
+        frags.append(pdf)
+        frag_rows += len(pdf)
+        if frag_rows < TARGET:
+            continue
+        merged = pd.concat(frags, ignore_index=True) if len(frags) > 1 else frags[0]
+        terms = merged["term"].to_numpy()
         # hold back the final term: it may continue in the next batch
         cut = int(np.searchsorted(terms, terms[-1], side="left"))
-        head, carry = pdf.iloc[:cut], pdf.iloc[cut:]
-        if len(head):
-            yield encode_frame(head)
-    if carry is not None and len(carry):
-        yield encode_frame(carry)
+        if cut > 0:
+            yield encode_frame(merged.iloc[:cut])
+            tail = merged.iloc[cut:].reset_index(drop=True)
+            frags, frag_rows = ([tail], len(tail)) if len(tail) else ([], 0)
+        else:
+            frags, frag_rows = [merged], len(merged)
+    if frags:
+        merged = pd.concat(frags, ignore_index=True) if len(frags) > 1 else frags[0]
+        if len(merged):
+            yield encode_frame(merged)
 
 
 def _encode_pdf(

@@ -95,6 +95,6 @@ class RuleSet:
 def year_plausibility(col: str, low: int = 1860) -> Column:
     """Year gate (/root/reference/common/data_normalizer.py:21-59): parse,
     clamp [low, now+1], else NULL."""
-    y = F.col(col).cast("int")
+    y = F.col(col).try_cast("int")  # ANSI-safe: malformed → NULL, not error
     hi = F.year(F.current_date()) + 1
     return F.when(y.between(F.lit(low), hi), y).otherwise(F.lit(None))

@@ -31,7 +31,7 @@ def main() -> None:
     builder = IndexBuilder(
         index_dir,
         num_segments=num_segments,
-        head_df_threshold=max(2000, n_turns // 20),
+        head_df_threshold=max(2000, min(100_000, n_turns // 20)),  # absolute cap: per-group size must stay bounded as the corpus grows
     )
     res = builder.build(transcripts)
     elapsed = time.time() - t0

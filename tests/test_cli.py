@@ -1,0 +1,68 @@
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args: list[str]) -> str:
+    out = subprocess.run(
+        [sys.executable, "-m", "discogsography_spark.cli", *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-1000:]
+    return out.stdout
+
+
+def test_cli_query_and_stats(built_index):
+    lines = [json.loads(x) for x in _run(["query", built_index, "spark", "--k", "3"]).splitlines()]
+    assert len(lines) == 3
+    assert lines[0]["rank"] == 1 and lines[0]["score"] >= lines[1]["score"]
+
+    ors = [json.loads(x) for x in _run(
+        ["query", built_index, "spark zz-missing", "--k", "3", "--mode", "or"]
+    ).splitlines()]
+    assert len(ors) == 3  # OR ignores the absent term
+
+    empty = [json.loads(x) for x in _run(["query", built_index, "zz-missing"]).splitlines()]
+    assert empty == [{"matches": 0}]
+
+    stats = json.loads(_run(["stats", built_index]))
+    assert stats["complete"] is True
+    assert stats["docs"]["n_docs"] > 0
+    assert set(map(int, stats["segments"])) == {0, 1, 2, 3}
+
+
+def test_champion_fallback_beyond_width(built_index, oracle_index):
+    """Single-term k larger than the champion width must fall back to the
+    full decode path and stay rank-identical."""
+    from discogsography_spark.oracle import bm25_topk
+    from discogsography_spark.query.engine import LocalSearcher
+
+    s = LocalSearcher(built_index)
+    # 'spark' is a seeded head word; df >> 128 in the conftest corpus
+    assert s.lookup_terms(["spark"])["spark"].df > 128
+    got = s.topk("spark", 300)
+    exp = bm25_topk(oracle_index, "spark", 300)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    assert all(gs == es for (_, gs), (_, es) in zip(got, exp))
+
+
+def test_year_plausibility_gate(spark):
+    from pyspark.sql import functions as F
+
+    from discogsography_spark.operators.rules import year_plausibility
+
+    df = spark.createDataFrame(
+        [("1999",), ("1850",), ("2093",), ("not-a-year",), (None,)], ["y"]
+    )
+    out = [r["yy"] for r in df.select(year_plausibility("y").alias("yy")).collect()]
+    assert out == [1999, None, None, None, None]
