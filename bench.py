@@ -93,20 +93,41 @@ def main() -> None:
     extra["n_turns"] = n_turns
 
     # ---- 2. BM25 query latency over the reference query set ----
+    # Three tiers, mirroring the reference's cold-vs-Redis-cached split
+    # (/root/reference/api/queries/search_queries.py:36-62):
+    #   cold    — first sight of each query: parquet I/O + posting decode
+    #   steady  — caches warm, result memo BYPASSED (honest serving p95)
+    #   memoized— query-result LRU hit path
     qdf = pd.read_parquet(os.path.join(corpus, "queries.parquet"))
     searcher = LocalSearcher(idx_dir)
+    lat_cold = []
     t0 = time.time()
-    for _, row in qdf.iterrows():  # cold pass: includes segment/page-cache I/O
-        searcher.topk(row["query_text"], int(row["k"]))
+    for _, row in qdf.iterrows():
+        s = time.time()
+        searcher.topk(row["query_text"], int(row["k"]), use_result_cache=False)
+        lat_cold.append(time.time() - s)
     queries["bm25_queries_cold_total"] = round(time.time() - t0, 3)
     lat = []
-    for _, row in qdf.iterrows():  # steady-state serving pass
+    for _, row in qdf.iterrows():
         s = time.time()
-        searcher.topk(row["query_text"], int(row["k"]))
+        searcher.topk(row["query_text"], int(row["k"]), use_result_cache=False)
         lat.append(time.time() - s)
+    lat_memo = []
+    for pass_i in range(2):  # first pass fills the memo, second measures hits
+        lat_memo = []
+        for _, row in qdf.iterrows():
+            s = time.time()
+            searcher.topk(row["query_text"], int(row["k"]))
+            lat_memo.append(time.time() - s)
+    cold_ms = np.array(lat_cold) * 1000.0
     lat_ms = np.array(lat) * 1000.0
+    memo_ms = np.array(lat_memo) * 1000.0
+    extra["bm25_p50_cold_ms"] = round(float(np.percentile(cold_ms, 50)), 2)
+    extra["bm25_p95_cold_ms"] = round(float(np.percentile(cold_ms, 95)), 2)
     extra["bm25_p50_ms"] = round(float(np.percentile(lat_ms, 50)), 2)
     extra["bm25_p95_ms"] = round(float(np.percentile(lat_ms, 95)), 2)
+    extra["bm25_max_ms"] = round(float(lat_ms.max()), 2)
+    extra["bm25_p95_memoized_ms"] = round(float(np.percentile(memo_ms, 95)), 3)
     extra["bm25_n_queries"] = len(lat)
 
     # ---- 3. headline analytics over the driver's sf tables ----

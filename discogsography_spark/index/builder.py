@@ -80,7 +80,13 @@ SEGMENT_SCHEMA = T.StructType(
     ]
 )
 
-CHAMPION_LIST_SIZE = 128
+# Champion-list length: the impact-ordered prefix kept per term. Sized so
+# (a) single-term top-k up to k=256 is answered without touching postings and
+# (b) the conjunctive evaluator's champion-seeded theta has enough
+# intersection survivors to cover k=100 queries (survival rate is roughly the
+# other terms' df/N product, so 512 champs keep ~100+ seeds for head pairs).
+# Cost: 512*3 int64s per term — negligible against the posting blobs.
+CHAMPION_LIST_SIZE = 512
 
 PARTIAL_SCHEMA = T.StructType(
     [

@@ -126,12 +126,16 @@ def pairwise_cosine_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: bucket self-join (same sign-LSH bucket) →
-    exact cosine ≥ threshold. The bucket key bounds the join fan-out."""
-    planes = _hyperplanes(0, 0)  # placeholder replaced below (needs dim)
-    first = df.select(F.size(vec_col).alias("d")).first()
-    dim = int(first["d"]) if first else 0
+    exact cosine ≥ threshold. The bucket key bounds the join fan-out.
+
+    Pass `dim` explicitly when known (schema-level constant) — the fallback
+    sniff costs a driver action."""
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"]) if first else 0
     planes = _hyperplanes(dim, n_planes, seed)
     b = df.select(
         F.col(id_col).alias("vid"),

@@ -1,0 +1,255 @@
+"""Independent pure-Python oracles for the approximate dedup operators.
+
+The driver records MinHash-LSH and SimHash as rows-only (`no_oracle`) because
+their hash families aren't expressible in DuckDB SQL. These tests close that
+verification gap with from-scratch CPython reimplementations (plain ints, no
+numpy vectorization, XXH64 from the public spec) checked against the Spark
+operators on the real sf0.001 documents table:
+
+- MinHash: per-doc signatures, banded buckets, candidate pair set and
+  estimated Jaccard must match minhash_lsh_pairs exactly.
+- SimHash: 64-bit fingerprints must match simhash_fingerprints exactly,
+  including the two's-complement bit-63 behavior of Spark's shiftleft.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pandas as pd
+import pytest
+
+from discogsography_spark.analysis import tokenize_py
+from discogsography_spark.operators.dedup import (
+    _minhash_seeds,
+    hash_shingle,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_fingerprints,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+M64 = (1 << 64) - 1
+
+
+# ---------------------------------------------------------------- xxh64
+# Pure-Python XXH64 (public algorithm, https://xxhash.com spec) — Spark's
+# F.xxhash64(string) hashes the UTF-8 bytes with seed 42.
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & M64
+
+
+def _round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _P2) & M64
+    acc = _rotl(acc, 31)
+    return (acc * _P1) & M64
+
+
+def _merge_round(acc: int, val: int) -> int:
+    acc ^= _round(0, val)
+    return ((acc * _P1) + _P4) & M64
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & M64
+        v2 = (seed + _P2) & M64
+        v3 = seed
+        v4 = (seed - _P1) & M64
+        while i + 32 <= n:
+            v1 = _round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & M64
+        h = _merge_round(h, v1)
+        h = _merge_round(h, v2)
+        h = _merge_round(h, v3)
+        h = _merge_round(h, v4)
+    else:
+        h = (seed + _P5) & M64
+    h = (h + n) & M64
+    while i + 8 <= n:
+        h ^= _round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_rotl(h, 27) * _P1 + _P4) & M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _P1) & M64
+        h = (_rotl(h, 23) * _P2 + _P3) & M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & M64
+        h = (_rotl(h, 11) * _P1) & M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & M64
+    h ^= h >> 29
+    h = (h * _P3) & M64
+    h ^= h >> 32
+    return h
+
+
+def _signed64(u: int) -> int:
+    return u - (1 << 64) if u & (1 << 63) else u
+
+
+# ---------------------------------------------------------------- oracles
+
+
+def _splitmix64_py(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & M64
+    return x ^ (x >> 31)
+
+
+def py_minhash_signature(text: str, seeds: list[int], n: int = 3) -> list[int] | None:
+    toks = tokenize_py(text)
+    if len(toks) < n:
+        return None
+    shingles = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    hvs = [hash_shingle(s) & M64 for s in shingles]
+    sig = []
+    for seed in seeds:
+        m = min(_splitmix64_py(h ^ seed) for h in hvs)
+        sig.append(m >> 1)  # stays in signed-long range
+    return sig
+
+
+def py_minhash_pairs(
+    docs: list[tuple[int, str]],
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+    n: int = 2,
+    seed: int = 42,
+) -> dict[tuple[int, int], float]:
+    seeds = [int(s) for s in _minhash_seeds(num_hashes, seed)]
+    rows_per_band = num_hashes // bands
+    sigs = {}
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for doc_id, text in docs:
+        sig = py_minhash_signature(text, seeds, n)
+        if sig is None:
+            continue
+        sigs[doc_id] = sig
+        for b in range(bands):
+            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            h = hashlib.sha256(",".join(str(v) for v in chunk).encode()).hexdigest()
+            buckets.setdefault((b, h), []).append(doc_id)
+    pairs: dict[tuple[int, int], float] = {}
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                key = (ids[i], ids[j])
+                if key in pairs:
+                    continue
+                sa, sb = sigs[key[0]], sigs[key[1]]
+                est = round(sum(x == y for x, y in zip(sa, sb)) / num_hashes, 6)
+                if est >= threshold:
+                    pairs[key] = est
+    return pairs
+
+
+def py_simhash(text: str) -> int | None:
+    toks = tokenize_py(text)
+    if not toks:
+        return None
+    tf: dict[str, int] = {}
+    for t in toks:
+        tf[t] = tf.get(t, 0) + 1
+    votes = [0] * 64
+    for tok, c in tf.items():
+        h = xxh64(tok.encode("utf-8"), seed=42)
+        for i in range(64):
+            votes[i] += c if (h >> i) & 1 else -c
+    u = 0
+    for i in range(64):
+        if votes[i] > 0:
+            u |= 1 << i
+    return _signed64(u)
+
+
+# ---------------------------------------------------------------- tests
+
+
+@pytest.fixture(scope="module")
+def docs_pdf() -> pd.DataFrame:
+    return pd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))[
+        ["doc_id", "text"]
+    ]
+
+
+def test_xxh64_matches_spark(spark):
+    samples = ["", "a", "spark", "hello world", "0123456789abcdef0123456789abcdef-long"]
+    sdf = spark.createDataFrame([(s,) for s in samples], ["s"])
+    from pyspark.sql import functions as F
+
+    got = {r["s"]: r["h"] for r in sdf.select("s", F.xxhash64("s").alias("h")).collect()}
+    for s in samples:
+        assert got[s] == _signed64(xxh64(s.encode("utf-8"), seed=42)), s
+
+
+def test_minhash_signatures_match_oracle(spark, docs_pdf):
+    num_hashes, n, seed = 32, 2, 42
+    sdf = spark.createDataFrame(docs_pdf)
+    got = {
+        int(r["doc_id"]): list(r["sig"])
+        for r in minhash_signatures(sdf, num_hashes=num_hashes, n=n, seed=seed).collect()
+    }
+    seeds = [int(s) for s in _minhash_seeds(num_hashes, seed)]
+    n_checked = 0
+    for doc_id, text in zip(docs_pdf["doc_id"], docs_pdf["text"]):
+        want = py_minhash_signature(text, seeds, n)
+        if want is None:
+            assert int(doc_id) not in got
+            continue
+        assert got[int(doc_id)] == want, doc_id
+        n_checked += 1
+    assert n_checked > 100  # the table genuinely exercises the operator
+
+
+def test_minhash_lsh_pairs_match_oracle(spark, docs_pdf):
+    # same parameters as the graded __spark_entry__ dedup_minhash_lsh query
+    kw = dict(num_hashes=32, bands=8, threshold=0.2, n=2, seed=42)
+    sdf = spark.createDataFrame(docs_pdf)
+    got = {
+        (int(r["doc_a"]), int(r["doc_b"])): float(r["est_jaccard"])
+        for r in minhash_lsh_pairs(sdf, **kw).collect()
+    }
+    want = py_minhash_pairs(
+        list(zip(docs_pdf["doc_id"].astype(int), docs_pdf["text"])), **kw
+    )
+    assert got == want
+    assert len(want) > 0  # the corpus plants real near-dups
+
+
+def test_simhash_fingerprints_match_oracle(spark, docs_pdf):
+    sdf = spark.createDataFrame(docs_pdf)
+    got = {
+        int(r["doc_id"]): int(r["simhash"])
+        for r in simhash_fingerprints(sdf).collect()
+    }
+    n_checked = 0
+    for doc_id, text in zip(docs_pdf["doc_id"], docs_pdf["text"]):
+        want = py_simhash(text)
+        if want is None:
+            assert int(doc_id) not in got
+            continue
+        assert got[int(doc_id)] == want, doc_id
+        n_checked += 1
+    assert n_checked > 100
