@@ -143,6 +143,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_bm25_batch"] = fts_bm25_batch
 
+    def fts_autocomplete_prefix(spark, sf_dir):
+        # per-term prefix expansion + conjunctive match — the reference's
+        # autocomplete surface (neo4j_queries.py:28-39, used by 4+ endpoints)
+        from discogsography_spark.query.dataframe_bm25 import (
+            bm25_prefix_topk_dataframe,
+        )
+
+        return bm25_prefix_topk_dataframe(
+            _read(spark, sf_dir, "documents"), "tab val", k=15, max_expansions=64
+        )
+
+    q["fts_autocomplete_prefix"] = fts_autocomplete_prefix
+
     def fts_match_conjunctive_count(spark, sf_dir):
         docs = _read(spark, sf_dir, "documents")
         toks = F.array_distinct(tokens_col("text"))
@@ -520,6 +533,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["union_dedup_actives"] = union_dedup_actives
 
+    # ---- graph traversal family (derived edge table) ----
+    def _edges(spark, sf_dir):
+        from discogsography_spark.operators.graph import edges_customer_part
+
+        return edges_customer_part(
+            _read(spark, sf_dir, "orders"), _read(spark, sf_dir, "lineitem")
+        )
+
+    def graph_degree_counts(spark, sf_dir):
+        # degree counting over edges (rarity_queries.py:274-284)
+        from discogsography_spark.operators.graph import degree_counts
+
+        return degree_counts(_edges(spark, sf_dir), top=20)
+
+    q["graph_degree_counts"] = graph_degree_counts
+
+    def graph_2hop_exclusion(spark, sf_dir):
+        # 2-hop expansion with NOT-EXISTS exclusion (network_queries.py:49-54)
+        from discogsography_spark.operators.graph import two_hop_exclusion
+
+        return two_hop_exclusion(_edges(spark, sf_dir), anchor=1).limit(50)
+
+    q["graph_2hop_exclusion"] = graph_2hop_exclusion
+
+    def graph_shared_pairs(spark, sf_dir):
+        # shared-credits self-join with hot-key cap (credits_queries.py:97-152)
+        from discogsography_spark.operators.graph import shared_pair_strength
+
+        return shared_pair_strength(_edges(spark, sf_dir), min_shared=8, max_dst_degree=10_000)
+
+    q["graph_shared_pairs"] = graph_shared_pairs
+
+    # ---- pagination + any-overlap predicates ----
+    def page_offset_orders(spark, sf_dir):
+        # ORDER BY … SKIP … LIMIT offset pagination (neo4j_queries.py:292-308)
+        orders = _read(spark, sf_dir, "orders")
+        return (
+            orders.select(
+                "o_orderkey", F.round("o_totalprice", 2).alias("price")
+            )
+            .orderBy(F.desc("price"), F.asc("o_orderkey"))
+            .offset(100)
+            .limit(20)
+        )
+
+    q["page_offset_orders"] = page_offset_orders
+
+    def filter_any_overlap_nullpass(spark, sf_dir):
+        # genres ?| ARRAY[…] with NULL passing (search_queries.py:87-102):
+        # docs expose a nullable tag-array (NULL = metadata missing → pass)
+        docs = _read(spark, sf_dir, "documents")
+        tags = F.when(
+            F.col("n_chars") >= 40, F.array_distinct(tokens_col("text"))
+        )  # short docs: tags "missing" (NULL), mirroring sparse JSONB rows
+        wanted = F.array(F.lit("window"), F.lit("merge"))
+        return (
+            docs.withColumn("tags", tags)
+            .filter(F.col("tags").isNull() | F.arrays_overlap("tags", wanted))
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy("source")
+        )
+
+    q["filter_any_overlap_nullpass"] = filter_any_overlap_nullpass
+
     def sort_null_last_topk(spark, sf_dir):
         # null-last global top-k with secondary key (neo4j_queries.py:301)
         supplier = _read(spark, sf_dir, "supplier")
@@ -730,6 +808,42 @@ ranked AS (
 )
 SELECT query_id, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= 10
+"""
+
+    o["fts_autocomplete_prefix"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT count(*) FROM toks)::DOUBLE AS total_tokens
+),
+vocab AS (SELECT DISTINCT term FROM toks),
+expn AS (
+  SELECT p.prefix, v.term,
+         row_number() OVER (PARTITION BY p.prefix ORDER BY v.term) AS rn
+  FROM (VALUES ('tab'), ('val')) p(prefix)
+  JOIN vocab v ON v.term LIKE p.prefix || '%'
+),
+expc AS (SELECT prefix, term FROM expn WHERE rn <= 64),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM expc) GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+presence AS (
+  SELECT t.doc_id FROM tf t JOIN expc e USING (term)
+  GROUP BY t.doc_id HAVING count(DISTINCT e.prefix) = 2
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * (tf.tf / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * (dl.dl / (s.total_tokens / s.n_docs))))) ) AS raw
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, round(raw, 5) AS score
+FROM scored s JOIN presence USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 15
 """
 
     o["fts_match_conjunctive_count"] = f"""
@@ -973,6 +1087,62 @@ GROUP BY 1 ORDER BY nationkey
 SELECT o_orderstatus, c_mktsegment, count(*)::BIGINT AS n
 FROM orders LEFT JOIN customer ON o_custkey = c_custkey
 GROUP BY 1, 2 ORDER BY o_orderstatus, c_mktsegment
+"""
+
+    o["graph_degree_counts"] = """
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)
+SELECT src, count(*)::BIGINT AS degree FROM e GROUP BY src
+ORDER BY degree DESC, src ASC LIMIT 20
+"""
+
+    o["graph_2hop_exclusion"] = """
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+hop1 AS (
+  SELECT DISTINCT b.src FROM e a JOIN e b ON a.dst = b.dst
+  WHERE a.src = 1 AND b.src <> 1
+),
+hop1_dsts AS (SELECT DISTINCT e.dst FROM e JOIN hop1 USING (src)),
+reach2 AS (
+  SELECT DISTINCT e.src FROM e JOIN hop1_dsts USING (dst) WHERE e.src <> 1
+)
+SELECT src FROM reach2
+WHERE NOT EXISTS (SELECT 1 FROM hop1 WHERE hop1.src = reach2.src)
+ORDER BY src LIMIT 50
+"""
+
+    o["graph_shared_pairs"] = """
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+deg AS (SELECT dst, count(*) AS d FROM e GROUP BY dst),
+pruned AS (SELECT src, dst FROM e JOIN deg USING (dst) WHERE d <= 10000)
+SELECT a.src AS src_a, b.src AS src_b, count(*)::BIGINT AS shared
+FROM pruned a JOIN pruned b ON a.dst = b.dst AND a.src < b.src
+GROUP BY 1, 2 HAVING count(*) >= 8
+ORDER BY shared DESC, src_a ASC, src_b ASC
+"""
+
+    o["page_offset_orders"] = """
+SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+ORDER BY price DESC, o_orderkey ASC LIMIT 20 OFFSET 100
+"""
+
+    o["filter_any_overlap_nullpass"] = f"""
+WITH tagged AS (
+  SELECT source,
+         CASE WHEN n_chars >= 40 THEN list_distinct({_TOKS_SQL}) END AS tags
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS n FROM tagged
+WHERE tags IS NULL OR list_has_any(tags, ['window', 'merge'])
+GROUP BY source ORDER BY source
 """
 
     o["union_dedup_actives"] = """

@@ -650,6 +650,79 @@ class LocalSearcher:
         top = np.lexsort((d_all, -s_all))[:k]
         return [(int(d_all[i]), float(s_all[i])) for i in top]
 
+    def expand_prefix(self, prefix: str, max_expansions: int = 64) -> list[str]:
+        """Vocabulary terms starting with `prefix`, term-ASC, capped at
+        `max_expansions` (Lucene's deterministic multi-term rewrite cap).
+        The per-segment term dictionaries are sorted in memory, so each
+        segment contributes one binary-searched contiguous range — the
+        reference's autocomplete `term*` expansion
+        (/root/reference/api/queries/neo4j_queries.py:28-39) without
+        touching any posting blob. '{' is the smallest char above the
+        analyzer alphabet [a-z0-9], so [prefix, prefix+'{') covers exactly
+        the prefix range."""
+        found: set[str] = set()
+        hi_key = prefix + "{"
+        for seg in range(self.meta.num_segments):
+            rd = self._reader(seg)
+            if rd is None:
+                continue
+            for terms in rd._terms:
+                lo = int(np.searchsorted(terms, prefix, side="left"))
+                hi = int(np.searchsorted(terms, hi_key, side="left"))
+                if hi > lo:
+                    found.update(terms[lo:hi].tolist())
+        return sorted(found)[:max_expansions]
+
+    def topk_prefix(
+        self, query_text: str, k: int, max_expansions: int = 64
+    ) -> list[tuple[int, float]]:
+        """Autocomplete prefix BM25 top-k over the index. Semantics shared
+        verbatim with bm25_prefix_topk_dataframe (and its DuckDB oracle):
+        every analyzed token is a prefix; a doc must match EVERY prefix;
+        score = sum of idf*tfnorm over the DISTINCT matched expanded terms,
+        rounded to 5dp; ties (score DESC, doc_id ASC)."""
+        prefixes = analyze_query(query_text)
+        if not prefixes:
+            return []
+        exp = {pre: self.expand_prefix(pre, max_expansions) for pre in prefixes}
+        if any(not ts for ts in exp.values()):
+            return []  # conjunctive across prefixes: an empty expansion fails
+        union_terms = sorted({t for ts in exp.values() for t in ts})
+        rows = self.lookup_terms(union_terms)
+        m, p = self.meta, self.meta.params
+
+        # candidates: docs matching at least one expansion of EVERY prefix
+        pres: np.ndarray | None = None
+        for pre in prefixes:
+            arrs = [
+                self._decoded(rows[t])[0] for t in exp[pre] if t in rows
+            ]
+            if not arrs:
+                return []
+            pu = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+            pres = pu if pres is None else np.intersect1d(pres, pu, assume_unique=True)
+            if pres.size == 0:
+                return []
+
+        # distinct-union-term scoring, term-sorted accumulation per doc
+        scores = np.zeros(pres.size, dtype=np.float64)
+        for t in union_terms:
+            tp = rows.get(t)
+            if tp is None:
+                continue
+            mask, tfv, dlv = self._probe(tp, pres)
+            if not mask.any():
+                continue
+            idf = p.idf(m.n_docs, tp.df)
+            tf = tfv.astype(np.float64)
+            norm = p.k1 * (
+                1.0 - p.b + p.b * (dlv.astype(np.float64) / m.avgdl)
+            )
+            scores[mask] = scores[mask] + idf * (tf / (tf + norm))
+        scores = np.round(scores, 5)
+        order = np.lexsort((pres, -scores))[:k]
+        return [(int(pres[i]), float(scores[i])) for i in order]
+
     def _topk_or(self, terms: list[str], k: int) -> list[tuple[int, float]]:
         """Disjunctive BM25 top-k with max-score pruning over block-max
         metadata (the WAND family):
