@@ -98,7 +98,10 @@ def ngram_jaccard_pairs(
         .filter(F.col("count") > max_shingle_df)
         .select("shingle")
     )
-    pruned = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    # no broadcast hint: the >max_df shingle set is unbounded at corpus scale
+    # (10^12 turns can push it past any broadcast limit) — let AQE pick
+    # broadcast when it is actually small, shuffled anti-join otherwise
+    pruned = exploded.join(hot, "shingle", "left_anti")
     a = pruned.alias("a")
     b = pruned.alias("b")
     pairs = (

@@ -43,15 +43,34 @@ def upsert_changed(
     incoming: DataFrame,
     id_col: str = "data_id",
     hash_col: str = "hash",
+    version_col: str | None = None,
 ) -> tuple[DataFrame, UpsertStats]:
     """Return (new_snapshot, stats). Rows in `incoming` with an identical
     (id, hash) already in `current` are skipped; otherwise incoming wins.
     current rows not present in incoming are retained (append/update, no
-    delete — deletes are purge_stale's job)."""
-    n_in = incoming.count()
-    changed = incoming.join(
+    delete — deletes are purge_stale's job).
+
+    ON CONFLICT semantics keep exactly ONE row per key: duplicate ids inside
+    `incoming` are collapsed first — the winner is the max `version_col` (a
+    timestamp/sequence column) with `hash_col` as the deterministic
+    tiebreak; without a version column the max hash wins. Stats come from a
+    single cached pass over the joined lineage, not two recomputations."""
+    from pyspark.sql import Window as W
+
+    order = (
+        [F.col(version_col).desc_nulls_last()] if version_col else []
+    ) + [F.col(hash_col).desc()]
+    w = W.partitionBy(id_col).orderBy(*order)
+    deduped = (
+        incoming.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    changed = deduped.join(
         current.select(id_col, hash_col), [id_col, hash_col], "left_anti"
     )
+    changed.cache()
+    n_in = incoming.count()
     n_changed = changed.count()
     kept = current.join(changed.select(id_col), id_col, "left_anti")
     snapshot = kept.unionByName(changed)

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from discogsography_spark.analysis import analyze_query, tokenize_pandas
+from discogsography_spark.analysis import analyze_query
 from discogsography_spark.codec import decode_postings, varbyte_decode
 from discogsography_spark.index.builder import (
     SEGMENT_SCHEMA,
@@ -45,7 +45,7 @@ from discogsography_spark.index.builder import (
     _encode_pdf,
     term_segment,
 )
-from discogsography_spark.index.manifest import _atomic_write_json
+from discogsography_spark.index.manifest import Manifest, _atomic_write_json
 from discogsography_spark.params import BM25Params
 from discogsography_spark.query.engine import IndexMeta, LocalSearcher, TermPostings
 
@@ -55,13 +55,25 @@ def _deltas_root(index_dir: str) -> str:
 
 
 def list_deltas(index_dir: str) -> list[str]:
+    """Committed deltas, excluding any already folded by a compact() whose
+    swap is still in flight (named in the compact commit marker) — readers
+    must never count a delta AND the staged base that contains it."""
     root = _deltas_root(index_dir)
     if not os.path.isdir(root):
         return []
+    folded: set[str] = set()
+    marker = _compact_marker_path(index_dir)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            folded = set(json.load(f)["folded"])
     out = []
     for name in sorted(os.listdir(root)):
         d = os.path.join(root, name)
-        if name.startswith("delta-") and os.path.exists(os.path.join(d, "stats.json")):
+        if (
+            name.startswith("delta-")
+            and name not in folded
+            and os.path.exists(os.path.join(d, "stats.json"))
+        ):
             out.append(d)
     return out
 
@@ -83,6 +95,7 @@ class DeltaIndexWriter:
     `stream.writeStream.foreachBatch(writer.write_batch)`."""
 
     def __init__(self, index_dir: str, block_size: int = 128):
+        recover_compact(index_dir)  # finish any crashed compact swap first
         self.index_dir = index_dir
         self.block_size = block_size
         self.meta = IndexMeta(index_dir)
@@ -95,53 +108,49 @@ class DeltaIndexWriter:
         if os.path.exists(os.path.join(final, "stats.json")):
             return  # idempotent re-delivery (exactly-once via batch_id)
 
-        doc_offset, _ = _combined_offsets(self.index_dir)
+        doc_offset, base_tt = _combined_offsets(self.index_dir)
         k1, b = self.meta.params.k1, self.meta.params.b
         block_size = self.block_size
         num_segments = self.meta.num_segments
 
-        # batch-local dense docIDs continuing the global sequence. Micro-batch
-        # sizes are bounded (maxFilesPerTrigger / maxOffsetsPerTrigger), so a
-        # single-partition sort inside one batch is the honest trade; huge
-        # backfills go through IndexBuilder instead.
-        pdf = (
-            batch_df.select("conv_id", "turn_idx", "text")
-            .toPandas()
-            .sort_values(["conv_id", "turn_idx"], kind="stable")
-            .reset_index(drop=True)
+        # batch-local dense docIDs continuing the global sequence — the SAME
+        # distributed two-pass range-sort the builder uses (index/docids.py),
+        # offset by the docs already indexed. Tokenize rides the same Arrow
+        # pass (with_tokens=True); nothing is materialized on the driver.
+        # NOTE: delta docIDs are dense in (conv_id, turn_idx) order WITHIN
+        # the batch but continue the sequence in batch ARRIVAL order; a
+        # micro-batch whose conv_ids sort before already-indexed docs makes
+        # the live merged view diverge from a fresh rebuild's tiebreak order.
+        # compact() repairs this: it reassigns the global dense rank over the
+        # union corpus, so the compacted index matches a fresh build.
+        from pyspark import StorageLevel
+
+        from discogsography_spark.index.docids import assign_doc_ids
+
+        docs = (
+            assign_doc_ids(batch_df.select("conv_id", "turn_idx", "text"), with_tokens=True)
+            .withColumn("doc_id", (F.col("doc_id") + F.lit(doc_offset)).cast("long"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        if len(pdf) == 0:
+        agg = docs.agg(
+            F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("tt")
+        ).collect()[0]
+        n_new, total_tokens = int(agg["n"]), int(agg["tt"])
+        if n_new == 0:
+            docs.unpersist()
             os.makedirs(final, exist_ok=True)
             _atomic_write_json(
                 os.path.join(final, "stats.json"),
                 {"n_docs": 0, "total_tokens": 0, "doc_offset": doc_offset},
             )
             return
-        pdf["doc_id"] = np.arange(doc_offset, doc_offset + len(pdf), dtype=np.int64)
-        toks = tokenize_pandas(pdf["text"])
-        pdf["dl"] = toks.map(len).astype(np.int64)
-        total_tokens = int(pdf["dl"].sum())
-
-        spark = batch_df.sparkSession
-        docs = spark.createDataFrame(
-            pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "conv_id": pdf["conv_id"],
-                    "turn_idx": pdf["turn_idx"].astype("int32"),
-                    "dl": pdf["dl"],
-                    "tokens": toks,
-                }
-            )
-        )
         # avgdl in the delta's tfnorm must be the COMBINED corpus avgdl at
         # query time — unknowable ahead of future batches. Store raw blobs;
         # block_max_tfnorm here uses the current combined avgdl and is only a
         # pruning hint for merged queries (exact scoring re-derives tfnorm
         # from tf+dl, so correctness never depends on it).
-        n_after, tt_after = doc_offset + len(pdf), 0
-        _base_tt = _combined_offsets(self.index_dir)[1] + total_tokens
-        avgdl_hint = _base_tt / n_after if n_after else 1.0
+        n_after = doc_offset + n_new
+        avgdl_hint = (base_tt + total_tokens) / n_after if n_after else 1.0
 
         def encode(g: pd.DataFrame) -> pd.DataFrame:
             return _encode_pdf(g, k1, b, avgdl_hint, block_size, is_head=False)
@@ -166,6 +175,7 @@ class DeltaIndexWriter:
         docs.select("doc_id", "conv_id", "turn_idx", "dl").write.mode(
             "overwrite"
         ).parquet(os.path.join(tmp, "docs"))
+        docs.unpersist()
         os.makedirs(_deltas_root(self.index_dir), exist_ok=True)
         if os.path.isdir(final):
             shutil.rmtree(final)
@@ -174,7 +184,7 @@ class DeltaIndexWriter:
         _atomic_write_json(
             os.path.join(final, "stats.json"),
             {
-                "n_docs": len(pdf),
+                "n_docs": n_new,
                 "total_tokens": total_tokens,
                 "doc_offset": doc_offset,
                 "batch_id": batch_id,
@@ -186,6 +196,7 @@ class MergedSearcher:
     """Exact BM25 top-k over base + deltas with combined corpus stats."""
 
     def __init__(self, index_dir: str):
+        recover_compact(index_dir)  # reader-side repair of a crashed swap
         self.index_dir = index_dir
         self.base = LocalSearcher(index_dir)
         self.params: BM25Params = self.base.meta.params
@@ -279,15 +290,71 @@ class MergedSearcher:
         return [(int(cand[i]), float(score[i])) for i in order]
 
 
+def _compact_marker_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "compact_commit.json")
+
+
+def recover_compact(index_dir: str) -> bool:
+    """Finish a crashed compact() swap. The commit marker is written only
+    after the replacement segments/ and docs/ are FULLY staged, so every
+    step here is an idempotent existence-guarded move; re-running after any
+    crash point converges to the committed state. Returns True if a
+    recovery was performed. Called on compact() start and MergedSearcher
+    open (reader-side repair keeps _combined_offsets from double-counting
+    deltas whose postings are already folded into the staged base)."""
+    marker = _compact_marker_path(index_dir)
+    if not os.path.exists(marker):
+        return False
+    with open(marker) as f:
+        m = json.load(f)
+    seg_root = os.path.join(index_dir, "segments")
+    seg_tmp = seg_root + "__compact_tmp"
+    docs_dir = os.path.join(index_dir, "docs")
+    docs_tmp = docs_dir + "__compact_tmp"
+    if os.path.isdir(seg_tmp):
+        if os.path.isdir(seg_root):
+            shutil.rmtree(seg_root)
+        os.replace(seg_tmp, seg_root)
+    if os.path.isdir(docs_tmp):
+        if os.path.isdir(docs_dir):
+            shutil.rmtree(docs_dir)
+        os.replace(docs_tmp, docs_dir)
+    Manifest(index_dir).commit_docs(m["stats"])
+    for name in m["folded"]:
+        d = os.path.join(_deltas_root(index_dir), name)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    os.remove(marker)
+    return True
+
+
 def compact(spark: SparkSession, index_dir: str) -> int:
     """Fold all committed deltas into the base segments (real per-term merge,
     not a rebuild). Returns the number of deltas folded.
 
-    Steps: read base + delta segment rows for every seg → groupBy(seg, term)
-    → decode, concat in docID order, re-encode with the combined avgdl →
-    overwrite base segments atomically → append delta docs to base docs →
-    update manifest stats → clear deltas.
+    Determinism repair: docIDs are REASSIGNED to the dense rank over the
+    union corpus's (conv_id, turn_idx) — the builder's contract
+    (index/docids.py) — so the compacted index ranks identically to a fresh
+    build even when micro-batches arrived out of conv_id order. The
+    old→new map is a dense int64 array (old ids are the dense arrival
+    sequence) broadcast to the merge tasks; at extreme corpus sizes the
+    remap would become a repartition join instead of a broadcast.
+
+    Crash safety (send-then-commit): both replacement directories are fully
+    staged as *__compact_tmp, then ONE atomic commit marker records the new
+    stats and the folded delta list; the destructive swap + manifest update
+    + delta deletion all happen after the marker and are replayed by
+    recover_compact() if interrupted. Readers ignore deltas named in the
+    marker, so postings are never double-counted mid-swap.
+
+    Skew note: unlike the builder (which salts per-occurrence groups), each
+    (term) group here is a handful of pre-encoded blob rows; per-group work
+    is O(df) vectorized decode/encode (~40 ms per million postings), so a
+    head term is one bounded task and needs no salting. Writer mirrors the
+    builder: sortWithinPartitions(seg, term) + small row groups so the
+    serving dictionary keeps its one-row-group-per-term I/O pattern.
     """
+    recover_compact(index_dir)
     deltas = list_deltas(index_dir)
     if not deltas:
         return 0
@@ -296,65 +363,87 @@ def compact(spark: SparkSession, index_dir: str) -> int:
     avgdl = total_tokens / n_docs if n_docs else 1.0
     k1, b = meta.params.k1, meta.params.b
     block_size = int(meta.stats["block_size"])
+    num_segments = meta.num_segments
 
-    seg_dirs = [meta.seg_dir(s) for s in range(meta.num_segments)]
+    docs_dir = os.path.join(index_dir, "docs")
+    seg_root = os.path.join(index_dir, "segments")
+    seg_tmp = seg_root + "__compact_tmp"
+    docs_tmp = docs_dir + "__compact_tmp"
+    for t in (seg_tmp, docs_tmp):
+        if os.path.isdir(t):
+            shutil.rmtree(t)
+
+    # ---- stage 1: global docID reassignment over the union corpus ----
+    delta_docs = [
+        os.path.join(d, "docs") for d in deltas if os.path.isdir(os.path.join(d, "docs"))
+    ]
+    union_docs = spark.read.parquet(docs_dir, *delta_docs).withColumnRenamed(
+        "doc_id", "old_doc_id"
+    )
+    from discogsography_spark.index.docids import assign_doc_ids
+
+    new_docs = assign_doc_ids(union_docs).select(
+        "doc_id", "conv_id", "turn_idx", "dl", "old_doc_id"
+    )
+    new_docs.write.mode("overwrite").parquet(docs_tmp)
+    # old ids are the dense arrival sequence 0..n-1 → the map is an array
+    map_pdf = (
+        spark.read.parquet(docs_tmp).select("old_doc_id", "doc_id").toPandas()
+    )
+    remap = np.empty(n_docs, dtype=np.int64)
+    remap[map_pdf["old_doc_id"].to_numpy()] = map_pdf["doc_id"].to_numpy()
+    bremap = spark.sparkContext.broadcast(remap)
+
+    # ---- stage 2: per-term posting merge with remapped, re-sorted docIDs ----
+    seg_dirs = [meta.seg_dir(s) for s in range(num_segments)]
     seg_dirs = [d for d in seg_dirs if os.path.isdir(d) and os.listdir(d)]
     sources = seg_dirs + [
         os.path.join(d, "segments", f"seg={s}")
         for d in deltas
-        for s in range(meta.num_segments)
+        for s in range(num_segments)
         if os.path.isdir(os.path.join(d, "segments", f"seg={s}"))
     ]
     rows = spark.read.parquet(*sources).select("term", "doc_blob", "tf_blob", "dl_blob")
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        parts = []
-        for _, r in g.iterrows():
-            d, tf = decode_postings(r["doc_blob"], r["tf_blob"])
-            dl = varbyte_decode(r["dl_blob"]).astype(np.int64)
+        parts_d, parts_tf, parts_dl = [], [], []
+        for r in g.itertuples(index=False):
+            d, tf = decode_postings(r.doc_blob, r.tf_blob)
+            dl = varbyte_decode(r.dl_blob).astype(np.int64)
             if d.size:
-                parts.append((int(d[0]), d, tf, dl))
-        # scan order of the source rows is arbitrary; component docID ranges
-        # are disjoint, so sorting parts by first docID restores global order
-        parts.sort(key=lambda p: p[0])
-        doc_ids = np.concatenate([p[1] for p in parts])
-        tfs = np.concatenate([p[2] for p in parts])
-        dls = np.concatenate([p[3] for p in parts])
+                parts_d.append(d)
+                parts_tf.append(tf)
+                parts_dl.append(dl)
+        doc_ids = bremap.value[np.concatenate(parts_d)]
+        order = np.argsort(doc_ids, kind="stable")
         pdf = pd.DataFrame(
             {
                 "term": g["term"].iloc[0],
-                "seg": term_segment(g["term"].iloc[0], meta.num_segments),
-                "doc_id": doc_ids,
-                "tf": tfs,
-                "dl": dls,
+                "seg": term_segment(g["term"].iloc[0], num_segments),
+                "doc_id": doc_ids[order],
+                "tf": np.concatenate(parts_tf)[order],
+                "dl": np.concatenate(parts_dl)[order],
             }
         )
         return _encode_pdf(pdf, k1, b, avgdl, block_size, is_head=False)
 
     merged = rows.groupBy("term").applyInPandas(merge, schema=SEGMENT_SCHEMA)
-    tmp = os.path.join(index_dir, "segments__compact_tmp")
-    if os.path.isdir(tmp):
-        shutil.rmtree(tmp)
-    merged.write.mode("overwrite").partitionBy("seg").parquet(tmp)
+    (
+        merged.repartition(num_segments, "seg")
+        .sortWithinPartitions("seg", "term")
+        .write.mode("overwrite")
+        .partitionBy("seg")
+        .option("parquet.block.size", str(256 * 1024))
+        .parquet(seg_tmp)
+    )
 
-    # append delta docmaps to base docs
-    delta_docs = [os.path.join(d, "docs") for d in deltas if os.path.isdir(os.path.join(d, "docs"))]
-    docs_dir = os.path.join(index_dir, "docs")
-    if delta_docs:
-        all_docs = spark.read.parquet(docs_dir, *delta_docs)
-        docs_tmp = docs_dir + "__compact_tmp"
-        all_docs.write.mode("overwrite").parquet(docs_tmp)
-        shutil.rmtree(docs_dir)
-        os.replace(docs_tmp, docs_dir)
-
-    seg_root = os.path.join(index_dir, "segments")
-    shutil.rmtree(seg_root)
-    os.replace(tmp, seg_root)
-
+    # ---- stage 3: single atomic commit, then the replayable swap ----
     stats = dict(meta.stats)
     stats["n_docs"] = n_docs
     stats["total_tokens"] = total_tokens
-    meta.manifest.commit_docs(stats)
-    for d in deltas:
-        shutil.rmtree(d)
+    _atomic_write_json(
+        _compact_marker_path(index_dir),
+        {"stats": stats, "folded": [os.path.basename(d) for d in deltas]},
+    )
+    recover_compact(index_dir)
     return len(deltas)
