@@ -259,8 +259,10 @@ class IndexBuilder:
         block_size: int = BLOCK_SIZE,
         head_df_threshold: int = HEAD_TERM_DF_THRESHOLD,
         head_salts: int = HEAD_TERM_SALTS,
+        analyzer: str = "simple",
     ):
         self.index_dir = index_dir
+        self.analyzer = analyzer
         self.params = params or BM25Params()
         self.num_segments = num_segments
         self.block_size = block_size
@@ -286,7 +288,9 @@ class IndexBuilder:
 
     # stage 1 ---------------------------------------------------------------
     def _build_docs(self, transcripts: DataFrame) -> dict[str, Any]:
-        docs = assign_doc_ids(transcripts, with_tokens=True).select(
+        docs = assign_doc_ids(
+            transcripts, with_tokens=True, analyzer=self.analyzer
+        ).select(
             "doc_id", "conv_id", "turn_idx", "dl", "tokens"
         )
         tmp = self.docs_dir + "__tmp"
@@ -314,6 +318,7 @@ class IndexBuilder:
             "head_df_threshold": self.head_df_threshold,
             "head_salts": self.head_salts,
             "analyzer": TOKEN_PATTERN,
+            "analyzer_name": self.analyzer,
         }
         self.manifest.commit_docs(stats)
         return stats

@@ -35,6 +35,7 @@ def assign_doc_ids(
     key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
     num_partitions: int | None = None,
     with_tokens: bool = False,
+    analyzer: str = "simple",
 ) -> DataFrame:
     """Return df + `doc_id` (long) = dense rank over key_cols.
 
@@ -77,7 +78,9 @@ def assign_doc_ids(
     out_cols = [f.name for f in out_schema.fields]
 
     def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from discogsography_spark.analysis import tokenize_pandas
+        from discogsography_spark.analysis import get_analyzer
+
+        an = get_analyzer(analyzer)
 
         local = 0
         for pdf in batches:
@@ -89,7 +92,7 @@ def assign_doc_ids(
             pdf["doc_id"] = range(start, start + len(pdf))
             local += len(pdf)
             if with_tokens:
-                toks = tokenize_pandas(pdf["text"])
+                toks = an.tokenize_pandas(pdf["text"])
                 pdf["tokens"] = toks
                 pdf["dl"] = toks.map(len).astype("int32")
             yield pdf[out_cols]

@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections import Counter
 from dataclasses import dataclass, field
 
-from discogsography_spark.analysis import analyze_query, tokenize_py
+from discogsography_spark.analysis import analyze_query, get_analyzer, tokenize_py
 from discogsography_spark.params import BM25Params
 
 
@@ -30,6 +30,7 @@ class OracleIndex:
     postings: dict[str, dict[int, int]] = field(default_factory=dict)
     doc_len: dict[int, int] = field(default_factory=dict)
     params: BM25Params = field(default_factory=BM25Params)
+    analyzer: str = "simple"
 
     @property
     def avgdl(self) -> float:
@@ -40,14 +41,17 @@ class OracleIndex:
 
 
 def build_oracle_index(
-    rows: list[tuple[str, int, str]], params: BM25Params | None = None
+    rows: list[tuple[str, int, str]],
+    params: BM25Params | None = None,
+    analyzer: str = "simple",
 ) -> OracleIndex:
     """rows: (conv_id, turn_idx, text). docIDs assigned by sorted
     (conv_id, turn_idx) dense rank — identical to the Spark engine."""
-    idx = OracleIndex(params=params or BM25Params())
+    an = get_analyzer(analyzer)
+    idx = OracleIndex(params=params or BM25Params(), analyzer=analyzer)
     ordered = sorted(rows, key=lambda r: (r[0], r[1]))
     for doc_id, (_conv, _turn, text) in enumerate(ordered):
-        toks = tokenize_py(text)
+        toks = an.tokenize_py(text)
         idx.doc_len[doc_id] = len(toks)
         idx.total_tokens += len(toks)
         for term, tf in Counter(toks).items():
@@ -62,7 +66,7 @@ def bm25_topk_or(
     """Disjunctive (OR) BM25 top-k: candidates = union of postings; missing
     terms contribute nothing. Same determinism discipline: per-doc sum in
     sorted term order (absent terms skipped), (score DESC, doc_id ASC)."""
-    terms = analyze_query(query_text)
+    terms = get_analyzer(idx.analyzer).analyze_query(query_text)
     present = [t for t in terms if idx.postings.get(t)]
     if not present:
         return []
@@ -91,7 +95,7 @@ def bm25_topk(
 ) -> list[tuple[int, float]]:
     """Conjunctive BM25 top-k: [(doc_id, score)] sorted by
     (score DESC, doc_id ASC). Empty if any term is absent (AND semantics)."""
-    terms = analyze_query(query_text)
+    terms = get_analyzer(idx.analyzer).analyze_query(query_text)
     if not terms:
         return []
     plists = []

@@ -41,7 +41,7 @@ from pyspark.sql import types as T
 
 from collections import OrderedDict
 
-from discogsography_spark.analysis import analyze_query
+from discogsography_spark.analysis import analyze_query, get_analyzer
 from discogsography_spark.codec import decode_postings, delta_decode, varbyte_decode
 from discogsography_spark.index.builder import term_segment
 from discogsography_spark.index.manifest import Manifest
@@ -159,6 +159,7 @@ class IndexMeta:
         self.avgdl = self.total_tokens / self.n_docs if self.n_docs else 1.0
         self.num_segments = int(stats["num_segments"])
         self.block_size = int(stats.get("block_size", BLOCK_SIZE))
+        self.analyzer = str(stats.get("analyzer_name", "simple"))
         self.params = BM25Params(k1=float(stats["k1"]), b=float(stats["b"]))
 
     def seg_dir(self, seg: int) -> str:
@@ -498,7 +499,7 @@ class LocalSearcher:
         measurement mode."""
         if k <= 0:
             return []
-        terms = analyze_query(query_text)
+        terms = get_analyzer(self.meta.analyzer).analyze_query(query_text)
         key = (mode, tuple(terms), k)
         if use_result_cache:
             hit = self._result_cache.get(key)
@@ -680,7 +681,12 @@ class LocalSearcher:
         verbatim with bm25_prefix_topk_dataframe (and its DuckDB oracle):
         every analyzed token is a prefix; a doc must match EVERY prefix;
         score = sum of idf*tfnorm over the DISTINCT matched expanded terms,
-        rounded to 5dp; ties (score DESC, doc_id ASC)."""
+        rounded to 5dp; ties (score DESC, doc_id ASC).
+
+        Prefixes are NOT stemmed regardless of the index analyzer — they are
+        partial words (Lucene's multi-term queries skip analysis the same
+        way); expansion runs against the stored (possibly stemmed)
+        dictionary."""
         prefixes = analyze_query(query_text)
         if not prefixes:
             return []
@@ -847,14 +853,14 @@ class DistributedQueryEngine:
         def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             CHUNK = 1 << 18
             for pdf in batches:
-                for _, row in pdf.iterrows():
-                    doc_ids, tfs = decode_postings(row["doc_blob"], row["tf_blob"])
-                    dls = varbyte_decode(row["dl_blob"]).astype(np.int64)
+                for row in pdf.itertuples(index=False):
+                    doc_ids, tfs = decode_postings(row.doc_blob, row.tf_blob)
+                    dls = varbyte_decode(row.dl_blob).astype(np.int64)
                     for s in range(0, doc_ids.size, CHUNK):
                         e = s + CHUNK
                         yield pd.DataFrame(
                             {
-                                "term": row["term"],
+                                "term": row.term,
                                 "doc_id": doc_ids[s:e],
                                 "tf": tfs[s:e],
                                 "dl": dls[s:e],
@@ -869,7 +875,7 @@ class DistributedQueryEngine:
         ordered aggregation → global top-k."""
         m = self.meta
         p = m.params
-        terms = analyze_query(query_text)
+        terms = get_analyzer(m.analyzer).analyze_query(query_text)
         empty = self.spark.createDataFrame(
             [],
             T.StructType(

@@ -128,7 +128,11 @@ class DeltaIndexWriter:
         from discogsography_spark.index.docids import assign_doc_ids
 
         docs = (
-            assign_doc_ids(batch_df.select("conv_id", "turn_idx", "text"), with_tokens=True)
+            assign_doc_ids(
+                batch_df.select("conv_id", "turn_idx", "text"),
+                with_tokens=True,
+                analyzer=self.meta.analyzer,
+            )
             .withColumn("doc_id", (F.col("doc_id") + F.lit(doc_offset)).cast("long"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -232,7 +236,9 @@ class MergedSearcher:
         return out
 
     def topk(self, query_text: str, k: int) -> list[tuple[int, float]]:
-        terms = analyze_query(query_text)
+        from discogsography_spark.analysis import get_analyzer
+
+        terms = get_analyzer(self.base.meta.analyzer).analyze_query(query_text)
         if not terms:
             return []
         base_rows = self.base.lookup_terms(terms)
