@@ -260,9 +260,11 @@ class IndexBuilder:
         head_df_threshold: int = HEAD_TERM_DF_THRESHOLD,
         head_salts: int = HEAD_TERM_SALTS,
         analyzer: str = "simple",
+        quarantine: bool = True,
     ):
         self.index_dir = index_dir
         self.analyzer = analyzer
+        self.quarantine = quarantine
         self.params = params or BM25Params()
         self.num_segments = num_segments
         self.block_size = block_size
@@ -286,8 +288,63 @@ class IndexBuilder:
     def seg_dir(self, seg: int) -> str:
         return os.path.join(self.segments_dir, f"seg={seg}")
 
+    @property
+    def quarantine_dir(self) -> str:
+        return os.path.join(self.index_dir, "quarantine")
+
+    def _split_quarantine(
+        self, transcripts: DataFrame
+    ) -> tuple[DataFrame, int, int]:
+        """Divert rows that violate the docID contract to the quarantine
+        table (the reference's DLQ pattern,
+        /root/reference/tableinator/tableinator.py:1132-1137) instead of
+        poisoning the build:
+
+        - null_key: conv_id/turn_idx NULL — unrankable under the stable
+          (conv_id, turn_idx) ordering;
+        - dup_key: duplicate (conv_id, turn_idx) — the dense rank would be
+          ambiguous; ALL rows of a duplicated key are quarantined (picking a
+          winner among unordered duplicates is nondeterministic).
+
+        Cost: one combiner-reduced agg over the keys. At extreme scale this
+        fold into the docID range-sort pass (equal keys are co-located
+        there); kept separate here for clarity. Returns (clean_df,
+        n_null_key, n_dup_key)."""
+        null_cond = F.col("conv_id").isNull() | F.col("turn_idx").isNull()
+        bad_null = transcripts.filter(null_cond)
+        rest = transcripts.filter(~null_cond)
+        dup_keys = (
+            rest.groupBy("conv_id", "turn_idx")
+            .agg(F.count("*").alias("_kc"))
+            .filter(F.col("_kc") > 1)
+            .select("conv_id", "turn_idx")
+        )
+        bad_dup = rest.join(dup_keys, ["conv_id", "turn_idx"], "left_semi")
+        clean = rest.join(dup_keys, ["conv_id", "turn_idx"], "left_anti")
+
+        q = bad_null.withColumn("reason", F.lit("null_key")).unionByName(
+            bad_dup.withColumn("reason", F.lit("dup_key"))
+        )
+        tmp = self.quarantine_dir + "__tmp"
+        q.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(self.quarantine_dir):
+            shutil.rmtree(self.quarantine_dir)
+        os.replace(tmp, self.quarantine_dir)
+        spark = transcripts.sparkSession
+        counts = {
+            r["reason"]: r["n"]
+            for r in spark.read.parquet(self.quarantine_dir)
+            .groupBy("reason")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        return clean, int(counts.get("null_key", 0)), int(counts.get("dup_key", 0))
+
     # stage 1 ---------------------------------------------------------------
     def _build_docs(self, transcripts: DataFrame) -> dict[str, Any]:
+        n_null = n_dup = 0
+        if self.quarantine:
+            transcripts, n_null, n_dup = self._split_quarantine(transcripts)
         docs = assign_doc_ids(
             transcripts, with_tokens=True, analyzer=self.analyzer
         ).select(
@@ -319,6 +376,8 @@ class IndexBuilder:
             "head_salts": self.head_salts,
             "analyzer": TOKEN_PATTERN,
             "analyzer_name": self.analyzer,
+            "n_quarantined_null_key": n_null,
+            "n_quarantined_dup_key": n_dup,
         }
         self.manifest.commit_docs(stats)
         return stats
