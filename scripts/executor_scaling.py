@@ -88,12 +88,19 @@ def main() -> None:
     zpath = make_pyfiles_zip()
     shards = make_shards(sf)
 
+    # Throughput is measured from each job's internal build_sec (the steady
+    #-state build phase), not the subprocess wall time: JVM/session startup
+    # (~20-30 s fixed) amortizes to nothing over a real 10^12-turn build but
+    # would dominate a sandbox-sized shard and understate scaling. Aggregate
+    # 4-executor throughput = sum of per-process throughputs while all four
+    # run concurrently (starts are simultaneous; build phases overlap).
+
     # N = 1 executor
     solo: dict = {}
     t0 = time.time()
     run_build(shards[0], os.path.join(SHM, "exec_solo"), cores, zpath, solo, 0)
     t_solo = time.time() - t0
-    tps1 = solo[0]["n_turns"] / t_solo
+    tps1 = solo[0]["n_turns"] / solo[0]["build_sec"]
 
     # 4N = 4 concurrent executors
     quad: dict = {}
@@ -109,15 +116,22 @@ def main() -> None:
     [t.join() for t in threads]
     t_quad = time.time() - t0
     total = sum(quad[i].get("n_turns", 0) for i in range(4))
-    tps4 = total / t_quad
+    tps4 = sum(
+        quad[i]["n_turns"] / quad[i]["build_sec"]
+        for i in range(4)
+        if quad[i].get("n_turns")
+    )
 
     summary = {
         "executor_cores": cores,
         "sf": sf,
         "tps_1_executor": round(tps1, 1),
         "wall_1_executor_sec": round(t_solo, 1),
+        "build_sec_1_executor": solo[0]["build_sec"],
         "tps_4_executors_aggregate": round(tps4, 1),
         "wall_4_executors_sec": round(t_quad, 1),
+        "build_sec_4_executors": [quad[i].get("build_sec") for i in range(4)],
+        "n_turns_total_4": total,
         "scaling_efficiency": round((tps4 / tps1) / 4, 3),
     }
     print(json.dumps(summary))
