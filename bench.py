@@ -93,42 +93,55 @@ def main() -> None:
     extra["n_turns"] = n_turns
 
     # ---- 2. BM25 query latency over the reference query set ----
+    # Measured in a FRESH serving process, like the reference's architecture
+    # (the API server is its own container, separate from the ingest
+    # pipeline): the builder JVM's heap + fragmented allocator state in THIS
+    # process inflates serving latencies 3-10x on this VM (same cold query:
+    # 0.36 s fresh vs 3.4 s post-build in-process).
     # Three tiers, mirroring the reference's cold-vs-Redis-cached split
     # (/root/reference/api/queries/search_queries.py:36-62):
     #   cold    — first sight of each query: parquet I/O + posting decode
     #   steady  — caches warm, result memo BYPASSED (honest serving p95)
     #   memoized— query-result LRU hit path
-    qdf = pd.read_parquet(os.path.join(corpus, "queries.parquet"))
-    searcher = LocalSearcher(idx_dir)
-    lat_cold = []
-    t0 = time.time()
-    for _, row in qdf.iterrows():
-        s = time.time()
-        searcher.topk(row["query_text"], int(row["k"]), use_result_cache=False)
-        lat_cold.append(time.time() - s)
-    queries["bm25_queries_cold_total"] = round(time.time() - t0, 3)
+    import subprocess
+    import sys as _sys
+
+    serve_script = f"""
+import json, time, sys
+sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+import pandas as pd
+from discogsography_spark.query.engine import LocalSearcher
+qdf = pd.read_parquet({os.path.join(corpus, "queries.parquet")!r})
+s = LocalSearcher({idx_dir!r})
+def run(use_cache):
     lat = []
     for _, row in qdf.iterrows():
-        s = time.time()
-        searcher.topk(row["query_text"], int(row["k"]), use_result_cache=False)
-        lat.append(time.time() - s)
-    lat_memo = []
-    for pass_i in range(2):  # first pass fills the memo, second measures hits
-        lat_memo = []
-        for _, row in qdf.iterrows():
-            s = time.time()
-            searcher.topk(row["query_text"], int(row["k"]))
-            lat_memo.append(time.time() - s)
-    cold_ms = np.array(lat_cold) * 1000.0
-    lat_ms = np.array(lat) * 1000.0
-    memo_ms = np.array(lat_memo) * 1000.0
+        t0 = time.time()
+        s.topk(row["query_text"], int(row["k"]), use_result_cache=use_cache)
+        lat.append((time.time() - t0) * 1000.0)
+    return lat
+cold = run(False)
+steady = run(False)
+s_memo = run(True)   # fills the memo
+memo = run(True)     # measures hits
+print(json.dumps({{"cold": cold, "steady": steady, "memo": memo}}))
+"""
+    t0 = time.time()
+    proc = subprocess.run(
+        [_sys.executable, "-c", serve_script], capture_output=True, text=True
+    )
+    tiers = json.loads(proc.stdout.strip().splitlines()[-1])
+    cold_ms = np.array(tiers["cold"])
+    lat_ms = np.array(tiers["steady"])
+    memo_ms = np.array(tiers["memo"])
+    queries["bm25_queries_cold_total"] = round(float(cold_ms.sum()) / 1000.0, 3)
     extra["bm25_p50_cold_ms"] = round(float(np.percentile(cold_ms, 50)), 2)
     extra["bm25_p95_cold_ms"] = round(float(np.percentile(cold_ms, 95)), 2)
     extra["bm25_p50_ms"] = round(float(np.percentile(lat_ms, 50)), 2)
     extra["bm25_p95_ms"] = round(float(np.percentile(lat_ms, 95)), 2)
     extra["bm25_max_ms"] = round(float(lat_ms.max()), 2)
     extra["bm25_p95_memoized_ms"] = round(float(np.percentile(memo_ms, 95)), 3)
-    extra["bm25_n_queries"] = len(lat)
+    extra["bm25_n_queries"] = int(lat_ms.size)
 
     # ---- 3. headline analytics over the driver's sf tables ----
     import __spark_entry__ as entrymod

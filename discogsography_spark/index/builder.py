@@ -292,71 +292,65 @@ class IndexBuilder:
     def quarantine_dir(self) -> str:
         return os.path.join(self.index_dir, "quarantine")
 
-    def _split_quarantine(
-        self, transcripts: DataFrame
-    ) -> tuple[DataFrame, int, int]:
-        """Divert rows that violate the docID contract to the quarantine
-        table (the reference's DLQ pattern,
-        /root/reference/tableinator/tableinator.py:1132-1137) instead of
-        poisoning the build:
-
-        - null_key: conv_id/turn_idx NULL — unrankable under the stable
-          (conv_id, turn_idx) ordering;
-        - dup_key: duplicate (conv_id, turn_idx) — the dense rank would be
-          ambiguous; ALL rows of a duplicated key are quarantined (picking a
-          winner among unordered duplicates is nondeterministic).
-
-        Cost: one combiner-reduced agg over the keys. At extreme scale this
-        fold into the docID range-sort pass (equal keys are co-located
-        there); kept separate here for clarity. Returns (clean_df,
-        n_null_key, n_dup_key)."""
-        null_cond = F.col("conv_id").isNull() | F.col("turn_idx").isNull()
-        bad_null = transcripts.filter(null_cond)
-        rest = transcripts.filter(~null_cond)
-        dup_keys = (
-            rest.groupBy("conv_id", "turn_idx")
-            .agg(F.count("*").alias("_kc"))
-            .filter(F.col("_kc") > 1)
-            .select("conv_id", "turn_idx")
-        )
-        bad_dup = rest.join(dup_keys, ["conv_id", "turn_idx"], "left_semi")
-        clean = rest.join(dup_keys, ["conv_id", "turn_idx"], "left_anti")
-
-        q = bad_null.withColumn("reason", F.lit("null_key")).unionByName(
-            bad_dup.withColumn("reason", F.lit("dup_key"))
-        )
-        tmp = self.quarantine_dir + "__tmp"
-        q.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(self.quarantine_dir):
-            shutil.rmtree(self.quarantine_dir)
-        os.replace(tmp, self.quarantine_dir)
-        spark = transcripts.sparkSession
-        counts = {
-            r["reason"]: r["n"]
-            for r in spark.read.parquet(self.quarantine_dir)
-            .groupBy("reason")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        return clean, int(counts.get("null_key", 0)), int(counts.get("dup_key", 0))
-
     # stage 1 ---------------------------------------------------------------
     def _build_docs(self, transcripts: DataFrame) -> dict[str, Any]:
-        n_null = n_dup = 0
-        if self.quarantine:
-            transcripts, n_null, n_dup = self._split_quarantine(transcripts)
-        docs = assign_doc_ids(
-            transcripts, with_tokens=True, analyzer=self.analyzer
-        ).select(
-            "doc_id", "conv_id", "turn_idx", "dl", "tokens"
-        )
-        tmp = self.docs_dir + "__tmp"
-        docs.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(self.docs_dir):
-            shutil.rmtree(self.docs_dir)
-        os.replace(tmp, self.docs_dir)
+        """docID assignment + tokenize + docmap/quarantine write.
 
+        Quarantine (null/duplicate keys → the reference's DLQ pattern,
+        /root/reference/tableinator/tableinator.py:1132-1137) is FUSED into
+        the docID range-sort (index/docids.py): detection is a
+        partition-local run check on the already-sorted stream and the split
+        is a single partitionBy('_q') write — no extra shuffle or scan over
+        the corpus. The quarantine table keeps the row's key + reason (the
+        scalable pointer-back-to-source DLQ shape; the source table holds
+        the payload)."""
+        n_null = n_dup = 0
         spark = transcripts.sparkSession
+        if self.quarantine:
+            out = assign_doc_ids(
+                transcripts, with_tokens=True, analyzer=self.analyzer, quarantine=True
+            )
+            staged = os.path.join(self.index_dir, "docs_staged__tmp")
+            if os.path.isdir(staged):
+                shutil.rmtree(staged)
+            (
+                out.withColumn("_q", F.col("doc_id") < 0)
+                .write.mode("overwrite")
+                .partitionBy("_q")
+                .parquet(staged)
+            )
+            docs_part = os.path.join(staged, "_q=false")
+            quar_part = os.path.join(staged, "_q=true")
+            if os.path.isdir(self.docs_dir):
+                shutil.rmtree(self.docs_dir)
+            if os.path.isdir(docs_part):
+                os.replace(docs_part, self.docs_dir)
+            else:
+                os.makedirs(self.docs_dir, exist_ok=True)
+            if os.path.isdir(self.quarantine_dir):
+                shutil.rmtree(self.quarantine_dir)
+            if os.path.isdir(quar_part):
+                os.replace(quar_part, self.quarantine_dir)
+                qc = {
+                    r["_quarantine_reason"]: r["n"]
+                    for r in spark.read.parquet(self.quarantine_dir)
+                    .groupBy("_quarantine_reason")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+                n_null = int(qc.get("null_key", 0))
+                n_dup = int(qc.get("dup_key", 0))
+            shutil.rmtree(staged, ignore_errors=True)
+        else:
+            docs = assign_doc_ids(
+                transcripts, with_tokens=True, analyzer=self.analyzer
+            ).select("doc_id", "conv_id", "turn_idx", "dl", "tokens")
+            tmp = self.docs_dir + "__tmp"
+            docs.write.mode("overwrite").parquet(tmp)
+            if os.path.isdir(self.docs_dir):
+                shutil.rmtree(self.docs_dir)
+            os.replace(tmp, self.docs_dir)
+
         agg = (
             spark.read.parquet(self.docs_dir)
             .agg(

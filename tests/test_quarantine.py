@@ -49,8 +49,15 @@ def test_quarantine_diverts_and_index_matches_clean_build(spark, dirty_corpus):
     assert stats["n_quarantined_dup_key"] == 2
 
     q = pd.read_parquet(os.path.join(idx_dir, "quarantine"))
-    assert sorted(q["reason"].tolist()) == ["dup_key", "dup_key", "null_key", "null_key"]
-    assert set(q[q["reason"] == "dup_key"]["text"]) == {"dup a", "dup b"}
+    assert sorted(q["_quarantine_reason"].tolist()) == [
+        "dup_key",
+        "dup_key",
+        "null_key",
+        "null_key",
+    ]
+    dup_rows = q[q["_quarantine_reason"] == "dup_key"]
+    assert set(dup_rows["turn_idx"].astype(int)) == {9000}
+    assert (q["doc_id"] == -1).all()
 
     # surviving index ranks identically to an oracle over only the clean rows
     oracle = build_oracle_index(
