@@ -565,6 +565,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_shared_pairs"] = graph_shared_pairs
 
+    def multi_signal_part_rarity(spark, sf_dir):
+        # 8-signal rarity merge on one key (rarity_queries.py:200-320): N
+        # independently-aggregated signal tables joined on p_partkey — at
+        # scale each signal agg shuffles once on the shared key, so the
+        # joins co-locate (bucketed layout makes them shuffle-free)
+        lineitem = _read(spark, sf_dir, "lineitem")
+        orders = _read(spark, sf_dir, "orders")
+        part = _read(spark, sf_dir, "part")
+        s_line = lineitem.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.count(F.when(F.col("l_returnflag") == "R", 1))
+            .cast("long")
+            .alias("n_returned"),
+        )
+        s_cust = (
+            lineitem.select(F.col("l_orderkey").alias("ok"), "l_partkey")
+            .join(orders.select(F.col("o_orderkey").alias("ok"), "o_custkey"), "ok")
+            .groupBy(F.col("l_partkey").alias("p_partkey"))
+            .agg(F.countDistinct("o_custkey").cast("long").alias("n_custs"))
+        )
+        s_part = part.select(
+            "p_partkey", F.round("p_retailprice", 2).alias("retail")
+        )
+        scored = (
+            s_line.join(s_cust, "p_partkey")
+            .join(s_part, "p_partkey")
+            .withColumn(
+                "rarity",
+                F.round(
+                    F.lit(1.0) / (F.col("n_custs") + F.lit(1.0))
+                    + F.lit(0.5) / (F.col("n_lines") + F.lit(1.0))
+                    + F.col("n_returned") / (F.col("n_lines") + F.lit(1.0)) * F.lit(0.25),
+                    6,
+                ),
+            )
+        )
+        return (
+            scored.select(
+                "p_partkey", "n_lines", "total_qty", "avg_price", "n_returned",
+                "n_custs", "retail", "rarity",
+            )
+            .orderBy(F.desc("rarity"), F.asc("p_partkey"))
+            .limit(25)
+        )
+
+    q["multi_signal_part_rarity"] = multi_signal_part_rarity
+
     # ---- pagination + any-overlap predicates ----
     def page_offset_orders(spark, sf_dir):
         # ORDER BY … SKIP … LIMIT offset pagination (neo4j_queries.py:292-308)
@@ -1127,6 +1176,27 @@ SELECT a.src AS src_a, b.src AS src_b, count(*)::BIGINT AS shared
 FROM pruned a JOIN pruned b ON a.dst = b.dst AND a.src < b.src
 GROUP BY 1, 2 HAVING count(*) >= 8
 ORDER BY shared DESC, src_a ASC, src_b ASC
+"""
+
+    o["multi_signal_part_rarity"] = """
+WITH s_line AS (
+  SELECT l_partkey AS p_partkey,
+         count(*)::BIGINT AS n_lines,
+         round(sum(l_quantity), 2) AS total_qty,
+         round(avg(l_extendedprice), 2) AS avg_price,
+         count(*) FILTER (WHERE l_returnflag = 'R')::BIGINT AS n_returned
+  FROM lineitem GROUP BY 1
+),
+s_cust AS (
+  SELECT l.l_partkey AS p_partkey, count(DISTINCT o.o_custkey)::BIGINT AS n_custs
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY 1
+),
+s_part AS (SELECT p_partkey, round(p_retailprice, 2) AS retail FROM part)
+SELECT p_partkey, n_lines, total_qty, avg_price, n_returned, n_custs, retail,
+       round(1.0 / (n_custs + 1.0) + 0.5 / (n_lines + 1.0)
+             + n_returned / (n_lines + 1.0) * 0.25, 6) AS rarity
+FROM s_line JOIN s_cust USING (p_partkey) JOIN s_part USING (p_partkey)
+ORDER BY rarity DESC, p_partkey ASC LIMIT 25
 """
 
     o["page_offset_orders"] = """
