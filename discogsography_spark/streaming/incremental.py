@@ -207,31 +207,42 @@ class MergedSearcher:
         self.n_docs, self.total_tokens = _combined_offsets(index_dir)
         self.avgdl = self.total_tokens / self.n_docs if self.n_docs else 1.0
         self._delta_dirs = list_deltas(index_dir)
+        self._delta_readers: dict[tuple, object] = {}
+        # term → merged (docs, tf, dl) arrays; deltas are immutable for this
+        # searcher's lifetime, so merged decodes cache like base decodes
+        self._merged_cache: dict[str, tuple] = {}
 
-    def _delta_rows(self, delta: str, terms: list[str]) -> dict[str, TermPostings]:
-        import pyarrow.compute as pc
-        import pyarrow.dataset as pads
+    def _delta_rows(self, delta: str, terms: list[str]) -> dict[str, dict]:
+        """Term rows from one delta via the same dictionary-indexed
+        row-group reader the base uses (_SegmentReader) — a pyarrow
+        dataset filter would read the segment's ENTIRE blob columns per
+        lookup (the to_table(filter=) trap), turning a 2-term probe into a
+        multi-second scan on a large delta."""
+        from discogsography_spark.query.engine import _SegmentReader
 
         segroot = os.path.join(delta, "segments")
-        out: dict[str, TermPostings] = {}
+        out: dict[str, dict] = {}
         by_seg: dict[int, list[str]] = {}
         for t in terms:
             by_seg.setdefault(term_segment(t, self.base.meta.num_segments), []).append(t)
         for seg, seg_terms in by_seg.items():
             d = os.path.join(segroot, f"seg={seg}")
-            if not os.path.isdir(d):
-                continue
-            files = [
-                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
-            ]
-            if not files:
-                continue
-            ds = pads.dataset(files, format="parquet")
-            tbl = ds.to_table(
-                columns=["term", "df", "doc_blob", "tf_blob", "dl_blob"],
-                filter=pc.field("term").isin(seg_terms),
-            )
-            for row in tbl.to_pylist():
+            key = (delta, seg)
+            rd = self._delta_readers.get(key)
+            if rd is None:
+                files = (
+                    [
+                        os.path.join(d, f)
+                        for f in sorted(os.listdir(d))
+                        if f.endswith(".parquet")
+                    ]
+                    if os.path.isdir(d)
+                    else []
+                )
+                if not files:
+                    continue
+                rd = self._delta_readers[key] = _SegmentReader(files)
+            for row in rd.lookup(sorted(seg_terms)):
                 out[row["term"]] = row  # raw dict is enough for decode
         return out
 
@@ -241,14 +252,14 @@ class MergedSearcher:
         terms = get_analyzer(self.base.meta.analyzer).analyze_query(query_text)
         if not terms:
             return []
-        base_rows = self.base.lookup_terms(terms)
-        delta_rows = [self._delta_rows(d, terms) for d in self._delta_dirs]
+        todo = [t for t in terms if t not in self._merged_cache]
+        base_rows = self.base.lookup_terms(todo)
+        delta_rows = [self._delta_rows(d, todo) for d in self._delta_dirs]
 
-        merged: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-        for t in terms:
+        for t in todo:
             parts_docs, parts_tf, parts_dl = [], [], []
             if t in base_rows:
-                d, tf, dl = base_rows[t].decode_all()
+                d, tf, dl = self.base._decoded(base_rows[t])
                 parts_docs.append(d)
                 parts_tf.append(tf)
                 parts_dl.append(dl)
@@ -261,12 +272,19 @@ class MergedSearcher:
                     parts_tf.append(tf)
                     parts_dl.append(dl)
             if not parts_docs:
-                return []  # conjunctive AND: term absent everywhere
-            merged[t] = (
+                self._merged_cache[t] = None  # absent everywhere (negative)
+                continue
+            self._merged_cache[t] = (
                 np.concatenate(parts_docs),
                 np.concatenate(parts_tf),
                 np.concatenate(parts_dl),
             )
+        merged: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for t in terms:
+            ent = self._merged_cache[t]
+            if ent is None:
+                return []  # conjunctive AND: term absent everywhere
+            merged[t] = ent
 
         # conjunctive intersection driven by the rarest merged list
         by_df = sorted(terms, key=lambda t: (merged[t][0].size, t))
