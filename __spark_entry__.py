@@ -46,6 +46,24 @@ _QVEC_SQL = "[" + ", ".join(repr(x) for x in _QVEC) + "]::DOUBLE[]"
 _EMB_DIM = 64
 
 
+def _ivf_codebook(nlist: int = 16, dim: int = _EMB_DIM, seed: int = 123):
+    """Fixed seeded, L2-normalized IVF codebook (4dp literals parse to
+    identical doubles in Spark and DuckDB)."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((nlist, dim))
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    return np.round(c, 4)
+
+
+_IVF_CENTROIDS = _ivf_codebook()
+
+
+def _ivf_probe_cells(qvec: list[float], nprobe: int = 4) -> list[int]:
+    qv = np.asarray(qvec, dtype=np.float64)
+    sims = _IVF_CENTROIDS @ (qv / np.linalg.norm(qv))
+    return [int(c) for c in np.argsort(-sims, kind="stable")[:nprobe]]
+
+
 def _lsh_bucket_sql(n_planes: int = 6, seed: int = 42, dim: int = _EMB_DIM) -> str:
     """DuckDB expression computing the SAME sign-LSH bucket id the Spark
     operator assigns (operators/similarity.py signature_col): bit i is
@@ -365,6 +383,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("id_a", "id_b")
 
     q["embedding_dup_pairs"] = embedding_dup_pairs
+
+    def embedding_ivf_topk(spark, sf_dir):
+        # IVF ANN: nearest-centroid cell assignment (native argmax expr),
+        # probe the nprobe cells closest to the query, exact cosine within.
+        # The codebook here is the fixed seeded one (oracle parity — the SQL
+        # mirror embeds the same literals); data-trained codebooks come from
+        # train_ivf_centroids, exercised in tests/test_operators.py.
+        from discogsography_spark.operators.similarity import ivf_topk
+
+        emb = _read(spark, sf_dir, "embeddings")
+        return ivf_topk(emb, _QVEC, _IVF_CENTROIDS, k=10, nprobe=4)
+
+    q["embedding_ivf_topk"] = embedding_ivf_topk
 
     # ---- relational operator coverage (TPC-H-ish tables) ----
     def agg_filtered_multi(spark, sf_dir):
@@ -1049,6 +1080,30 @@ SELECT vec_id,
              / (sqrt(list_dot_product({_QVEC_SQL}, {_QVEC_SQL}))
                 * sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS cosine
 FROM embeddings
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+    _dots = ", ".join(
+        "list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(float(x)) for x in c)
+        + "]::DOUBLE[])"
+        for c in _IVF_CENTROIDS
+    )
+    _probe = ", ".join(str(c) for c in _ivf_probe_cells(_QVEC, nprobe=4))
+    o["embedding_ivf_topk"] = f"""
+WITH dots AS (
+  SELECT vec_id, embedding, [{_dots}] AS d FROM embeddings
+),
+cells AS (
+  SELECT vec_id, embedding, list_position(d, list_max(d)) - 1 AS ivf_cell
+  FROM dots
+)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], {_QVEC_SQL})
+             / (sqrt(list_dot_product({_QVEC_SQL}, {_QVEC_SQL}))
+                * sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS cosine
+FROM cells
+WHERE ivf_cell IN ({_probe})
 ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 

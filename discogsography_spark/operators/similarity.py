@@ -159,3 +159,82 @@ def pairwise_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path next to sign-LSH. The
+# vector space is partitioned into nlist Voronoi cells around trained
+# centroids; each vector is assigned to its nearest centroid (one int col —
+# at scale the table is written partitioned/bucketed by it), and a query
+# scans only the nprobe cells nearest to the query vector. Training is a
+# deterministic seeded k-means on a driver-side sample (centroids are tiny:
+# nlist × dim floats — broadcast as plan literals); assignment is a native
+# expression (array of centroid dots → array_position of the max), so the
+# scan stays inside codegen with no Python in the row path.
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    sample: np.ndarray, nlist: int = 16, iters: int = 8, seed: int = 42
+) -> np.ndarray:
+    """Deterministic k-means (seeded init, fixed iterations) over a sample
+    matrix (n × dim). Empty cells re-seed to the farthest points — stable
+    under the fixed seed. Returns (nlist × dim) float64, L2-normalized so
+    max-dot == nearest-cosine assignment."""
+    rng = np.random.default_rng(seed)
+    x = np.asarray(sample, dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    idx = rng.choice(x.shape[0], size=min(nlist, x.shape[0]), replace=False)
+    cent = x[np.sort(idx)].copy()
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(cent.shape[0]):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+            else:  # re-seed an empty cell to the worst-covered point
+                worst = int(np.argmin(np.max(sims, axis=1)))
+                cent[c] = x[worst]
+    return cent
+
+
+def ivf_cell_col(vec_col: str, centroids: np.ndarray) -> Column:
+    """Native assignment expression: 0-based index of the max-dot centroid
+    (first occurrence on ties — matched by the DuckDB oracle's
+    list_position semantics)."""
+    v = F.col(vec_col).cast("array<double>")
+    dots = F.array(
+        *[
+            _dot(v, F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+    return (F.array_position(dots, F.array_max(dots)) - F.lit(1)).cast("int")
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: scan only the nprobe cells whose centroids are nearest
+    the query (computed driver-side — centroids are driver-resident), exact
+    cosine within them. With the table written partitionBy('ivf_cell') the
+    filter becomes partition pruning."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    sims = centroids @ (qv / max(np.linalg.norm(qv), 1e-12))
+    probe = [int(c) for c in np.argsort(-sims, kind="stable")[:nprobe]]
+    cells = df.withColumn("ivf_cell", ivf_cell_col(vec_col, centroids))
+    cand = cells.filter(F.col("ivf_cell").isin(probe))
+    return (
+        cosine_to_query(cand, query_vec, vec_col)
+        .select(F.col(id_col), "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
