@@ -4,7 +4,7 @@ to the same query functions, SURVEY.md §3.3). This CLI, the pytest suite,
 and bench.py all consume the same library surface.
 
     python -m discogsography_spark.cli build  <transcripts.parquet> <index_dir> [--segments N]
-    python -m discogsography_spark.cli query  <index_dir> "<query text>" [--k K] [--show-text <transcripts>]
+    python -m discogsography_spark.cli query  <index_dir> "<query text>" [--k K] [--mode and|or|prefix] [--show-text <transcripts>]
     python -m discogsography_spark.cli stats  <index_dir>
     python -m discogsography_spark.cli compact <index_dir>
 """
@@ -25,12 +25,16 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("index_dir")
     b.add_argument("--segments", type=int, default=16)
     b.add_argument("--format", default="parquet")
+    b.add_argument(
+        "--analyzer", choices=("simple", "english"), default="simple",
+        help="english = snowball stopwords + Porter stemming (recorded in the manifest)",
+    )
 
     q = sub.add_parser("query", help="BM25 top-k query (serving path, no Spark)")
     q.add_argument("index_dir")
     q.add_argument("query_text")
     q.add_argument("--k", type=int, default=10)
-    q.add_argument("--mode", choices=("and", "or"), default="and")
+    q.add_argument("--mode", choices=("and", "or", "prefix"), default="and")
     q.add_argument("--show-text", metavar="TRANSCRIPTS", default=None)
 
     s = sub.add_parser("stats", help="print index manifest stats")
@@ -48,7 +52,9 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark("cli-build")
         df = load_transcripts(spark, args.transcripts, format=args.format)
-        res = IndexBuilder(args.index_dir, num_segments=args.segments).build(df)
+        res = IndexBuilder(
+            args.index_dir, num_segments=args.segments, analyzer=args.analyzer
+        ).build(df)
         print(
             json.dumps(
                 {
@@ -66,7 +72,10 @@ def main(argv: list[str] | None = None) -> int:
         from discogsography_spark.query.engine import LocalSearcher
 
         searcher = LocalSearcher(args.index_dir)
-        hits = searcher.topk(args.query_text, args.k, mode=args.mode)
+        if args.mode == "prefix":
+            hits = searcher.topk_prefix(args.query_text, args.k)
+        else:
+            hits = searcher.topk(args.query_text, args.k, mode=args.mode)
         texts = {}
         if args.show_text and hits:
             import pandas as pd

@@ -64,3 +64,55 @@ def test_filter_pushdown_documents(spark):
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in s
     # column pruning: scan schema should not include `text`
     assert "text" not in s.split("ReadSchema")[-1]
+
+
+def test_dup_pairs_plan_has_no_cartesian(spark):
+    """The graded embedding near-dup entry must plan as an equi-join on the
+    LSH bucket key — never a cartesian / broadcast-nested-loop shape."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["embedding_dup_pairs"](spark, SF_DIR)
+    s = explain_str(df, "simple")
+    assert "CartesianProduct" not in s, s
+    assert "BroadcastNestedLoopJoin" not in s, s
+    assert "bucket" in s
+
+
+def test_graph_2hop_uses_anti_join(spark):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["graph_2hop_exclusion"](spark, SF_DIR)
+    s = explain_str(df, "simple")
+    assert "LeftAnti" in s, "NOT-EXISTS exclusion must be a left_anti join"
+    assert "CartesianProduct" not in s
+
+
+def test_offset_pagination_plan(spark):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["page_offset_orders"](spark, SF_DIR)
+    s = explain_str(df, "simple")
+    # offset+limit collapse into one bounded global sort operator — no
+    # full-result materialization before the cut
+    assert "TakeOrderedAndProject" in s and "offset=100" in s, s
+
+
+def test_ivf_filter_is_native(spark):
+    """IVF cell assignment + probe filter must stay in native expressions
+    (no Python UDF in the row path)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["embedding_ivf_topk"](spark, SF_DIR)
+    s = explain_str(df, "simple")
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
+    assert "TakeOrderedAndProject" in s
+
+
+def test_prefix_expansion_broadcasts(spark):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["fts_autocomplete_prefix"](spark, SF_DIR)
+    rep = plan_report(df)
+    assert rep["has_broadcast_join"], "expansion/df maps must broadcast"
+    s = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in s
