@@ -686,10 +686,25 @@ class LocalSearcher:
         Prefixes are NOT stemmed regardless of the index analyzer — they are
         partial words (Lucene's multi-term queries skip analysis the same
         way); expansion runs against the stored (possibly stemmed)
-        dictionary."""
+        dictionary. Results are memoized: autocomplete traffic repeats the
+        same short prefixes heavily, the reference's Redis design point."""
         prefixes = analyze_query(query_text)
         if not prefixes:
             return []
+        key = ("prefix", tuple(prefixes), k, max_expansions)
+        hit = self._result_cache.get(key)
+        if hit is not None:
+            self._result_cache.move_to_end(key)
+            return list(hit)
+        res = self._topk_prefix_uncached(prefixes, k, max_expansions)
+        self._result_cache[key] = tuple(res)
+        if len(self._result_cache) > self._result_cache_size:
+            self._result_cache.popitem(last=False)
+        return res
+
+    def _topk_prefix_uncached(
+        self, prefixes: list[str], k: int, max_expansions: int
+    ) -> list[tuple[int, float]]:
         exp = {pre: self.expand_prefix(pre, max_expansions) for pre in prefixes}
         if any(not ts for ts in exp.values()):
             return []  # conjunctive across prefixes: an empty expansion fails
