@@ -104,3 +104,60 @@ def shared_pair_strength(
         .filter(F.col("shared") >= min_shared)
         .orderBy(F.desc("shared"), F.asc("src_a"), F.asc("src_b"))
     )
+
+
+class GraphSink:
+    """Hash-gated graph table sink — the reference's Neo4j consumer restated
+    for table storage (/root/reference/graphinator/batch_processor.py:438-571:
+    `UNWIND $batch MERGE (node) SET ... WHERE hash changed`). Vertices and
+    edges live as parquet snapshot tables; every upsert is the MERGE shape
+    built from operators/upsert.py (content-hash anti-join → union), written
+    atomically tmp+rename. At scale the snapshot is an Iceberg MERGE INTO on
+    the same plan.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _table(self, name: str) -> str:
+        import os
+
+        return os.path.join(self.path, name)
+
+    def _upsert(self, name: str, incoming: DataFrame, id_col: str, payload: list[str]):
+        import os
+        import shutil
+
+        from discogsography_spark.operators.upsert import (
+            upsert_changed,
+            with_content_hash,
+        )
+
+        spark = incoming.sparkSession
+        inc = with_content_hash(incoming, payload)
+        tgt = self._table(name)
+        if os.path.isdir(tgt):
+            current = spark.read.parquet(tgt)
+        else:
+            current = spark.createDataFrame([], inc.schema)
+        snapshot, stats = upsert_changed(current, inc, id_col=id_col)
+        tmp = tgt + "__tmp"
+        snapshot.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(tgt):
+            shutil.rmtree(tgt)
+        os.replace(tmp, tgt)
+        return stats
+
+    def upsert_vertices(self, vertices: DataFrame, id_col: str = "vid"):
+        """vertices: (vid, label, props...) — hash over everything but vid."""
+        payload = [c for c in vertices.columns if c != id_col]
+        return self._upsert("vertices", vertices, id_col, payload)
+
+    def upsert_edges(self, edges: DataFrame):
+        """edges: (src, dst, rel, props...) — identity = (src, dst, rel)
+        collapsed into one edge id column; hash over the props."""
+        keyed = edges.withColumn(
+            "eid", F.concat_ws("→", F.col("src"), F.col("dst"), F.col("rel"))
+        )
+        payload = [c for c in keyed.columns if c != "eid"]
+        return self._upsert("edges", keyed, "eid", payload)

@@ -54,12 +54,19 @@ def _decode_image_impl(payload: bytes, fake: bool) -> np.ndarray:
 
 
 def extract_image_features(
-    media: DataFrame, feature_dim: int = 8, fake: bool = True
+    media: DataFrame,
+    feature_dim: int = 8,
+    fake: bool = True,
+    decoder=None,
 ) -> DataFrame:
     """binary payload → decode → resize → mean-pool feature vector, one Arrow
     batch at a time. Rows that fail to decode land in the quarantine columns
     (decode_ok=false, error) instead of failing the job — the poison-message
-    DLQ pattern (/root/reference/tableinator/tableinator.py:1132-1137)."""
+    DLQ pattern (/root/reference/tableinator/tableinator.py:1132-1137).
+
+    `decoder` plugs a REAL decode: any picklable `bytes -> np.ndarray(H,W,C)`
+    callable (e.g. PIL/libvips wrapped) replaces the stub — the Spark-side
+    plumbing is identical either way; this container just lacks the libs."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -67,7 +74,11 @@ def extract_image_features(
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 ids.append(mid)
                 try:
-                    img = _decode_image_impl(payload, fake)
+                    img = (
+                        decoder(payload)
+                        if decoder is not None
+                        else _decode_image_impl(payload, fake)
+                    )
                     pooled = img.mean(axis=(0, 1))  # (3,)
                     reps = int(np.ceil(feature_dim / pooled.size))
                     feat = np.tile(pooled, reps)[:feature_dim] / 255.0

@@ -212,3 +212,59 @@ def test_ivf_trained_recall_and_determinism(spark):
         hits += len(exact & approx)
         total += len(exact)
     assert hits / total >= 0.5, f"recall {hits}/{total}"
+
+
+def test_graph_sink_hash_gated(spark, tmp_path):
+    """GraphSink MERGE semantics: unchanged rows skipped, changed rows
+    rewritten, snapshot keeps one row per key across upserts."""
+    from discogsography_spark.operators.graph import GraphSink
+
+    sink = GraphSink(str(tmp_path / "graph"))
+    v1 = spark.createDataFrame(
+        [(1, "customer", "alice"), (2, "customer", "bob")],
+        "vid long, label string, name string",
+    )
+    st = sink.upsert_vertices(v1)
+    assert (st.incoming, st.written, st.unchanged_skipped) == (2, 2, 0)
+    # re-upsert identical → all skipped
+    st = sink.upsert_vertices(v1)
+    assert (st.written, st.unchanged_skipped) == (0, 2)
+    # one changed, one new
+    v2 = spark.createDataFrame(
+        [(2, "customer", "bobby"), (3, "customer", "carol")],
+        "vid long, label string, name string",
+    )
+    st = sink.upsert_vertices(v2)
+    assert (st.written, st.unchanged_skipped) == (2, 0)
+    snap = spark.read.parquet(str(tmp_path / "graph" / "vertices")).toPandas()
+    assert sorted(snap["vid"]) == [1, 2, 3]
+    assert snap.set_index("vid")["name"].to_dict()[2] == "bobby"
+
+    e1 = spark.createDataFrame(
+        [(1, 10, "ORDERED", 3), (2, 11, "ORDERED", 1)],
+        "src long, dst long, rel string, weight long",
+    )
+    st = sink.upsert_edges(e1)
+    assert st.written == 2
+    st = sink.upsert_edges(e1)
+    assert (st.written, st.unchanged_skipped) == (0, 2)
+
+
+def test_pluggable_image_decoder(spark):
+    """A user-supplied decoder callable replaces the stub — same plumbing."""
+    import numpy as np
+
+    from discogsography_spark.operators.multimodal import (
+        extract_image_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=8)
+
+    def tiny_decoder(payload: bytes):
+        v = float(len(payload or b""))
+        return np.full((4, 4, 3), v % 256, dtype=np.float32)
+
+    out = extract_image_features(media, feature_dim=4, decoder=tiny_decoder).toPandas()
+    assert out["decode_ok"].all()
+    assert all(len(f) == 4 for f in out["feature"])
