@@ -378,6 +378,7 @@ class LocalSearcher:
         rows: dict[str, TermPostings],
         idfs: dict[str, float],
         known: dict[str, tuple[np.ndarray, np.ndarray]] | None = None,
+        avgdl: float | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Exact conjunctive BM25 for a sorted unique candidate docID array.
         Probes rarest-first so the survivor set shrinks fastest; float
@@ -407,8 +408,10 @@ class LocalSearcher:
             if alive.size == 0:
                 return alive, np.empty(0, dtype=np.float64)
         p = self.meta.params
+        if avgdl is None:
+            avgdl = self.meta.avgdl
         norm = p.k1 * (
-            1.0 - p.b + p.b * (dl.astype(np.float64) / self.meta.avgdl)
+            1.0 - p.b + p.b * (dl.astype(np.float64) / avgdl)
         )
         scores = np.zeros(alive.size, dtype=np.float64)
         for t in terms:  # sorted order — oracle-identical summation
@@ -513,7 +516,16 @@ class LocalSearcher:
                 self._result_cache.popitem(last=False)
         return res
 
-    def _topk_and(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+    def _topk_and(
+        self,
+        terms: list[str],
+        k: int,
+        idfs: dict[str, float] | None = None,
+        avgdl: float | None = None,
+    ) -> list[tuple[int, float]]:
+        """`idfs`/`avgdl` override the shard-local statistics — the sharded
+        fan-out searcher injects GLOBAL corpus stats so per-shard scores are
+        directly comparable (query/sharded.py)."""
         if not terms:
             return []
         rows = self.lookup_terms(terms)
@@ -522,7 +534,10 @@ class LocalSearcher:
 
         m = self.meta
         p = m.params
-        idfs = {t: p.idf(m.n_docs, rows[t].df) for t in terms}
+        if avgdl is None:
+            avgdl = m.avgdl
+        if idfs is None:
+            idfs = {t: p.idf(m.n_docs, rows[t].df) for t in terms}
 
         # single-term fast path: rank is monotone in tfnorm, so the champion
         # list answers k ≤ |champions| EXACTLY without decoding the postings
@@ -537,7 +552,7 @@ class LocalSearcher:
             ):
                 tf = tp.champ_tf.astype(np.float64)
                 norm = p.k1 * (
-                    1.0 - p.b + p.b * (tp.champ_dl.astype(np.float64) / m.avgdl)
+                    1.0 - p.b + p.b * (tp.champ_dl.astype(np.float64) / avgdl)
                 )
                 scores = idfs[terms[0]] * (tf / (tf + norm))
                 # champions are already (tfnorm DESC, doc ASC) == final order
@@ -567,7 +582,7 @@ class LocalSearcher:
         ]
         if champ_lists:
             cu = np.unique(np.concatenate(champ_lists))
-            sd, ss = self._and_score(cu, terms, by_df, rows, idfs)
+            sd, ss = self._and_score(cu, terms, by_df, rows, idfs, avgdl=avgdl)
             if sd.size:
                 pool_d.append(sd)
                 pool_s.append(ss)
@@ -625,6 +640,7 @@ class LocalSearcher:
                 rows,
                 idfs,
                 known={t0: (tf_full[idx], dl_full[idx])},
+                avgdl=avgdl,
             )
             if sd.size:
                 pool_d.append(sd)

@@ -1,0 +1,78 @@
+"""Sharded serving: exact BM25 over many shard indexes with GLOBAL stats.
+
+This is the 10^12-turn serving architecture the build side already assumes
+(scripts/executor_scaling.py builds one index per disjoint conv-range
+shard — the standard doc-sharded layout every distributed search engine
+uses, and the reference's per-table fan-out of search_queries.py:213-234
+taken to its cluster form):
+
+- each shard is a complete, independently-built index over a conv_id range;
+- shard docIDs are the shard-local dense rank; the GLOBAL docID is the
+  shard offset (cumulative doc counts in shard order) + local id — identical
+  to the single-index dense rank because shards are consecutive key ranges;
+- BM25 statistics must be GLOBAL for scores to be comparable: n_docs and
+  total_tokens sum across shard manifests at open; per-term df sums across
+  shard lookups per query. Global idf/avgdl are injected into each shard's
+  evaluator (the stats override in LocalSearcher._topk_and), so a shard
+  scores its local postings with corpus-wide constants;
+- merge = concatenate per-shard top-k, sort (score DESC, global doc ASC),
+  cut at k. Exact: scores are doc-local given global stats, so the global
+  top-k is a subset of the union of per-shard top-k's.
+
+Result: bit-identical to a single index built over the whole corpus
+(tested), while every shard serves independently — the fan-out a 1000-node
+serving tier performs with one RPC per shard.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from discogsography_spark.analysis import get_analyzer
+from discogsography_spark.query.engine import LocalSearcher
+
+
+class ShardedSearcher:
+    def __init__(self, index_dirs: list[str]):
+        if not index_dirs:
+            raise ValueError("at least one shard required")
+        self.shards = [LocalSearcher(d) for d in index_dirs]
+        analyzers = {s.meta.analyzer for s in self.shards}
+        if len(analyzers) != 1:
+            raise ValueError(f"shards disagree on analyzer: {analyzers}")
+        self.analyzer = analyzers.pop()
+        params = {(s.meta.params.k1, s.meta.params.b) for s in self.shards}
+        if len(params) != 1:
+            raise ValueError(f"shards disagree on BM25 params: {params}")
+        self.params = self.shards[0].meta.params
+        counts = [s.meta.n_docs for s in self.shards]
+        self.offsets = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)
+        self.n_docs = int(sum(counts))
+        self.total_tokens = int(sum(s.meta.total_tokens for s in self.shards))
+        self.avgdl = self.total_tokens / self.n_docs if self.n_docs else 1.0
+
+    def topk(self, query_text: str, k: int) -> list[tuple[int, float]]:
+        """Exact conjunctive BM25 top-k across all shards, global docIDs.
+        Ordered (score DESC, global doc_id ASC) — bit-identical to a single
+        whole-corpus index."""
+        terms = get_analyzer(self.analyzer).analyze_query(query_text)
+        if not terms or k <= 0:
+            return []
+        # global per-term df: sum of shard dfs (one dictionary lookup per
+        # shard — the stats RPC of a real serving tier)
+        per_shard_rows = [s.lookup_terms(terms) for s in self.shards]
+        gdf = {
+            t: sum(r[t].df for r in per_shard_rows if t in r) for t in terms
+        }
+        if any(gdf[t] == 0 for t in terms):
+            return []  # conjunctive: term absent from the whole corpus
+        idfs = {t: self.params.idf(self.n_docs, gdf[t]) for t in terms}
+
+        merged: list[tuple[int, float]] = []
+        for shard, offset, rows in zip(self.shards, self.offsets, per_shard_rows):
+            if len(rows) != len(terms):
+                continue  # some term absent in this shard → no conjunctive hits
+            hits = shard._topk_and(terms, k, idfs=idfs, avgdl=self.avgdl)
+            merged.extend((int(offset) + d, s) for d, s in hits)
+        merged.sort(key=lambda ds: (-ds[1], ds[0]))
+        return merged[:k]

@@ -1,0 +1,78 @@
+"""Sharded serving: four conv-range shard indexes queried through
+ShardedSearcher with global statistics must be BIT-IDENTICAL to a single
+index built over the whole corpus — docIDs, scores, and tiebreaks."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from discogsography_spark.corpus import make_queries, make_transcripts
+from discogsography_spark.index.builder import IndexBuilder
+from discogsography_spark.query.engine import LocalSearcher
+from discogsography_spark.query.sharded import ShardedSearcher
+
+
+@pytest.fixture(scope="module")
+def sharded_setup(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("sharded")
+    tdf = make_transcripts(n_conversations=160, mean_turns=6, vocab_size=500)
+    convs = sorted(tdf["conv_id"].unique())
+    full_p = str(d / "full.parquet")
+    tdf.to_parquet(full_p, index=False)
+
+    full_idx = str(d / "full_idx")
+    IndexBuilder(full_idx, num_segments=4, head_df_threshold=300).build(
+        spark.read.parquet(full_p)
+    )
+
+    shard_dirs = []
+    bounds = [convs[i * len(convs) // 4] for i in range(1, 4)]
+    ranges = list(zip([None, *bounds], [*bounds, None]))
+    for i, (lo, hi) in enumerate(ranges):
+        m = tdf["conv_id"].map(lambda c: (lo is None or c >= lo) and (hi is None or c < hi))
+        p = str(d / f"shard{i}.parquet")
+        tdf[m].to_parquet(p, index=False)
+        idx = str(d / f"shard{i}_idx")
+        # different per-shard settings on purpose: sharding must not depend
+        # on segment counts or head thresholds
+        IndexBuilder(idx, num_segments=2, head_df_threshold=10**9).build(
+            spark.read.parquet(p)
+        )
+        shard_dirs.append(idx)
+    return {"full_idx": full_idx, "shards": shard_dirs, "tdf": tdf}
+
+
+def test_sharded_bit_identical_to_full_index(sharded_setup):
+    full = LocalSearcher(sharded_setup["full_idx"])
+    sharded = ShardedSearcher(sharded_setup["shards"])
+    assert sharded.n_docs == full.meta.n_docs
+    assert sharded.total_tokens == full.meta.total_tokens
+
+    queries = make_queries(sharded_setup["tdf"], n_queries=25)
+    n_nonempty = 0
+    for _, q in queries.iterrows():
+        want = full.topk(q["query_text"], int(q["k"]))
+        got = sharded.topk(q["query_text"], int(q["k"]))
+        assert [d for d, _ in got] == [d for d, _ in want], q["query_text"]
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gs == ws, f"{q['query_text']}: {gs!r} != {ws!r}"
+        n_nonempty += bool(got)
+    assert n_nonempty > 10
+
+
+def test_sharded_handles_term_missing_in_some_shards(sharded_setup):
+    full = LocalSearcher(sharded_setup["full_idx"])
+    sharded = ShardedSearcher(sharded_setup["shards"])
+    # conv-specific tail words live in exactly one shard; conjunctions with
+    # a head word must still match the full index
+    tdf = sharded_setup["tdf"]
+    sample_text = tdf.iloc[5]["text"]
+    from discogsography_spark.analysis import tokenize_py
+
+    toks = tokenize_py(sample_text)
+    rare = next((t for t in toks if t.startswith("w0")), toks[0])
+    q = f"{rare} spark"
+    assert sharded.topk(q, 10) == full.topk(q, 10)
+    assert sharded.topk("zzqqxx spark", 10) == []
