@@ -282,16 +282,22 @@ class LocalSearcher:
         self._result_cache: OrderedDict[tuple, tuple] = OrderedDict()
         self._result_cache_size = int(result_cache_size)
         # term → TermPostings: parquet row-group hits still pay a to_pylist
-        # of multi-MB blob rows; the term dictionary itself is the hot set
+        # of multi-MB blob rows; the term dictionary itself is the hot set.
+        # Bounded by BLOB BYTES (a head term's row is MBs) — count alone
+        # could pin tens of GB under a wide query log.
         self._tp_cache: OrderedDict[str, TermPostings | None] = OrderedDict()
-        self._tp_cache_size = 8192
-        # term → (member: bool[n_docs], rank: int32[n_docs]) for cached HEAD
+        self._tp_cache_bytes = 0
+        self._tp_budget = 256 * 1024 * 1024
+        # term → (member: bool[n_docs], rank: int64[n_docs]) for cached HEAD
         # terms only (df ≥ n_docs/64): probe becomes two O(1) gathers instead
         # of an O(log df) binary search per candidate — the win that matters
-        # when both sides of a conjunction are ~df≈N lists. Dense arrays are
-        # O(n_docs per shard), so this stays bounded on a sharded deployment.
+        # when both sides of a conjunction are ~df≈N lists. Entries cost
+        # 9 bytes × n_docs, so the cap is byte-budgeted too (a 100M-doc
+        # shard's entry is ~0.9 GB — the budget holds a handful there and
+        # dozens at sandbox scale).
         self._member_cache: OrderedDict[str, tuple] = OrderedDict()
-        self._member_cache_size = 32
+        self._member_cache_bytes = 0
+        self._member_budget = 512 * 1024 * 1024
 
     # ---- decoded-postings cache ----
 
@@ -366,8 +372,13 @@ class LocalSearcher:
         rank = np.zeros(self.meta.n_docs, dtype=np.int64)
         rank[docs] = np.arange(docs.size, dtype=np.int64)
         self._member_cache[term] = (member, rank)
-        if len(self._member_cache) > self._member_cache_size:
-            self._member_cache.popitem(last=False)
+        self._member_cache_bytes += member.nbytes + rank.nbytes
+        while (
+            self._member_cache_bytes > self._member_budget
+            and len(self._member_cache) > 1
+        ):
+            _, (om, orr) = self._member_cache.popitem(last=False)
+            self._member_cache_bytes -= om.nbytes + orr.nbytes
         return member, rank
 
     def _and_score(
@@ -454,10 +465,17 @@ class LocalSearcher:
         for t in todo:
             tp = found.get(t)
             self._tp_cache[t] = tp
-            if len(self._tp_cache) > self._tp_cache_size:
-                self._tp_cache.popitem(last=False)
             if tp is not None:
+                self._tp_cache_bytes += (
+                    len(tp.doc_blob) + len(tp.tf_blob) + len(tp.dl_blob)
+                )
                 out[t] = tp
+        while self._tp_cache_bytes > self._tp_budget and len(self._tp_cache) > 1:
+            _, old = self._tp_cache.popitem(last=False)
+            if old is not None:
+                self._tp_cache_bytes -= (
+                    len(old.doc_blob) + len(old.tf_blob) + len(old.dl_blob)
+                )
         return out
 
     def _lookup_terms_uncached(self, terms: list[str]) -> dict[str, TermPostings]:
