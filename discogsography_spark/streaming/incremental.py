@@ -127,9 +127,17 @@ class DeltaIndexWriter:
 
         from discogsography_spark.index.docids import assign_doc_ids
 
+        # null-key rows can't take a rank (same contract as the builder's
+        # quarantine); they are dropped here with a count in the delta stats
+        # — per-turn exactly-once across batches is the upstream foreachBatch
+        # contract, so cross-batch duplicate keys are the producer's bug.
+        src = batch_df.select("conv_id", "turn_idx", "text")
+        clean = src.filter(
+            F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
+        )
         docs = (
             assign_doc_ids(
-                batch_df.select("conv_id", "turn_idx", "text"),
+                clean,
                 with_tokens=True,
                 analyzer=self.meta.analyzer,
             )
@@ -140,12 +148,18 @@ class DeltaIndexWriter:
             F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("tt")
         ).collect()[0]
         n_new, total_tokens = int(agg["n"]), int(agg["tt"])
+        n_dropped = int(src.count()) - n_new
         if n_new == 0:
             docs.unpersist()
             os.makedirs(final, exist_ok=True)
             _atomic_write_json(
                 os.path.join(final, "stats.json"),
-                {"n_docs": 0, "total_tokens": 0, "doc_offset": doc_offset},
+                {
+                    "n_docs": 0,
+                    "total_tokens": 0,
+                    "doc_offset": doc_offset,
+                    "n_quarantined_null_key": n_dropped,
+                },
             )
             return
         # avgdl in the delta's tfnorm must be the COMBINED corpus avgdl at
@@ -192,6 +206,7 @@ class DeltaIndexWriter:
                 "total_tokens": total_tokens,
                 "doc_offset": doc_offset,
                 "batch_id": batch_id,
+                "n_quarantined_null_key": n_dropped,
             },
         )
 
