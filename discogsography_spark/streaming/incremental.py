@@ -416,8 +416,12 @@ def compact(spark: SparkSession, index_dir: str) -> int:
     delta_docs = [
         os.path.join(d, "docs") for d in deltas if os.path.isdir(os.path.join(d, "docs"))
     ]
-    union_docs = spark.read.parquet(docs_dir, *delta_docs).withColumnRenamed(
-        "doc_id", "old_doc_id"
+    union_docs = (
+        spark.read.parquet(docs_dir, *delta_docs)
+        # drop bookkeeping columns from a previous compact / quarantine build
+        # (a stale old_doc_id would collide with the rename below)
+        .drop("old_doc_id", "_quarantine_reason")
+        .withColumnRenamed("doc_id", "old_doc_id")
     )
     from discogsography_spark.index.docids import assign_doc_ids
 

@@ -120,3 +120,26 @@ def test_recover_compact_is_idempotent(spark, ooo_index):
     compact(spark, idx)
     assert incremental.recover_compact(idx) is False  # nothing to do
     _assert_matches_fresh_build(spark, idx, ooo_index["tdf"], ooo_index["tmp"])
+
+
+def test_second_compaction_round(spark, ooo_index, tmp_path):
+    """compact → new deltas → compact again: the docs table's bookkeeping
+    columns from round 1 must not break round 2, and results stay
+    fresh-build-identical over the grown corpus."""
+    from discogsography_spark.streaming.incremental import DeltaIndexWriter
+
+    idx = ooo_index["idx"]
+    compact(spark, idx)
+
+    extra = make_transcripts(n_conversations=30, mean_turns=5, vocab_size=400, seed=77)
+    extra = extra.assign(conv_id="zz-" + extra["conv_id"])  # disjoint key range
+    p = str(tmp_path / "extra.parquet")
+    extra.to_parquet(p, index=False)
+    writer = DeltaIndexWriter(idx)
+    writer.write_batch(spark.read.parquet(p), 10)
+    assert compact(spark, idx) == 1
+
+    import pandas as pd
+
+    union = pd.concat([ooo_index["tdf"], extra], ignore_index=True)
+    _assert_matches_fresh_build(spark, idx, union, tmp_path)
