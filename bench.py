@@ -68,10 +68,7 @@ def main() -> None:
     extra: dict[str, float] = {}
 
     # ---- 1. index build ----
-    import pandas as pd
-
     from discogsography_spark.index.builder import IndexBuilder
-    from discogsography_spark.query.engine import LocalSearcher
 
     corpus = ensure_corpus(sf)
     idx_dir = os.path.join("/tmp/spark_graft_bench", f"index_sf{sf}_{cpus}")

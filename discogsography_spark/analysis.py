@@ -253,6 +253,8 @@ class Analyzer:
     def _stem(self, tok: str) -> str:
         out = self._memo.get(tok)
         if out is None:
+            if len(self._memo) >= 1_000_000:  # vocab blow-out guard
+                self._memo.clear()
             out = porter_stem(tok)
             self._memo[tok] = out
         return out

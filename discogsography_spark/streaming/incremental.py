@@ -28,26 +28,21 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import tempfile
-from typing import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-from discogsography_spark.analysis import analyze_query
 from discogsography_spark.codec import decode_postings, varbyte_decode
 from discogsography_spark.index.builder import (
     SEGMENT_SCHEMA,
-    IndexBuilder,
     _encode_pdf,
     term_segment,
 )
 from discogsography_spark.index.manifest import Manifest, _atomic_write_json
 from discogsography_spark.params import BM25Params
-from discogsography_spark.query.engine import IndexMeta, LocalSearcher, TermPostings
+from discogsography_spark.query.engine import IndexMeta, LocalSearcher
 
 
 def _deltas_root(index_dir: str) -> str:
