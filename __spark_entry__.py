@@ -174,6 +174,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_autocomplete_prefix"] = fts_autocomplete_prefix
 
+    def fts_bm25_or_topk(spark, sf_dir):
+        # disjunctive (websearch OR) BM25 — mirrors LocalSearcher mode='or'
+        from discogsography_spark.query.dataframe_bm25 import bm25_or_topk_dataframe
+
+        return bm25_or_topk_dataframe(
+            _read(spark, sf_dir, "documents"), "window merge batch", k=20
+        )
+
+    q["fts_bm25_or_topk"] = fts_bm25_or_topk
+
+    def fts_phrase_match_count(spark, sf_dir):
+        # phraseto_tsquery / Lucene PhraseQuery: consecutive analyzed tokens
+        from discogsography_spark.query.dataframe_bm25 import phrase_match_col
+
+        docs = _read(spark, sf_dir, "documents")
+        return docs.filter(phrase_match_col(["table", "value"])).agg(
+            F.count("*").cast("long").alias("n_phrase")
+        )
+
+    q["fts_phrase_match_count"] = fts_phrase_match_count
+
+    def fts_phrase_topk(spark, sf_dir):
+        # phrase-filtered candidates, corpus-global BM25 stats
+        from discogsography_spark.query.dataframe_bm25 import (
+            bm25_phrase_topk_dataframe,
+        )
+
+        return bm25_phrase_topk_dataframe(
+            _read(spark, sf_dir, "documents"), "table value", k=15
+        )
+
+    q["fts_phrase_topk"] = fts_phrase_topk
+
     def fts_match_conjunctive_count(spark, sf_dir):
         docs = _read(spark, sf_dir, "documents")
         toks = F.array_distinct(tokens_col("text"))
@@ -923,6 +956,56 @@ scored AS (
 )
 SELECT s.doc_id, round(raw, 5) AS score
 FROM scored s JOIN presence USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 15
+"""
+
+    o["fts_bm25_or_topk"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT count(*) FROM toks)::DOUBLE AS total_tokens
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ('batch', 'merge', 'window') GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       round(sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+            * (tf.tf / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * (dl.dl / (s.total_tokens / s.n_docs)))))), 5) AS score
+FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+    _PHRASE_SQL = (
+        f"len([i FOR i IN range(1, len({_TOKS_SQL})) "
+        f"IF {_TOKS_SQL}[i] = 'table' AND {_TOKS_SQL}[i + 1] = 'value']) > 0"
+    )
+    o["fts_phrase_match_count"] = f"""
+SELECT count(*)::BIGINT AS n_phrase FROM documents WHERE {_PHRASE_SQL}
+"""
+
+    o["fts_phrase_topk"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT count(*) FROM toks)::DOUBLE AS total_tokens
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ('table', 'value') GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+matched AS (SELECT doc_id FROM documents WHERE {_PHRASE_SQL})
+SELECT tf.doc_id,
+       round(sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+            * (tf.tf / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * (dl.dl / (s.total_tokens / s.n_docs)))))), 5) AS score
+FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+WHERE tf.doc_id IN (SELECT doc_id FROM matched)
+GROUP BY tf.doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 15
 """
 

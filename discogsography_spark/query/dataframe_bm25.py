@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from discogsography_spark.analysis import analyze_query
+from discogsography_spark.analysis import analyze_query, tokenize_py
 from discogsography_spark.operators.textstats import tokens_col
 from discogsography_spark.params import BM25Params
 
@@ -293,6 +293,173 @@ def bm25_prefix_topk_dataframe(
             ).alias("raw_score")
         )
         .join(presence, "_id")
+        .select(
+            F.col("_id").alias(id_col), F.round("raw_score", round_dp).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+def bm25_or_topk_dataframe(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    params: BM25Params | None = None,
+    round_dp: int = 5,
+) -> DataFrame:
+    """Disjunctive (OR) BM25 top-k: any doc containing ≥1 query term scores;
+    absent terms contribute nothing — websearch-style OR semantics, the
+    LocalSearcher.topk(mode='or') mirror. Identical plan shape to the AND
+    variant minus the all-terms filter."""
+    p = params or BM25Params()
+    terms = analyze_query(query_text)
+    spark = docs.sparkSession
+    if not terms:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    toks = docs.select(
+        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("_dl"), F.lit(0)).alias("total_tokens"),
+    )
+    tf = (
+        toks.select("_id", "_dl", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("_dl").alias("dl"))
+    )
+    df_per_term = tf.groupBy("term").agg(F.count("*").alias("df"))
+    partial = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    ) * (
+        F.col("tf").cast("double")
+        / (
+            F.col("tf").cast("double")
+            + F.lit(p.k1)
+            * (
+                F.lit(1.0 - p.b)
+                + F.lit(p.b)
+                * (F.col("dl").cast("double") / (F.col("total_tokens") / F.col("n_docs")))
+            )
+        )
+    )
+    return (
+        tf.join(F.broadcast(df_per_term), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("partial", partial)
+        .groupBy("_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "partial"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["partial"],
+            ).alias("raw_score")
+        )
+        .select(
+            F.col("_id").alias(id_col), F.round("raw_score", round_dp).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def phrase_match_col(
+    phrase_terms: list[str], text_col: str = "text"
+):
+    """TRUE iff the analyzed token stream contains the terms consecutively —
+    `phraseto_tsquery` / Lucene PhraseQuery semantics, as one native
+    expression: F.exists over candidate start offsets with per-offset
+    element equality (no UDF, stays in codegen)."""
+    toks = tokens_col(text_col)
+    n = len(phrase_terms)
+    if n == 0:
+        return F.lit(False)
+
+    def match_at(i):  # i: 1-based start position Column
+        cond = F.lit(True)
+        for j, t in enumerate(phrase_terms):
+            cond = cond & (F.element_at(toks, i + F.lit(j)) == F.lit(t))
+        return cond
+
+    # guard: F.sequence(1, 0) DESCENDS in Spark, so short docs need an
+    # explicit size >= n branch (inside which every probed index is in range)
+    starts = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    return F.when(
+        F.size(toks) >= F.lit(n), F.exists(starts, match_at)
+    ).otherwise(F.lit(False))
+
+
+def bm25_phrase_topk_dataframe(
+    docs: DataFrame,
+    phrase: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    params: BM25Params | None = None,
+    round_dp: int = 5,
+) -> DataFrame:
+    """Exact-phrase top-k: docs containing the analyzed phrase consecutively,
+    ranked by the BM25 score of the phrase's terms — Lucene PhraseQuery with
+    BM25 similarity. Statistics (n_docs, avgdl, per-term df) are
+    CORPUS-GLOBAL, exactly like Lucene's phrase scoring; only the candidate
+    set is phrase-filtered (filter-before-rank-cap)."""
+    p = params or BM25Params()
+    terms = analyze_query(phrase)
+    ordered = tokenize_py(phrase)
+    spark = docs.sparkSession
+    if not terms:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("_dl"), F.lit(0)).alias("total_tokens"),
+    )
+    tf_all = (
+        toks.select("_id", "_dl", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("_dl").alias("dl"))
+    )
+    df_per_term = tf_all.groupBy("term").agg(F.count("*").alias("df"))
+    matched_ids = docs.filter(phrase_match_col(ordered, text_col)).select(
+        F.col(id_col).alias("_id")
+    )
+    tf = tf_all.join(matched_ids, "_id", "left_semi")
+
+    partial = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    ) * (
+        F.col("tf").cast("double")
+        / (
+            F.col("tf").cast("double")
+            + F.lit(p.k1)
+            * (
+                F.lit(1.0 - p.b)
+                + F.lit(p.b)
+                * (F.col("dl").cast("double") / (F.col("total_tokens") / F.col("n_docs")))
+            )
+        )
+    )
+    return (
+        tf.join(F.broadcast(df_per_term), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("partial", partial)
+        .groupBy("_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "partial"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["partial"],
+            ).alias("raw_score")
+        )
         .select(
             F.col("_id").alias(id_col), F.round("raw_score", round_dp).alias("score")
         )
