@@ -29,12 +29,16 @@ def main(argv: list[str] | None = None) -> int:
         "--analyzer", choices=("simple", "english"), default="simple",
         help="english = snowball stopwords + Porter stemming (recorded in the manifest)",
     )
+    b.add_argument(
+        "--positions", action="store_true",
+        help="store token positions (enables --mode phrase queries)",
+    )
 
     q = sub.add_parser("query", help="BM25 top-k query (serving path, no Spark)")
     q.add_argument("index_dir")
     q.add_argument("query_text")
     q.add_argument("--k", type=int, default=10)
-    q.add_argument("--mode", choices=("and", "or", "prefix"), default="and")
+    q.add_argument("--mode", choices=("and", "or", "prefix", "phrase"), default="and")
     q.add_argument("--show-text", metavar="TRANSCRIPTS", default=None)
 
     s = sub.add_parser("stats", help="print index manifest stats")
@@ -53,7 +57,10 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("cli-build")
         df = load_transcripts(spark, args.transcripts, format=args.format)
         res = IndexBuilder(
-            args.index_dir, num_segments=args.segments, analyzer=args.analyzer
+            args.index_dir,
+            num_segments=args.segments,
+            analyzer=args.analyzer,
+            with_positions=args.positions,
         ).build(df)
         print(
             json.dumps(
@@ -74,6 +81,8 @@ def main(argv: list[str] | None = None) -> int:
         searcher = LocalSearcher(args.index_dir)
         if args.mode == "prefix":
             hits = searcher.topk_prefix(args.query_text, args.k)
+        elif args.mode == "phrase":
+            hits = searcher.topk_phrase(args.query_text, args.k)
         else:
             hits = searcher.topk(args.query_text, args.k, mode=args.mode)
         texts = {}

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from discogsography_spark.analysis import TOKEN_PATTERN
-from discogsography_spark.codec import encode_term_postings
+from discogsography_spark.codec import encode_term_postings, varbyte_encode
 from discogsography_spark.index.docids import assign_doc_ids
 from discogsography_spark.index.manifest import Manifest, SegmentRecord
 from discogsography_spark.params import (
@@ -77,6 +77,10 @@ SEGMENT_SCHEMA = T.StructType(
         T.StructField("champ_doc", T.ArrayType(T.LongType()), False),
         T.StructField("champ_tf", T.ArrayType(T.LongType()), False),
         T.StructField("champ_dl", T.ArrayType(T.LongType()), False),
+        # token positions, flat varbyte stream in posting order; the per-
+        # posting slice boundaries are the cumulative tf (positions per
+        # posting == tf). Empty for indexes built without positions.
+        T.StructField("pos_blob", T.BinaryType(), True),
     ]
 )
 
@@ -96,6 +100,7 @@ PARTIAL_SCHEMA = T.StructType(
         T.StructField("doc_bytes", T.BinaryType(), False),
         T.StructField("tf_bytes", T.BinaryType(), False),
         T.StructField("dl_bytes", T.BinaryType(), False),
+        T.StructField("pos_bytes", T.BinaryType(), True),
     ]
 )
 
@@ -117,8 +122,11 @@ def _encode_arrays(
     avgdl: float,
     block_size: int,
     is_head: bool,
+    positions: np.ndarray | None = None,
 ) -> dict:
-    """Encode one term's (already doc-sorted) postings into a segment row."""
+    """Encode one term's (already doc-sorted) postings into a segment row.
+    `positions` (optional): flat token positions aligned with the posting
+    order — ascending within each posting's run of tf entries."""
     tf_f = tfs.astype(np.float64)
     norm = k1 * (1.0 - b + b * (dls.astype(np.float64) / avgdl))
     tfnorm = tf_f / (tf_f + norm)
@@ -141,6 +149,11 @@ def _encode_arrays(
             "champ_doc": doc_ids[champs].tolist(),
             "champ_tf": tfs[champs].astype(np.int64).tolist(),
             "champ_dl": dls[champs].astype(np.int64).tolist(),
+            "pos_blob": (
+                varbyte_encode(positions.astype(np.uint64))
+                if positions is not None and positions.size
+                else b""
+            ),
         }
     )
     return enc
@@ -159,7 +172,8 @@ def _runlength_tf(
 
 
 def _encode_sorted_stream(
-    batches, k1: float, b: float, avgdl: float, block_size: int
+    batches, k1: float, b: float, avgdl: float, block_size: int,
+    with_positions: bool = False,
 ):
     """mapInPandas encoder over partitions sorted by (term, doc_id): buffers
     the partition-trailing term across Arrow batches, emits one segment row
@@ -188,6 +202,9 @@ def _encode_sorted_stream(
         doc_ids = pdf["doc_id"].to_numpy().astype(np.int64)
         dls = pdf["dl"].to_numpy().astype(np.int64)
         segs = pdf["seg"].to_numpy()
+        pos = (
+            pdf["pos"].to_numpy().astype(np.int64) if with_positions else None
+        )
         rows = []
         for s, e in zip(starts, ends):
             u, tf, dl_u = _runlength_tf(doc_ids[s:e], dls[s:e])
@@ -195,6 +212,7 @@ def _encode_sorted_stream(
                 _encode_arrays(
                     terms[s], int(segs[s]), u, tf, dl_u,
                     k1, b, avgdl, block_size, False,
+                    positions=pos[s:e] if pos is not None else None,
                 )
             )
         return pd.DataFrame(rows)
@@ -261,10 +279,12 @@ class IndexBuilder:
         head_salts: int = HEAD_TERM_SALTS,
         analyzer: str = "simple",
         quarantine: bool = True,
+        with_positions: bool = False,
     ):
         self.index_dir = index_dir
         self.analyzer = analyzer
         self.quarantine = quarantine
+        self.with_positions = with_positions
         self.params = params or BM25Params()
         self.num_segments = num_segments
         self.block_size = block_size
@@ -372,6 +392,7 @@ class IndexBuilder:
             "analyzer_name": self.analyzer,
             "n_quarantined_null_key": n_null,
             "n_quarantined_dup_key": n_dup,
+            "with_positions": self.with_positions,
         }
         self.manifest.commit_docs(stats)
         return stats
@@ -390,14 +411,21 @@ class IndexBuilder:
         # run-length inside the encoders, so the build has exactly one full
         # shuffle of posting data (the term-hash repartition below) instead
         # of a groupBy(term, doc) shuffle followed by a second one.
-        tokens = (
-            docs.select("doc_id", "dl", F.explode("tokens").alias("term"))
-            .withColumn(
-                "seg",
-                (F.crc32(F.col("term")) % F.lit(self.num_segments)).cast("int"),
+        # with_positions: posexplode carries the token's index in the
+        # analyzed stream — the positional-postings payload for phrase
+        # queries (Lucene .pos analog); same shuffle, one extra int column.
+        if self.with_positions:
+            occurrences = docs.select(
+                "doc_id", "dl", F.posexplode("tokens").alias("pos", "term")
             )
-            .filter(F.col("seg").isin(pending))
-        )
+        else:
+            occurrences = docs.select(
+                "doc_id", "dl", F.explode("tokens").alias("term")
+            )
+        tokens = occurrences.withColumn(
+            "seg",
+            (F.crc32(F.col("term")) % F.lit(self.num_segments)).cast("int"),
+        ).filter(F.col("seg").isin(pending))
 
         # head-term detection on collection frequency (map-side combined agg
         # → tiny shuffle). CF ≥ DF, so thresholding CF salts a superset of
@@ -420,10 +448,19 @@ class IndexBuilder:
                 "salt", (F.col("doc_id") / F.lit(salt_width)).cast("int")
             )
 
+            with_pos = self.with_positions
+
             def encode_partial(pdf: pd.DataFrame) -> pd.DataFrame:
-                order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+                doc_arr = pdf["doc_id"].to_numpy().astype(np.int64)
+                if with_pos:
+                    pos_arr = pdf["pos"].to_numpy().astype(np.int64)
+                    order = np.lexsort((pos_arr, doc_arr))
+                    pos_bytes = pos_arr[order].tobytes()
+                else:
+                    order = np.argsort(doc_arr, kind="stable")
+                    pos_bytes = b""
                 u, tf, dl_u = _runlength_tf(
-                    pdf["doc_id"].to_numpy()[order].astype(np.int64),
+                    doc_arr[order],
                     pdf["dl"].to_numpy()[order].astype(np.int64),
                 )
                 return pd.DataFrame(
@@ -435,13 +472,15 @@ class IndexBuilder:
                             "doc_bytes": u.tobytes(),
                             "tf_bytes": tf.tobytes(),
                             "dl_bytes": dl_u.tobytes(),
+                            "pos_bytes": pos_bytes,
                         }
                     ]
                 )
 
             def merge_partials(pdf: pd.DataFrame) -> pd.DataFrame:
                 # salts are contiguous docID ranges → concat in salt order IS
-                # the sorted merge (loss-free, order-stable).
+                # the sorted merge (loss-free, order-stable; flat positions
+                # stay grouped per doc because salts partition docID ranges).
                 pdf = pdf.sort_values("salt")
                 doc_ids = np.concatenate(
                     [np.frombuffer(x, dtype=np.int64) for x in pdf["doc_bytes"]]
@@ -452,16 +491,27 @@ class IndexBuilder:
                 dls = np.concatenate(
                     [np.frombuffer(x, dtype=np.int64) for x in pdf["dl_bytes"]]
                 )
-                merged = pd.DataFrame(
-                    {
-                        "term": pdf["term"].iloc[0],
-                        "seg": int(pdf["seg"].iloc[0]),
-                        "doc_id": doc_ids,
-                        "tf": tfs,
-                        "dl": dls,
-                    }
+                positions = (
+                    np.concatenate(
+                        [np.frombuffer(x, dtype=np.int64) for x in pdf["pos_bytes"]]
+                    )
+                    if with_pos
+                    else None
                 )
-                return _encode_pdf(merged, k1, b, avgdl, block_size, is_head=True)
+                enc = _encode_arrays(
+                    pdf["term"].iloc[0],
+                    int(pdf["seg"].iloc[0]),
+                    doc_ids,
+                    tfs,
+                    dls,
+                    k1,
+                    b,
+                    avgdl,
+                    block_size,
+                    True,
+                    positions=positions,
+                )
+                return pd.DataFrame([enc])
 
             head_encoded = (
                 head.groupBy("seg", "term", "salt")
@@ -478,11 +528,17 @@ class IndexBuilder:
         shuffle_p = int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
+        sort_cols = (
+            ["term", "doc_id", "pos"] if self.with_positions else ["term", "doc_id"]
+        )
+        wp = self.with_positions
         normal_encoded = (
             normal.repartition(shuffle_p, "term")
-            .sortWithinPartitions("term", "doc_id")
+            .sortWithinPartitions(*sort_cols)
             .mapInPandas(
-                lambda it: _encode_sorted_stream(it, k1, b, avgdl, block_size),
+                lambda it: _encode_sorted_stream(
+                    it, k1, b, avgdl, block_size, with_positions=wp
+                ),
                 schema=SEGMENT_SCHEMA,
             )
         )

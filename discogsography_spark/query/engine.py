@@ -93,6 +93,7 @@ class TermPostings:
     champ_doc: np.ndarray | None = None
     champ_tf: np.ndarray | None = None
     champ_dl: np.ndarray | None = None
+    pos_blob: bytes | None = None
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         doc_ids, tfs = decode_postings(self.doc_blob, self.tf_blob)
@@ -186,6 +187,7 @@ _TP_COLS = [
     "champ_doc",
     "champ_tf",
     "champ_dl",
+    "pos_blob",
 ]
 
 
@@ -298,6 +300,9 @@ class LocalSearcher:
         self._member_cache: OrderedDict[str, tuple] = OrderedDict()
         self._member_cache_bytes = 0
         self._member_budget = 512 * 1024 * 1024
+        # term → flat decoded positions (phrase path); postings-count budget
+        self._pos_cache: OrderedDict[str, np.ndarray] = OrderedDict()
+        self._pos_cache_n = 0
 
     # ---- decoded-postings cache ----
 
@@ -501,6 +506,7 @@ class LocalSearcher:
                     champ_doc=np.asarray(row.get("champ_doc") or [], dtype=np.int64),
                     champ_tf=np.asarray(row.get("champ_tf") or [], dtype=np.int64),
                     champ_dl=np.asarray(row.get("champ_dl") or [], dtype=np.int64),
+                    pos_blob=row.get("pos_blob"),
                 )
         return out
 
@@ -707,6 +713,110 @@ class LocalSearcher:
                 if hi > lo:
                     found.update(terms[lo:hi].tolist())
         return sorted(found)[:max_expansions]
+
+    def _positions(self, tp: TermPostings) -> np.ndarray:
+        """Flat token positions for one term, posting-order; cached. The
+        per-posting slice boundaries are cumsum(tf) (positions per posting
+        == tf). Requires an index built with with_positions=True."""
+        if not tp.pos_blob:
+            raise ValueError(
+                f"term {tp.term!r} has no positional postings — build the "
+                "index with IndexBuilder(with_positions=True) for phrase queries"
+            )
+        ent = self._pos_cache.get(tp.term)
+        if ent is None:
+            ent = varbyte_decode(tp.pos_blob).astype(np.int64)
+            self._pos_cache[tp.term] = ent
+            self._pos_cache_n += ent.size
+            while self._pos_cache_n > self._dec_budget and len(self._pos_cache) > 1:
+                _, old = self._pos_cache.popitem(last=False)
+                self._pos_cache_n -= old.size
+        else:
+            self._pos_cache.move_to_end(tp.term)
+        return ent
+
+    def topk_phrase(self, phrase: str, k: int) -> list[tuple[int, float]]:
+        """Exact-phrase top-k over a positional index — Lucene PhraseQuery
+        with BM25 similarity, the serving-path mirror of
+        bm25_phrase_topk_dataframe (identical semantics + 5dp rounding):
+        candidates must contain the analyzed tokens CONSECUTIVELY; scores
+        use corpus-global stats over the phrase's distinct terms.
+
+        Fully vectorized adjacency: each term's (doc, position) pairs become
+        sorted int64 keys (doc << 21 | pos); phrase starts survive j terms
+        iff key+j exists in term j's key set — one searchsorted per term."""
+        an = get_analyzer(self.meta.analyzer)
+        ordered = an.tokenize_py(phrase)
+        terms = sorted(set(ordered))
+        if not ordered or k <= 0:
+            return []
+        rows = self.lookup_terms(terms)
+        if len(rows) != len(terms):
+            return []
+        m, p = self.meta, self.meta.params
+        idfs = {t: p.idf(m.n_docs, rows[t].df) for t in terms}
+
+        # conjunctive candidate set (phrase ⊆ AND)
+        by_df = sorted(terms, key=lambda t: (rows[t].df, t))
+        cand, _, dl0 = self._decoded(rows[by_df[0]])
+        tf_by: dict[str, np.ndarray] = {}
+        for t in by_df:
+            mask, tfv, dlv = self._probe(rows[t], cand)
+            if not mask.all():
+                cand = cand[mask]
+                dl0 = dl0[mask]
+                for tt in tf_by:
+                    tf_by[tt] = tf_by[tt][mask]
+            tf_by[t] = tfv
+            if cand.size == 0:
+                return []
+
+        # (doc << 21 | pos) keys per term, restricted to the candidates.
+        # positions < 2^21 (dl bound), docIDs < 2^42 → keys fit int64.
+        SHIFT = np.int64(21)
+        keys_by_term: dict[str, np.ndarray] = {}
+        for t in terms:
+            tp = rows[t]
+            d_full = self._decoded(tp)[0]
+            tf_full = self._decoded(tp)[1]
+            pos_flat = self._positions(tp)
+            off = np.concatenate(([0], np.cumsum(tf_full)))
+            pi = np.searchsorted(d_full, cand)  # exact hits guaranteed
+            lens = tf_full[pi]
+            total = int(lens.sum())
+            intra = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+            )
+            flat_idx = np.repeat(off[pi], lens) + intra
+            flat_doc = np.repeat(cand, lens)
+            keys_by_term[t] = (flat_doc << SHIFT) | pos_flat[flat_idx]
+
+        # phrase-start survival: S starts as term0's keys; term j must
+        # contain key + j (same doc, position + j)
+        survivors = keys_by_term[ordered[0]]
+        for j, t in enumerate(ordered[1:], start=1):
+            target = survivors + np.int64(j)
+            kj = keys_by_term[t]
+            pos = np.searchsorted(kj, target)
+            ok = pos < kj.size
+            hit = np.zeros(survivors.size, dtype=bool)
+            hit[ok] = kj[pos[ok]] == target[ok]
+            survivors = survivors[hit]
+            if survivors.size == 0:
+                return []
+        matched = np.unique(survivors >> SHIFT)
+
+        # score matched docs: corpus-global BM25 over distinct terms,
+        # sorted-term accumulation, 5dp (the DataFrame-mirror contract)
+        sel = np.searchsorted(cand, matched)
+        norm = p.k1 * (1.0 - p.b + p.b * (dl0[sel].astype(np.float64) / m.avgdl))
+        scores = np.zeros(matched.size, dtype=np.float64)
+        for t in terms:
+            tf = tf_by[t][sel].astype(np.float64)
+            scores = scores + idfs[t] * (tf / (tf + norm))
+        scores = np.round(scores, 5)
+        order = np.lexsort((matched, -scores))[:k]
+        return [(int(matched[i]), float(scores[i])) for i in order]
 
     def topk_prefix(
         self, query_text: str, k: int, max_expansions: int = 64

@@ -1,0 +1,79 @@
+"""Positional postings + index-side phrase serving: LocalSearcher.topk_phrase
+over an index built with with_positions=True must agree exactly with the
+declarative bm25_phrase_topk_dataframe path (which the DuckDB oracle grades),
+including head-term salted builds and analyzer edge cases."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from discogsography_spark.corpus import make_transcripts
+from discogsography_spark.index.builder import IndexBuilder
+from discogsography_spark.index.docids import assign_doc_ids
+from discogsography_spark.query.dataframe_bm25 import bm25_phrase_topk_dataframe
+from discogsography_spark.query.engine import LocalSearcher
+
+PHRASES = [
+    ("spark index", 10),
+    ("index spark", 10),      # reversed order = different matches
+    ("turn turn", 8),          # repeated-term phrase
+    ("spark zzqqabsent", 5),   # absent term → empty
+    ("merge", 10),             # single-token phrase == single-term query
+    ("the spark index", 10),   # analyzer-normalized leading token
+]
+
+
+@pytest.fixture(scope="module")
+def pos_setup(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("posidx")
+    tdf = make_transcripts(n_conversations=250, mean_turns=6, vocab_size=600)
+    p = str(d / "t.parquet")
+    tdf.to_parquet(p, index=False)
+    idx = str(d / "idx")
+    # low head threshold → head terms exercise the salted positional path
+    IndexBuilder(
+        idx, num_segments=4, head_df_threshold=200, head_salts=3, with_positions=True
+    ).build(spark.read.parquet(p))
+    docs = assign_doc_ids(spark.read.parquet(p)).select("doc_id", "text").cache()
+    docs.count()
+    return {"idx": idx, "docs": docs}
+
+
+def test_phrase_index_matches_dataframe_path(spark, pos_setup):
+    s = LocalSearcher(pos_setup["idx"])
+    n_nonempty = 0
+    for phrase, k in PHRASES:
+        got = s.topk_phrase(phrase, k)
+        want = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in bm25_phrase_topk_dataframe(pos_setup["docs"], phrase, k=k).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], phrase
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, phrase
+        n_nonempty += bool(got)
+    assert n_nonempty >= 3  # corpus genuinely exercises the phrase path
+
+
+def test_phrase_requires_positional_index(spark, tmp_path):
+    tdf = make_transcripts(n_conversations=30, mean_turns=4, vocab_size=100)
+    p = str(tmp_path / "t.parquet")
+    tdf.to_parquet(p, index=False)
+    idx = str(tmp_path / "idx")
+    IndexBuilder(idx, num_segments=2, head_df_threshold=10**9).build(
+        spark.read.parquet(p)
+    )
+    s = LocalSearcher(idx)
+    with pytest.raises(ValueError, match="with_positions"):
+        s.topk_phrase("spark index", 5)
+
+
+def test_non_positional_results_unchanged_by_schema_extension(spark, pos_setup):
+    """The positional index still answers every non-phrase mode."""
+    s = LocalSearcher(pos_setup["idx"])
+    assert s.topk("spark", 5)
+    assert s.topk("spark index", 5)
+    assert s.topk("spark index", 5, mode="or")
+    assert s.topk_prefix("spa", 5)
