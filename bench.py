@@ -106,6 +106,7 @@ def main() -> None:
     for name in [
         "fts_bm25_topk",
         "fts_autocomplete_prefix",
+        "fts_phrase_topk",
         "fts_term_stats",
         "dedup_minhash_lsh",
         "embedding_cosine_topk",
