@@ -771,52 +771,70 @@ class LocalSearcher:
             if cand.size == 0:
                 return []
 
-        # (doc << 21 | pos) keys per term, restricted to the candidates.
+        # Scores are phrase-independent (BM25 of the terms), so score ALL
+        # conjunctive candidates first, then verify adjacency in RANK ORDER,
+        # chunked, stopping at the k-th phrase match — the exact
+        # early-termination a phrase query wants: for selective-but-common
+        # phrases only a few thousand candidates ever load positions.
+        norm = p.k1 * (1.0 - p.b + p.b * (dl0.astype(np.float64) / m.avgdl))
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for t in terms:  # sorted order — DataFrame-mirror summation
+            tf = tf_by[t].astype(np.float64)
+            scores = scores + idfs[t] * (tf / (tf + norm))
+        scores = np.round(scores, 5)
+        rank = np.lexsort((cand, -scores))
+
+        # (doc << 21 | pos) keys per term for a sorted doc subset.
         # positions < 2^21 (dl bound), docIDs < 2^42 → keys fit int64.
         SHIFT = np.int64(21)
-        keys_by_term: dict[str, np.ndarray] = {}
-        for t in terms:
+
+        def term_keys(t: str, docs_sorted: np.ndarray) -> np.ndarray:
             tp = rows[t]
-            d_full = self._decoded(tp)[0]
-            tf_full = self._decoded(tp)[1]
+            d_full, tf_full, _ = self._decoded(tp)
             pos_flat = self._positions(tp)
             off = np.concatenate(([0], np.cumsum(tf_full)))
-            pi = np.searchsorted(d_full, cand)  # exact hits guaranteed
+            pi = np.searchsorted(d_full, docs_sorted)  # exact hits guaranteed
             lens = tf_full[pi]
             total = int(lens.sum())
             intra = np.arange(total, dtype=np.int64) - np.repeat(
                 np.concatenate(([0], np.cumsum(lens)[:-1])), lens
             )
             flat_idx = np.repeat(off[pi], lens) + intra
-            flat_doc = np.repeat(cand, lens)
-            keys_by_term[t] = (flat_doc << SHIFT) | pos_flat[flat_idx]
+            flat_doc = np.repeat(docs_sorted, lens)
+            return (flat_doc << SHIFT) | pos_flat[flat_idx]
 
-        # phrase-start survival: S starts as term0's keys; term j must
-        # contain key + j (same doc, position + j)
-        survivors = keys_by_term[ordered[0]]
-        for j, t in enumerate(ordered[1:], start=1):
-            target = survivors + np.int64(j)
-            kj = keys_by_term[t]
-            pos = np.searchsorted(kj, target)
-            ok = pos < kj.size
-            hit = np.zeros(survivors.size, dtype=bool)
-            hit[ok] = kj[pos[ok]] == target[ok]
-            survivors = survivors[hit]
-            if survivors.size == 0:
-                return []
-        matched = np.unique(survivors >> SHIFT)
+        def phrase_docs(docs_sorted: np.ndarray) -> np.ndarray:
+            """Subset of docs_sorted containing the phrase (sorted)."""
+            survivors = term_keys(ordered[0], docs_sorted)
+            for j, t in enumerate(ordered[1:], start=1):
+                if survivors.size == 0:
+                    return survivors
+                # restrict the next term's keys to docs still alive
+                alive = np.unique(survivors >> SHIFT)
+                kj = term_keys(t, alive)
+                target = survivors + np.int64(j)
+                pos = np.searchsorted(kj, target)
+                ok = pos < kj.size
+                hit = np.zeros(survivors.size, dtype=bool)
+                hit[ok] = kj[pos[ok]] == target[ok]
+                survivors = survivors[hit]
+            return np.unique(survivors >> SHIFT)
 
-        # score matched docs: corpus-global BM25 over distinct terms,
-        # sorted-term accumulation, 5dp (the DataFrame-mirror contract)
-        sel = np.searchsorted(cand, matched)
-        norm = p.k1 * (1.0 - p.b + p.b * (dl0[sel].astype(np.float64) / m.avgdl))
-        scores = np.zeros(matched.size, dtype=np.float64)
-        for t in terms:
-            tf = tf_by[t][sel].astype(np.float64)
-            scores = scores + idfs[t] * (tf / (tf + norm))
-        scores = np.round(scores, 5)
-        order = np.lexsort((matched, -scores))[:k]
-        return [(int(matched[i]), float(scores[i])) for i in order]
+        out_docs: list[int] = []
+        out_scores: list[float] = []
+        CHUNK = 4096
+        for s0 in range(0, rank.size, CHUNK):
+            chunk = rank[s0 : s0 + CHUNK]
+            docs_sorted = np.sort(cand[chunk])
+            matched = phrase_docs(docs_sorted)
+            if matched.size:
+                keep = np.isin(cand[chunk], matched)
+                for i in chunk[keep]:  # chunk is already in final rank order
+                    out_docs.append(int(cand[i]))
+                    out_scores.append(float(scores[i]))
+                if len(out_docs) >= k:
+                    break
+        return list(zip(out_docs[:k], out_scores[:k]))
 
     def topk_prefix(
         self, query_text: str, k: int, max_expansions: int = 64
