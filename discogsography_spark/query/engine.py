@@ -735,7 +735,13 @@ class LocalSearcher:
             self._pos_cache.move_to_end(tp.term)
         return ent
 
-    def topk_phrase(self, phrase: str, k: int) -> list[tuple[int, float]]:
+    def topk_phrase(
+        self,
+        phrase: str,
+        k: int,
+        idfs: dict[str, float] | None = None,
+        avgdl: float | None = None,
+    ) -> list[tuple[int, float]]:
         """Exact-phrase top-k over a positional index — Lucene PhraseQuery
         with BM25 similarity, the serving-path mirror of
         bm25_phrase_topk_dataframe (identical semantics + 5dp rounding):
@@ -754,7 +760,10 @@ class LocalSearcher:
         if len(rows) != len(terms):
             return []
         m, p = self.meta, self.meta.params
-        idfs = {t: p.idf(m.n_docs, rows[t].df) for t in terms}
+        if avgdl is None:
+            avgdl = m.avgdl
+        if idfs is None:
+            idfs = {t: p.idf(m.n_docs, rows[t].df) for t in terms}
 
         # conjunctive candidate set (phrase ⊆ AND)
         by_df = sorted(terms, key=lambda t: (rows[t].df, t))
@@ -776,7 +785,7 @@ class LocalSearcher:
         # chunked, stopping at the k-th phrase match — the exact
         # early-termination a phrase query wants: for selective-but-common
         # phrases only a few thousand candidates ever load positions.
-        norm = p.k1 * (1.0 - p.b + p.b * (dl0.astype(np.float64) / m.avgdl))
+        norm = p.k1 * (1.0 - p.b + p.b * (dl0.astype(np.float64) / avgdl))
         scores = np.zeros(cand.size, dtype=np.float64)
         for t in terms:  # sorted order — DataFrame-mirror summation
             tf = tf_by[t].astype(np.float64)
@@ -865,14 +874,23 @@ class LocalSearcher:
         return res
 
     def _topk_prefix_uncached(
-        self, prefixes: list[str], k: int, max_expansions: int
+        self,
+        prefixes: list[str],
+        k: int,
+        max_expansions: int,
+        exp: dict[str, list[str]] | None = None,
+        idfs: dict[str, float] | None = None,
+        avgdl: float | None = None,
     ) -> list[tuple[int, float]]:
-        exp = {pre: self.expand_prefix(pre, max_expansions) for pre in prefixes}
+        if exp is None:
+            exp = {pre: self.expand_prefix(pre, max_expansions) for pre in prefixes}
         if any(not ts for ts in exp.values()):
             return []  # conjunctive across prefixes: an empty expansion fails
         union_terms = sorted({t for ts in exp.values() for t in ts})
         rows = self.lookup_terms(union_terms)
         m, p = self.meta, self.meta.params
+        if avgdl is None:
+            avgdl = m.avgdl
 
         # candidates: docs matching at least one expansion of EVERY prefix
         pres: np.ndarray | None = None
@@ -896,17 +914,23 @@ class LocalSearcher:
             mask, tfv, dlv = self._probe(tp, pres)
             if not mask.any():
                 continue
-            idf = p.idf(m.n_docs, tp.df)
+            idf = idfs[t] if idfs is not None else p.idf(m.n_docs, tp.df)
             tf = tfv.astype(np.float64)
             norm = p.k1 * (
-                1.0 - p.b + p.b * (dlv.astype(np.float64) / m.avgdl)
+                1.0 - p.b + p.b * (dlv.astype(np.float64) / avgdl)
             )
             scores[mask] = scores[mask] + idf * (tf / (tf + norm))
         scores = np.round(scores, 5)
         order = np.lexsort((pres, -scores))[:k]
         return [(int(pres[i]), float(scores[i])) for i in order]
 
-    def _topk_or(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+    def _topk_or(
+        self,
+        terms: list[str],
+        k: int,
+        idfs: dict[str, float] | None = None,
+        avgdl: float | None = None,
+    ) -> list[tuple[int, float]]:
         """Disjunctive BM25 top-k with max-score pruning over block-max
         metadata (the WAND family):
 
@@ -929,8 +953,11 @@ class LocalSearcher:
         if not present:
             return []
         m, p = self.meta, self.meta.params
-        k1, b, avgdl = p.k1, p.b, m.avgdl
-        idfs = {t: p.idf(m.n_docs, rows[t].df) for t in present}
+        k1, b = p.k1, p.b
+        if avgdl is None:
+            avgdl = m.avgdl
+        if idfs is None:
+            idfs = {t: p.idf(m.n_docs, rows[t].df) for t in present}
         maxcontrib = {
             t: idfs[t] * float(rows[t].block_max_tfnorm.max()) for t in present
         }

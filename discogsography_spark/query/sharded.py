@@ -51,28 +51,98 @@ class ShardedSearcher:
         self.total_tokens = int(sum(s.meta.total_tokens for s in self.shards))
         self.avgdl = self.total_tokens / self.n_docs if self.n_docs else 1.0
 
-    def topk(self, query_text: str, k: int) -> list[tuple[int, float]]:
-        """Exact conjunctive BM25 top-k across all shards, global docIDs.
-        Ordered (score DESC, global doc_id ASC) — bit-identical to a single
-        whole-corpus index."""
-        terms = get_analyzer(self.analyzer).analyze_query(query_text)
-        if not terms or k <= 0:
-            return []
-        # global per-term df: sum of shard dfs (one dictionary lookup per
-        # shard — the stats RPC of a real serving tier)
+    def _global_idfs(self, terms: list[str]) -> tuple[list[dict], dict[str, float]]:
+        """Per-shard term rows + global idfs (df summed across shard
+        dictionaries — the stats RPC of a real serving tier)."""
         per_shard_rows = [s.lookup_terms(terms) for s in self.shards]
-        gdf = {
-            t: sum(r[t].df for r in per_shard_rows if t in r) for t in terms
+        gdf = {t: sum(r[t].df for r in per_shard_rows if t in r) for t in terms}
+        idfs = {
+            t: self.params.idf(self.n_docs, gdf[t]) for t in terms if gdf[t] > 0
         }
-        if any(gdf[t] == 0 for t in terms):
-            return []  # conjunctive: term absent from the whole corpus
-        idfs = {t: self.params.idf(self.n_docs, gdf[t]) for t in terms}
+        return per_shard_rows, idfs
 
+    def _merge(self, per_shard: list[list[tuple[int, float]]], k: int):
         merged: list[tuple[int, float]] = []
-        for shard, offset, rows in zip(self.shards, self.offsets, per_shard_rows):
-            if len(rows) != len(terms):
-                continue  # some term absent in this shard → no conjunctive hits
-            hits = shard._topk_and(terms, k, idfs=idfs, avgdl=self.avgdl)
+        for offset, hits in zip(self.offsets, per_shard):
             merged.extend((int(offset) + d, s) for d, s in hits)
         merged.sort(key=lambda ds: (-ds[1], ds[0]))
         return merged[:k]
+
+    def topk(
+        self, query_text: str, k: int, mode: str = "and"
+    ) -> list[tuple[int, float]]:
+        """Exact BM25 top-k across all shards, global docIDs, ordered
+        (score DESC, global doc_id ASC) — bit-identical to a single
+        whole-corpus index. mode: 'and' (conjunctive) or 'or' (disjunctive;
+        shards holding any query term contribute)."""
+        terms = get_analyzer(self.analyzer).analyze_query(query_text)
+        if not terms or k <= 0:
+            return []
+        per_shard_rows, idfs = self._global_idfs(terms)
+        if mode == "or":
+            hits = [
+                shard._topk_or(terms, k, idfs=idfs, avgdl=self.avgdl)
+                if rows
+                else []
+                for shard, rows in zip(self.shards, per_shard_rows)
+            ]
+            return self._merge(hits, k)
+        if len(idfs) != len(terms):
+            return []  # conjunctive: term absent from the whole corpus
+        hits = [
+            shard._topk_and(terms, k, idfs=idfs, avgdl=self.avgdl)
+            if len(rows) == len(terms)
+            else []
+            for shard, rows in zip(self.shards, per_shard_rows)
+        ]
+        return self._merge(hits, k)
+
+    def topk_phrase(self, phrase: str, k: int) -> list[tuple[int, float]]:
+        """Exact-phrase top-k across positional shard indexes, global
+        stats + docIDs — bit-identical to a whole-corpus positional index."""
+        ordered = get_analyzer(self.analyzer).tokenize_py(phrase)
+        terms = sorted(set(ordered))
+        if not ordered or k <= 0:
+            return []
+        per_shard_rows, idfs = self._global_idfs(terms)
+        if len(idfs) != len(terms):
+            return []
+        hits = [
+            shard.topk_phrase(phrase, k, idfs=idfs, avgdl=self.avgdl)
+            if len(rows) == len(terms)
+            else []
+            for shard, rows in zip(self.shards, per_shard_rows)
+        ]
+        return self._merge(hits, k)
+
+    def topk_prefix(
+        self, query_text: str, k: int, max_expansions: int = 64
+    ) -> list[tuple[int, float]]:
+        """Autocomplete prefix top-k across shards. The GLOBAL expansion is
+        the term-ASC-capped union of per-shard expansions (any term inside
+        the global first-max_expansions is within its own shard's
+        first-max_expansions, so per-shard caps lose nothing); per-term df
+        sums across shards; every shard then evaluates the SAME expansion
+        with the global constants."""
+        from discogsography_spark.analysis import analyze_query
+
+        prefixes = analyze_query(query_text)
+        if not prefixes or k <= 0:
+            return []
+        exp: dict[str, list[str]] = {}
+        for pre in prefixes:
+            union: set[str] = set()
+            for s in self.shards:
+                union.update(s.expand_prefix(pre, max_expansions))
+            exp[pre] = sorted(union)[:max_expansions]
+            if not exp[pre]:
+                return []
+        union_terms = sorted({t for ts in exp.values() for t in ts})
+        _, idfs = self._global_idfs(union_terms)
+        hits = [
+            shard._topk_prefix_uncached(
+                prefixes, k, max_expansions, exp=exp, idfs=idfs, avgdl=self.avgdl
+            )
+            for shard in self.shards
+        ]
+        return self._merge(hits, k)

@@ -76,3 +76,55 @@ def test_sharded_handles_term_missing_in_some_shards(sharded_setup):
     q = f"{rare} spark"
     assert sharded.topk(q, 10) == full.topk(q, 10)
     assert sharded.topk("zzqqxx spark", 10) == []
+
+
+@pytest.fixture(scope="module")
+def pos_sharded_setup(spark, tmp_path_factory):
+    """Positional builds of the same corpus, whole vs 3 conv-range shards."""
+    from discogsography_spark.corpus import make_transcripts
+
+    d = tmp_path_factory.mktemp("pos_sharded")
+    tdf = make_transcripts(n_conversations=120, mean_turns=6, vocab_size=400, seed=5)
+    convs = sorted(tdf["conv_id"].unique())
+    full_p = str(d / "full.parquet")
+    tdf.to_parquet(full_p, index=False)
+    full_idx = str(d / "full_idx")
+    IndexBuilder(
+        full_idx, num_segments=4, head_df_threshold=250, with_positions=True
+    ).build(spark.read.parquet(full_p))
+    shard_dirs = []
+    bounds = [convs[40], convs[80]]
+    for i, (lo, hi) in enumerate(zip([None, *bounds], [*bounds, None])):
+        m = tdf["conv_id"].map(
+            lambda c: (lo is None or c >= lo) and (hi is None or c < hi)
+        )
+        p = str(d / f"s{i}.parquet")
+        tdf[m].to_parquet(p, index=False)
+        idx = str(d / f"s{i}_idx")
+        IndexBuilder(
+            idx, num_segments=2, head_df_threshold=10**9, with_positions=True
+        ).build(spark.read.parquet(p))
+        shard_dirs.append(idx)
+    return {"full": full_idx, "shards": shard_dirs, "tdf": tdf}
+
+
+def test_sharded_or_prefix_phrase_bit_identical(pos_sharded_setup):
+    full = LocalSearcher(pos_sharded_setup["full"])
+    sharded = ShardedSearcher(pos_sharded_setup["shards"])
+    n_nonempty = 0
+    for q, k in [("spark index", 10), ("merge batch turn", 15), ("w0 spark", 8)]:
+        got = sharded.topk(q, k, mode="or")
+        want = full.topk(q, k, mode="or", use_result_cache=False)
+        assert got == want, ("or", q)
+        n_nonempty += bool(got)
+    for q, k in [("sp", 10), ("sp to", 10), ("w00 turn", 8), ("zzqq", 5)]:
+        got = sharded.topk_prefix(q, k)
+        want = full.topk_prefix(q, k)
+        assert got == want, ("prefix", q)
+        n_nonempty += bool(got)
+    for q, k in [("spark index", 10), ("index spark", 10), ("turn turn", 8)]:
+        got = sharded.topk_phrase(q, k)
+        want = full.topk_phrase(q, k)
+        assert got == want, ("phrase", q)
+        n_nonempty += bool(got)
+    assert n_nonempty >= 6
