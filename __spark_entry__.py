@@ -637,10 +637,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lineitem = _read(spark, sf_dir, "lineitem")
         orders = _read(spark, sf_dir, "orders")
         part = _read(spark, sf_dir, "part")
+        # money aggregates in INTEGER CENTS: double summation is order-
+        # sensitive under parallel partial sums, and round(avg, 2) amplifies
+        # a last-ulp difference to a visible cent on half-cent boundaries
+        # (sf0.01 p_partkey=849 flipped 58530.42/58530.43 vs the oracle).
+        # Exact int64 sums are associative, so partition order can't matter.
+        qty_cents = F.round(F.col("l_quantity") * 100).cast("long")
+        price_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
         s_line = lineitem.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
             F.count("*").cast("long").alias("n_lines"),
-            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            (F.sum(qty_cents) / F.lit(100.0)).alias("total_qty"),
+            (F.round(F.sum(price_cents) / F.count("*")) / F.lit(100.0)).alias(
+                "avg_price"
+            ),
             F.count(F.when(F.col("l_returnflag") == "R", 1))
             .cast("long")
             .alias("n_returned"),
@@ -1320,8 +1329,8 @@ ORDER BY shared DESC, src_a ASC, src_b ASC
 WITH s_line AS (
   SELECT l_partkey AS p_partkey,
          count(*)::BIGINT AS n_lines,
-         round(sum(l_quantity), 2) AS total_qty,
-         round(avg(l_extendedprice), 2) AS avg_price,
+         sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS total_qty,
+         round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / count(*)) / 100.0 AS avg_price,
          count(*) FILTER (WHERE l_returnflag = 'R')::BIGINT AS n_returned
   FROM lineitem GROUP BY 1
 ),

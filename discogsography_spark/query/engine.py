@@ -173,6 +173,11 @@ class IndexMeta:
         return out
 
 
+# Blocks scored in the θ-refinement round of _topk_and's two-phase sweep
+# (the highest-upper-bound prefix of the ub-descending block order). Module
+# constant so tests can shrink it and engage the phase split on small indexes.
+_PHASE0_BLOCKS = 1024
+
 _TP_COLS = [
     "term",
     "df",
@@ -604,9 +609,17 @@ class LocalSearcher:
             for t in terms
             if rows[t].champ_doc is not None and rows[t].champ_doc.size
         ]
+        seeded = np.empty(0, dtype=np.int64)
         if champ_lists:
             cu = np.unique(np.concatenate(champ_lists))
             sd, ss = self._and_score(cu, terms, by_df, rows, idfs, avgdl=avgdl)
+            # every seeded doc (matching or not) is excluded from block-phase
+            # scoring below, so the pool holds each doc at most ONCE and the
+            # θ refinement is over DISTINCT scores. With duplicates, the k-th
+            # largest of the multiset can exceed the true k-th distinct score
+            # and wrongly prune phase-1 blocks (dropped true rank-11..20 docs
+            # at 132k docs / >1024 driving blocks).
+            seeded = cu.astype(np.int64, copy=False)
             if sd.size:
                 pool_d.append(sd)
                 pool_s.append(ss)
@@ -646,7 +659,7 @@ class LocalSearcher:
         # highest-bound blocks followed by one sweep of the survivors is
         # faster than many small rounds and prunes nearly as much (the
         # champion seed already starts θ near its final value).
-        CHUNK = 1024
+        CHUNK = _PHASE0_BLOCKS
         pool_n = sum(a.size for a in pool_d)
         phases = [order[:CHUNK], order[CHUNK:]] if order.size > CHUNK else [order]
         for i, sel in enumerate(phases):
@@ -657,13 +670,28 @@ class LocalSearcher:
             blocks = np.sort(sel)
             idx = (blocks[:, None] * B + np.arange(B)).ravel()
             idx = idx[idx < n0]
+            cand = d_full[idx]
+            cand_tf = tf_full[idx]
+            cand_dl = dl_full[idx]
+            if seeded.size:
+                # drop docs already exactly scored by the champion seed —
+                # keeps pool docs unique so θ is a distinct-score statistic
+                pos = np.searchsorted(seeded, cand)
+                pos = np.minimum(pos, seeded.size - 1)
+                fresh = seeded[pos] != cand
+                if not fresh.all():
+                    cand = cand[fresh]
+                    cand_tf = cand_tf[fresh]
+                    cand_dl = cand_dl[fresh]
+            if cand.size == 0:
+                continue
             sd, ss = self._and_score(
-                d_full[idx],
+                cand,
                 terms,
                 by_df,
                 rows,
                 idfs,
-                known={t0: (tf_full[idx], dl_full[idx])},
+                known={t0: (cand_tf, cand_dl)},
                 avgdl=avgdl,
             )
             if sd.size:
@@ -678,8 +706,8 @@ class LocalSearcher:
             return []
         d_all = np.concatenate(pool_d)
         s_all = np.concatenate(pool_s)
-        # champion-seeded docs are re-scored in their home blocks with
-        # bit-identical floats — dedupe keeps the first occurrence
+        # pool docs are unique by construction (seeded docs are excluded
+        # from block scoring); the unique() is a cheap safety invariant
         d_all, first_idx = np.unique(d_all, return_index=True)
         s_all = s_all[first_idx]
         if d_all.size > 4 * k:

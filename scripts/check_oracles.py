@@ -79,7 +79,13 @@ def main() -> int:
             status.append(f"rows {len(g)} != {len(x)}")
         if not status:
             try:
-                pd.testing.assert_frame_equal(g, x, check_dtype=False, atol=1e-9)
+                # rtol=0: the driver's gate is an EXACT value hash — pandas'
+                # default rtol=1e-5 let a 1.7e-7 relative error (a real
+                # summation-order cent flip) pass locally while the driver
+                # failed. Any float dust must be red here too.
+                pd.testing.assert_frame_equal(
+                    g, x, check_dtype=False, rtol=0.0, atol=0.0
+                )
             except AssertionError as e:
                 status.append(f"values differ: {str(e)[:400]}")
         if status:
