@@ -174,6 +174,7 @@ def _runlength_tf(
 def _encode_sorted_stream(
     batches, k1: float, b: float, avgdl: float, block_size: int,
     with_positions: bool = False,
+    pre_aggregated: bool = False,
 ):
     """mapInPandas encoder over partitions sorted by (term, doc_id): buffers
     the partition-trailing term across Arrow batches, emits one segment row
@@ -185,6 +186,12 @@ def _encode_sorted_stream(
     token: term frequencies are computed here by run-length over the sorted
     stream, which removes the dedicated groupBy(term, doc_id) shuffle from
     the build (SURVEY.md §4 "minimize shuffles").
+
+    `pre_aggregated=True` consumes POSTING rows instead (term, seg, doc_id,
+    tf, dl[, pos:array]) — one row per (term, doc), tf already computed and
+    positions (when present) a per-posting ascending array. This is the
+    compaction path, which re-encodes decoded postings rather than raw
+    tokens (streaming/incremental.py compact()).
 
     Buffering is fragment-based: Arrow batches accumulate in a list and are
     concatenated only once per ~TARGET rows (NOT per batch — a per-batch
@@ -202,17 +209,36 @@ def _encode_sorted_stream(
         doc_ids = pdf["doc_id"].to_numpy().astype(np.int64)
         dls = pdf["dl"].to_numpy().astype(np.int64)
         segs = pdf["seg"].to_numpy()
-        pos = (
-            pdf["pos"].to_numpy().astype(np.int64) if with_positions else None
+        tfs = (
+            pdf["tf"].to_numpy().astype(np.int64) if pre_aggregated else None
         )
+        if with_positions:
+            pos = (
+                pdf["pos"].to_numpy()  # object array of per-posting arrays
+                if pre_aggregated
+                else pdf["pos"].to_numpy().astype(np.int64)
+            )
+        else:
+            pos = None
         rows = []
         for s, e in zip(starts, ends):
-            u, tf, dl_u = _runlength_tf(doc_ids[s:e], dls[s:e])
+            if pre_aggregated:
+                u, tf, dl_u = doc_ids[s:e], tfs[s:e], dls[s:e]
+                positions = (
+                    np.concatenate(
+                        [np.asarray(x, dtype=np.int64) for x in pos[s:e]]
+                    )
+                    if pos is not None and e > s
+                    else None
+                )
+            else:
+                u, tf, dl_u = _runlength_tf(doc_ids[s:e], dls[s:e])
+                positions = pos[s:e] if pos is not None else None
             rows.append(
                 _encode_arrays(
                     terms[s], int(segs[s]), u, tf, dl_u,
                     k1, b, avgdl, block_size, False,
-                    positions=pos[s:e] if pos is not None else None,
+                    positions=positions,
                 )
             )
         return pd.DataFrame(rows)
@@ -243,17 +269,29 @@ def _encode_sorted_stream(
 
 
 def _encode_pdf(
-    pdf: pd.DataFrame, k1: float, b: float, avgdl: float, block_size: int, is_head: bool
+    pdf: pd.DataFrame, k1: float, b: float, avgdl: float, block_size: int,
+    is_head: bool, with_positions: bool = False,
 ) -> pd.DataFrame:
-    """Encode one term group (columns doc_id, tf, dl) into a segment row."""
+    """Encode one term group (columns doc_id, tf, dl[, pos]) into a segment
+    row. `pos` (when with_positions) is a per-posting ascending array of
+    token positions; the flat positional stream follows doc_id order."""
     term = pdf["term"].iloc[0]
     seg = int(pdf["seg"].iloc[0])
     order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
     doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
     tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
     dls = pdf["dl"].to_numpy()[order].astype(np.int64)
+    positions = None
+    if with_positions and "pos" in pdf.columns:
+        pos_lists = pdf["pos"].to_numpy()[order]
+        positions = (
+            np.concatenate([np.asarray(x, dtype=np.int64) for x in pos_lists])
+            if len(pos_lists)
+            else np.empty(0, dtype=np.int64)
+        )
     enc = _encode_arrays(
-        term, seg, doc_ids, tfs, dls, k1, b, avgdl, block_size, is_head
+        term, seg, doc_ids, tfs, dls, k1, b, avgdl, block_size, is_head,
+        positions=positions,
     )
     return pd.DataFrame([enc])
 

@@ -69,7 +69,12 @@ def upsert_changed(
     changed = deduped.join(
         current.select(id_col, hash_col), [id_col, hash_col], "left_anti"
     )
-    changed.cache()
+    # localCheckpoint, not cache(): materializes once (stats + the two
+    # snapshot reads share the blocks) AND the blocks are released by the
+    # ContextCleaner when the DataFrame is garbage-collected — an explicit
+    # cache() here leaked executor storage for the session lifetime under
+    # repeated calls (e.g. GraphSink upserting every micro-batch).
+    changed = changed.localCheckpoint(eager=True)
     n_in = incoming.count()
     n_changed = changed.count()
     kept = current.join(changed.select(id_col), id_col, "left_anti")

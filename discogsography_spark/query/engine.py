@@ -821,9 +821,21 @@ class LocalSearcher:
         scores = np.round(scores, 5)
         rank = np.lexsort((cand, -scores))
 
-        # (doc << 21 | pos) keys per term for a sorted doc subset.
-        # positions < 2^21 (dl bound), docIDs < 2^42 → keys fit int64.
-        SHIFT = np.int64(21)
+        # (doc << SHIFT | pos) keys per term for a sorted doc subset. The
+        # position field is sized from the LONGEST candidate doc (positions
+        # < dl), not a fixed 21 bits — a >2M-token doc would otherwise
+        # silently corrupt adjacency keys. If docIDs don't fit the remaining
+        # bits, fail loudly rather than return wrong phrase matches.
+        max_dl = int(dl0.max()) if dl0.size else 1
+        shift = max(21, max_dl.bit_length())
+        if m.n_docs >= (1 << (63 - shift)):
+            raise ValueError(
+                f"phrase key packing overflow: n_docs={m.n_docs} needs more "
+                f"than {63 - shift} bits alongside {shift} position bits "
+                f"(max candidate dl {max_dl}); cannot pack (doc<<shift|pos) "
+                "into int64"
+            )
+        SHIFT = np.int64(shift)
 
         def term_keys(t: str, docs_sorted: np.ndarray) -> np.ndarray:
             tp = rows[t]

@@ -33,9 +33,11 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from discogsography_spark.codec import decode_postings, varbyte_decode
 from discogsography_spark.index.builder import (
+    _encode_sorted_stream,
     SEGMENT_SCHEMA,
     _encode_pdf,
     term_segment,
@@ -165,14 +167,40 @@ class DeltaIndexWriter:
         n_after = doc_offset + n_new
         avgdl_hint = (base_tt + total_tokens) / n_after if n_after else 1.0
 
-        def encode(g: pd.DataFrame) -> pd.DataFrame:
-            return _encode_pdf(g, k1, b, avgdl_hint, block_size, is_head=False)
+        # positional parity with the base: a phrase-capable index must keep
+        # its positions through streaming appends, or compact() would have
+        # nothing to merge and phrase queries would silently degrade
+        wp = bool(self.meta.stats.get("with_positions", False))
 
+        def encode(g: pd.DataFrame) -> pd.DataFrame:
+            return _encode_pdf(
+                g, k1, b, avgdl_hint, block_size, is_head=False,
+                with_positions=wp,
+            )
+
+        if wp:
+            grouped = (
+                docs.select(
+                    "doc_id", "dl", F.posexplode("tokens").alias("pos", "term")
+                )
+                .groupBy("term", "doc_id")
+                .agg(
+                    F.count("*").alias("tf"),
+                    F.first("dl").alias("dl"),
+                    # collect_list order is nondeterministic; positions are
+                    # distinct per (term, doc), so sort_array restores the
+                    # builder's ascending-within-posting contract exactly
+                    F.sort_array(F.collect_list("pos")).alias("pos"),
+                )
+            )
+        else:
+            grouped = (
+                docs.select("doc_id", "dl", F.explode("tokens").alias("term"))
+                .groupBy("term", "doc_id")
+                .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+            )
         encoded = (
-            docs.select("doc_id", "dl", F.explode("tokens").alias("term"))
-            .groupBy("term", "doc_id")
-            .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
-            .withColumn(
+            grouped.withColumn(
                 "seg", (F.crc32(F.col("term")) % F.lit(num_segments)).cast("int")
             )
             .groupBy("seg", "term")
@@ -369,10 +397,17 @@ def compact(spark: SparkSession, index_dir: str) -> int:
     Determinism repair: docIDs are REASSIGNED to the dense rank over the
     union corpus's (conv_id, turn_idx) — the builder's contract
     (index/docids.py) — so the compacted index ranks identically to a fresh
-    build even when micro-batches arrived out of conv_id order. The
-    old→new map is a dense int64 array (old ids are the dense arrival
-    sequence) broadcast to the merge tasks; at extreme corpus sizes the
-    remap would become a repartition join instead of a broadcast.
+    build even when micro-batches arrived out of conv_id order. The old→new
+    map stays DISTRIBUTED: postings are decoded to per-posting rows, hash-
+    joined with the (old_doc_id → doc_id) DataFrame, then re-encoded through
+    the builder's sorted-stream encoder. No driver-side materialization and
+    no dense broadcast array — at 10^12 docs an 8-bytes/doc broadcast would
+    be terabytes; the join shuffles only what each task merges.
+
+    Positional payloads (pos_blob) ride the same remap: positions are
+    per-posting token offsets, so a docID reassignment never changes them —
+    they are split per posting at decode and re-flattened in the new doc
+    order at encode, keeping phrase queries exact across compactions.
 
     Crash safety (send-then-commit): both replacement directories are fully
     staged as *__compact_tmp, then ONE atomic commit marker records the new
@@ -424,15 +459,9 @@ def compact(spark: SparkSession, index_dir: str) -> int:
         "doc_id", "conv_id", "turn_idx", "dl", "old_doc_id"
     )
     new_docs.write.mode("overwrite").parquet(docs_tmp)
-    # old ids are the dense arrival sequence 0..n-1 → the map is an array
-    map_pdf = (
-        spark.read.parquet(docs_tmp).select("old_doc_id", "doc_id").toPandas()
-    )
-    remap = np.empty(n_docs, dtype=np.int64)
-    remap[map_pdf["old_doc_id"].to_numpy()] = map_pdf["doc_id"].to_numpy()
-    bremap = spark.sparkContext.broadcast(remap)
+    map_df = spark.read.parquet(docs_tmp).select("old_doc_id", "doc_id")
 
-    # ---- stage 2: per-term posting merge with remapped, re-sorted docIDs ----
+    # ---- stage 2: distributed remap + per-term re-encode ----
     seg_dirs = [meta.seg_dir(s) for s in range(num_segments)]
     seg_dirs = [d for d in seg_dirs if os.path.isdir(d) and os.listdir(d)]
     sources = seg_dirs + [
@@ -441,31 +470,97 @@ def compact(spark: SparkSession, index_dir: str) -> int:
         for s in range(num_segments)
         if os.path.isdir(os.path.join(d, "segments", f"seg={s}"))
     ]
-    rows = spark.read.parquet(*sources).select("term", "doc_blob", "tf_blob", "dl_blob")
+    wp = bool(meta.stats.get("with_positions", False))
+    cols = ["term", "doc_blob", "tf_blob", "dl_blob"] + (
+        ["pos_blob"] if wp else []
+    )
+    rows = spark.read.parquet(*sources).select(*cols)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        parts_d, parts_tf, parts_dl = [], [], []
-        for r in g.itertuples(index=False):
-            d, tf = decode_postings(r.doc_blob, r.tf_blob)
-            dl = varbyte_decode(r.dl_blob).astype(np.int64)
-            if d.size:
-                parts_d.append(d)
-                parts_tf.append(tf)
-                parts_dl.append(dl)
-        doc_ids = bremap.value[np.concatenate(parts_d)]
-        order = np.argsort(doc_ids, kind="stable")
-        pdf = pd.DataFrame(
-            {
-                "term": g["term"].iloc[0],
-                "seg": term_segment(g["term"].iloc[0], num_segments),
-                "doc_id": doc_ids[order],
-                "tf": np.concatenate(parts_tf)[order],
-                "dl": np.concatenate(parts_dl)[order],
-            }
+    decode_schema = T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("old_doc_id", T.LongType(), False),
+            T.StructField("tf", T.LongType(), False),
+            T.StructField("dl", T.LongType(), False),
+        ]
+        # pos only exists in the stream when the index is positional — a
+        # 45M-row all-None object column costs real Arrow conversion time
+        + ([T.StructField("pos", T.ArrayType(T.LongType()), True)] if wp else [])
+    )
+
+    def decode_rows(batches):
+        # one output frame per ARROW BATCH (arrays concatenated once), not
+        # per term row — a per-row DataFrame + concat costs O(vocab) pandas
+        # framing and tripled compact wall-clock at sf0.25
+        for pdf in batches:
+            terms_l, ds, tfs_l, dls_l, pos_l = [], [], [], [], []
+            for r in pdf.itertuples(index=False):
+                d, tf = decode_postings(r.doc_blob, r.tf_blob)
+                if not d.size:
+                    continue
+                terms_l.append(np.full(d.size, r.term, dtype=object))
+                ds.append(d)
+                tfs_l.append(tf)
+                dls_l.append(varbyte_decode(r.dl_blob).astype(np.int64))
+                if wp:
+                    if not r.pos_blob:
+                        raise ValueError(
+                            f"compact: term {r.term!r} has no positional "
+                            "payload but the manifest says with_positions — "
+                            "a delta written without positions would "
+                            "silently break phrase queries; rebuild it"
+                        )
+                    pos_flat = varbyte_decode(r.pos_blob).astype(np.int64)
+                    if pos_flat.size != int(tf.sum()):
+                        raise ValueError(
+                            f"compact: term {r.term!r} positional stream "
+                            f"length {pos_flat.size} != cf {int(tf.sum())}"
+                        )
+                    pos_l.extend(np.split(pos_flat, np.cumsum(tf)[:-1]))
+            if not ds:
+                continue
+            frame = pd.DataFrame(
+                {
+                    "term": np.concatenate(terms_l),
+                    "old_doc_id": np.concatenate(ds),
+                    "tf": np.concatenate(tfs_l),
+                    "dl": np.concatenate(dls_l),
+                }
+            )
+            if wp:
+                frame["pos"] = pos_l
+            yield frame
+
+    # remap join strategy: below ~16M docs the (old→new) map is ≲256 MB —
+    # broadcast-hash join it (Spark's standard small-dim treatment; no full
+    # shuffle of the posting stream on old_doc_id). Beyond that, fall back
+    # to a plain equi join and let AQE pick the shuffle strategy — at 10^12
+    # docs nothing may be broadcast, and the join is the scalable path.
+    _BCAST_DOC_LIMIT = 16_000_000
+    map_join = F.broadcast(map_df) if n_docs <= _BCAST_DOC_LIMIT else map_df
+
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    merged = (
+        rows.mapInPandas(decode_rows, schema=decode_schema)
+        .join(map_join, "old_doc_id")
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+            *(["pos"] if wp else []),
+            (F.crc32(F.col("term")) % F.lit(num_segments)).cast("int").alias("seg"),
         )
-        return _encode_pdf(pdf, k1, b, avgdl, block_size, is_head=False)
-
-    merged = rows.groupBy("term").applyInPandas(merge, schema=SEGMENT_SCHEMA)
+        .repartition(shuffle_p, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .mapInPandas(
+            lambda it: _encode_sorted_stream(
+                it, k1, b, avgdl, block_size,
+                with_positions=wp, pre_aggregated=True,
+            ),
+            schema=SEGMENT_SCHEMA,
+        )
+    )
     (
         merged.repartition(num_segments, "seg")
         .sortWithinPartitions("seg", "term")

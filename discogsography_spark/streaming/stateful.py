@@ -63,8 +63,14 @@ def _sessionize_fn(
             "conv_id": [key[0]],
             "n_turns": [n_turns],
             "n_tokens": [n_tokens],
-            "first_ts": [pd.Timestamp(first_ts, unit="s") if first_ts else pd.NaT],
-            "last_ts": [pd.Timestamp(last_ts, unit="s") if last_ts else pd.NaT],
+            # `is not None`, not truthiness: epoch 0.0 (1970-01-01T00:00:00)
+            # is a legitimate timestamp and must not be emitted as NaT
+            "first_ts": [
+                pd.Timestamp(first_ts, unit="s") if first_ts is not None else pd.NaT
+            ],
+            "last_ts": [
+                pd.Timestamp(last_ts, unit="s") if last_ts is not None else pd.NaT
+            ],
             "max_turn_idx": [max_idx],
         }
     )

@@ -1,0 +1,102 @@
+"""Positional payloads must survive streaming appends and compaction.
+
+Regression for two coupled defects: (1) DeltaIndexWriter dropped positions,
+so a phrase-capable base silently degraded as batches arrived; (2) compact()
+re-encoded without pos_blob, destroying ALL positional postings while the
+manifest still claimed with_positions=true, leaving topk_phrase broken.
+
+Now: deltas carry per-posting positions when the base is positional, and
+compact() merges pos_blob through the distributed docID remap — the compacted
+index answers phrase queries identically to a fresh positional build over the
+union corpus.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from discogsography_spark.corpus import make_transcripts
+from discogsography_spark.index.builder import IndexBuilder
+from discogsography_spark.query.engine import LocalSearcher
+from discogsography_spark.streaming.incremental import (
+    DeltaIndexWriter,
+    compact,
+    list_deltas,
+)
+
+PHRASES = [("spark index", 10), ("turn turn", 8), ("merge", 10)]
+
+
+@pytest.fixture()
+def pos_stream(spark, tmp_path):
+    """Positional base over the LAST third of convs; two deltas arriving in
+    DESCENDING conv order (the compact determinism-repair scenario)."""
+    tdf = make_transcripts(n_conversations=120, mean_turns=6, vocab_size=400)
+    convs = sorted(tdf["conv_id"].unique())
+    base = tdf[tdf["conv_id"].isin(convs[80:])]
+    base_p = str(tmp_path / "base.parquet")
+    base.to_parquet(base_p, index=False)
+    idx_dir = str(tmp_path / "idx")
+    IndexBuilder(
+        idx_dir, num_segments=4, head_df_threshold=150, head_salts=3,
+        with_positions=True,
+    ).build(spark.read.parquet(base_p))
+    writer = DeltaIndexWriter(idx_dir)
+    for i, cs in enumerate([convs[40:80], convs[:40]]):
+        chunk = tdf[tdf["conv_id"].isin(cs)]
+        p = str(tmp_path / f"chunk{i}.parquet")
+        chunk.to_parquet(p, index=False)
+        writer.write_batch(spark.read.parquet(p), i)
+    return {"idx": idx_dir, "tdf": tdf, "tmp": tmp_path}
+
+
+def test_compacted_phrase_matches_fresh_positional_build(spark, pos_stream):
+    n = compact(spark, pos_stream["idx"])
+    assert n == 2
+    assert list_deltas(pos_stream["idx"]) == []
+
+    fresh_p = str(pos_stream["tmp"] / "union.parquet")
+    pos_stream["tdf"].to_parquet(fresh_p, index=False)
+    fresh_dir = str(pos_stream["tmp"] / "fresh_idx")
+    IndexBuilder(
+        fresh_dir, num_segments=4, head_df_threshold=150, head_salts=3,
+        with_positions=True,
+    ).build(spark.read.parquet(fresh_p))
+
+    compacted = LocalSearcher(pos_stream["idx"])
+    fresh = LocalSearcher(fresh_dir)
+    assert compacted.meta.stats.get("with_positions") is True
+    n_nonempty = 0
+    for phrase, k in PHRASES:
+        got = compacted.topk_phrase(phrase, k)
+        want = fresh.topk_phrase(phrase, k)
+        assert got == want, phrase
+        n_nonempty += bool(got)
+    assert n_nonempty >= 2
+    # AND path equally intact after the distributed remap
+    for q in ["spark index", "merge window"]:
+        assert compacted.topk(q, 10) == fresh.topk(q, 10), q
+
+
+def test_compact_rejects_positionless_delta(spark, pos_stream, tmp_path):
+    """A delta written WITHOUT positions under a positional manifest must
+    fail compaction loudly, not silently strip phrase capability."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    idx = pos_stream["idx"]
+    # corrupt one delta: blank its pos_blob column (simulates a writer from
+    # before positional deltas existed)
+    delta = list_deltas(idx)[0]
+    for f in glob.glob(os.path.join(delta, "segments", "seg=*", "*.parquet")):
+        pdf = pd.read_parquet(f)
+        if len(pdf):
+            pdf["pos_blob"] = b""
+            pdf.to_parquet(f, index=False)
+        crc = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)  # rewritten in place — stale hadoop checksum
+    with pytest.raises(Exception, match="positional|with_positions"):
+        compact(spark, idx)
