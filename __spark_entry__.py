@@ -85,6 +85,9 @@ _K1, _B = 1.2, 0.75
 # served-path SearchService cache (one tiny documents-table index per sf_dir)
 _SERVED: dict[str, object] = {}
 
+# materialized partitionBy(ivf_cell) embedding tables, one per sf_dir
+_IVF_STORE: dict[str, str] = {}
+
 _BATCH_QUERIES: list[tuple[str, str]] = [
     ("q-head", "table"),
     ("q-pair", "table value"),
@@ -468,6 +471,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_simhash"] = dedup_simhash
 
+    def dedup_simhash_near(spark, sf_dir):
+        # banded-Hamming expansion (4×16-bit bands, pigeonhole-perfect recall
+        # at Hamming ≤ 3, exact bit_count(xor) verification) — catches the
+        # near-dups equal-fingerprint grouping misses. xxhash64 family → no
+        # DuckDB oracle; pytest oracle in tests/test_dedup_oracle.py.
+        from discogsography_spark.operators.dedup import simhash_near_pairs
+
+        docs = _read(spark, sf_dir, "documents")
+        return simhash_near_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+
+    q["dedup_simhash_near"] = dedup_simhash_near
+
+    def dedup_minhash_verify(spark, sf_dir):
+        # end-to-end LSH pipeline invariant, DuckDB-checkable: with 32 bands
+        # x 2 rows, P(candidate | jaccard s) = 1-(1-s^2)^32 ≥ 1-6e-15 at
+        # s=0.8, so LSH candidates filtered by EXACT shingle Jaccard ≥ 0.8
+        # must equal the exhaustive O(n^2) exact-Jaccard pairs — if any stage
+        # (shingle → minhash → band → bucket join) is broken, identical and
+        # near-identical docs stop colliding and the row sets diverge.
+        from discogsography_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            shingles_col,
+        )
+
+        docs = _read(spark, sf_dir, "documents")
+        cand = minhash_lsh_pairs(
+            docs, num_hashes=64, bands=32, threshold=0.0, n=3
+        ).select("doc_a", "doc_b")
+        sh = docs.select(
+            "doc_id", F.array_distinct(shingles_col("text", 3)).alias("sh")
+        ).filter(F.size("sh") > 0)
+        ver = (
+            cand.join(
+                sh.select(
+                    F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+                ),
+                "doc_a",
+            )
+            .join(
+                sh.select(
+                    F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+                ),
+                "doc_b",
+            )
+            .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("inter")
+                    / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+                    6,
+                ),
+            )
+            .filter(
+                F.col("inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter"))
+                >= 0.8
+            )
+        )
+        return ver.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
+
+    q["dedup_minhash_verify"] = dedup_minhash_verify
+
     # ---- similarity family (embeddings) ----
     def embedding_cosine_topk(spark, sf_dir):
         from discogsography_spark.operators.similarity import brute_force_cosine_topk
@@ -503,6 +569,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivf_topk(emb, _QVEC, _IVF_CENTROIDS, k=10, nprobe=4)
 
     q["embedding_ivf_topk"] = embedding_ivf_topk
+
+    def embedding_ivf_topk_stored(spark, sf_dir):
+        # the 100 TB IVF path: table materialized ONCE partitionBy(ivf_cell)
+        # (write_ivf), probe reads only the nprobe cell DIRECTORIES —
+        # PartitionFilters in the scan, no per-row cell recompute. Same
+        # oracle as embedding_ivf_topk (identical results by construction).
+        import tempfile
+
+        from discogsography_spark.operators.similarity import (
+            ivf_topk_stored,
+            write_ivf,
+        )
+
+        path = _IVF_STORE.get(sf_dir)
+        if path is None:
+            path = os.path.join(tempfile.mkdtemp(prefix="ivf_store_"), "emb")
+            write_ivf(_read(spark, sf_dir, "embeddings"), path, _IVF_CENTROIDS)
+            _IVF_STORE[sf_dir] = path
+        return ivf_topk_stored(spark, path, _QVEC, _IVF_CENTROIDS, k=10, nprobe=4)
+
+    q["embedding_ivf_topk_stored"] = embedding_ivf_topk_stored
 
     # ---- relational operator coverage (TPC-H-ish tables) ----
     def agg_filtered_multi(spark, sf_dir):
@@ -1267,6 +1354,28 @@ WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.12
 ORDER BY doc_a, doc_b
 """
 
+    # dedup_minhash_verify: the LSH pipeline must recover EXACTLY the
+    # exhaustive exact-Jaccard ≥ 0.8 pairs (banding makes a miss < 1e-14
+    # likely); the oracle is the O(n^2) exact computation with no hashing
+    o["dedup_minhash_verify"] = f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tk) - 1),
+           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+  FROM t WHERE len(tk) >= 3
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.sh, b.sh)) AS inter,
+         len(a.sh) AS sa, len(b.sh) AS sb
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, round(inter::DOUBLE / (sa + sb - inter), 6) AS jaccard
+FROM p WHERE inter::DOUBLE / (sa + sb - inter) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
     o["embedding_cosine_topk"] = f"""
 SELECT vec_id,
        round(list_dot_product(embedding::DOUBLE[], {_QVEC_SQL})
@@ -1299,6 +1408,8 @@ FROM cells
 WHERE ivf_cell IN ({_probe})
 ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
+
+    o["embedding_ivf_topk_stored"] = o["embedding_ivf_topk"]
 
     o["embedding_dup_pairs"] = f"""
 WITH bucketed AS (

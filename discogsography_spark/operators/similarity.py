@@ -82,22 +82,12 @@ def signature_col(vec_col: str, planes: np.ndarray) -> Column:
     return sig
 
 
-def lsh_bucketed_topk(
-    df: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
-    n_planes: int = 8,
-    multiprobe_bits: int = 1,
-    seed: int = 42,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """ANN top-k: probe the query's sign-LSH bucket plus all buckets within
-    `multiprobe_bits` Hamming distance. At scale the table is written
-    partitioned by `bucket`, so this prunes to a handful of partitions."""
-    dim = len(query_vec)
-    planes = _hyperplanes(dim, n_planes, seed)
+def _lsh_probe_set(
+    query_vec: list[float], planes: np.ndarray, multiprobe_bits: int
+) -> list[int]:
+    """Query bucket plus all buckets within `multiprobe_bits` sign flips."""
     qv = np.asarray(query_vec, dtype=np.float64)
+    n_planes = planes.shape[0]
     qsig = 0
     for i, plane in enumerate(planes):
         if float(qv @ plane) > 0:
@@ -109,8 +99,83 @@ def lsh_bucketed_topk(
         for i in range(n_planes):
             for j in range(i + 1, n_planes):
                 probe.add(qsig ^ (1 << i) ^ (1 << j))
+    return sorted(probe)
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe_bits: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: probe the query's sign-LSH bucket plus all buckets within
+    `multiprobe_bits` Hamming distance, recomputing buckets over a full scan
+    (the ad-hoc path). For the 100 TB path write the table once with
+    write_lsh_bucketed() and probe with lsh_bucketed_topk_stored() — the
+    bucket filter becomes parquet PARTITION PRUNING instead of a scan."""
+    planes = _hyperplanes(len(query_vec), n_planes, seed)
+    probe = _lsh_probe_set(query_vec, planes, multiprobe_bits)
     bucketed = df.withColumn("bucket", signature_col(vec_col, planes))
-    cand = bucketed.filter(F.col("bucket").isin(sorted(probe)))
+    cand = bucketed.filter(F.col("bucket").isin(probe))
+    return (
+        cosine_to_query(cand, query_vec, vec_col)
+        .select(F.col(id_col), "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def write_lsh_bucketed(
+    df: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the embedding table partitionBy(bucket) — sign-LSH cell
+    as a PHYSICAL partition column. One shuffle-free pass (bucket is a
+    native per-row expression); every stored-probe query afterwards reads
+    only the probed partitions (O(probed cells / 2^n_planes) of the data)
+    instead of scanning and hashing the full table."""
+    planes = _hyperplanes_dim(df, vec_col, n_planes, seed)
+    df.withColumn("bucket", signature_col(vec_col, planes)).write.mode(
+        mode
+    ).partitionBy("bucket").parquet(path)
+
+
+def _hyperplanes_dim(
+    df: DataFrame, vec_col: str, n_planes: int, seed: int
+) -> np.ndarray:
+    """Planes for a DataFrame whose vector width comes from the schema-level
+    contract (TESTDATA.md: fixed-dim array) — sniffed once per write."""
+    first = df.select(F.size(vec_col).alias("d")).first()
+    return _hyperplanes(int(first["d"]) if first else 0, n_planes, seed)
+
+
+def lsh_bucketed_topk_stored(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe_bits: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a write_lsh_bucketed() table: `bucket` is a partition column, so
+    the IN-filter is evaluated against directory names (PartitionFilters in
+    the scan node — asserted by tests/test_plans.py), never against row
+    data. Identical results to lsh_bucketed_topk by construction (same
+    planes, same probe set, exact cosine re-rank)."""
+    planes = _hyperplanes(len(query_vec), n_planes, seed)
+    probe = _lsh_probe_set(query_vec, planes, multiprobe_bits)
+    cand = spark.read.parquet(path).filter(F.col("bucket").isin(probe))
     return (
         cosine_to_query(cand, query_vec, vec_col)
         .select(F.col(id_col), "cosine")
@@ -214,6 +279,14 @@ def ivf_cell_col(vec_col: str, centroids: np.ndarray) -> Column:
     return (F.array_position(dots, F.array_max(dots)) - F.lit(1)).cast("int")
 
 
+def _ivf_probe_cells(
+    query_vec: list[float], centroids: np.ndarray, nprobe: int
+) -> list[int]:
+    qv = np.asarray(query_vec, dtype=np.float64)
+    sims = centroids @ (qv / max(np.linalg.norm(qv), 1e-12))
+    return [int(c) for c in np.argsort(-sims, kind="stable")[:nprobe]]
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -225,13 +298,51 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF ANN top-k: scan only the nprobe cells whose centroids are nearest
     the query (computed driver-side — centroids are driver-resident), exact
-    cosine within them. With the table written partitionBy('ivf_cell') the
-    filter becomes partition pruning."""
-    qv = np.asarray(query_vec, dtype=np.float64)
-    sims = centroids @ (qv / max(np.linalg.norm(qv), 1e-12))
-    probe = [int(c) for c in np.argsort(-sims, kind="stable")[:nprobe]]
+    cosine within them, recomputing cell assignment over a full scan (the
+    ad-hoc path). The 100 TB path is write_ivf() once + ivf_topk_stored():
+    the cell filter becomes parquet partition pruning."""
+    probe = _ivf_probe_cells(query_vec, centroids, nprobe)
     cells = df.withColumn("ivf_cell", ivf_cell_col(vec_col, centroids))
     cand = cells.filter(F.col("ivf_cell").isin(probe))
+    return (
+        cosine_to_query(cand, query_vec, vec_col)
+        .select(F.col(id_col), "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def write_ivf(
+    df: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the embedding table partitionBy(ivf_cell). Cell
+    assignment is the native max-dot expression — one shuffle-free pass;
+    stored probes then read nprobe/nlist of the data via directory pruning."""
+    df.withColumn("ivf_cell", ivf_cell_col(vec_col, centroids)).write.mode(
+        mode
+    ).partitionBy("ivf_cell").parquet(path)
+
+
+def ivf_topk_stored(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a write_ivf() table: the ivf_cell IN-filter is evaluated
+    against partition directories (PartitionFilters), not row data. Results
+    identical to ivf_topk by construction (same centroids, same probe
+    order, exact cosine re-rank)."""
+    probe = _ivf_probe_cells(query_vec, centroids, nprobe)
+    cand = spark.read.parquet(path).filter(F.col("ivf_cell").isin(probe))
     return (
         cosine_to_query(cand, query_vec, vec_col)
         .select(F.col(id_col), "cosine")
