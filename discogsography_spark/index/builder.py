@@ -496,7 +496,15 @@ class IndexBuilder:
         branches: list[DataFrame] = []
         if head_terms:
             salt_width = max(1, -(-n_docs // self.head_salts))  # ceil div
-            head = tokens.filter(F.col("term").isin(head_terms)).withColumn(
+            # broadcast semi/anti-join, NOT isin(head_terms): an IN-list
+            # literal embeds the whole head set in the plan string (twice),
+            # so a loosened cf threshold could blow up plan compilation; the
+            # broadcast relation scales to any head-set size the driver can
+            # hold and keeps the split a hash probe per row either way
+            head_df = F.broadcast(
+                spark.createDataFrame([(t,) for t in head_terms], "term string")
+            )
+            head = tokens.join(head_df, "term", "left_semi").withColumn(
                 "salt", (F.col("doc_id") / F.lit(salt_width)).cast("int")
             )
 
@@ -572,7 +580,7 @@ class IndexBuilder:
                 .applyInPandas(merge_partials, schema=SEGMENT_SCHEMA)
             )
             branches.append(head_encoded)
-            normal = tokens.filter(~F.col("term").isin(head_terms))
+            normal = tokens.join(head_df, "term", "left_anti")
 
         # normal terms: term-hash repartition + in-partition sort, then a
         # streaming mapInPandas encoder (one Arrow exchange per partition,
