@@ -213,3 +213,64 @@ class SearchService:
                 d: self.headline(d, terms) for d, _ in results
             }
         return resp
+
+
+class ShardedSearchService:
+    """Search-response fan-out over doc-sharded indexes (query/sharded.py):
+    results come from ShardedSearcher (global stats, bit-identical to a
+    whole-corpus index); facet counts and total_matched are SUMS of
+    per-shard values — exact, because shards are disjoint consecutive docID
+    ranges; headlines resolve through the owning shard's text store. This is
+    the response shape a 1000-node serving tier assembles with one RPC per
+    shard: each shard returns (top-k, facet-count vector, |matched|), the
+    coordinator adds vectors and merges top-k."""
+
+    def __init__(
+        self,
+        index_dirs: list[str],
+        facet_defs: dict[str, str | Callable[[pd.DataFrame], pd.Series]] | None = None,
+        text_lookup: Callable[[int], str] | None = None,
+    ):
+        from discogsography_spark.query.sharded import ShardedSearcher
+
+        self.sharded = ShardedSearcher(index_dirs)
+        self.services = [
+            SearchService(d, facet_defs=facet_defs, text_lookup=text_lookup)
+            for d in index_dirs
+        ]
+        self.offsets = self.sharded.offsets
+
+    def search(
+        self,
+        query_text: str,
+        k: int,
+        mode: str = "and",
+        facets: list[str] | None = None,
+        highlight: bool = False,
+    ) -> SearchResponse:
+        results = self.sharded.topk(query_text, k, mode=mode)
+        total = 0
+        acc: dict[str, dict[str, int]] = {}
+        if facets is None and self.services[0]._facet_codes:
+            facets = sorted(self.services[0]._facet_codes)
+        for svc in self.services:
+            matched = svc.matched_docs(query_text, mode=mode)
+            total += int(matched.size)
+            if facets:
+                for name, pairs in svc.facet_counts(matched, facets).items():
+                    bucket = acc.setdefault(name, {})
+                    for value, n in pairs:
+                        bucket[value] = bucket.get(value, 0) + n
+        resp = SearchResponse(results=results, total_matched=total)
+        if facets:
+            resp.facets = {
+                name: sorted(acc.get(name, {}).items()) for name in facets
+            }
+        if highlight:
+            an = self.services[0]._an
+            terms = an.analyze_query(query_text)
+            for gid, _ in results:
+                shard = int(np.searchsorted(self.offsets, gid, side="right")) - 1
+                local = gid - int(self.offsets[shard])
+                resp.headlines[gid] = self.services[shard].headline(local, terms)
+        return resp

@@ -129,3 +129,48 @@ def test_empty_query_and_absent_term(served):
     resp = svc.search("zzqqnotaterm", k=5, facets=["role"])
     assert resp.results == [] and resp.total_matched == 0
     assert resp.facets["role"] == []
+
+
+@pytest.fixture(scope="module")
+def sharded_served(spark, tmp_path_factory):
+    """Two conv-range shards + the equivalent whole-corpus index, all with
+    store_text, role/tool facets."""
+    from discogsography_spark.corpus import make_transcripts
+
+    d = tmp_path_factory.mktemp("shsrv")
+    tdf = make_transcripts(n_conversations=100, mean_turns=6, vocab_size=400)
+    convs = sorted(tdf["conv_id"].unique())
+    full_p = str(d / "full.parquet")
+    tdf.to_parquet(full_p, index=False)
+    full_idx = str(d / "full_idx")
+    IndexBuilder(full_idx, num_segments=4, store_text=True).build(
+        spark.read.parquet(full_p)
+    )
+    shard_dirs = []
+    mid = convs[len(convs) // 2]
+    for i, m in enumerate([tdf["conv_id"] < mid, tdf["conv_id"] >= mid]):
+        p = str(d / f"s{i}.parquet")
+        tdf[m].to_parquet(p, index=False)
+        idx = str(d / f"s{i}_idx")
+        IndexBuilder(idx, num_segments=2, store_text=True).build(
+            spark.read.parquet(p)
+        )
+        shard_dirs.append(idx)
+    return full_idx, shard_dirs
+
+
+@pytest.mark.parametrize("mode", ["and", "or"])
+def test_sharded_response_equals_single_index(sharded_served, mode):
+    from discogsography_spark.query.serving import ShardedSearchService
+
+    full_idx, shard_dirs = sharded_served
+    defs = {"role": "role", "tool": "tool"}
+    single = SearchService(full_idx, facet_defs=defs)
+    sharded = ShardedSearchService(shard_dirs, facet_defs=defs)
+    for q in ["spark index", "merge", "window shuffle"]:
+        a = single.search(q, k=10, mode=mode, facets=["role", "tool"], highlight=True)
+        b = sharded.search(q, k=10, mode=mode, facets=["role", "tool"], highlight=True)
+        assert a.results == b.results, q
+        assert a.total_matched == b.total_matched, q
+        assert a.facets == b.facets, q
+        assert a.headlines == b.headlines, q
