@@ -70,6 +70,23 @@ def run_build(shard_path: str, index_dir: str, cores: int, zpath: str, out: dict
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.driver.memory=12g",
+        *(
+            # Optional sensitivity config (SPARK_GRAFT_PRETOUCH=1):
+            # AlwaysPreTouch + fixed heap faults the JVM heap at STARTUP
+            # instead of on demand during the build. On this VM (globally
+            # serialized first-touch faults) it equalizes concurrent
+            # per-process build times (efficiency 1.02-1.18) but SLOWS the
+            # solo baseline ~20%, so it is NOT the default — a ratio
+            # flattered by a slower denominator is not evidence. It remains
+            # useful as the experiment that pins the contention on
+            # first-touch faults (see BENCH/BASELINE.md round-3 scaling).
+            [
+                "--conf",
+                "spark.driver.extraJavaOptions=-XX:+AlwaysPreTouch -Xms12g",
+            ]
+            if os.environ.get("SPARK_GRAFT_PRETOUCH") == "1"
+            else []
+        ),
         "--conf", f"spark.local.dir={os.path.join(SHM, 'local')}",
         "--py-files", zpath,
         os.path.join(REPO, "scripts", "build_job.py"), shard_path, index_dir, "16",
