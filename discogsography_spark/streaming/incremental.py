@@ -351,6 +351,128 @@ class MergedSearcher:
         order = np.lexsort((cand, -score))[:k]
         return [(int(cand[i]), float(score[i])) for i in order]
 
+    def _merged_positions(self, terms: list[str]) -> dict[str, tuple]:
+        """term → (flat positions, per-posting offsets) over base + deltas,
+        aligned with the merged posting order (base first, deltas in batch
+        order — the same concatenation _merged_cache uses). Requires a
+        positional base AND positional deltas (DeltaIndexWriter writes them
+        whenever the base manifest says with_positions)."""
+        out: dict[str, tuple] = {}
+        base_rows = self.base.lookup_terms(terms)
+        delta_rows = [self._delta_rows(d, terms) for d in self._delta_dirs]
+        for t in terms:
+            parts = []
+            if t in base_rows:
+                parts.append(self.base._positions(base_rows[t])[0])
+            for dr in delta_rows:
+                if t in dr:
+                    row = dr[t]
+                    if not row.get("pos_blob"):
+                        raise ValueError(
+                            f"delta lacks positional postings for {t!r} — "
+                            "phrase queries over the merged view need "
+                            "positional deltas (base built with_positions "
+                            "and deltas written by this version)"
+                        )
+                    parts.append(
+                        varbyte_decode(row["pos_blob"]).astype(np.int64)
+                    )
+            flat = (
+                np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+            )
+            ent = self._merged_cache.get(t)
+            tf = ent[1] if ent is not None else np.empty(0, dtype=np.int64)
+            if flat.size != int(tf.sum()):
+                raise ValueError(
+                    f"positional stream length {flat.size} != merged cf "
+                    f"{int(tf.sum())} for {t!r}"
+                )
+            out[t] = (flat, np.concatenate(([0], np.cumsum(tf))))
+        return out
+
+    def topk_phrase(self, phrase: str, k: int) -> list[tuple[int, float]]:
+        """Exact-phrase BM25 top-k over the LIVE merged view (base + deltas,
+        combined corpus stats) — phrase capability does not pause between
+        compactions. Simple verify-all shape (merged deltas are the
+        between-compaction state; the latency-tiered evaluator lives on the
+        compacted LocalSearcher path)."""
+        from discogsography_spark.analysis import get_analyzer
+
+        an = get_analyzer(self.base.meta.analyzer)
+        ordered = an.tokenize_py(phrase)
+        terms = sorted(set(ordered))
+        if not ordered or k <= 0:
+            return []
+        # populate _merged_cache + get the conjunctive candidates via topk's
+        # machinery (k ignored — we need the full AND set)
+        self.topk(" ".join(terms), 1)
+        merged = {t: self._merged_cache.get(t) for t in terms}
+        if any(m is None for m in merged.values()):
+            return []
+        by_df = sorted(terms, key=lambda t: (merged[t][0].size, t))
+        cand, tf0, dl0 = merged[by_df[0]]
+        tf_by = {by_df[0]: tf0}
+        for t in by_df[1:]:
+            d, tf, _dl = merged[t]
+            pos = np.searchsorted(d, cand)
+            ok = pos < d.size
+            hit = np.zeros(cand.shape, dtype=bool)
+            hit[ok] = d[pos[ok]] == cand[ok]
+            cand, dl0 = cand[hit], dl0[hit]
+            for tt in tf_by:
+                tf_by[tt] = tf_by[tt][hit]
+            tf_by[t] = tf[pos[hit]]
+            if cand.size == 0:
+                return []
+
+        positions = self._merged_positions(terms)
+        max_dl = int(dl0.max()) if dl0.size else 1
+        shift = max(21, max_dl.bit_length())
+        if self.n_docs >= (1 << (63 - shift)):
+            raise ValueError("phrase key packing overflow on merged view")
+        SHIFT = np.int64(shift)
+
+        def term_keys(t: str, docs_sorted: np.ndarray) -> np.ndarray:
+            d_full, tf_full, _ = merged[t]
+            flat, off = positions[t]
+            pi = np.searchsorted(d_full, docs_sorted)
+            lens = tf_full[pi]
+            total = int(lens.sum())
+            intra = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+            )
+            flat_idx = np.repeat(off[pi], lens) + intra
+            return (np.repeat(docs_sorted, lens) << SHIFT) | flat[flat_idx]
+
+        survivors = term_keys(ordered[0], cand)
+        for j, t in enumerate(ordered[1:], start=1):
+            if survivors.size == 0:
+                return []
+            alive = np.unique(survivors >> SHIFT)
+            kj = term_keys(t, alive)
+            target = survivors + np.int64(j)
+            pos = np.searchsorted(kj, target)
+            ok = pos < kj.size
+            hit = np.zeros(survivors.size, dtype=bool)
+            hit[ok] = kj[pos[ok]] == target[ok]
+            survivors = survivors[hit]
+        matched = np.unique(survivors >> SHIFT)
+        if matched.size == 0:
+            return []
+        sel = np.searchsorted(cand, matched)
+        p = self.params
+        idfs = {t: p.idf(self.n_docs, int(merged[t][0].size)) for t in terms}
+        norm = p.k1 * (
+            1.0 - p.b + p.b * (dl0[sel].astype(np.float64) / self.avgdl)
+        )
+        score = np.zeros(matched.shape, dtype=np.float64)
+        for t in terms:
+            tf = tf_by[t][sel].astype(np.float64)
+            score = score + idfs[t] * (tf / (tf + norm))
+        score = np.round(score, 5)
+        order = np.lexsort((matched, -score))[:k]
+        return [(int(matched[i]), float(score[i])) for i in order]
+
 
 def _compact_marker_path(index_dir: str) -> str:
     return os.path.join(index_dir, "compact_commit.json")

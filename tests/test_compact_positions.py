@@ -100,3 +100,41 @@ def test_compact_rejects_positionless_delta(spark, pos_stream, tmp_path):
             os.remove(crc)  # rewritten in place — stale hadoop checksum
     with pytest.raises(Exception, match="positional|with_positions"):
         compact(spark, idx)
+
+
+def test_merged_view_phrase_before_compact(spark, tmp_path):
+    """Phrase queries work on the LIVE merged (base+delta) view — capability
+    does not pause between compactions. In-order batches keep merged docIDs
+    equal to a fresh build's, so the comparison is exact."""
+    from discogsography_spark.streaming.incremental import MergedSearcher
+
+    tdf = make_transcripts(n_conversations=90, mean_turns=6, vocab_size=300)
+    convs = sorted(tdf["conv_id"].unique())
+    base = tdf[tdf["conv_id"].isin(convs[:30])]
+    base_p = str(tmp_path / "base.parquet")
+    base.to_parquet(base_p, index=False)
+    idx_dir = str(tmp_path / "idx")
+    IndexBuilder(idx_dir, num_segments=2, with_positions=True).build(
+        spark.read.parquet(base_p)
+    )
+    writer = DeltaIndexWriter(idx_dir)
+    for i, cs in enumerate([convs[30:60], convs[60:]]):  # IN order
+        p = str(tmp_path / f"c{i}.parquet")
+        tdf[tdf["conv_id"].isin(cs)].to_parquet(p, index=False)
+        writer.write_batch(spark.read.parquet(p), i)
+
+    fresh_p = str(tmp_path / "union.parquet")
+    tdf.to_parquet(fresh_p, index=False)
+    fresh_dir = str(tmp_path / "fresh")
+    IndexBuilder(fresh_dir, num_segments=2, with_positions=True).build(
+        spark.read.parquet(fresh_p)
+    )
+    merged = MergedSearcher(idx_dir)
+    fresh = LocalSearcher(fresh_dir)
+    n_nonempty = 0
+    for phrase, k in [("spark index", 10), ("turn turn", 8), ("merge", 10)]:
+        got = merged.topk_phrase(phrase, k)
+        want = fresh.topk_phrase(phrase, k)
+        assert got == want, phrase
+        n_nonempty += bool(got)
+    assert n_nonempty >= 2
