@@ -173,9 +173,14 @@ class IndexMeta:
         return out
 
 
-# Blocks scored in the θ-refinement round of _topk_and's two-phase sweep
-# (the highest-upper-bound prefix of the ub-descending block order). Module
-# constant so tests can shrink it and engage the phase split on small indexes.
+# Blocks scored in the θ-refinement rounds of _topk_and's phased sweep
+# (prefixes of the ub-descending block order). _PHASE0_A is a small opening
+# round — its exact scores usually push θ to near-final, so the main phase
+# starts pre-pruned; _PHASE0_BLOCKS bounds the refinement region before the
+# remainder sweep. Module constants so tests can shrink them and engage the
+# phase split on small indexes. Pruning between rounds uses the true
+# DISTINCT-score θ, so any split is exact.
+_PHASE0_A = 256
 _PHASE0_BLOCKS = 1024
 
 _TP_COLS = [
@@ -659,9 +664,12 @@ class LocalSearcher:
         # highest-bound blocks followed by one sweep of the survivors is
         # faster than many small rounds and prunes nearly as much (the
         # champion seed already starts θ near its final value).
-        CHUNK = _PHASE0_BLOCKS
         pool_n = sum(a.size for a in pool_d)
-        phases = [order[:CHUNK], order[CHUNK:]] if order.size > CHUNK else [order]
+        cuts = sorted({min(_PHASE0_A, _PHASE0_BLOCKS), _PHASE0_BLOCKS})
+        cuts = [c for c in cuts if c < order.size]
+        phases = [
+            order[a:b] for a, b in zip([0, *cuts], [*cuts, order.size])
+        ]
         for i, sel in enumerate(phases):
             if i and theta > -np.inf:
                 sel = sel[ub[sel] >= theta]
