@@ -1303,20 +1303,39 @@ FROM s GROUP BY source ORDER BY source
       ('de', ['der','die','das','und','ist','nicht','ein','mit','von']),
       ('en', ['the','and','of','to','is','in','that','it','for','with']),
       ('es', ['el','los','las','es','una','por','para','con','del']),
-      ('fr', ['le','la','les','et','est','une','pour','dans','que'])
+      ('fr', ['le','la','les','et','est','une','pour','dans','que']),
+      ('it', ['il','gli','che','di','non','sono','per','con','della']),
+      ('pt', ['o','os','das','em','um','uma','para','com','não']),
+      ('nl', ['de','het','een','van','en','dat','niet','zijn','voor'])
     ) AS langs(lang, markers)"""
+    # script ladder mirrors operators/textstats._SCRIPT_LADDER (ko → ja →
+    # zh → ru → ar, min 2 chars), then the Latin stopword argmax
+    from discogsography_spark.operators.textstats import _SCRIPT_LADDER
+
+    _script_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN len(regexp_extract_all(coalesce(text,''), '{pat}')) >= 2 "
+            f"THEN '{lang}'"
+            for lang, pat in _SCRIPT_LADDER
+        )
+        + " ELSE NULL END"
+    )
     o["doc_lang_id"] = f"""
-WITH d AS (SELECT doc_id, list_distinct({toks}) AS dt FROM documents),
+WITH d AS (
+  SELECT doc_id, list_distinct({toks}) AS dt, {_script_case} AS script_lang
+  FROM documents
+),
 h AS (
-  SELECT doc_id, lang, len(list_intersect(dt, markers)) AS hits
+  SELECT doc_id, script_lang, lang, len(list_intersect(dt, markers)) AS hits
   FROM d CROSS JOIN {_langs}
 ),
 best AS (
-  SELECT doc_id, lang, hits,
+  SELECT doc_id, script_lang, lang, hits,
          row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
   FROM h
 )
-SELECT CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred,
+SELECT coalesce(script_lang, CASE WHEN hits > 0 THEN lang ELSE 'und' END) AS lang_pred,
        count(*)::BIGINT AS n
 FROM best WHERE rn = 1 GROUP BY 1 ORDER BY lang_pred
 """

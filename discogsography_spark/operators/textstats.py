@@ -23,7 +23,25 @@ _LANG_MARKERS: dict[str, list[str]] = {
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von"],
     "fr": ["le", "la", "les", "et", "est", "une", "pour", "dans", "que"],
     "es": ["el", "los", "las", "es", "una", "por", "para", "con", "del"],
+    "it": ["il", "gli", "che", "di", "non", "sono", "per", "con", "della"],
+    "pt": ["o", "os", "das", "em", "um", "uma", "para", "com", "não"],
+    "nl": ["de", "het", "een", "van", "en", "dat", "niet", "zijn", "voor"],
 }
+
+# script-range detectors (checked BEFORE the Latin stopword vote): languages
+# whose writing system identifies them far more reliably than any stopword
+# list. Priority ladder resolves mixed scripts (kana ⇒ ja even when han
+# chars are present; han without kana ⇒ zh). Patterns are plain char-class
+# ranges valid in both Java regex (Spark) and RE2 (DuckDB oracle mirrors).
+_SCRIPT_LADDER: list[tuple[str, str]] = [
+    ("ko", f"[{chr(0xAC00)}-{chr(0xD7AF)}]"),  # hangul syllables
+    ("ja", f"[{chr(0x3040)}-{chr(0x30FF)}]"),  # hiragana + katakana
+    ("zh", f"[{chr(0x4E00)}-{chr(0x9FFF)}]"),  # CJK unified ideographs
+    ("ru", f"[{chr(0x0400)}-{chr(0x04FF)}]"),  # cyrillic
+    ("ar", f"[{chr(0x0600)}-{chr(0x06FF)}]"),  # arabic
+]
+_SCRIPT_MIN_CHARS = 2  # one stray char (an emoji-adjacent symbol, a quoted
+# name) must not override the stopword vote
 
 
 def tokens_col(col: str = "text") -> Column:
@@ -77,9 +95,18 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-word language-ID heuristic: score each language by the number
-    of its marker stopwords present; pick argmax (tie → 'und'). Pure
-    expressions — a real n-gram model would be a broadcast-joined lookup."""
+    """Two-stage language-ID heuristic, all native expressions:
+
+    1. SCRIPT detection — count chars in each non-Latin script range; the
+       first ladder entry with ≥ _SCRIPT_MIN_CHARS wins (kana before han so
+       Japanese text with kanji reads ja, not zh).
+    2. Latin STOPWORD vote — number of a language's marker stopwords present
+       among the distinct tokens; argmax, ties → larger struct (lang DESC
+       inside array_max) and zero hits → 'und'.
+
+    A real system would swap stage 2 for a broadcast-joined char-n-gram
+    profile model; the operator shape (pure expressions, no Python in the
+    row path) is the part that carries to 100 TB."""
     toks = F.array_distinct(tokens_col(text_col))
     scores = []
     for lang, markers in sorted(_LANG_MARKERS.items()):
@@ -91,10 +118,15 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             )
         )
     best = F.array_max(F.array(*scores))
-    return df.withColumn(
-        "lang_pred",
-        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
-    )
+    pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    for lang, pattern in reversed(_SCRIPT_LADDER):
+        n = F.size(
+            F.expr(
+                f"regexp_extract_all(coalesce({text_col}, ''), '{pattern}', 0)"
+            )
+        )
+        pred = F.when(n >= _SCRIPT_MIN_CHARS, F.lit(lang)).otherwise(pred)
+    return df.withColumn("lang_pred", pred)
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

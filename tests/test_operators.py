@@ -268,3 +268,37 @@ def test_pluggable_image_decoder(spark):
     out = extract_image_features(media, feature_dim=4, decoder=tiny_decoder).toPandas()
     assert out["decode_ok"].all()
     assert all(len(f) == 4 for f in out["feature"])
+
+
+def test_language_id_scripts_and_stopwords(spark):
+    """Two-stage langid: script ranges (ko/ja/zh/ru/ar) win before the Latin
+    stopword vote (en/de/fr/es/it/pt/nl); kana beats han so Japanese text
+    with kanji reads ja; < 2 script chars cannot override; no signal → und."""
+    from discogsography_spark.operators.textstats import language_id
+
+    samples = [
+        (0, "the cat is in the house and it is warm for winter", "en"),
+        (1, "der hund ist nicht mit der katze und das haus von", "de"),
+        (2, "le chat est dans la maison et les jardins pour que", "fr"),
+        (3, "el perro es una mascota por para con los gatos del", "es"),
+        (4, "il cane che non sono per con della gli amici", "it"),
+        (5, "o gato e os dias em um para com visita", "pt"),
+        (6, "het huis een van en dat niet zijn voor morgen", "nl"),
+        (7, "这是一个测试文档，用于语言识别", "zh"),
+        (8, "これはテストです", "ja"),
+        (9, "日本語のテスト文書です", "ja"),  # kanji + kana → ja, not zh
+        (10, "이것은 테스트 문서입니다", "ko"),
+        (11, "это тестовый документ для проверки", "ru"),
+        (12, "هذا مستند تجريبي للاختبار", "ar"),
+        (13, "zzz qqq xxx yyy", "und"),
+        (14, None, "und"),
+        (15, "the house 中 is english with one stray char and the", "en"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in samples], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()
+    }
+    for i, _, want in samples:
+        assert got[i] == want, f"doc {i}: {got[i]} != {want}"
