@@ -1,0 +1,95 @@
+"""Dataset-assembly operators: deterministic sampling, source mixing,
+benchmark decontamination — the pretraining pipeline stages between dedup
+and tokenization."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+from discogsography_spark.operators.sampling import (
+    decontaminate,
+    deterministic_sample,
+    mix_sources,
+    rate_threshold_hex,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"src{i % 4}", f"document number {i} with some unique words w{i} "
+                           f"plus shared filler alpha beta gamma delta")
+        for i in range(400)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_rate_threshold_hex_bounds():
+    assert rate_threshold_hex(0.0) == "000000"
+    assert rate_threshold_hex(1.0) == "gggggg"  # above every hex digit
+    assert rate_threshold_hex(0.25) == "400000"
+    with pytest.raises(ValueError):
+        rate_threshold_hex(1.5)
+
+
+def test_deterministic_sample_matches_python_hash(spark, docs):
+    got = sorted(
+        r["doc_id"] for r in deterministic_sample(docs, 0.3, "text").collect()
+    )
+    pdf = docs.toPandas()
+    want = sorted(
+        int(d)
+        for d, t in zip(pdf["doc_id"], pdf["text"])
+        if hashlib.sha256(t.encode()).hexdigest()[:6] < rate_threshold_hex(0.3)
+    )
+    assert got == want
+    # rate sanity: ~30% within binomial slack
+    assert 0.2 * 400 < len(got) < 0.4 * 400
+    # stability: same verdicts on a repartitioned frame
+    again = sorted(
+        r["doc_id"]
+        for r in deterministic_sample(docs.repartition(13), 0.3, "text").collect()
+    )
+    assert again == got
+
+
+def test_mix_sources_rates_and_allowlist(spark, docs):
+    mixed = mix_sources(
+        docs, {"src0": 1.0, "src1": 0.5}, default_rate=0.0
+    ).toPandas()
+    by_src = mixed.groupby("source").size().to_dict()
+    assert by_src.get("src0") == 100  # rate 1.0 keeps everything
+    assert 25 <= by_src.get("src1", 0) <= 75
+    assert "src2" not in by_src and "src3" not in by_src  # allowlist drop
+
+
+def test_decontaminate_planted_overlap(spark):
+    bench = "what is the capital of france paris obviously yes"
+    rows = [
+        (0, "clean document about spark joins and shuffles with many tokens here"),
+        (1, f"prefix words then {bench} then suffix words"),  # contains the 8-gram
+        (2, "short doc"),  # < 8 tokens → always kept
+        (3, "another clean one about window aggregation partitions and codegen"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    probe = spark.createDataFrame([(99, bench)], "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in decontaminate(df, probe, n=8).collect())
+    assert kept == [0, 2, 3]
+
+
+def test_decontaminate_short_probe_still_filters(spark):
+    # a 3-token benchmark answer still decontaminates via the full-sequence
+    # fallback shingle... on docs long enough to carry an 8-gram the probe
+    # n-gram can't match, so the conservative rule is: short probes only
+    # match docs whose own shingling produces that exact string — verify the
+    # operator doesn't crash and keeps clean docs
+    probe = spark.createDataFrame([(9, "tiny probe text")], "doc_id long, text string")
+    df = spark.createDataFrame(
+        [(0, "a long enough clean document with eight plus tokens in it")],
+        "doc_id long, text string",
+    )
+    kept = [r["doc_id"] for r in decontaminate(df, probe, n=8).collect()]
+    assert kept == [0]
