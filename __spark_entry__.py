@@ -453,6 +453,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
 
+    def dedup_resolve_components(spark, sf_dir):
+        # pairs → clusters: alternating large-star/small-star connected
+        # components; the cluster label is the component-min doc_id, so a
+        # recursive-CTE oracle reproduces it exactly
+        from discogsography_spark.operators.components import connected_components
+        from discogsography_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = _read(spark, sf_dir, "documents")
+        pairs = ngram_jaccard_pairs(docs, threshold=0.12, n=2)
+        return (
+            connected_components(pairs, "doc_a", "doc_b")
+            .select(
+                F.col("node").alias("doc_id"),
+                F.col("component").alias("component_id"),
+            )
+            .orderBy("doc_id")
+        )
+
+    q["dedup_resolve_components"] = dedup_resolve_components
+
     def dedup_minhash_lsh(spark, sf_dir):
         # approximate — no SQL oracle; driver records rows-only check
         from discogsography_spark.operators.dedup import minhash_lsh_pairs
@@ -533,6 +553,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ver.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
 
     q["dedup_minhash_verify"] = dedup_minhash_verify
+
+    # ---- dataset assembly: sampling / mixing / decontamination ----
+    def sample_deterministic(spark, sf_dir):
+        # content-hash sampling — no RNG, identical verdict per row on every
+        # engine/run/cluster size (the re-runnable backfill contract)
+        from discogsography_spark.operators.sampling import deterministic_sample
+
+        docs = _read(spark, sf_dir, "documents")
+        return (
+            deterministic_sample(docs, rate=0.25, key_col="text")
+            .select("doc_id")
+            .orderBy("doc_id")
+        )
+
+    q["sample_deterministic"] = sample_deterministic
+
+    def sample_mix_sources(spark, sf_dir):
+        # per-source quota mixture in ONE scan (wiki-heavy / web-light
+        # recipe shape); unlisted sources get the default rate
+        from discogsography_spark.operators.sampling import mix_sources
+
+        docs = _read(spark, sf_dir, "documents")
+        mixed = mix_sources(
+            docs,
+            {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+            default_rate=0.1,
+        )
+        return (
+            mixed.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy("source")
+        )
+
+    q["sample_mix_sources"] = sample_mix_sources
+
+    def dedup_decontaminate(spark, sf_dir):
+        # benchmark n-gram decontamination: drop docs sharing ANY 8-gram
+        # with the probe corpus (deterministic pseudo-benchmark: every 17th
+        # doc). Probe side broadcasts; corpus side is one scan + explode.
+        from discogsography_spark.operators.sampling import decontaminate
+
+        docs = _read(spark, sf_dir, "documents")
+        probe = docs.filter(F.col("doc_id") % 17 == 0)
+        clean = decontaminate(
+            docs.filter(F.col("doc_id") % 17 != 0), probe, n=8
+        )
+        return clean.select("doc_id").orderBy("doc_id")
+
+    q["dedup_decontaminate"] = dedup_decontaminate
 
     # ---- similarity family (embeddings) ----
     def embedding_cosine_topk(spark, sf_dir):
@@ -1373,6 +1442,44 @@ WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.12
 ORDER BY doc_a, doc_b
 """
 
+    # dedup_resolve_components: same pair computation as dedup_ngram_jaccard,
+    # then component labels = min reachable doc_id via a recursive CTE —
+    # exactly the star-contraction fixpoint the Spark operator converges to
+    o["dedup_resolve_components"] = f"""
+WITH RECURSIVE toks AS (SELECT doc_id, {toks} AS tk FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))]) AS shingles
+  FROM toks WHERE len(tk) >= 2
+),
+sized AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh WHERE len(shingles) > 0),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sized),
+hot AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) > 1000),
+pruned AS (SELECT * FROM ex WHERE shingle NOT IN (SELECT shingle FROM hot)),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM pruned a JOIN pruned b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN sized sa ON sa.doc_id = doc_a
+  JOIN sized sb ON sb.doc_id = doc_b
+  WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.12
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM jp UNION ALL SELECT doc_b, doc_a FROM jp),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.u AS node, reach.r FROM edges e JOIN reach ON reach.node = e.v
+)
+SELECT node AS doc_id, min(r)::BIGINT AS component_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
     # dedup_minhash_verify: the LSH pipeline must recover EXACTLY the
     # exhaustive exact-Jaccard ≥ 0.8 pairs (banding makes a miss < 1e-14
     # likely); the oracle is the O(n^2) exact computation with no hashing
@@ -1426,6 +1533,48 @@ SELECT vec_id,
 FROM cells
 WHERE ivf_cell IN ({_probe})
 ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+    # dataset assembly oracles: sha256 hex-prefix compare and 8-gram
+    # anti-join reproduce the Spark predicates exactly
+    o["sample_deterministic"] = """
+SELECT doc_id FROM documents
+WHERE substr(sha256(coalesce(text,'')), 1, 6) < '400000'
+ORDER BY doc_id
+"""
+
+    o["sample_mix_sources"] = """
+SELECT source, count(*)::BIGINT AS n FROM documents
+WHERE substr(sha256(coalesce(text,'')), 1, 6) <
+      CASE source
+        WHEN 'src0' THEN 'gggggg'
+        WHEN 'src1' THEN '800000'
+        WHEN 'src2' THEN '400000'
+        ELSE '19999a'
+      END
+GROUP BY source ORDER BY source
+"""
+
+    o["dedup_decontaminate"] = f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+probe_sh AS (
+  SELECT DISTINCT unnest(
+    CASE WHEN len(tk) >= 8
+         THEN list_transform(range(1, len(tk) - 6),
+                             i -> array_to_string(tk[i:i+7], ' '))
+         ELSE [array_to_string(tk, ' ')] END
+  ) AS shingle
+  FROM t WHERE doc_id % 17 = 0
+),
+doc_sh AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6),
+                        i -> array_to_string(tk[i:i+7], ' '))) AS shingle
+  FROM t WHERE doc_id % 17 != 0 AND len(tk) >= 8
+),
+dirty AS (SELECT DISTINCT d.doc_id FROM doc_sh d JOIN probe_sh p USING (shingle))
+SELECT doc_id FROM documents
+WHERE doc_id % 17 != 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+ORDER BY doc_id
 """
 
     o["embedding_ivf_topk_stored"] = o["embedding_ivf_topk"]
