@@ -71,6 +71,21 @@ def connected_components(
             F.col("u").alias("node"), F.col("v").alias("component")
         )
 
+    def _sig(df: DataFrame):
+        # one-pass commutative signature of the distinct edge set: count +
+        # 64-bit hash sum + coordinate sums. Used only to SKIP the exact
+        # comparison on rounds that clearly changed; equality is always
+        # confirmed by exceptAll before declaring convergence.
+        dec = "decimal(38,0)"  # exact wide sums — xxhash64 sums overflow long
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast(dec)).alias("h"),
+            F.sum(F.col("u").cast(dec)).alias("su"),
+            F.sum(F.col("v").cast(dec)).alias("sv"),
+        ).first()
+        return (row["n"], row["h"], row["su"], row["sv"])
+
+    sig = _sig(e)
     for _ in range(max_iter):
         # -- large-star: for every node x over the SYMMETRIZED graph,
         #    m = min(N(x) ∪ {x}); connect each strictly-larger neighbor to m.
@@ -105,15 +120,17 @@ def connected_components(
             .localCheckpoint(eager=True)  # truncate lineage every round
         )
         # converged when the (distinct, canonical-direction) edge set is
-        # unchanged — symmetric difference empty. Two anti-joins over the
-        # star edge set; at convergence that set is one row per non-root
-        # node, already far smaller than the input pair set.
-        changed = (
+        # unchanged. The cheap signature rules out inequality in one
+        # aggregate pass; only a signature MATCH pays the exact exceptAll
+        # confirmation (at that point the set is a star forest — one row
+        # per non-root node, far smaller than the input pair set).
+        sig_new = _sig(e_new)
+        converged = sig_new == sig and (
             e_new.exceptAll(e).limit(1).isEmpty()
             and e.exceptAll(e_new).limit(1).isEmpty()
         )
-        e = e_new
-        if changed:
+        e, sig = e_new, sig_new
+        if converged:
             break
     else:
         raise RuntimeError(
