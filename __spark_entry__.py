@@ -190,6 +190,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_bm25_or_topk"] = fts_bm25_or_topk
 
+    def fts_bool_topk(spark, sf_dir):
+        # boolean AND/OR/NOT (to_tsquery / Lucene BooleanQuery shape);
+        # mirrors LocalSearcher.topk_bool — see query/boolquery.py
+        from discogsography_spark.query.dataframe_bm25 import bm25_bool_topk_dataframe
+
+        return bm25_bool_topk_dataframe(
+            _read(spark, sf_dir, "documents"),
+            "(batch OR merge) AND value AND NOT window",
+            k=20,
+        )
+
+    q["fts_bool_topk"] = fts_bool_topk
+
     def fts_phrase_match_count(spark, sf_dir):
         # phraseto_tsquery / Lucene PhraseQuery: consecutive analyzed tokens
         from discogsography_spark.query.dataframe_bm25 import phrase_match_col
@@ -1214,6 +1227,36 @@ SELECT tf.doc_id,
        round(sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
             * (tf.tf / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * (dl.dl / (s.total_tokens / s.n_docs)))))), 5) AS score
 FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+    # boolean predicate over the token list + OR-style scoring of the
+    # positive terms with corpus df — mirrors bm25_bool_topk_dataframe
+    o["fts_bool_topk"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT count(*) FROM toks)::DOUBLE AS total_tokens
+),
+tl AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+matched AS (
+  SELECT doc_id FROM tl
+  WHERE (list_contains(tk, 'batch') OR list_contains(tk, 'merge'))
+    AND list_contains(tk, 'value')
+    AND NOT list_contains(tk, 'window')
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ('batch', 'merge', 'value') GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       round(sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+            * (tf.tf / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * (dl.dl / (s.total_tokens / s.n_docs)))))), 5) AS score
+FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+WHERE tf.doc_id IN (SELECT doc_id FROM matched)
 GROUP BY tf.doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 20
 """

@@ -125,3 +125,40 @@ def bm25_topk(
         scored.append((d, s))
     scored.sort(key=lambda ds: (-ds[1], ds[0]))
     return scored[:k]
+
+
+def bm25_topk_bool(
+    idx: OracleIndex, query_text: str, k: int
+) -> list[tuple[int, float]]:
+    """Boolean AND/OR/NOT BM25 top-k oracle: brute-force predicate
+    evaluation over every doc, scoring the present positive-polarity terms
+    in sorted order (the contract in query/boolquery.py)."""
+    from discogsography_spark.query.boolquery import (
+        eval_predicate,
+        parse_bool_query,
+        polarity_terms,
+    )
+
+    analyzer = get_analyzer(idx.analyzer)
+    ast = parse_bool_query(query_text, analyzer.analyze_query)
+    if ast is None:
+        return []
+    pos_terms, _ = polarity_terms(ast)
+    p_ = idx.params
+    n, avgdl = idx.n_docs, idx.avgdl
+    present = [t for t in pos_terms if idx.postings.get(t)]
+    idfs = {t: p_.idf(n, len(idx.postings[t])) for t in present}
+    scored: list[tuple[int, float]] = []
+    for d in range(idx.n_docs):
+        if not eval_predicate(ast, lambda t: d in idx.postings.get(t, {})):
+            continue
+        dl = idx.doc_len[d]
+        norm = p_.k1 * (1.0 - p_.b + p_.b * (dl / avgdl))
+        s = 0.0
+        for t in present:  # sorted order — fixed float64 summation order
+            tf = idx.postings[t].get(d)
+            if tf is not None:
+                s = s + idfs[t] * (float(tf) / (float(tf) + norm))
+        scored.append((d, s))
+    scored.sort(key=lambda ds: (-ds[1], ds[0]))
+    return scored[:k]

@@ -1,0 +1,193 @@
+"""Boolean full-text query language: AND / OR / NOT with parentheses.
+
+The reference app issues only conjunctive `plainto_tsquery` searches
+(/root/reference/api/queries/search_queries.py:228), but the PostgreSQL FTS
+engine underneath it accepts full boolean tsqueries (`to_tsquery('a & (b |
+c) & !d')`), and Lucene's BooleanQuery is the same shape — so a user of the
+reference stack can and does run these. This module is the engine-neutral
+front half: a parser producing a normalized AST plus the shared semantics
+used identically by the serving path (`LocalSearcher.topk_bool`), the
+DataFrame path (`bm25_bool_topk_dataframe`), the pure-Python oracle, and the
+DuckDB oracle SQL:
+
+- match  = the boolean predicate over per-term containment;
+- score  = BM25 summed over the doc's PRESENT positive-polarity terms, in
+  sorted term order (the repo-wide float-determinism discipline); negated
+  terms never score (matching docs can't contain them except under OR);
+- queries satisfiable by a document containing NO query term (pure
+  negation, e.g. `NOT x`, or vacuous OR arms) are rejected — matching the
+  complement of a posting list is a full-corpus scan at any scale, and
+  PostgreSQL FTS rejects the same shape.
+
+Grammar (keywords case-insensitive; adjacency = AND, websearch-style):
+
+    expr   := and_e (OR and_e)*
+    and_e  := unary (AND? unary)*
+    unary  := NOT unary | '(' expr ')' | WORD
+
+Each WORD runs through the index analyzer (stemming/stopwords identical to
+the corpus side); a word analyzing to nothing (stopword) vanishes from its
+group, a word analyzing to several tokens becomes their conjunction.
+
+AST nodes are plain tuples — ('term', str) | ('and', (nodes…)) |
+('or', (nodes…)) | ('not', node) — hashable, so result caches can key on
+them directly.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+_TOKEN_RE = re.compile(r"\(|\)|[^\s()]+")
+_KEYWORDS = {"and": "AND", "or": "OR", "not": "NOT"}
+
+Node = tuple  # ('term', str) | ('and', tuple) | ('or', tuple) | ('not', Node)
+
+
+class BoolQueryError(ValueError):
+    pass
+
+
+def parse_bool_query(query_text: str, analyze: Callable[[str], list[str]]) -> Node | None:
+    """Parse to a normalized AST; None if the query analyzes to nothing.
+    `analyze` maps one raw word to its index tokens (possibly empty)."""
+    raw = _TOKEN_RE.findall(query_text)
+    toks: list[str] = []
+    for t in raw:
+        toks.append(_KEYWORDS.get(t.lower(), t) if t not in "()" else t)
+    pos = 0
+
+    def peek() -> str | None:
+        return toks[pos] if pos < len(toks) else None
+
+    def take() -> str:
+        nonlocal pos
+        pos += 1
+        return toks[pos - 1]
+
+    def parse_or() -> Node | None:
+        nodes = [parse_and()]
+        while peek() == "OR":
+            take()
+            nodes.append(parse_and())
+        # a stopword-only OR arm is unsatisfiable (stopwords are never
+        # indexed) — drop it, exactly as to_tsquery('a | <stopword>')
+        # reduces to 'a' in PostgreSQL
+        kept = [n for n in nodes if n is not None]
+        if not kept:
+            return None
+        return kept[0] if len(kept) == 1 else ("or", tuple(kept))
+
+    def parse_and() -> Node | None:
+        nodes: list[Node] = []
+        while peek() not in (None, ")", "OR"):
+            if peek() == "AND":
+                take()
+                continue
+            n = parse_unary()
+            if n is not None:
+                nodes.append(n)
+        if not nodes:
+            return None
+        return nodes[0] if len(nodes) == 1 else ("and", tuple(nodes))
+
+    def parse_unary() -> Node | None:
+        t = peek()
+        if t == "NOT":
+            take()
+            child = parse_unary()
+            if child is None:
+                return None  # NOT <stopword> — nothing to exclude
+            return ("not", child)
+        if t == "(":
+            take()
+            inner = parse_or()
+            if peek() != ")":
+                raise BoolQueryError("unbalanced parenthesis")
+            take()
+            return inner
+        if t in (")", "OR", "AND", None):
+            raise BoolQueryError(f"unexpected token {t!r}")
+        word = take()
+        terms = analyze(word)
+        if not terms:
+            return None
+        if len(terms) == 1:
+            return ("term", terms[0])
+        return ("and", tuple(("term", t2) for t2 in sorted(terms)))
+
+    ast = parse_or()
+    if peek() is not None:
+        raise BoolQueryError(f"unexpected token {peek()!r}")
+    if ast is not None and _satisfiable_empty(ast):
+        raise BoolQueryError(
+            "query is satisfiable by a document containing no query term "
+            "(pure negation) — rejected, as in PostgreSQL FTS"
+        )
+    return ast
+
+
+def _satisfiable_empty(ast: Node) -> bool:
+    """Would a document containing NO query term match?"""
+    kind = ast[0]
+    if kind == "term":
+        return False
+    if kind == "not":
+        return not _satisfiable_empty(ast[1])
+    if kind == "and":
+        return all(_satisfiable_empty(c) for c in ast[1])
+    return any(_satisfiable_empty(c) for c in ast[1])
+
+
+def polarity_terms(ast: Node) -> tuple[list[str], list[str]]:
+    """(positive, negative) — distinct terms by occurrence polarity, each
+    sorted. Positive terms are the scoring set."""
+    pos: set[str] = set()
+    neg: set[str] = set()
+
+    def walk(n: Node, negated: bool) -> None:
+        kind = n[0]
+        if kind == "term":
+            (neg if negated else pos).add(n[1])
+        elif kind == "not":
+            walk(n[1], not negated)
+        else:
+            for c in n[1]:
+                walk(c, negated)
+
+    walk(ast, False)
+    return sorted(pos), sorted(neg)
+
+
+def all_terms(ast: Node) -> list[str]:
+    p, n = polarity_terms(ast)
+    return sorted(set(p) | set(n))
+
+
+def eval_predicate(ast: Node, has: Callable[[str], bool]) -> bool:
+    """Row-at-a-time predicate evaluation (pure-Python oracle path)."""
+    kind = ast[0]
+    if kind == "term":
+        return has(ast[1])
+    if kind == "not":
+        return not eval_predicate(ast[1], has)
+    if kind == "and":
+        return all(eval_predicate(c, has) for c in ast[1])
+    return any(eval_predicate(c, has) for c in ast[1])
+
+
+def fold_predicate(ast: Node, term_leaf, and_, or_, not_):
+    """Generic predicate fold — builds a Spark Column, a SQL string, or a
+    set-algebra value from the same AST with engine-specific combinators."""
+    kind = ast[0]
+    if kind == "term":
+        return term_leaf(ast[1])
+    if kind == "not":
+        return not_(fold_predicate(ast[1], term_leaf, and_, or_, not_))
+    parts = [fold_predicate(c, term_leaf, and_, or_, not_) for c in ast[1]]
+    comb = and_ if kind == "and" else or_
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = comb(acc, p)
+    return acc

@@ -466,3 +466,93 @@ def bm25_phrase_topk_dataframe(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def bm25_bool_topk_dataframe(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    params: BM25Params | None = None,
+    round_dp: int = 5,
+) -> DataFrame:
+    """Boolean AND/OR/NOT BM25 top-k — the DataFrame mirror of
+    `LocalSearcher.topk_bool` (grammar + scoring contract in boolquery.py).
+
+    The predicate folds to ONE native Column of array_contains conjunctions/
+    disjunctions/negations (whole-stage codegen, no Python); scoring reuses
+    the OR plan restricted to matching docs, with idf from CORPUS document
+    frequency so index-path and DataFrame-path scores agree."""
+    from discogsography_spark.query.boolquery import (
+        fold_predicate,
+        parse_bool_query,
+        polarity_terms,
+    )
+
+    p = params or BM25Params()
+    spark = docs.sparkSession
+    ast = parse_bool_query(query_text, analyze_query)
+    if ast is None:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    pos_terms, _ = polarity_terms(ast)
+    if not pos_terms:  # only-negative predicates are unsatisfiable post-parse
+        return spark.createDataFrame([], f"{id_col} long, score double")
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+    pred = fold_predicate(
+        ast,
+        lambda t: F.array_contains(F.col("_toks"), t),
+        lambda a, b: a & b,
+        lambda a, b: a | b,
+        lambda a: ~a,
+    )
+    matched = toks.filter(pred).select("_id")
+
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("_dl"), F.lit(0)).alias("total_tokens"),
+    )
+    tf = (
+        toks.select("_id", "_dl", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(pos_terms))
+        .groupBy("_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("_dl").alias("dl"))
+    )
+    df_per_term = tf.groupBy("term").agg(F.count("*").alias("df"))
+    partial = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    ) * (
+        F.col("tf").cast("double")
+        / (
+            F.col("tf").cast("double")
+            + F.lit(p.k1)
+            * (
+                F.lit(1.0 - p.b)
+                + F.lit(p.b)
+                * (F.col("dl").cast("double") / (F.col("total_tokens") / F.col("n_docs")))
+            )
+        )
+    )
+    return (
+        tf.join(matched, "_id", "left_semi")
+        .join(F.broadcast(df_per_term), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("partial", partial)
+        .groupBy("_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "partial"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["partial"],
+            ).alias("raw_score")
+        )
+        .select(
+            F.col("_id").alias(id_col), F.round("raw_score", round_dp).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

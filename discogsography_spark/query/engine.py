@@ -1094,6 +1094,119 @@ class LocalSearcher:
         order = np.lexsort((sub_docs, -sub_scores))[:k]
         return [(int(sub_docs[i]), float(sub_scores[i])) for i in order]
 
+    def topk_bool(
+        self,
+        query_text: str,
+        k: int,
+        use_result_cache: bool = True,
+        idfs: dict[str, float] | None = None,
+        avgdl: float | None = None,
+    ) -> list[tuple[int, float]]:
+        """Boolean AND/OR/NOT BM25 top-k (`to_tsquery` / Lucene BooleanQuery
+        semantics — see boolquery.py for the grammar and scoring contract).
+
+        Candidate resolution is pure sorted-array set algebra over decoded
+        posting docID arrays; NOT never materializes a complement — the
+        algebra carries an `is_complement` flag and the parser's
+        pure-negation rejection guarantees the root resolves positive. Docs
+        are then scored over the positive-polarity terms with the same
+        probe/accumulate kernel as OR mode."""
+        from discogsography_spark.query.boolquery import (
+            fold_predicate,
+            parse_bool_query,
+            polarity_terms,
+        )
+
+        if k <= 0:
+            return []
+        analyzer = get_analyzer(self.meta.analyzer)
+        ast = parse_bool_query(query_text, analyzer.analyze_query)
+        if ast is None:
+            return []
+        # stat overrides come from a sharded caller whose constants differ
+        # from the shard-local ones — never mix those results into the memo
+        use_result_cache = use_result_cache and idfs is None and avgdl is None
+        key = ("bool", ast, k)
+        if use_result_cache:
+            hit = self._result_cache.get(key)
+            if hit is not None:
+                self._result_cache.move_to_end(key)
+                return list(hit)
+
+        pos_terms, neg_terms = polarity_terms(ast)
+        terms = sorted(set(pos_terms) | set(neg_terms))
+        rows = self.lookup_terms(terms)
+        empty = np.empty(0, dtype=np.int64)
+        docsets = {
+            t: (self._decoded(rows[t])[0] if t in rows else empty) for t in terms
+        }
+
+        def leaf(t):
+            return (docsets[t], False)
+
+        def and_(a, b):
+            da, ca = a
+            db, cb = b
+            if not ca and not cb:
+                return (np.intersect1d(da, db, assume_unique=True), False)
+            if ca and cb:
+                return (np.union1d(da, db), True)
+            if ca:  # normalize: positive side first
+                da, db = db, da
+            return (np.setdiff1d(da, db, assume_unique=True), False)
+
+        def or_(a, b):
+            da, ca = a
+            db, cb = b
+            if not ca and not cb:
+                return (np.union1d(da, db), False)
+            if ca and cb:
+                return (np.intersect1d(da, db, assume_unique=True), True)
+            if ca:
+                da, db = db, da
+            # pos ∨ ¬S  =  ¬(S \ pos)
+            return (np.setdiff1d(db, da, assume_unique=True), True)
+
+        def not_(a):
+            return (a[0], not a[1])
+
+        cand, comp = fold_predicate(ast, leaf, and_, or_, not_)
+        if comp:  # unreachable: parser rejects pure-negation queries
+            raise AssertionError("boolean root resolved to a complement set")
+        if cand.size == 0:
+            return []
+
+        m, p = self.meta, self.meta.params
+        k1, b = p.k1, p.b
+        if avgdl is None:
+            avgdl = m.avgdl
+        present = [t for t in pos_terms if t in rows]
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for t in present:  # sorted order — fixed float64 summation order
+            mask, tfv, dlv = self._probe(rows[t], cand)
+            hit2 = np.flatnonzero(mask)
+            if hit2.size == 0:
+                continue
+            idf = idfs[t] if idfs is not None else p.idf(m.n_docs, rows[t].df)
+            tf = tfv.astype(np.float64)
+            dl = dlv.astype(np.float64)
+            norm = k1 * (1.0 - b + b * (dl / avgdl))
+            scores[hit2] = scores[hit2] + idf * (tf / (tf + norm))
+
+        if cand.size > 4 * k:
+            kth = np.partition(-scores, k - 1)[k - 1]
+            sel = np.flatnonzero(-scores <= kth)
+        else:
+            sel = np.arange(cand.size)
+        sub_docs, sub_scores = cand[sel], scores[sel]
+        order = np.lexsort((sub_docs, -sub_scores))[:k]
+        res = [(int(sub_docs[i]), float(sub_scores[i])) for i in order]
+        if use_result_cache:
+            self._result_cache[key] = tuple(res)
+            if len(self._result_cache) > self._result_cache_size:
+                self._result_cache.popitem(last=False)
+        return res
+
 
 class DistributedQueryEngine:
     def __init__(self, spark: SparkSession, index_dir: str):

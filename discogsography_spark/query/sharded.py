@@ -146,3 +146,23 @@ class ShardedSearcher:
             for shard in self.shards
         ]
         return self._merge(hits, k)
+
+    def topk_bool(self, query_text: str, k: int) -> list[tuple[int, float]]:
+        """Boolean AND/OR/NOT top-k across shards. Doc-disjoint sharding
+        makes the predicate exactly shard-local (every term occurrence of a
+        doc lives in its own shard), so each shard runs the full set algebra
+        on its own postings with the GLOBAL idf/avgdl injected, and the
+        merge is the usual exact concatenate-sort-cut."""
+        from discogsography_spark.query.boolquery import all_terms, parse_bool_query
+
+        an = get_analyzer(self.analyzer)
+        ast = parse_bool_query(query_text, an.analyze_query)
+        if ast is None or k <= 0:
+            return []
+        terms = all_terms(ast)
+        _, idfs = self._global_idfs(terms)
+        hits = [
+            shard.topk_bool(query_text, k, idfs=idfs, avgdl=self.avgdl)
+            for shard in self.shards
+        ]
+        return self._merge(hits, k)

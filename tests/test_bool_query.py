@@ -1,0 +1,145 @@
+"""Boolean AND/OR/NOT queries: parser semantics, index-path rank identity
+vs the brute-force Python oracle, and DataFrame-path identity at the shared
+5-dp rounding."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from discogsography_spark.analysis import get_analyzer
+from discogsography_spark.oracle import bm25_topk_bool
+from discogsography_spark.query.boolquery import (
+    BoolQueryError,
+    eval_predicate,
+    parse_bool_query,
+    polarity_terms,
+)
+from discogsography_spark.query.engine import LocalSearcher
+
+_AN = get_analyzer("simple").analyze_query
+
+
+# ---------------- parser ----------------
+
+def test_parser_precedence_and_parens():
+    # OR binds looser than (implicit) AND
+    ast = parse_bool_query("a b OR c", _AN)
+    assert ast == ("or", (("and", (("term", "a"), ("term", "b"))), ("term", "c")))
+    ast2 = parse_bool_query("a AND (b OR c)", _AN)
+    assert ast2 == ("and", (("term", "a"), ("or", (("term", "b"), ("term", "c")))))
+
+
+def test_parser_not_and_keywords_case_insensitive():
+    ast = parse_bool_query("a not b", _AN)
+    assert ast == ("and", (("term", "a"), ("not", ("term", "b"))))
+    assert parse_bool_query("A Or B", _AN) == ("or", (("term", "a"), ("term", "b")))
+
+
+def test_parser_rejects_pure_negation_and_unbalanced():
+    with pytest.raises(BoolQueryError):
+        parse_bool_query("NOT a", _AN)
+    with pytest.raises(BoolQueryError):
+        parse_bool_query("a OR NOT b", _AN)  # satisfiable by the empty doc
+    with pytest.raises(BoolQueryError):
+        parse_bool_query("(a OR b", _AN)
+    assert parse_bool_query("", _AN) is None
+
+
+def test_parser_stopword_handling_english():
+    an = get_analyzer("english").analyze_query
+    # 'the' analyzes to nothing: vanishes from AND, drops its OR arm
+    assert parse_bool_query("the running", an) == ("term", "run")
+    assert parse_bool_query("running OR the", an) == ("term", "run")
+    assert parse_bool_query("running AND NOT the", an) == ("term", "run")
+
+
+def test_eval_predicate_matches_polarity_contract():
+    ast = parse_bool_query("a AND (b OR c) AND NOT d", _AN)
+    pos, neg = polarity_terms(ast)
+    assert pos == ["a", "b", "c"] and neg == ["d"]
+    assert eval_predicate(ast, lambda t: t in {"a", "b"})
+    assert not eval_predicate(ast, lambda t: t in {"a", "b", "d"})
+    assert not eval_predicate(ast, lambda t: t in {"b", "c"})
+
+
+# ---------------- index path vs python oracle ----------------
+
+def _head_terms(oracle_index, n=6):
+    return [
+        t
+        for t, p in sorted(
+            oracle_index.postings.items(), key=lambda tp: (-len(tp[1]), tp[0])
+        )[:n]
+    ]
+
+
+def test_topk_bool_rank_identity(built_index, oracle_index):
+    s = LocalSearcher(built_index)
+    a, b, c, d, e, f = _head_terms(oracle_index)
+    queries = [
+        f"{a} AND ({b} OR {c})",
+        f"{a} AND ({b} OR {c}) AND NOT {d}",
+        f"({a} OR {b}) AND NOT ({c} OR {d})",
+        f"{e} {f} OR {a} AND NOT {b}",
+        f"{a} OR {b} OR {c}",
+        f"{a} AND NOT zz-absent",
+        f"zz-absent OR {b}",
+    ]
+    for q in queries:
+        expected = bm25_topk_bool(oracle_index, q, 15)
+        got = s.topk_bool(q, 15, use_result_cache=False)
+        assert [x[0] for x in got] == [x[0] for x in expected], q
+        for (gd, gs), (ed, es) in zip(got, expected):
+            assert gs == es, f"{q}: doc {gd} score {gs!r} != {es!r}"
+
+
+def test_topk_bool_equals_and_or_modes(built_index, oracle_index):
+    """Pure-AND and pure-OR boolean queries must equal the dedicated modes."""
+    s = LocalSearcher(built_index)
+    a, b, c, *_ = _head_terms(oracle_index)
+    q = f"{a} {b} {c}"
+    assert s.topk_bool(q, 10, use_result_cache=False) == s.topk(
+        q, 10, use_result_cache=False
+    )
+    q_or = f"{a} OR {b} OR {c}"
+    assert s.topk_bool(q_or, 10, use_result_cache=False) == s.topk(
+        f"{a} {b} {c}", 10, mode="or", use_result_cache=False
+    )
+
+
+def test_topk_bool_not_excludes(built_index, oracle_index):
+    s = LocalSearcher(built_index)
+    a, b, *_ = _head_terms(oracle_index)
+    big = oracle_index.n_docs + 1  # no truncation — set-level comparison
+    base = {d for d, _ in s.topk_bool(f"{a}", big, use_result_cache=False)}
+    restricted = {
+        d for d, _ in s.topk_bool(f"{a} AND NOT {b}", big, use_result_cache=False)
+    }
+    b_docs = set(oracle_index.postings[b].keys())
+    assert restricted == base - b_docs and restricted
+
+
+# ---------------- DataFrame path ----------------
+
+def test_bool_dataframe_matches_python_oracle(spark, corpus_dir, oracle_index):
+    from discogsography_spark.query.dataframe_bm25 import bm25_bool_topk_dataframe
+
+    tdf = pd.read_parquet(os.path.join(corpus_dir, "transcripts.parquet"))
+    ordered = tdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(ordered)), "text": ordered["text"]})
+    )
+    a, b, c, d, *_ = _head_terms(oracle_index)
+    for q in (f"{a} AND ({b} OR {c}) AND NOT {d}", f"({a} OR {b}) AND NOT {c}"):
+        got = [
+            (r["doc_id"], r["score"])
+            for r in bm25_bool_topk_dataframe(docs, q, k=12).collect()
+        ]
+        wide = bm25_topk_bool(oracle_index, q, 300)
+        expected = sorted(
+            ((dd, round(s, 5)) for dd, s in wide), key=lambda x: (-x[1], x[0])
+        )[:12]
+        assert got == expected, q

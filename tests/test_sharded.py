@@ -128,3 +128,25 @@ def test_sharded_or_prefix_phrase_bit_identical(pos_sharded_setup):
         assert got == want, ("phrase", q)
         n_nonempty += bool(got)
     assert n_nonempty >= 6
+
+
+def test_sharded_bool_bit_identical(sharded_setup):
+    full = LocalSearcher(sharded_setup["full_idx"])
+    sharded = ShardedSearcher(sharded_setup["shards"])
+    tdf = sharded_setup["tdf"]
+    # head terms of the corpus, deterministically
+    from collections import Counter
+
+    from discogsography_spark.analysis import get_analyzer
+
+    an = get_analyzer("simple")
+    cnt = Counter(t for text in tdf["text"] for t in set(an.tokenize_py(text)))
+    a, b, c, d = [t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:4]]
+    for q in (
+        f"{a} AND ({b} OR {c}) AND NOT {d}",
+        f"({a} OR {b}) AND NOT ({c} OR {d})",
+        f"{a} {b} OR {c}",
+    ):
+        want = full.topk_bool(q, 12, use_result_cache=False)
+        got = sharded.topk_bool(q, 12)
+        assert got == want, q
