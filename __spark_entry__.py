@@ -616,6 +616,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_decontaminate"] = dedup_decontaminate
 
+    def doc_bpe_stats(spark, sf_dir):
+        # real BPE (Sennrich 2016): distributed word-frequency pass →
+        # driver-local merge training on the bounded vocab table →
+        # Arrow-batched encode. Iterative training isn't SQL-expressible —
+        # driver records rows-only; tests/test_bpe.py holds the naive-
+        # reference oracle (train + encode equality).
+        from discogsography_spark.operators.bpe import (
+            bpe_token_count,
+            train_bpe,
+            word_frequencies,
+        )
+
+        docs = _read(spark, sf_dir, "documents")
+        merges = train_bpe(word_frequencies(docs), num_merges=50)
+        return (
+            bpe_token_count(docs, merges)
+            .groupBy("source")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("bpe_token_count").cast("long").alias("total_bpe_tokens"),
+            )
+            .orderBy("source")
+        )
+
+    q["doc_bpe_stats"] = doc_bpe_stats
+
     # ---- similarity family (embeddings) ----
     def embedding_cosine_topk(spark, sf_dir):
         from discogsography_spark.operators.similarity import brute_force_cosine_topk
