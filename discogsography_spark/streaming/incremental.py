@@ -284,12 +284,12 @@ class MergedSearcher:
                 out[row["term"]] = row  # raw dict is enough for decode
         return out
 
-    def topk(self, query_text: str, k: int) -> list[tuple[int, float]]:
-        from discogsography_spark.analysis import get_analyzer
-
-        terms = get_analyzer(self.base.meta.analyzer).analyze_query(query_text)
-        if not terms:
-            return []
+    def _merged_rows(
+        self, terms: list[str]
+    ) -> dict[str, tuple[np.ndarray, np.ndarray, np.ndarray] | None]:
+        """term → merged (docs, tf, dl) over base + deltas (None if absent
+        everywhere). Arrays are docID-ascending: base docIDs precede delta
+        ranges by construction."""
         todo = [t for t in terms if t not in self._merged_cache]
         base_rows = self.base.lookup_terms(todo)
         delta_rows = [self._delta_rows(d, todo) for d in self._delta_dirs]
@@ -317,9 +317,18 @@ class MergedSearcher:
                 np.concatenate(parts_tf),
                 np.concatenate(parts_dl),
             )
+        return {t: self._merged_cache[t] for t in terms}
+
+    def topk(self, query_text: str, k: int) -> list[tuple[int, float]]:
+        from discogsography_spark.analysis import get_analyzer
+
+        terms = get_analyzer(self.base.meta.analyzer).analyze_query(query_text)
+        if not terms:
+            return []
+        merged_all = self._merged_rows(terms)
         merged: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         for t in terms:
-            ent = self._merged_cache[t]
+            ent = merged_all[t]
             if ent is None:
                 return []  # conjunctive AND: term absent everywhere
             merged[t] = ent
@@ -350,6 +359,79 @@ class MergedSearcher:
             score = score + idfs[t] * (tf / (tf + norm))
         order = np.lexsort((cand, -score))[:k]
         return [(int(cand[i]), float(score[i])) for i in order]
+
+    def topk_bool(self, query_text: str, k: int) -> list[tuple[int, float]]:
+        """Boolean AND/OR/NOT BM25 over the live base+delta view — the same
+        grammar/scoring contract as LocalSearcher.topk_bool (boolquery.py),
+        with df/avgdl from the COMBINED corpus so scores equal a fresh
+        whole-corpus rebuild. This is also the merged view's disjunctive
+        path (`a OR b`)."""
+        from discogsography_spark.analysis import get_analyzer
+        from discogsography_spark.query.boolquery import (
+            fold_predicate,
+            parse_bool_query,
+            polarity_terms,
+        )
+
+        an = get_analyzer(self.base.meta.analyzer)
+        ast = parse_bool_query(query_text, an.analyze_query)
+        if ast is None or k <= 0:
+            return []
+        pos_terms, neg_terms = polarity_terms(ast)
+        terms = sorted(set(pos_terms) | set(neg_terms))
+        merged = self._merged_rows(terms)
+        empty = np.empty(0, dtype=np.int64)
+
+        def leaf(t):
+            ent = merged[t]
+            return (ent[0] if ent is not None else empty, False)
+
+        def and_(a, b):
+            da, ca = a
+            db, cb = b
+            if not ca and not cb:
+                return (np.intersect1d(da, db, assume_unique=True), False)
+            if ca and cb:
+                return (np.union1d(da, db), True)
+            if ca:
+                da, db = db, da
+            return (np.setdiff1d(da, db, assume_unique=True), False)
+
+        def or_(a, b):
+            da, ca = a
+            db, cb = b
+            if not ca and not cb:
+                return (np.union1d(da, db), False)
+            if ca and cb:
+                return (np.intersect1d(da, db, assume_unique=True), True)
+            if ca:
+                da, db = db, da
+            return (np.setdiff1d(db, da, assume_unique=True), True)
+
+        cand, comp = fold_predicate(ast, leaf, and_, or_, lambda a: (a[0], not a[1]))
+        if comp:  # unreachable: parser rejects pure-negation queries
+            raise AssertionError("boolean root resolved to a complement set")
+        if cand.size == 0:
+            return []
+
+        p = self.params
+        present = [t for t in pos_terms if merged[t] is not None]
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for t in present:  # sorted order — fixed float64 summation order
+            d, tf, dl = merged[t]
+            pos = np.searchsorted(d, cand)
+            ok = pos < d.size
+            mask = np.zeros(cand.size, dtype=bool)
+            mask[ok] = d[pos[ok]] == cand[ok]
+            sel = pos[mask]
+            idf = p.idf(self.n_docs, int(d.size))
+            tfv = tf[sel].astype(np.float64)
+            norm = p.k1 * (
+                1.0 - p.b + p.b * (dl[sel].astype(np.float64) / self.avgdl)
+            )
+            scores[mask] = scores[mask] + idf * (tfv / (tfv + norm))
+        order = np.lexsort((cand, -scores))[:k]
+        return [(int(cand[i]), float(scores[i])) for i in order]
 
     def _merged_positions(self, terms: list[str]) -> dict[str, tuple]:
         """term → (flat positions, per-posting offsets) over base + deltas,

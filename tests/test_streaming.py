@@ -84,6 +84,33 @@ def test_merged_search_rank_identity_vs_full_oracle(streamed_index, split_corpus
             assert gs == es, f"{q['query_text']}: score {gs!r} != {es!r}"
 
 
+def test_merged_bool_rank_identity_vs_full_oracle(streamed_index, split_corpus):
+    """Boolean AND/OR/NOT over the live base+delta view must equal the
+    brute-force oracle over the FULL corpus (pre-compaction)."""
+    from collections import Counter
+
+    from discogsography_spark.analysis import get_analyzer
+    from discogsography_spark.oracle import bm25_topk_bool
+
+    tdf = split_corpus["all"]
+    oracle = build_oracle_index(list(zip(tdf["conv_id"], tdf["turn_idx"], tdf["text"])))
+    an = get_analyzer("simple")
+    cnt = Counter(t for text in tdf["text"] for t in set(an.tokenize_py(text)))
+    a, b, c, d = [t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:4]]
+    searcher = MergedSearcher(streamed_index)
+    for q in (
+        f"{a} AND ({b} OR {c}) AND NOT {d}",
+        f"({a} OR {b}) AND NOT ({c} OR {d})",
+        f"{a} OR {c}",
+        f"{b} {c} OR {d}",
+    ):
+        expected = bm25_topk_bool(oracle, q, 12)
+        got = searcher.topk_bool(q, 12)
+        assert [x[0] for x in got] == [x[0] for x in expected], q
+        for (gd, gs), (ed, es) in zip(got, expected):
+            assert gs == es, f"{q}: score {gs!r} != {es!r}"
+
+
 def test_batch_idempotence(spark, streamed_index, split_corpus):
     """Re-delivering an already-committed batch_id is a no-op (exactly-once)."""
     writer = DeltaIndexWriter(streamed_index)
