@@ -486,6 +486,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_resolve_components"] = dedup_resolve_components
 
+    def dedup_keep_canonical(spark, sf_dir):
+        # the end-to-end dedup statement: pairs → clusters → keep the
+        # min-id canonical per cluster → surviving corpus profile
+        from discogsography_spark.operators.components import keep_canonical
+        from discogsography_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = _read(spark, sf_dir, "documents")
+        pairs = ngram_jaccard_pairs(docs, threshold=0.12, n=2)
+        return (
+            keep_canonical(docs, pairs)
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+            .orderBy("source")
+        )
+
+    q["dedup_keep_canonical"] = dedup_keep_canonical
+
     def dedup_minhash_lsh(spark, sf_dir):
         # approximate — no SQL oracle; driver records rows-only check
         from discogsography_spark.operators.dedup import minhash_lsh_pairs
@@ -1548,6 +1565,20 @@ reach AS (
 SELECT node AS doc_id, min(r)::BIGINT AS component_id
 FROM reach GROUP BY node ORDER BY doc_id
 """
+
+    # dedup_keep_canonical: same reachability fixpoint; survivors = every
+    # doc except non-minimum cluster members (min-id canonical rule)
+    _CC_PREFIX = o["dedup_resolve_components"].rsplit("SELECT node AS doc_id", 1)[0]
+    o["dedup_keep_canonical"] = (
+        _CC_PREFIX
+        + """, comp AS (SELECT node, min(r) AS root FROM reach GROUP BY node),
+removed AS (SELECT node FROM comp WHERE node != root)
+SELECT source, count(*)::BIGINT AS n_docs
+FROM documents
+WHERE doc_id NOT IN (SELECT node FROM removed)
+GROUP BY source ORDER BY source
+"""
+    )
 
     # dedup_minhash_verify: the LSH pipeline must recover EXACTLY the
     # exhaustive exact-Jaccard ≥ 0.8 pairs (banding makes a miss < 1e-14

@@ -108,6 +108,8 @@ def main() -> None:
         "fts_autocomplete_prefix",
         "fts_phrase_topk",
         "fts_term_stats",
+        "fts_bool_topk",
+        "sample_mix_sources",
         "dedup_minhash_lsh",
         "embedding_cosine_topk",
         "embedding_ivf_topk",
@@ -153,6 +155,21 @@ cold = run(False)
 steady = run(False)
 s_memo = run(True)   # fills the memo
 memo = run(True)     # measures hits
+# boolean-mode tier: AND/OR/NOT set algebra + positive-term scoring,
+# derived from the same query set (warm caches, no result memo)
+bool_qs = []
+for _, row in qdf.iterrows():
+    ts = row["query_text"].split()
+    if len(ts) >= 2:
+        bool_qs.append("(%s OR %s)" % (ts[0], ts[1]))
+        bool_qs.append("%s AND NOT %s" % (ts[0], ts[1]))
+for q in bool_qs:
+    s.topk_bool(q, 10, use_result_cache=False)  # warm
+bool_ms = []
+for q in bool_qs:
+    t0 = time.time()
+    s.topk_bool(q, 10, use_result_cache=False)
+    bool_ms.append((time.time() - t0) * 1000.0)
 # served full-response tier: results + facets over the matched set +
 # total_matched in one request (reference's /search shape). O(k) +
 # O(|matched|) after the one-time docmap factorize.
@@ -171,6 +188,7 @@ for _, row in qdf.iterrows():
     svc.search(row["query_text"], int(row["k"]), facets=["role", "tool"])
     faceted_warm.append((time.time() - t0) * 1000.0)
 print(json.dumps({{"cold": cold, "steady": steady, "memo": memo,
+                   "bool": bool_ms,
                    "faceted": faceted, "faceted_warm": faceted_warm,
                    "facet_init_ms": facet_init_ms}}))
 """
@@ -190,6 +208,9 @@ print(json.dumps({{"cold": cold, "steady": steady, "memo": memo,
     extra["bm25_max_ms"] = round(float(lat_ms.max()), 2)
     extra["bm25_p95_memoized_ms"] = round(float(np.percentile(memo_ms, 95)), 3)
     extra["bm25_n_queries"] = int(lat_ms.size)
+    bool_ms = np.array(tiers["bool"])
+    extra["bool_p50_ms"] = round(float(np.percentile(bool_ms, 50)), 2)
+    extra["bool_p95_ms"] = round(float(np.percentile(bool_ms, 95)), 2)
     fac_ms = np.array(tiers["faceted_warm"])
     extra["served_facets_p50_ms"] = round(float(np.percentile(fac_ms, 50)), 2)
     extra["served_facets_p95_ms"] = round(float(np.percentile(fac_ms, 95)), 2)

@@ -1135,6 +1135,32 @@ class LocalSearcher:
 
         pos_terms, neg_terms = polarity_terms(ast)
         terms = sorted(set(pos_terms) | set(neg_terms))
+
+        # flat conjunctions/disjunctions of plain terms ARE the dedicated
+        # modes — delegate to their pruned evaluators (champion-seeded
+        # block-max AND; max-score essential-list OR) instead of scoring
+        # the full candidate set. Equality is pinned by
+        # test_topk_bool_equals_and_or_modes.
+        def _flat(kind: str) -> bool:
+            if ast[0] == "term":
+                return True
+            return ast[0] == kind and all(c[0] == "term" for c in ast[1])
+
+        if not neg_terms and _flat("and"):
+            res = self._topk_and(terms, k, idfs=idfs, avgdl=avgdl)
+            if use_result_cache:
+                self._result_cache[key] = tuple(res)
+                if len(self._result_cache) > self._result_cache_size:
+                    self._result_cache.popitem(last=False)
+            return res
+        if not neg_terms and _flat("or"):
+            res = self._topk_or(terms, k, idfs=idfs, avgdl=avgdl)
+            if use_result_cache:
+                self._result_cache[key] = tuple(res)
+                if len(self._result_cache) > self._result_cache_size:
+                    self._result_cache.popitem(last=False)
+            return res
+
         rows = self.lookup_terms(terms)
         empty = np.empty(0, dtype=np.int64)
         docsets = {
