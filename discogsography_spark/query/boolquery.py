@@ -191,3 +191,44 @@ def fold_predicate(ast: Node, term_leaf, and_, or_, not_):
     for p in parts[1:]:
         acc = comb(acc, p)
     return acc
+
+
+def eval_docsets(ast: Node, docs_of):
+    """Evaluate the predicate over sorted-unique docID arrays.
+
+    `docs_of(term)` → np.ndarray (sorted, unique; empty for absent terms).
+    NOT never materializes a complement: values flow as (array, is_complement)
+    and the parser's pure-negation rejection guarantees the root resolves
+    positive. Returns the sorted matched docID array."""
+    import numpy as np
+
+    def leaf(t):
+        return (docs_of(t), False)
+
+    def and_(a, b):
+        da, ca = a
+        db, cb = b
+        if not ca and not cb:
+            return (np.intersect1d(da, db, assume_unique=True), False)
+        if ca and cb:
+            return (np.union1d(da, db), True)
+        if ca:  # normalize: positive side first
+            da, db = db, da
+        return (np.setdiff1d(da, db, assume_unique=True), False)
+
+    def or_(a, b):
+        da, ca = a
+        db, cb = b
+        if not ca and not cb:
+            return (np.union1d(da, db), False)
+        if ca and cb:
+            return (np.intersect1d(da, db, assume_unique=True), True)
+        if ca:
+            da, db = db, da
+        # pos ∨ ¬S  =  ¬(S \ pos)
+        return (np.setdiff1d(db, da, assume_unique=True), True)
+
+    cand, comp = fold_predicate(ast, leaf, and_, or_, lambda a: (a[0], not a[1]))
+    if comp:  # unreachable: parser rejects pure-negation queries
+        raise AssertionError("boolean root resolved to a complement set")
+    return cand

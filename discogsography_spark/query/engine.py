@@ -1112,7 +1112,7 @@ class LocalSearcher:
         are then scored over the positive-polarity terms with the same
         probe/accumulate kernel as OR mode."""
         from discogsography_spark.query.boolquery import (
-            fold_predicate,
+            eval_docsets,
             parse_bool_query,
             polarity_terms,
         )
@@ -1166,39 +1166,7 @@ class LocalSearcher:
         docsets = {
             t: (self._decoded(rows[t])[0] if t in rows else empty) for t in terms
         }
-
-        def leaf(t):
-            return (docsets[t], False)
-
-        def and_(a, b):
-            da, ca = a
-            db, cb = b
-            if not ca and not cb:
-                return (np.intersect1d(da, db, assume_unique=True), False)
-            if ca and cb:
-                return (np.union1d(da, db), True)
-            if ca:  # normalize: positive side first
-                da, db = db, da
-            return (np.setdiff1d(da, db, assume_unique=True), False)
-
-        def or_(a, b):
-            da, ca = a
-            db, cb = b
-            if not ca and not cb:
-                return (np.union1d(da, db), False)
-            if ca and cb:
-                return (np.intersect1d(da, db, assume_unique=True), True)
-            if ca:
-                da, db = db, da
-            # pos ∨ ¬S  =  ¬(S \ pos)
-            return (np.setdiff1d(db, da, assume_unique=True), True)
-
-        def not_(a):
-            return (a[0], not a[1])
-
-        cand, comp = fold_predicate(ast, leaf, and_, or_, not_)
-        if comp:  # unreachable: parser rejects pure-negation queries
-            raise AssertionError("boolean root resolved to a complement set")
+        cand = eval_docsets(ast, docsets.__getitem__)
         if cand.size == 0:
             return []
 

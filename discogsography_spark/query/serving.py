@@ -131,12 +131,29 @@ class SearchService:
     # ---- per-query -------------------------------------------------------
     def matched_docs(self, query_text: str, mode: str = "and") -> np.ndarray:
         """Exact matched docID set (sorted). AND = conjunctive intersection
-        driven from the rarest term; OR = union of posting lists. Decodes
-        are served by LocalSearcher's byte-budgeted caches."""
+        driven from the rarest term; OR = union of posting lists; bool =
+        AND/OR/NOT set algebra over posting doc arrays (boolquery.py).
+        Decodes are served by LocalSearcher's byte-budgeted caches."""
+        s = self.searcher
+        if mode == "bool":
+            from discogsography_spark.query.boolquery import (
+                all_terms,
+                eval_docsets,
+                parse_bool_query,
+            )
+
+            ast = parse_bool_query(query_text, self._an.analyze_query)
+            if ast is None:
+                return np.empty(0, dtype=np.int64)
+            rows = s.lookup_terms(all_terms(ast))
+            empty = np.empty(0, dtype=np.int64)
+            return eval_docsets(
+                ast,
+                lambda t: s._decoded(rows[t])[0] if t in rows else empty,
+            )
         terms = self._an.analyze_query(query_text)
         if not terms:
             return np.empty(0, dtype=np.int64)
-        s = self.searcher
         rows = s.lookup_terms(terms)
         if mode == "or":
             found = [s._decoded(rows[t])[0] for t in terms if t in rows]
@@ -200,7 +217,11 @@ class SearchService:
         facets: list[str] | None = None,
         highlight: bool = False,
     ) -> SearchResponse:
-        results = self.searcher.topk(query_text, k, mode=mode)
+        results = (
+            self.searcher.topk_bool(query_text, k)
+            if mode == "bool"
+            else self.searcher.topk(query_text, k, mode=mode)
+        )
         matched = self.matched_docs(query_text, mode=mode)
         resp = SearchResponse(results=results, total_matched=int(matched.size))
         if facets is None and self._facet_codes:
@@ -208,11 +229,24 @@ class SearchService:
         if facets:
             resp.facets = self.facet_counts(matched, facets)
         if highlight:
-            terms = self._an.analyze_query(query_text)
             resp.headlines = {
-                d: self.headline(d, terms) for d, _ in results
+                d: self.headline(d, self._highlight_terms(query_text, mode))
+                for d, _ in results
             }
         return resp
+
+    def _highlight_terms(self, query_text: str, mode: str) -> list[str]:
+        if mode != "bool":
+            return self._an.analyze_query(query_text)
+        # highlight only positive-polarity terms: a matching doc cannot
+        # contain a term its predicate excludes
+        from discogsography_spark.query.boolquery import (
+            parse_bool_query,
+            polarity_terms,
+        )
+
+        ast = parse_bool_query(query_text, self._an.analyze_query)
+        return polarity_terms(ast)[0] if ast is not None else []
 
 
 class ShardedSearchService:
@@ -248,7 +282,11 @@ class ShardedSearchService:
         facets: list[str] | None = None,
         highlight: bool = False,
     ) -> SearchResponse:
-        results = self.sharded.topk(query_text, k, mode=mode)
+        results = (
+            self.sharded.topk_bool(query_text, k)
+            if mode == "bool"
+            else self.sharded.topk(query_text, k, mode=mode)
+        )
         total = 0
         acc: dict[str, dict[str, int]] = {}
         if facets is None and self.services[0]._facet_codes:
@@ -267,8 +305,7 @@ class ShardedSearchService:
                 name: sorted(acc.get(name, {}).items()) for name in facets
             }
         if highlight:
-            an = self.services[0]._an
-            terms = an.analyze_query(query_text)
+            terms = self.services[0]._highlight_terms(query_text, mode)
             for gid, _ in results:
                 shard = int(np.searchsorted(self.offsets, gid, side="right")) - 1
                 local = gid - int(self.offsets[shard])

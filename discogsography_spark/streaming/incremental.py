@@ -368,7 +368,7 @@ class MergedSearcher:
         path (`a OR b`)."""
         from discogsography_spark.analysis import get_analyzer
         from discogsography_spark.query.boolquery import (
-            fold_predicate,
+            eval_docsets,
             parse_bool_query,
             polarity_terms,
         )
@@ -381,36 +381,9 @@ class MergedSearcher:
         terms = sorted(set(pos_terms) | set(neg_terms))
         merged = self._merged_rows(terms)
         empty = np.empty(0, dtype=np.int64)
-
-        def leaf(t):
-            ent = merged[t]
-            return (ent[0] if ent is not None else empty, False)
-
-        def and_(a, b):
-            da, ca = a
-            db, cb = b
-            if not ca and not cb:
-                return (np.intersect1d(da, db, assume_unique=True), False)
-            if ca and cb:
-                return (np.union1d(da, db), True)
-            if ca:
-                da, db = db, da
-            return (np.setdiff1d(da, db, assume_unique=True), False)
-
-        def or_(a, b):
-            da, ca = a
-            db, cb = b
-            if not ca and not cb:
-                return (np.union1d(da, db), False)
-            if ca and cb:
-                return (np.intersect1d(da, db, assume_unique=True), True)
-            if ca:
-                da, db = db, da
-            return (np.setdiff1d(db, da, assume_unique=True), True)
-
-        cand, comp = fold_predicate(ast, leaf, and_, or_, lambda a: (a[0], not a[1]))
-        if comp:  # unreachable: parser rejects pure-negation queries
-            raise AssertionError("boolean root resolved to a complement set")
+        cand = eval_docsets(
+            ast, lambda t: merged[t][0] if merged[t] is not None else empty
+        )
         if cand.size == 0:
             return []
 

@@ -174,3 +174,46 @@ def test_sharded_response_equals_single_index(sharded_served, mode):
         assert a.total_matched == b.total_matched, q
         assert a.facets == b.facets, q
         assert a.headlines == b.headlines, q
+
+
+def test_bool_mode_full_response(served):
+    """mode='bool': matched set from the AND/OR/NOT predicate, results from
+    topk_bool, facets over the boolean matched set, headlines wrap only
+    positive-polarity terms."""
+    from discogsography_spark.analysis import tokenize_py
+    from discogsography_spark.query.boolquery import eval_predicate, parse_bool_query
+
+    svc, tdf = served
+    q = "(spark OR index) AND NOT merge"
+    ast = parse_bool_query(q, lambda w: sorted(set(tokenize_py(w))))
+    toks = tdf["text"].map(lambda t: set(tokenize_py(t)))
+    expected = tdf[toks.map(lambda s: eval_predicate(ast, s.__contains__))]
+
+    matched = svc.matched_docs(q, mode="bool")
+    assert sorted(matched.tolist()) == sorted(expected["doc_id"].tolist())
+
+    resp = svc.search(q, 10, mode="bool", facets=["role"], highlight=True)
+    assert resp.results == svc.searcher.topk_bool(q, 10)
+    assert resp.total_matched == len(expected)
+    want_role = sorted(expected.groupby("role").size().items())
+    assert resp.facets["role"] == [(v, int(n)) for v, n in want_role]
+    for d, text in resp.headlines.items():
+        assert "<<merge>>" not in text  # negated terms never highlighted
+    # a positive term is actually wrapped somewhere in the top-k
+    assert any("<<spark>>" in t or "<<index>>" in t for t in resp.headlines.values())
+
+
+def test_sharded_bool_response_equals_single_index(sharded_served):
+    from discogsography_spark.query.serving import ShardedSearchService
+
+    full_idx, shard_dirs = sharded_served
+    defs = {"role": "role", "tool": "tool"}
+    single = SearchService(full_idx, facet_defs=defs)
+    sharded = ShardedSearchService(shard_dirs, facet_defs=defs)
+    q = "(spark OR index) AND NOT merge"
+    a = single.search(q, 10, mode="bool", highlight=True)
+    b = sharded.search(q, 10, mode="bool", highlight=True)
+    assert a.results == b.results
+    assert a.total_matched == b.total_matched
+    assert a.facets == b.facets
+    assert a.headlines == b.headlines
