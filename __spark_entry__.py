@@ -618,6 +618,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_mix_sources"] = sample_mix_sources
 
+    def sample_stratified_exact(spark, sf_dir):
+        # exact per-stratum quotas via the two-phase hash-prefilter window
+        # (the giant-stratum-safe form); winners = quota smallest
+        # (sha256(text), doc_id) per source — engine-reproducible
+        from discogsography_spark.operators.sampling import stratified_sample_exact
+
+        docs = _read(spark, sf_dir, "documents")
+        return (
+            stratified_sample_exact(docs, {"src0": 10, "src1": 3, "src2": 7})
+            .select("doc_id", "source")
+            .orderBy("doc_id")
+        )
+
+    q["sample_stratified_exact"] = sample_stratified_exact
+
     def dedup_decontaminate(spark, sf_dir):
         # benchmark n-gram decontamination: drop docs sharing ANY 8-gram
         # with the probe corpus (deterministic pseudo-benchmark: every 17th
@@ -1653,6 +1668,21 @@ WHERE substr(sha256(coalesce(text,'')), 1, 6) <
         ELSE '19999a'
       END
 GROUP BY source ORDER BY source
+"""
+
+    o["sample_stratified_exact"] = """
+WITH h AS (
+  SELECT doc_id, source, sha256(coalesce(text, '')) AS hh FROM documents
+  WHERE source IN ('src0', 'src1', 'src2')
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
+  FROM h
+)
+SELECT doc_id, source FROM r
+WHERE rn <= CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 3 ELSE 7 END
+ORDER BY doc_id
 """
 
     o["dedup_decontaminate"] = f"""

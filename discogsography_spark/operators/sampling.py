@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from discogsography_spark.operators.dedup import shingles_col
 
@@ -110,3 +111,100 @@ def _toks(text_col: str):
     from discogsography_spark.operators.textstats import tokens_col
 
     return tokens_col(text_col)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    quotas: dict[str, int],
+    strata_col: str = "source",
+    key_col: str = "text",
+    id_col: str = "doc_id",
+    oversample: float = 4.0,
+) -> DataFrame:
+    """EXACTLY `quotas[s]` rows per stratum (fewer only if the stratum is
+    smaller), selected as the quota smallest (sha256(key), id) pairs —
+    deterministic across engines/runs/cluster sizes, so a plain
+    row_number-over-everything oracle reproduces it.
+
+    The naive form — one window partitioned by stratum over the FULL table —
+    funnels each stratum through a single sort: a 50 TB "web" stratum
+    becomes one reducer. This runs the window only on a hash-prefiltered
+    sliver instead:
+
+    1. one agg for per-stratum counts;
+    2. keep rows whose hash PREFIX falls below ``oversample * quota/count``
+       (the deterministic_sample predicate) — survivors per stratum
+       concentrate around oversample*quota, independent of stratum size;
+    3. exact row_number window over the survivors only.
+
+    Filtering by hash prefix preserves the selection exactly: every kept
+    row orders strictly below every dropped row (fixed-width prefix ⇒
+    prefix < threshold ⇒ full hash smaller), so whenever a stratum keeps at
+    least `quota` survivors the window's winners equal the global winners.
+    That sufficiency is CHECKED (one tiny agg over the window output); any
+    under-filled stratum — binomially rare at oversample≥4, or a stratum
+    genuinely smaller than its quota — is re-run unfiltered and stitched
+    back in, preserving exactness in every case."""
+    if not quotas:
+        return df.limit(0)
+    for s, n in quotas.items():
+        if n < 0:
+            raise ValueError(f"negative quota for {s!r}: {n}")
+
+    spark = df.sparkSession
+    listed = df.filter(F.col(strata_col).isin(list(quotas)))
+    counts = {
+        r["s"]: r["n"]
+        for r in listed.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    quota_col = F.lit(None).cast("long")
+    rate_col = None
+    for s, n in sorted(quotas.items()):
+        cond = F.col(strata_col) == F.lit(s)
+        rate = min(1.0, oversample * n / counts[s]) if counts.get(s) else 1.0
+        quota_col = F.when(cond, F.lit(n)).otherwise(quota_col)
+        thresh = F.lit(rate_threshold_hex(rate))
+        rate_col = F.when(cond, thresh) if rate_col is None else rate_col.when(cond, thresh)
+
+    hashed = listed.withColumn(
+        "_h", F.sha2(F.coalesce(F.col(key_col), F.lit("")), 256)
+    ).withColumn("_quota", quota_col)
+
+    def pick(src: DataFrame) -> DataFrame:
+        w = Window.partitionBy(strata_col).orderBy(F.col("_h"), F.col(id_col))
+        return (
+            src.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= F.col("_quota"))
+        )
+
+    survivors = hashed.filter(F.substring("_h", 1, _PREFIX_LEN) < rate_col)
+    picked = pick(survivors)
+
+    # sufficiency check: a stratum is PROVEN exact if it either filled its
+    # quota from the sliver, or the sliver held the whole stratum
+    got = {
+        r["s"]: (r["n_sel"], r["n_surv"])
+        for r in picked.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count("*").alias("n_sel"), F.max("_rn").alias("n_surv"))
+        .collect()
+    }
+    surv_counts = {
+        r["s"]: r["n"]
+        for r in survivors.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    redo = [
+        s
+        for s, n in sorted(quotas.items())
+        if counts.get(s, 0) > 0
+        and got.get(s, (0, 0))[0] < min(n, counts[s])
+        and surv_counts.get(s, 0) < counts[s]
+    ]
+    if redo:
+        picked = picked.filter(~F.col(strata_col).isin(redo)).unionByName(
+            pick(hashed.filter(F.col(strata_col).isin(redo)))
+        )
+    return picked.drop("_h", "_quota", "_rn")

@@ -93,3 +93,61 @@ def test_decontaminate_short_probe_still_filters(spark):
     )
     kept = [r["doc_id"] for r in decontaminate(df, probe, n=8).collect()]
     assert kept == [0]
+
+
+def _expected_stratified(pdf, quotas):
+    out = []
+    for s, n in quotas.items():
+        grp = pdf[pdf["source"] == s].copy()
+        grp["_h"] = grp["text"].map(lambda t: hashlib.sha256(t.encode()).hexdigest())
+        grp = grp.sort_values(["_h", "doc_id"]).head(n)
+        out.extend(grp["doc_id"].tolist())
+    return sorted(out)
+
+
+def test_stratified_exact_quotas(spark, docs):
+    from discogsography_spark.operators.sampling import stratified_sample_exact
+
+    quotas = {"src0": 30, "src1": 7, "src2": 55}
+    got = stratified_sample_exact(docs, quotas)
+    rows = got.collect()
+    # unlisted strata dropped entirely
+    assert {r["source"] for r in rows} <= set(quotas)
+    assert sorted(r["doc_id"] for r in rows) == _expected_stratified(
+        docs.toPandas(), quotas
+    )
+    # schema preserved
+    assert got.columns == docs.columns
+
+
+def test_stratified_quota_exceeds_stratum(spark, docs):
+    from discogsography_spark.operators.sampling import stratified_sample_exact
+
+    # 400 docs over 4 sources → 100 per src; quota 150 keeps all 100
+    got = stratified_sample_exact(docs, {"src1": 150}).collect()
+    assert len(got) == 100
+
+
+def test_stratified_tiny_oversample_still_exact(spark, docs):
+    # oversample < 1 forces the under-fill fallback path for every stratum
+    from discogsography_spark.operators.sampling import stratified_sample_exact
+
+    quotas = {"src0": 40, "src3": 12}
+    got = stratified_sample_exact(docs, quotas, oversample=0.05)
+    assert sorted(r["doc_id"] for r in got.collect()) == _expected_stratified(
+        docs.toPandas(), quotas
+    )
+
+
+def test_stratified_stable_under_repartition(spark, docs):
+    from discogsography_spark.operators.sampling import stratified_sample_exact
+
+    quotas = {"src0": 9, "src2": 3}
+    a = sorted(
+        r["doc_id"] for r in stratified_sample_exact(docs, quotas).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample_exact(docs.repartition(17), quotas).collect()
+    )
+    assert a == b
