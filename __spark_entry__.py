@@ -633,6 +633,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_stratified_exact"] = sample_stratified_exact
 
+    def sample_token_budget_mix(spark, sf_dir):
+        # per-source TOKEN budgets → keep rates (one stats pass) → the
+        # deterministic hash mix; output = resulting per-source token mass
+        from discogsography_spark.operators.sampling import mix_to_token_budgets
+        from discogsography_spark.operators.textstats import tokens_col
+
+        docs = _read(spark, sf_dir, "documents")
+        mixed = mix_to_token_budgets(
+            docs, {"src0": 10**9, "src1": 2000, "src2": 500}
+        )
+        return (
+            mixed.withColumn("_ntok", F.size(tokens_col("text")))
+            .groupBy("source")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("_ntok").cast("long").alias("n_word_tokens"),
+            )
+            .orderBy("source")
+        )
+
+    q["sample_token_budget_mix"] = sample_token_budget_mix
+
     def dedup_decontaminate(spark, sf_dir):
         # benchmark n-gram decontamination: drop docs sharing ANY 8-gram
         # with the probe corpus (deterministic pseudo-benchmark: every 17th
@@ -1683,6 +1705,35 @@ r AS (
 SELECT doc_id, source FROM r
 WHERE rn <= CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 3 ELSE 7 END
 ORDER BY doc_id
+"""
+
+    # token-budget mixture: rates derived in SQL exactly as plan_mixture
+    # derives them (min(1, budget/total)), thresholds via the same
+    # floor(rate * 16^6) fixed-width hex rule
+    o["sample_token_budget_mix"] = f"""
+WITH d AS (
+  SELECT doc_id, source, len({_TOKS_SQL}) AS ntok,
+         substr(sha256(coalesce(text, '')), 1, 6) AS hp
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+),
+tot AS (SELECT source, sum(ntok)::DOUBLE AS total FROM d GROUP BY source),
+rates AS (
+  SELECT source,
+         least(1.0, (CASE source WHEN 'src0' THEN 1000000000
+                                 WHEN 'src1' THEN 2000
+                                 ELSE 500 END) / total) AS rate
+  FROM tot
+),
+th AS (
+  SELECT source,
+         CASE WHEN rate >= 1.0 THEN 'gggggg'
+              ELSE printf('%06x', CAST(floor(rate * 16777216) AS BIGINT)) END AS thresh
+  FROM rates
+)
+SELECT d.source, count(*)::BIGINT AS n_docs, sum(d.ntok)::BIGINT AS n_word_tokens
+FROM d JOIN th USING (source)
+WHERE d.hp < th.thresh
+GROUP BY d.source ORDER BY d.source
 """
 
     o["dedup_decontaminate"] = f"""

@@ -208,3 +208,44 @@ def stratified_sample_exact(
             pick(hashed.filter(F.col(strata_col).isin(redo)))
         )
     return picked.drop("_h", "_quota", "_rn")
+
+
+def plan_mixture(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> dict[str, float]:
+    """Per-source keep rates that hit per-source TOKEN budgets in
+    expectation: rate_s = min(1, budget_s / tokens_s), from ONE
+    map-side-combined stats pass (the only corpus-sized work). Feed the
+    result straight into `mix_sources` — the standard way a pretraining
+    recipe is stated ("cap web at N tokens, keep all of wiki")."""
+    from discogsography_spark.operators.textstats import tokens_col
+
+    totals = {
+        r["s"]: r["n"]
+        for r in docs.filter(F.col(strata_col).isin(list(budgets)))
+        .groupBy(F.col(strata_col).alias("s"))
+        .agg(F.sum(F.size(tokens_col(text_col))).alias("n"))
+        .collect()
+    }
+    return {
+        s: (min(1.0, b / totals[s]) if totals.get(s) else 1.0)
+        for s, b in budgets.items()
+    }
+
+
+def mix_to_token_budgets(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """plan_mixture + mix_sources in one call: deterministic content-hash
+    subset whose per-source token mass lands on the budgets in expectation.
+    Sources without a budget are dropped (curated-mixture allowlist)."""
+    rates = plan_mixture(docs, budgets, strata_col=strata_col, text_col=text_col)
+    return mix_sources(
+        docs, rates, source_col=strata_col, key_col=text_col, default_rate=0.0
+    )

@@ -151,3 +151,31 @@ def test_stratified_stable_under_repartition(spark, docs):
         for r in stratified_sample_exact(docs.repartition(17), quotas).collect()
     )
     assert a == b
+
+
+def test_plan_mixture_rates_and_budget_mix(spark, docs):
+    import re as _re
+
+    from discogsography_spark.operators.sampling import (
+        mix_sources,
+        mix_to_token_budgets,
+        plan_mixture,
+    )
+
+    pdf = docs.toPandas()
+    pdf["ntok"] = pdf["text"].map(lambda t: len(_re.findall(r"[a-z0-9]+", t.lower())))
+    totals = pdf.groupby("source")["ntok"].sum().to_dict()
+    budgets = {"src0": 10**9, "src1": int(totals["src1"] * 0.4), "src2": 37}
+    rates = plan_mixture(docs, budgets)
+    assert rates["src0"] == 1.0
+    assert abs(rates["src1"] - budgets["src1"] / totals["src1"]) < 1e-12
+    assert abs(rates["src2"] - 37 / totals["src2"]) < 1e-12
+
+    got = sorted(r["doc_id"] for r in mix_to_token_budgets(docs, budgets).collect())
+    want = sorted(
+        r["doc_id"]
+        for r in mix_sources(docs, rates, default_rate=0.0).collect()
+    )
+    assert got == want
+    # src3 has no budget → dropped
+    assert not any(pdf.set_index("doc_id").loc[got]["source"] == "src3")
