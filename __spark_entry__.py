@@ -696,6 +696,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_bpe_stats"] = doc_bpe_stats
 
+    def doc_lm_entropy(spark, sf_dir):
+        # CCNet-style LM quality signal: stupid-backoff bigram model
+        # (Brants 2007) trained on the corpus, per-doc cross-entropy with a
+        # position-ordered log-sum; output = the 20 worst (highest-entropy)
+        # docs — the rows a perplexity filter would cut first
+        from discogsography_spark.operators.lm import lm_cross_entropy, train_ngram_lm
+
+        docs = _read(spark, sf_dir, "documents")
+        lm = train_ngram_lm(docs)
+        return (
+            lm_cross_entropy(docs, lm)
+            .orderBy(F.desc("cross_entropy"), F.asc("doc_id"))
+            .limit(20)
+        )
+
+    q["doc_lm_entropy"] = doc_lm_entropy
+
     # ---- similarity family (embeddings) ----
     def embedding_cosine_topk(spark, sf_dir):
         from discogsography_spark.operators.similarity import brute_force_cosine_topk
@@ -1705,6 +1722,56 @@ r AS (
 SELECT doc_id, source FROM r
 WHERE rn <= CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 3 ELSE 7 END
 ORDER BY doc_id
+"""
+
+    # doc_lm_entropy: stupid-backoff bigram LM re-derived in SQL — same
+    # counts, same backoff rule, same position-ordered left-fold log-sum
+    # (list_reduce == F.aggregate's sequential float64 order)
+    o["doc_lm_entropy"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+uni AS (
+  SELECT w, count(*)::DOUBLE AS c
+  FROM (SELECT unnest(tk) AS w FROM t) GROUP BY w
+),
+stats AS (SELECT sum(c) AS n, count(*)::DOUBLE AS v FROM uni),
+big AS (
+  SELECT bg.w1 AS w1, bg.w2 AS w2, count(*)::DOUBLE AS c
+  FROM (
+    SELECT unnest(list_transform(range(1, len(tk)),
+                  i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS bg
+    FROM t
+  )
+  GROUP BY 1, 2
+),
+tok AS (
+  SELECT doc_id, i AS pos,
+         CASE WHEN i = 1 THEN NULL ELSE tk[i - 1] END AS w1,
+         tk[i] AS w2
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+        FROM t WHERE len(tk) > 0)
+),
+sc AS (
+  SELECT tok.doc_id, tok.pos,
+         -log2(CASE
+            WHEN bg.c IS NOT NULL AND up.c IS NOT NULL THEN bg.c / up.c
+            WHEN tok.w1 IS NULL THEN coalesce(uw.c / s.n, 1.0 / (s.n + s.v))
+            ELSE 0.4 * coalesce(uw.c / s.n, 1.0 / (s.n + s.v))
+          END) AS logp
+  FROM tok
+  LEFT JOIN uni uw ON uw.w = tok.w2
+  LEFT JOIN uni up ON up.w = tok.w1
+  LEFT JOIN big bg ON bg.w1 = tok.w1 AND bg.w2 = tok.w2
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_scored_tokens,
+         list_reduce(list(logp ORDER BY pos), (a, b) -> a + b) AS total
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, n_scored_tokens,
+       round(total / n_scored_tokens, 6) AS cross_entropy
+FROM agg
+ORDER BY cross_entropy DESC, doc_id ASC LIMIT 20
 """
 
     # token-budget mixture: rates derived in SQL exactly as plan_mixture
