@@ -713,6 +713,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_lm_entropy"] = doc_lm_entropy
 
+    def doc_repetition_signals(spark, sf_dir):
+        # Gopher repetition filters (Rae 2021 §A1.1, token-fraction form):
+        # the 20 most repetitive docs — what the filter would cut first
+        from discogsography_spark.operators.textstats import repetition_signals
+
+        docs = _read(spark, sf_dir, "documents")
+        return (
+            repetition_signals(docs)
+            .orderBy(
+                F.desc("frac_dup_trigram"),
+                F.desc("frac_top_bigram"),
+                F.asc("doc_id"),
+            )
+            .limit(20)
+        )
+
+    q["doc_repetition_signals"] = doc_repetition_signals
+
     # ---- similarity family (embeddings) ----
     def embedding_cosine_topk(spark, sf_dir):
         from discogsography_spark.operators.similarity import brute_force_cosine_topk
@@ -1722,6 +1740,40 @@ r AS (
 SELECT doc_id, source FROM r
 WHERE rn <= CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 3 ELSE 7 END
 ORDER BY doc_id
+"""
+
+    # doc_repetition_signals: identical integer-ratio formulas in SQL
+    o["doc_repetition_signals"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+base AS (
+  SELECT doc_id, len(tk) AS n_tok,
+         round(1 - len(list_distinct(tk))::DOUBLE / len(tk), 6) AS word_rep_ratio,
+         round(list_sum(list_transform(tk, w -> len(w)))::DOUBLE / len(tk), 6) AS mean_word_len
+  FROM t WHERE len(tk) > 0
+),
+bi AS (
+  SELECT doc_id, max(c) AS top2 FROM (
+    SELECT doc_id, g, count(*) AS c FROM (
+      SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                     i -> array_to_string(tk[i:i+1], ' '))) AS g
+      FROM t WHERE len(tk) >= 2
+    ) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+tri AS (
+  SELECT doc_id, coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS dup3 FROM (
+    SELECT doc_id, g, count(*) AS c FROM (
+      SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+                     i -> array_to_string(tk[i:i+2], ' '))) AS g
+      FROM t WHERE len(tk) >= 3
+    ) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tok::BIGINT AS n_tokens, b.word_rep_ratio, b.mean_word_len,
+       round(least(1.0, coalesce(bi.top2, 0) * 2 / b.n_tok), 6) AS frac_top_bigram,
+       round(least(1.0, coalesce(tri.dup3, 0) * 3 / b.n_tok), 6) AS frac_dup_trigram
+FROM base b LEFT JOIN bi USING (doc_id) LEFT JOIN tri USING (doc_id)
+ORDER BY frac_dup_trigram DESC, frac_top_bigram DESC, doc_id ASC LIMIT 20
 """
 
     # doc_lm_entropy: stupid-backoff bigram LM re-derived in SQL — same

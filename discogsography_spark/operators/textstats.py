@@ -141,3 +141,89 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         "token_fingerprint",
         F.sha2(F.array_join(F.array_sort(F.array_distinct(toks)), " "), 256),
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 — the published repetition filters,
+    adapted from character- to token-fractions for tokenizer neutrality):
+
+    - word_rep_ratio        1 − distinct/total tokens
+    - mean_word_len         average token length
+    - frac_top_bigram       tokens covered by the single most frequent
+                            bigram (min(1, 2 · max count / n_tokens) —
+                            overlapping occurrences make the raw product an
+                            upper bound, so it is clamped)
+    - frac_dup_trigram      tokens covered by trigrams occurring ≥ 2 times
+                            (min(1, 3 · Σ counts≥2 / n_tokens), same clamp)
+
+    word_rep/mean_word_len are per-row native expressions; the n-gram
+    counters are explode → (doc, gram) groupBy — map-side combined, one
+    shuffle keyed by (doc, gram), NO per-doc quadratic work (a transform/
+    filter-in-place counter would be O(len²) per document — fatal on long
+    docs at corpus scale). Fractions are ratios of per-doc integers, so
+    they are bit-identical in any engine. Docs without tokens are dropped.
+    """
+    toks = df.select(F.col(id_col).alias("_id"), tokens_col(text_col).alias("_t"))
+    base = toks.filter(F.size("_t") > 0).select(
+        "_id",
+        F.size("_t").alias("n_tok"),
+        (1.0 - F.size(F.array_distinct("_t")) / F.size("_t")).alias(
+            "word_rep_ratio"
+        ),
+        (
+            F.aggregate("_t", F.lit(0), lambda a, x: a + F.length(x))
+            / F.size("_t")
+        ).alias("mean_word_len"),
+    )
+
+    def grams(n: int):
+        return F.expr(
+            f"transform(sequence(1, size(_t) - {n - 1}), "
+            f"i -> array_join(slice(_t, i, {n}), ' '))"
+        )
+
+    def gram_stats(n: int, top_alias: str, dup_alias: str):
+        g = (
+            toks.filter(F.size("_t") >= n)
+            .select("_id", F.explode(grams(n)).alias("g"))
+            .groupBy("_id", "g")
+            .agg(F.count("*").alias("c"))
+            .groupBy("_id")
+            .agg(
+                F.max("c").alias(top_alias),
+                F.coalesce(
+                    F.sum(F.when(F.col("c") >= 2, F.col("c"))), F.lit(0)
+                ).alias(dup_alias),
+            )
+        )
+        return g
+
+    bi = gram_stats(2, "top2", "dup2")
+    tri = gram_stats(3, "top3", "dup3")
+    return (
+        base.join(bi, "_id", "left")
+        .join(tri, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_tok").cast("long").alias("n_tokens"),
+            F.round("word_rep_ratio", 6).alias("word_rep_ratio"),
+            F.round("mean_word_len", 6).alias("mean_word_len"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.coalesce(F.col("top2"), F.lit(0)) * 2 / F.col("n_tok"),
+                ),
+                6,
+            ).alias("frac_top_bigram"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.coalesce(F.col("dup3"), F.lit(0)) * 3 / F.col("n_tok"),
+                ),
+                6,
+            ).alias("frac_dup_trigram"),
+        )
+    )

@@ -302,3 +302,38 @@ def test_language_id_scripts_and_stopwords(spark):
     }
     for i, _, want in samples:
         assert got[i] == want, f"doc {i}: {got[i]} != {want}"
+
+
+def test_repetition_signals_match_python(spark):
+    import re
+    from collections import Counter
+
+    from discogsography_spark.operators.textstats import repetition_signals
+
+    rows = [
+        (0, "a b a b a b c"),
+        (1, "alpha beta gamma delta"),
+        (2, ""),
+        (3, None),
+        (4, "spam spam spam spam spam"),
+        (5, "one two one two three one two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_signals(df).collect()}
+    assert 2 not in got and 3 not in got  # tokenless docs dropped
+
+    for doc_id, text in rows:
+        ws = re.findall(r"[a-z0-9]+", (text or "").lower())
+        if not ws:
+            continue
+        n = len(ws)
+        r = got[doc_id]
+        assert r["n_tokens"] == n
+        assert r["word_rep_ratio"] == round(1 - len(set(ws)) / n, 6)
+        assert r["mean_word_len"] == round(sum(map(len, ws)) / n, 6)
+        bi = Counter(zip(ws, ws[1:]))
+        tri = Counter(zip(ws, ws[1:], ws[2:]))
+        top2 = max(bi.values()) if bi else 0
+        dup3 = sum(c for c in tri.values() if c >= 2)
+        assert r["frac_top_bigram"] == round(min(1.0, 2 * top2 / n), 6)
+        assert r["frac_dup_trigram"] == round(min(1.0, 3 * dup3 / n), 6)
