@@ -96,6 +96,66 @@ def extract_image_features(
     return media.select("media_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def _decode_audio_impl(payload: bytes, fake: bool) -> np.ndarray:
+    """Real decode would use soundfile/ffmpeg (not installed). The
+    deterministic fake derives a pseudo-PCM mono stream from the payload
+    hash so windowing and feature pooling are exercised end-to-end."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decoding requires soundfile/ffmpeg, not available in this container"
+        )
+    h = hashlib.sha256(payload or b"").digest()
+    rng = np.random.default_rng(int.from_bytes(h[8:16], "little"))
+    return (rng.standard_normal(4096)).astype(np.float32)
+
+
+def extract_audio_features(
+    media: DataFrame,
+    n_windows: int = 8,
+    fake: bool = True,
+    decoder=None,
+) -> DataFrame:
+    """binary payload → PCM decode → fixed window split → per-window RMS
+    energy vector. Same contract as extract_image_features: Arrow-batched
+    mapInPandas, per-row quarantine columns instead of job failure, and a
+    pluggable `decoder` (any picklable bytes -> np.ndarray(float) mono PCM,
+    e.g. a soundfile wrapper) replacing the container-limited stub."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats, oks, errs = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                try:
+                    pcm = (
+                        decoder(payload)
+                        if decoder is not None
+                        else _decode_audio_impl(payload, fake)
+                    )
+                    pcm = np.asarray(pcm, dtype=np.float32)
+                    if pcm.size == 0:
+                        raise ValueError("empty PCM stream")
+                    w = max(1, pcm.size // n_windows)
+                    rms = [
+                        float(np.sqrt(np.mean(pcm[j * w : (j + 1) * w] ** 2)))
+                        if pcm[j * w : (j + 1) * w].size
+                        else 0.0
+                        for j in range(n_windows)
+                    ]
+                    feats.append(rms)
+                    oks.append(True)
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — quarantine, don't fail
+                    feats.append(None)
+                    oks.append(False)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {"media_id": ids, "feature": feats, "decode_ok": oks, "error": errs}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: expand each video row into frame
     timestamps (native sequence/explode — the expensive decode would attach

@@ -337,3 +337,47 @@ def test_repetition_signals_match_python(spark):
         dup3 = sum(c for c in tri.values() if c >= 2)
         assert r["frac_top_bigram"] == round(min(1.0, 2 * top2 / n), 6)
         assert r["frac_dup_trigram"] == round(min(1.0, 3 * dup3 / n), 6)
+
+
+def test_audio_feature_plumbing_and_quarantine(spark):
+    import numpy as np
+
+    from discogsography_spark.operators.multimodal import (
+        extract_audio_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=12).filter("kind = 'audio'")
+    out = extract_audio_features(media, n_windows=8).collect()
+    assert len(out) == media.count() and all(r["decode_ok"] for r in out)
+    for r in out:
+        assert len(r["feature"]) == 8
+        assert all(x >= 0 for x in r["feature"])  # RMS energies
+    # deterministic: same payload → same features across runs/partitions
+    again = extract_audio_features(media.repartition(5), n_windows=8).collect()
+    assert {r["media_id"]: r["feature"] for r in again} == {
+        r["media_id"]: r["feature"] for r in out
+    }
+
+    # pluggable decoder + per-row quarantine (one poisoned payload)
+    def dec(payload):
+        if payload and payload[0] % 2 == 0:
+            raise ValueError("bad stream")
+        return np.ones(64, dtype=np.float32)
+
+    mixed = extract_audio_features(media, n_windows=4, decoder=dec).collect()
+    assert any(not r["decode_ok"] and "bad stream" in r["error"] for r in mixed) or all(
+        r["decode_ok"] for r in mixed
+    )
+    ok_rows = [r for r in mixed if r["decode_ok"]]
+    for r in ok_rows:
+        assert r["feature"] == [1.0, 1.0, 1.0, 1.0]
+
+
+def test_audio_real_decode_is_stubbed(spark):
+    import pytest as _pytest
+
+    from discogsography_spark.operators.multimodal import _decode_audio_impl
+
+    with _pytest.raises(NotImplementedError):
+        _decode_audio_impl(b"x", fake=False)
