@@ -203,6 +203,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_bool_topk"] = fts_bool_topk
 
+    def fts_fuzzy_term_match(spark, sf_dir):
+        # pg_trgm analog: top vocabulary terms by trigram similarity to a
+        # misspelling — mirrors LocalSearcher.suggest_terms (query/fuzzy.py)
+        from discogsography_spark.query.fuzzy import fuzzy_term_matches
+
+        return fuzzy_term_matches(
+            _read(spark, sf_dir, "documents"), "tabel", k=10, min_sim=0.1
+        )
+
+    q["fts_fuzzy_term_match"] = fts_fuzzy_term_match
+
     def fts_phrase_match_count(spark, sf_dir):
         # phraseto_tsquery / Lucene PhraseQuery: consecutive analyzed tokens
         from discogsography_spark.query.dataframe_bm25 import phrase_match_col
@@ -1344,6 +1355,32 @@ SELECT tf.doc_id,
 FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
 GROUP BY tf.doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+    # fts_fuzzy_term_match: pg_trgm trigram rule + similarity re-derived in
+    # SQL over the distinct-token vocabulary
+    from discogsography_spark.query.fuzzy import char_trigrams as _ctg
+
+    _QTG = "[" + ", ".join(f"'{g}'" for g in _ctg("tabel")) + "]"
+    _NQ = len(_ctg("tabel"))
+    o["fts_fuzzy_term_match"] = f"""
+WITH vocab AS (SELECT DISTINCT unnest({_TOKS_SQL}) AS term FROM documents),
+tg AS (
+  SELECT term,
+         list_distinct([substr('  ' || term || ' ', i, 3)
+                        FOR i IN range(1, length('  ' || term || ' ') - 1)]) AS tgs
+  FROM vocab
+),
+scored AS (
+  SELECT term,
+         round(len(list_intersect(tgs, {_QTG}))::DOUBLE /
+               (len(tgs) + {_NQ} - len(list_intersect(tgs, {_QTG}))), 6) AS similarity
+  FROM tg
+  WHERE len(list_intersect(tgs, {_QTG})) > 0
+)
+SELECT term, similarity FROM scored
+WHERE similarity >= 0.1
+ORDER BY similarity DESC, term ASC LIMIT 10
 """
 
     # boolean predicate over the token list + OR-style scoring of the

@@ -288,6 +288,7 @@ class LocalSearcher:
         tune_allocator()
         self.meta = IndexMeta(index_dir)
         self._readers: dict[int, _SegmentReader | None] = {}
+        self._trigram_index = None  # built lazily by suggest_terms
         self._dec_cache: OrderedDict[str, tuple] = OrderedDict()
         self._dec_cache_postings = 0
         self._dec_budget = int(postings_cache_budget)
@@ -749,6 +750,27 @@ class LocalSearcher:
                 if hi > lo:
                     found.update(terms[lo:hi].tolist())
         return sorted(found)[:max_expansions]
+
+    def suggest_terms(
+        self, word: str, k: int = 10, min_sim: float = 0.3
+    ) -> list[tuple[str, float]]:
+        """Fuzzy vocabulary suggestions (pg_trgm `%` / Lucene spellcheck):
+        top-k dictionary terms by trigram similarity to `word`. The
+        GIN-style trigram map over the term dictionaries is built once per
+        searcher and probes only terms sharing a trigram with the query —
+        see query/fuzzy.py."""
+        if self._trigram_index is None:
+            from discogsography_spark.query.fuzzy import TrigramVocabIndex
+
+            vocab: set[str] = set()
+            for seg in range(self.meta.num_segments):
+                rd = self._reader(seg)
+                if rd is None:
+                    continue
+                for terms in rd._terms:
+                    vocab.update(terms.tolist())
+            self._trigram_index = TrigramVocabIndex(sorted(vocab))
+        return self._trigram_index.suggest(word, k=k, min_sim=min_sim)
 
     def _positions(self, tp: TermPostings) -> tuple[np.ndarray, np.ndarray]:
         """(flat positions, per-posting offset array) for one term, cached
