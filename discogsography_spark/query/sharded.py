@@ -166,3 +166,19 @@ class ShardedSearcher:
             for shard in self.shards
         ]
         return self._merge(hits, k)
+
+    def suggest_terms(
+        self, word: str, k: int = 10, min_sim: float = 0.3
+    ) -> list[tuple[str, float]]:
+        """Fuzzy vocabulary suggestions across shards. Trigram similarity is
+        a function of the term string alone, and every shard vocabulary is a
+        subset of the global one — so a term in the GLOBAL top-k ranks
+        within top-k of any shard containing it, and the union of per-shard
+        top-k lists provably contains the global top-k. Merge = dedupe,
+        re-sort, cut."""
+        seen: dict[str, float] = {}
+        for shard in self.shards:
+            for term, sim in shard.suggest_terms(word, k=k, min_sim=min_sim):
+                seen[term] = sim
+        out = sorted(seen.items(), key=lambda ts: (-ts[1], ts[0]))
+        return out[:k]

@@ -78,3 +78,34 @@ def test_fuzzy_dataframe_matches_brute(spark):
     ]
     want = [(t, round(s, 6)) for t, s in _brute(VOCAB, "tabel", 8, 0.2)]
     assert got == want
+
+
+def test_sharded_suggest_equals_single(spark, tmp_path_factory):
+    import os
+
+    from discogsography_spark.corpus import make_transcripts
+    from discogsography_spark.index.builder import IndexBuilder
+    from discogsography_spark.query.engine import LocalSearcher
+    from discogsography_spark.query.sharded import ShardedSearcher
+
+    d = tmp_path_factory.mktemp("fz")
+    tdf = make_transcripts(n_conversations=60, mean_turns=5, vocab_size=300)
+    convs = sorted(tdf["conv_id"].unique())
+    full_p = str(d / "full.parquet")
+    tdf.to_parquet(full_p, index=False)
+    full_idx = str(d / "full_idx")
+    IndexBuilder(full_idx, num_segments=2).build(spark.read.parquet(full_p))
+    mid = convs[len(convs) // 2]
+    shards = []
+    for i, m in enumerate([tdf["conv_id"] < mid, tdf["conv_id"] >= mid]):
+        p = str(d / f"s{i}.parquet")
+        tdf[m].to_parquet(p, index=False)
+        idx = str(d / f"s{i}_idx")
+        IndexBuilder(idx, num_segments=2).build(spark.read.parquet(p))
+        shards.append(idx)
+    single = LocalSearcher(full_idx)
+    sharded = ShardedSearcher(shards)
+    for w in ("spark", "sprak", "indx", "w0001"):
+        assert sharded.suggest_terms(w, k=8, min_sim=0.2) == single.suggest_terms(
+            w, k=8, min_sim=0.2
+        ), w
