@@ -1275,14 +1275,8 @@ class DistributedQueryEngine:
 
         return idx.mapInPandas(decode, schema=out_schema)
 
-    def topk_df(self, query_text: str, k: int) -> DataFrame:
-        """Distributed exact conjunctive BM25 top-k as a DataFrame
-        (doc_id, score): decode → native-expression partials → deterministic
-        ordered aggregation → global top-k."""
-        m = self.meta
-        p = m.params
-        terms = get_analyzer(m.analyzer).analyze_query(query_text)
-        empty = self.spark.createDataFrame(
+    def _empty_result(self) -> DataFrame:
+        return self.spark.createDataFrame(
             [],
             T.StructType(
                 [
@@ -1291,10 +1285,25 @@ class DistributedQueryEngine:
                 ]
             ),
         )
+
+    def topk_df(self, query_text: str, k: int, mode: str = "and") -> DataFrame:
+        """Distributed exact BM25 top-k as a DataFrame (doc_id, score):
+        decode → native-expression partials → deterministic ordered
+        aggregation → global top-k. mode='and' (conjunctive, default) or
+        'or' (disjunctive — same plan minus the all-terms filter; absent
+        terms contribute nothing, LocalSearcher mode='or' parity)."""
+        m = self.meta
+        p = m.params
+        terms = get_analyzer(m.analyzer).analyze_query(query_text)
+        empty = self._empty_result()
         if not terms:
             return empty
         rows = self._searcher.lookup_terms(terms)
-        if len(rows) != len(terms):
+        if mode == "or":
+            terms = [t for t in terms if t in rows]
+            if not terms:
+                return empty
+        elif len(rows) != len(terms):
             return empty
         decoded = self._decoded_postings_df(terms)
         if decoded is None:
@@ -1328,13 +1337,96 @@ class DistributedQueryEngine:
                     lambda acc, x: acc + x["partial"],
                 ).alias("score"),
             )
-            .filter(F.col("nt") == F.lit(len(terms)))  # conjunctive AND
+            .filter(
+                (F.col("nt") == F.lit(len(terms)))
+                if mode != "or"
+                else F.lit(True)
+            )
             .select("doc_id", "score")
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
         return scored
 
-    def topk(self, query_text: str, k: int) -> list[tuple[int, float]]:
-        rows = self.topk_df(query_text, k).collect()
-        return [(r["doc_id"], r["score"]) for r in rows]
+    def topk_bool_df(self, query_text: str, k: int) -> DataFrame:
+        """Distributed boolean AND/OR/NOT BM25 top-k (boolquery.py contract,
+        LocalSearcher.topk_bool parity): one decode pass over ALL query
+        terms, per-doc present-term set + positive-partial ordered sum in a
+        single aggregation, then the predicate as a native filter."""
+        from discogsography_spark.query.boolquery import (
+            all_terms,
+            fold_predicate,
+            parse_bool_query,
+            polarity_terms,
+        )
+
+        m = self.meta
+        p = m.params
+        an = get_analyzer(m.analyzer)
+        ast = parse_bool_query(query_text, an.analyze_query)
+        empty = self._empty_result()
+        if ast is None:
+            return empty
+        pos_terms, _neg = polarity_terms(ast)
+        terms = all_terms(ast)
+        rows = self._searcher.lookup_terms(terms)
+        present_terms = [t for t in terms if t in rows]
+        if not any(t in rows for t in pos_terms):
+            return empty  # no positive term exists → nothing can match
+        decoded = self._decoded_postings_df(present_terms)
+        if decoded is None:
+            return empty
+        idf_map = F.create_map(
+            *[
+                x
+                for t in present_terms
+                for x in (F.lit(t), F.lit(p.idf(m.n_docs, rows[t].df)))
+            ]
+        )
+        raw_partial = idf_map[F.col("term")] * (
+            F.col("tf").cast("double")
+            / (
+                F.col("tf").cast("double")
+                + F.lit(p.k1)
+                * (
+                    F.lit(1.0 - p.b)
+                    + F.lit(p.b) * (F.col("dl").cast("double") / F.lit(m.avgdl))
+                )
+            )
+        )
+        # negative-polarity terms carry presence but never score; a 0.0
+        # summand in the ordered fold leaves the float64 total bit-identical
+        partial = F.when(
+            F.col("term").isin(pos_terms), raw_partial
+        ).otherwise(F.lit(0.0))
+        grouped = decoded.withColumn("partial", partial).groupBy("doc_id").agg(
+            F.collect_set("term").alias("present"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "partial"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["partial"],
+            ).alias("score"),
+        )
+        pred = fold_predicate(
+            ast,
+            lambda t: F.array_contains(F.col("present"), t),
+            lambda a, b: a & b,
+            lambda a, b: a | b,
+            lambda a: ~a,
+        )
+        return (
+            grouped.filter(pred)
+            .select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def topk(
+        self, query_text: str, k: int, mode: str = "and"
+    ) -> list[tuple[int, float]]:
+        df = (
+            self.topk_bool_df(query_text, k)
+            if mode == "bool"
+            else self.topk_df(query_text, k, mode=mode)
+        )
+        return [(r["doc_id"], r["score"]) for r in df.collect()]

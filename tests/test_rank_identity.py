@@ -57,3 +57,25 @@ def test_per_turn_text_equality(spark, built_index, corpus_dir):
     assert len(joined) == len(ordered)
     assert (joined["doc_id"].to_numpy() == range(len(ordered))).all()
     assert (joined["text"].to_numpy() == ordered["text"].to_numpy()).all()
+
+
+def test_distributed_or_and_bool_modes_match_serving(spark, built_index, oracle_index):
+    """Batch-path OR and boolean modes are rank- and score-identical to the
+    serving path (and therefore to the python oracle)."""
+    engine = DistributedQueryEngine(spark, built_index)
+    s = LocalSearcher(built_index)
+    a, b, c, d = [
+        t
+        for t, pl in sorted(
+            oracle_index.postings.items(), key=lambda tp: (-len(tp[1]), tp[0])
+        )[:4]
+    ]
+    q_or = f"{a} {b} zz-absent"
+    assert engine.topk(q_or, 12, mode="or") == s.topk(q_or, 12, mode="or")
+    for q in (
+        f"{a} AND ({b} OR {c}) AND NOT {d}",
+        f"({a} OR {b}) AND NOT ({c} OR {d})",
+    ):
+        assert engine.topk(q, 12, mode="bool") == s.topk_bool(
+            q, 12, use_result_cache=False
+        ), q
