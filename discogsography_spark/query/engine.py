@@ -772,6 +772,34 @@ class LocalSearcher:
             self._trigram_index = TrigramVocabIndex(sorted(vocab))
         return self._trigram_index.suggest(word, k=k, min_sim=min_sim)
 
+    def topk_fuzzy(
+        self, query_text: str, k: int, min_sim: float = 0.3, mode: str = "and"
+    ) -> tuple[list[tuple[int, float]], dict[str, str]]:
+        """Did-you-mean search: analyzed terms ABSENT from the vocabulary are
+        rewritten to their best trigram suggestion (≥ min_sim) before the
+        normal AND/OR evaluation. Returns (results, rewrites) so the caller
+        can surface 'showing results for …'. Terms with no suggestion stay
+        as-is (AND then correctly returns empty)."""
+        terms = get_analyzer(self.meta.analyzer).analyze_query(query_text)
+        if not terms or k <= 0:
+            return [], {}
+        rows = self.lookup_terms(terms)
+        rewrites: dict[str, str] = {}
+        fixed: list[str] = []
+        for t in terms:
+            if t in rows:
+                fixed.append(t)
+                continue
+            sugg = self.suggest_terms(t, k=1, min_sim=min_sim)
+            if sugg:
+                rewrites[t] = sugg[0][0]
+                fixed.append(sugg[0][0])
+            else:
+                fixed.append(t)
+        uniq = sorted(set(fixed))
+        res = self._topk_or(uniq, k) if mode == "or" else self._topk_and(uniq, k)
+        return res, rewrites
+
     def _positions(self, tp: TermPostings) -> tuple[np.ndarray, np.ndarray]:
         """(flat positions, per-posting offset array) for one term, cached
         together. Offsets are concatenate(([0], cumsum(tf))) — recomputing

@@ -143,3 +143,51 @@ def test_bool_dataframe_matches_python_oracle(spark, corpus_dir, oracle_index):
             ((dd, round(s, 5)) for dd, s in wide), key=lambda x: (-x[1], x[0])
         )[:12]
         assert got == expected, q
+
+
+# ---------------- property-based: parser/eval roundtrip ----------------
+
+def test_boolquery_property_roundtrip():
+    """Random ASTs → rendered query string → parse → identical predicate on
+    random term subsets (hypothesis-style; seeded exhaustive sweep)."""
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    TERMS = ["a", "b", "c", "d", "e"]
+
+    def gen(depth):
+        if depth == 0 or rng.random() < 0.4:
+            return ("term", rng.choice(TERMS))
+        kind = rng.choice(["and", "or", "not"])
+        if kind == "not":
+            return ("not", gen(depth - 1))
+        return (kind, tuple(gen(depth - 1) for _ in range(rng.randint(2, 3))))
+
+    def render(n):
+        k = n[0]
+        if k == "term":
+            return n[1]
+        if k == "not":
+            return f"NOT ({render(n[1])})"
+        op = " AND " if k == "and" else " OR "
+        return "(" + op.join(render(c) for c in n[1]) + ")"
+
+    checked = 0
+    for _ in range(200):
+        ast0 = gen(3)
+        text = render(ast0)
+        try:
+            ast = parse_bool_query(text, _AN)
+        except BoolQueryError:
+            # pure-negation rejection: verify the all-absent doc really
+            # would match (the rejection is semantic, not syntactic)
+            assert eval_predicate(ast0, lambda t: False)
+            continue
+        assert ast is not None
+        for r in range(len(TERMS) + 1):
+            for subset in itertools.combinations(TERMS, r):
+                has = set(subset).__contains__
+                assert eval_predicate(ast, has) == eval_predicate(ast0, has), text
+        checked += 1
+    assert checked > 50  # the sweep must exercise plenty of accepted shapes

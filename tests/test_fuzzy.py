@@ -109,3 +109,21 @@ def test_sharded_suggest_equals_single(spark, tmp_path_factory):
         assert sharded.suggest_terms(w, k=8, min_sim=0.2) == single.suggest_terms(
             w, k=8, min_sim=0.2
         ), w
+
+
+def test_topk_fuzzy_rewrites_misspellings(built_index, oracle_index):
+    from discogsography_spark.query.engine import LocalSearcher
+
+    s = LocalSearcher(built_index)
+    vocab = set(oracle_index.postings.keys())
+    assert "spark" in vocab and "sparkz" not in vocab
+    want = s.topk("spark index", 10, use_result_cache=False)
+    got, rewrites = s.topk_fuzzy("sparkz index", 10)
+    assert rewrites == {"sparkz": "spark"}
+    assert got == want
+    # hopeless garble: no suggestion → AND stays empty, rewrite map empty
+    got2, rw2 = s.topk_fuzzy("qqqqxxxx index", 10)
+    assert got2 == [] and rw2 == {}
+    # clean query passes through untouched
+    got3, rw3 = s.topk_fuzzy("spark index", 10)
+    assert rw3 == {} and got3 == want
