@@ -596,6 +596,40 @@ class LocalSearcher:
                     for d, s in zip(tp.champ_doc[:k], scores[:k])
                 ]
 
+        # dense-intersection fast path: when EVERY term's postings cover
+        # ≥ 1/64 of the corpus, the dense membership bitmaps exist (or are
+        # one cheap build away) and block-max pruning is at its weakest —
+        # flat impact, huge df, the measured worst case ("index query":
+        # 824k ∧ 640k docs). One vectorized bitmap AND + exact scoring of
+        # the intersection replaces the whole block machinery. Exact by
+        # construction: every matching doc is scored, sorted-term order.
+        if len(terms) >= 2 and all(rows[t].df * 64 >= m.n_docs for t in terms):
+            mask: np.ndarray | None = None
+            aligned: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+            for t in terms:
+                d, tfv, dlv = self._decoded(rows[t])
+                member, rank = self._membership(t, d)
+                mask = member.copy() if mask is None else (mask & member)
+                aligned[t] = (rank, tfv, dlv)
+            cand = np.flatnonzero(mask)
+            if cand.size == 0:
+                return []
+            rank0, _tf0, dl0 = aligned[terms[0]]
+            dl = dl0[rank0[cand]].astype(np.float64)
+            k1, b = p.k1, p.b
+            norm = k1 * (1.0 - b + b * (dl / avgdl))
+            scores = np.zeros(cand.size, dtype=np.float64)
+            for t in terms:  # sorted order — oracle-identical summation
+                rank_t, tf_t, _dl_t = aligned[t]
+                tf = tf_t[rank_t[cand]].astype(np.float64)
+                scores = scores + idfs[t] * (tf / (tf + norm))
+            if cand.size > 4 * k:
+                kth = np.partition(-scores, k - 1)[k - 1]
+                sel = np.flatnonzero(-scores <= kth)
+                cand, scores = cand[sel], scores[sel]
+            top = np.lexsort((cand, -scores))[:k]
+            return [(int(cand[i]), float(scores[i])) for i in top]
+
         # drive from the rarest term — AND candidates ⊆ its postings
         by_df = sorted(terms, key=lambda t: (rows[t].df, t))
         t0 = by_df[0]
