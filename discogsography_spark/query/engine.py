@@ -1247,6 +1247,66 @@ class LocalSearcher:
 
         rows = self.lookup_terms(terms)
         empty = np.empty(0, dtype=np.int64)
+
+        # dense bitmap fast path: when every PRESENT term covers ≥ 1/64 of
+        # the corpus, evaluate the whole predicate as vectorized bitmap
+        # algebra (absent terms are zero bitmaps; NOT is a plain ~, no
+        # complement bookkeeping) and score the matches through the dense
+        # rank arrays — the head-term boolean worst case drops from sorted-
+        # array set algebra to a handful of N-bit ops.
+        present_all = [t for t in terms if t in rows]
+        if present_all and all(
+            rows[t].df * 64 >= self.meta.n_docs for t in present_all
+        ):
+            from discogsography_spark.query.boolquery import fold_predicate
+
+            zeros = np.zeros(self.meta.n_docs, dtype=bool)
+
+            def bm_leaf(t):
+                if t not in rows:
+                    return zeros
+                member, _rank = self._membership(t, self._decoded(rows[t])[0])
+                return member
+
+            mask = fold_predicate(
+                ast,
+                bm_leaf,
+                lambda a, b: a & b,
+                lambda a, b: a | b,
+                lambda a: ~a,
+            )
+            cand = np.flatnonzero(mask)
+            if cand.size == 0:
+                return []
+            m2, p2 = self.meta, self.meta.params
+            avgdl2 = avgdl if avgdl is not None else m2.avgdl
+            scores = np.zeros(cand.size, dtype=np.float64)
+            for t in pos_terms:  # sorted order — fixed summation order
+                if t not in rows:
+                    continue
+                # a positive term need not be present in every match (OR
+                # arms); probe resolves per-doc presence via the dense ranks
+                hitmask, tfv, dlv = self._probe(rows[t], cand)
+                hit2 = np.flatnonzero(hitmask)
+                if hit2.size == 0:
+                    continue
+                idf = idfs[t] if idfs is not None else p2.idf(m2.n_docs, rows[t].df)
+                tf = tfv.astype(np.float64)
+                dl = dlv.astype(np.float64)
+                norm = p2.k1 * (1.0 - p2.b + p2.b * (dl / avgdl2))
+                scores[hit2] = scores[hit2] + idf * (tf / (tf + norm))
+            if cand.size > 4 * k:
+                kth = np.partition(-scores, k - 1)[k - 1]
+                sel = np.flatnonzero(-scores <= kth)
+                cand, scores = cand[sel], scores[sel]
+            top = np.lexsort((cand, -scores))[:k]
+            res = [(int(cand[i]), float(scores[i])) for i in top]
+            if use_result_cache:
+                self._result_cache[key] = tuple(res)
+                if len(self._result_cache) > self._result_cache_size:
+                    self._result_cache.popitem(last=False)
+            return res
+
         docsets = {
             t: (self._decoded(rows[t])[0] if t in rows else empty) for t in terms
         }
