@@ -890,20 +890,39 @@ class LocalSearcher:
             idfs = {t: p.idf(m.n_docs, rows[t].df) for t in terms}
 
         # conjunctive candidate set (phrase ⊆ AND) — the driving term's tf
-        # rides the decode; only the other terms are probed
+        # rides the decode; only the other terms are probed. All-head-term
+        # phrases take the same dense bitmap intersection as _topk_and
+        # (tf/dl realign through the dense rank arrays).
         by_df = sorted(terms, key=lambda t: (rows[t].df, t))
-        cand, tf0, dl0 = self._decoded(rows[by_df[0]])
-        tf_by: dict[str, np.ndarray] = {by_df[0]: tf0}
-        for t in by_df[1:]:
-            mask, tfv, dlv = self._probe(rows[t], cand)
-            if not mask.all():
-                cand = cand[mask]
-                dl0 = dl0[mask]
-                for tt in tf_by:
-                    tf_by[tt] = tf_by[tt][mask]
-            tf_by[t] = tfv
+        if len(terms) >= 2 and all(rows[t].df * 64 >= m.n_docs for t in terms):
+            mask = None
+            dense: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+            for t in terms:
+                d, tfv, dlv = self._decoded(rows[t])
+                member, rank = self._membership(t, d)
+                mask = member.copy() if mask is None else (mask & member)
+                dense[t] = (rank, tfv, dlv)
+            cand = np.flatnonzero(mask)
             if cand.size == 0:
                 return []
+            r0, _tf0, dlv0 = dense[by_df[0]]
+            dl0 = dlv0[r0[cand]]
+            tf_by = {
+                t: dense[t][1][dense[t][0][cand]] for t in terms
+            }
+        else:
+            cand, tf0, dl0 = self._decoded(rows[by_df[0]])
+            tf_by = {by_df[0]: tf0}
+            for t in by_df[1:]:
+                mask2, tfv, dlv = self._probe(rows[t], cand)
+                if not mask2.all():
+                    cand = cand[mask2]
+                    dl0 = dl0[mask2]
+                    for tt in tf_by:
+                        tf_by[tt] = tf_by[tt][mask2]
+                tf_by[t] = tfv
+                if cand.size == 0:
+                    return []
 
         # (doc << SHIFT | pos) keys per term for a sorted doc subset. The
         # position field is sized from the LONGEST candidate doc (positions
