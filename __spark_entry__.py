@@ -214,6 +214,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_fuzzy_term_match"] = fts_fuzzy_term_match
 
+    def fts_proximity_topk(spark, sf_dir):
+        # tsquery `a <N> b` / Lucene sloppy-phrase family: terms within a
+        # 3-token window, either order — mirrors LocalSearcher.topk_within
+        from discogsography_spark.query.dataframe_bm25 import (
+            bm25_proximity_topk_dataframe,
+        )
+
+        return bm25_proximity_topk_dataframe(
+            _read(spark, sf_dir, "documents"), "table", "value", window=3, k=15
+        )
+
+    q["fts_proximity_topk"] = fts_proximity_topk
+
     def fts_phrase_match_count(spark, sf_dir):
         # phraseto_tsquery / Lucene PhraseQuery: consecutive analyzed tokens
         from discogsography_spark.query.dataframe_bm25 import phrase_match_col
@@ -1411,6 +1424,37 @@ FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
 WHERE tf.doc_id IN (SELECT doc_id FROM matched)
 GROUP BY tf.doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+    _PROX_SQL = (
+        f"len([i FOR i IN range(1, len({_TOKS_SQL}) + 1) "
+        f"IF {_TOKS_SQL}[i] = 'table' AND "
+        f"len([j FOR j IN range(greatest(1, i - 3), least(len({_TOKS_SQL}), i + 3) + 1) "
+        f"IF j != i AND {_TOKS_SQL}[j] = 'value']) > 0]) > 0"
+    )
+    o["fts_proximity_topk"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT count(*) FROM toks)::DOUBLE AS total_tokens
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ('table', 'value') GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+matched AS (SELECT doc_id FROM documents WHERE {_PROX_SQL}),
+scored AS (
+  SELECT tf.doc_id, count(*) AS nt,
+         round(sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * (tf.tf / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * (dl.dl / (s.total_tokens / s.n_docs)))))), 5) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.doc_id IN (SELECT doc_id FROM matched)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scored WHERE nt = 2
+ORDER BY score DESC, doc_id ASC LIMIT 15
 """
 
     _PHRASE_SQL = (

@@ -4,7 +4,7 @@ to the same query functions, SURVEY.md §3.3). This CLI, the pytest suite,
 and bench.py all consume the same library surface.
 
     python -m discogsography_spark.cli build  <transcripts.parquet> <index_dir> [--segments N]
-    python -m discogsography_spark.cli query  <index_dir> "<query text>" [--k K] [--mode and|or|prefix|phrase|bool|suggest] [--show-text <transcripts>]
+    python -m discogsography_spark.cli query  <index_dir> "<query text>" [--k K] [--mode and|or|prefix|phrase|bool|suggest|near] [--show-text <transcripts>]
     python -m discogsography_spark.cli stats  <index_dir>
     python -m discogsography_spark.cli compact <index_dir>
 """
@@ -38,7 +38,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("index_dir")
     q.add_argument("query_text")
     q.add_argument("--k", type=int, default=10)
-    q.add_argument("--mode", choices=("and", "or", "prefix", "phrase", "bool", "suggest"), default="and")
+    q.add_argument("--window", type=int, default=3, help="proximity window for --mode near")
+    q.add_argument("--mode", choices=("and", "or", "prefix", "phrase", "bool", "suggest", "near"), default="and")
     q.add_argument("--show-text", metavar="TRANSCRIPTS", default=None)
 
     s = sub.add_parser("stats", help="print index manifest stats")
@@ -85,6 +86,11 @@ def main(argv: list[str] | None = None) -> int:
             hits = searcher.topk_phrase(args.query_text, args.k)
         elif args.mode == "bool":
             hits = searcher.topk_bool(args.query_text, args.k)
+        elif args.mode == "near":
+            w = args.query_text.split()
+            if len(w) != 2:
+                raise SystemExit("--mode near expects exactly two words")
+            hits = searcher.topk_within(w[0], w[1], args.window, args.k)
         elif args.mode == "suggest":
             for term, sim in searcher.suggest_terms(args.query_text, k=args.k):
                 print(f"{sim:8.4f}  {term}")

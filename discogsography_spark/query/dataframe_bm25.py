@@ -556,3 +556,109 @@ def bm25_bool_topk_dataframe(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def proximity_match_col(t1: str, t2: str, window: int, text_col: str = "text"):
+    """TRUE iff the analyzed token stream contains `t1` and `t2` within
+    `window` positions of each other (either order; same-term proximity
+    needs two distinct occurrences) — one native exists-over-positions
+    expression, O(n·window) comparisons inside codegen, no UDF."""
+    toks = tokens_col(text_col)
+
+    def near(i):
+        js = F.sequence(
+            F.greatest(F.lit(1), i - F.lit(window)),
+            F.least(F.size(toks), i + F.lit(window)),
+        )
+        return F.exists(
+            js, lambda j: (j != i) & (F.element_at(toks, j) == F.lit(t2))
+        )
+
+    starts = F.sequence(F.lit(1), F.size(toks))
+    return F.when(
+        F.size(toks) >= F.lit(2),
+        F.exists(
+            starts, lambda i: (F.element_at(toks, i) == F.lit(t1)) & near(i)
+        ),
+    ).otherwise(F.lit(False))
+
+
+def bm25_proximity_topk_dataframe(
+    docs: DataFrame,
+    word1: str,
+    word2: str,
+    window: int,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    params: BM25Params | None = None,
+    round_dp: int = 5,
+) -> DataFrame:
+    """Proximity top-k — the DataFrame mirror of LocalSearcher.topk_within:
+    docs where the two analyzed terms occur within `window` positions
+    (either order), ranked by conjunctive BM25 of the terms with
+    corpus-global stats (filter-before-rank-cap, phrase-style)."""
+    p = params or BM25Params()
+    spark = docs.sparkSession
+    ts1 = analyze_query(word1)
+    ts2 = analyze_query(word2)
+    if not ts1 or not ts2:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    t1, t2 = ts1[0], ts2[0]
+    terms = sorted({t1, t2})
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("_dl"), F.lit(0)).alias("total_tokens"),
+    )
+    tf_all = (
+        toks.select("_id", "_dl", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("_dl").alias("dl"))
+    )
+    df_per_term = tf_all.groupBy("term").agg(F.count("*").alias("df"))
+    matched_ids = docs.filter(
+        proximity_match_col(t1, t2, window, text_col)
+    ).select(F.col(id_col).alias("_id"))
+    tf = tf_all.join(matched_ids, "_id", "left_semi")
+
+    partial = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    ) * (
+        F.col("tf").cast("double")
+        / (
+            F.col("tf").cast("double")
+            + F.lit(p.k1)
+            * (
+                F.lit(1.0 - p.b)
+                + F.lit(p.b)
+                * (F.col("dl").cast("double") / (F.col("total_tokens") / F.col("n_docs")))
+            )
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_per_term), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("partial", partial)
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("nt"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "partial"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["partial"],
+            ).alias("raw_score"),
+        )
+        .filter(F.col("nt") == F.lit(len(terms)))
+        .select(
+            F.col("_id").alias(id_col), F.round("raw_score", round_dp).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+    return scored

@@ -834,6 +834,98 @@ class LocalSearcher:
         res = self._topk_or(uniq, k) if mode == "or" else self._topk_and(uniq, k)
         return res, rewrites
 
+    def _term_position_keys(
+        self, tp: TermPostings, docs_sorted: np.ndarray, shift: np.int64
+    ) -> np.ndarray:
+        """Sorted (doc << shift | pos) keys for one term restricted to a
+        sorted candidate-doc subset — the shared primitive of phrase
+        adjacency and proximity verification."""
+        d_full, tf_full, _ = self._decoded(tp)
+        pos_flat, off = self._positions(tp)
+        pi = np.searchsorted(d_full, docs_sorted)  # exact hits guaranteed
+        lens = tf_full[pi]
+        total = int(lens.sum())
+        intra = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+        )
+        flat_idx = np.repeat(off[pi], lens) + intra
+        flat_doc = np.repeat(docs_sorted, lens)
+        return (flat_doc << shift) | pos_flat[flat_idx]
+
+    def topk_within(
+        self, word1: str, word2: str, window: int, k: int
+    ) -> list[tuple[int, float]]:
+        """Proximity top-k: documents where the two analyzed terms occur
+        within `window` token positions of each other, in EITHER order —
+        the tsquery `a <N> b` / Lucene sloppy-PhraseQuery family (window=1
+        ≈ unordered adjacency). Ranked by conjunctive BM25 of the two terms
+        (corpus-global stats, 5dp rounding — the phrase contract). Requires
+        a positional index. Same-term proximity ("a", "a", w) matches docs
+        with two occurrences ≤ w apart."""
+        an = get_analyzer(self.meta.analyzer)
+        ts1 = an.analyze_query(word1)
+        ts2 = an.analyze_query(word2)
+        if not ts1 or not ts2 or k <= 0:
+            return []
+        if window < 1:
+            raise ValueError(f"window must be ≥ 1, got {window}")
+        t1, t2 = ts1[0], ts2[0]
+        terms = sorted({t1, t2})
+        rows = self.lookup_terms(terms)
+        if len(rows) != len(terms):
+            return []
+        m, p = self.meta, self.meta.params
+        idfs = {t: p.idf(m.n_docs, rows[t].df) for t in terms}
+
+        # candidate set: conjunctive (or tf ≥ 2 for the same-term case)
+        if t1 == t2:
+            d, tfv, _dl = self._decoded(rows[t1])
+            cand = d[tfv >= 2]
+        else:
+            by_df = sorted(terms, key=lambda t: (rows[t].df, t))
+            cand = self._decoded(rows[by_df[0]])[0]
+            for t in by_df[1:]:
+                mask, _tf, _dl = self._probe(rows[t], cand)
+                cand = cand[mask]
+        if cand.size == 0:
+            return []
+
+        dls = np.concatenate(
+            [self._decoded(rows[t])[2] for t in terms]
+        )
+        max_dl = int(dls.max()) if dls.size else 1
+        shift = max(21, max_dl.bit_length())
+        if m.n_docs >= (1 << (63 - shift)):
+            raise ValueError(
+                f"proximity key packing overflow: n_docs={m.n_docs} with "
+                f"{shift} position bits"
+            )
+        SHIFT = np.int64(shift)
+        span = np.int64(1 << shift)
+
+        if t1 == t2:
+            keys = self._term_position_keys(rows[t1], cand, SHIFT)
+            same_doc = (keys[1:] >> SHIFT) == (keys[:-1] >> SHIFT)
+            close = (keys[1:] - keys[:-1]) <= window
+            matched = np.unique((keys[1:][same_doc & close]) >> SHIFT)
+        else:
+            k1_ = self._term_position_keys(rows[t1], cand, SHIFT)
+            k2_ = self._term_position_keys(rows[t2], cand, SHIFT)
+            docbase = (k1_ >> SHIFT) << SHIFT
+            lo = np.maximum(k1_ - np.int64(window), docbase)
+            hi = np.minimum(k1_ + np.int64(window), docbase + span - 1)
+            a = np.searchsorted(k2_, lo, side="left")
+            b2 = np.searchsorted(k2_, hi, side="right")
+            matched = np.unique((k1_[b2 > a]) >> SHIFT)
+        if matched.size == 0:
+            return []
+
+        by_df = sorted(terms, key=lambda t: (rows[t].df, t))
+        sd, ss = self._and_score(matched, terms, by_df, rows, idfs)
+        ss = np.round(ss, 5)
+        top = np.lexsort((sd, -ss))[:k]
+        return [(int(sd[i]), float(ss[i])) for i in top]
+
     def _positions(self, tp: TermPostings) -> tuple[np.ndarray, np.ndarray]:
         """(flat positions, per-posting offset array) for one term, cached
         together. Offsets are concatenate(([0], cumsum(tf))) — recomputing
@@ -941,18 +1033,7 @@ class LocalSearcher:
         SHIFT = np.int64(shift)
 
         def term_keys(t: str, docs_sorted: np.ndarray) -> np.ndarray:
-            tp = rows[t]
-            d_full, tf_full, _ = self._decoded(tp)
-            pos_flat, off = self._positions(tp)
-            pi = np.searchsorted(d_full, docs_sorted)  # exact hits guaranteed
-            lens = tf_full[pi]
-            total = int(lens.sum())
-            intra = np.arange(total, dtype=np.int64) - np.repeat(
-                np.concatenate(([0], np.cumsum(lens)[:-1])), lens
-            )
-            flat_idx = np.repeat(off[pi], lens) + intra
-            flat_doc = np.repeat(docs_sorted, lens)
-            return (flat_doc << SHIFT) | pos_flat[flat_idx]
+            return self._term_position_keys(rows[t], docs_sorted, SHIFT)
 
         def phrase_docs(docs_sorted: np.ndarray) -> np.ndarray:
             """Subset of docs_sorted containing the phrase (sorted)."""

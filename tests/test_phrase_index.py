@@ -77,3 +77,43 @@ def test_non_positional_results_unchanged_by_schema_extension(spark, pos_setup):
     assert s.topk("spark index", 5)
     assert s.topk("spark index", 5, mode="or")
     assert s.topk_prefix("spa", 5)
+
+
+def test_proximity_index_matches_dataframe_path(spark, pos_setup):
+    from discogsography_spark.query.dataframe_bm25 import (
+        bm25_proximity_topk_dataframe,
+    )
+
+    s = LocalSearcher(pos_setup["idx"])
+    cases = [
+        ("spark", "index", 1, 10),   # unordered adjacency
+        ("spark", "index", 3, 10),
+        ("index", "spark", 3, 10),   # symmetric
+        ("turn", "turn", 2, 8),      # same-term proximity
+        ("spark", "zzqqabsent", 4, 5),
+        ("merge", "query", 5, 12),
+    ]
+    n_nonempty = 0
+    for w1, w2, win, k in cases:
+        got = s.topk_within(w1, w2, win, k)
+        want = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in bm25_proximity_topk_dataframe(
+                pos_setup["docs"], w1, w2, win, k=k
+            ).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], (w1, w2, win)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, (w1, w2, win)
+        n_nonempty += bool(got)
+    assert n_nonempty >= 3
+
+
+def test_proximity_window_one_superset_of_phrase_pair(spark, pos_setup):
+    """window=1 proximity (unordered adjacency) must contain both phrase
+    orders' match sets."""
+    s = LocalSearcher(pos_setup["idx"])
+    near = {d for d, _ in s.topk_within("spark", "index", 1, 10**6)}
+    ab = {d for d, _ in s.topk_phrase("spark index", 10**6)}
+    ba = {d for d, _ in s.topk_phrase("index spark", 10**6)}
+    assert (ab | ba) <= near
