@@ -227,6 +227,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_proximity_topk"] = fts_proximity_topk
 
+    def fts_bool_phrase_topk(spark, sf_dir):
+        # quoted phrase inside a boolean query — the full
+        # websearch_to_tsquery surface ('"a b" OR c AND NOT d')
+        from discogsography_spark.query.dataframe_bm25 import bm25_bool_topk_dataframe
+
+        return bm25_bool_topk_dataframe(
+            _read(spark, sf_dir, "documents"),
+            '"table value" OR (batch AND NOT window)',
+            k=20,
+        )
+
+    q["fts_bool_phrase_topk"] = fts_bool_phrase_topk
+
     def fts_phrase_match_count(spark, sf_dir):
         # phraseto_tsquery / Lucene PhraseQuery: consecutive analyzed tokens
         from discogsography_spark.query.dataframe_bm25 import phrase_match_col
@@ -1461,6 +1474,37 @@ ORDER BY score DESC, doc_id ASC LIMIT 15
         f"len([i FOR i IN range(1, len({_TOKS_SQL})) "
         f"IF {_TOKS_SQL}[i] = 'table' AND {_TOKS_SQL}[i + 1] = 'value']) > 0"
     )
+    # quoted phrase inside a boolean predicate: the phrase arm reuses the
+    # adjacency expression; scoring = positive terms present, as in
+    # fts_bool_topk
+    o["fts_bool_phrase_topk"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT count(*) FROM toks)::DOUBLE AS total_tokens
+),
+tl AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+matched AS (
+  SELECT doc_id FROM documents
+  WHERE ({_PHRASE_SQL})
+     OR (doc_id IN (SELECT doc_id FROM tl WHERE list_contains(tk, 'batch')
+                                            AND NOT list_contains(tk, 'window')))
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ('batch', 'table', 'value') GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       round(sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+            * (tf.tf / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * (dl.dl / (s.total_tokens / s.n_docs)))))), 5) AS score
+FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+WHERE tf.doc_id IN (SELECT doc_id FROM matched)
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
     o["fts_phrase_match_count"] = f"""
 SELECT count(*)::BIGINT AS n_phrase FROM documents WHERE {_PHRASE_SQL}
 """

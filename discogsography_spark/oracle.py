@@ -29,6 +29,7 @@ class OracleIndex:
     # term -> {doc_id: tf}
     postings: dict[str, dict[int, int]] = field(default_factory=dict)
     doc_len: dict[int, int] = field(default_factory=dict)
+    doc_tokens: dict[int, list[str]] = field(default_factory=dict)
     params: BM25Params = field(default_factory=BM25Params)
     analyzer: str = "simple"
 
@@ -53,6 +54,7 @@ def build_oracle_index(
     for doc_id, (_conv, _turn, text) in enumerate(ordered):
         toks = an.tokenize_py(text)
         idx.doc_len[doc_id] = len(toks)
+        idx.doc_tokens[doc_id] = toks
         idx.total_tokens += len(toks)
         for term, tf in Counter(toks).items():
             idx.postings.setdefault(term, {})[doc_id] = tf
@@ -140,9 +142,19 @@ def bm25_topk_bool(
     )
 
     analyzer = get_analyzer(idx.analyzer)
-    ast = parse_bool_query(query_text, analyzer.analyze_query)
+    ast = parse_bool_query(
+        query_text, analyzer.analyze_query, tokenize=analyzer.tokenize_py
+    )
     if ast is None:
         return []
+
+    def contains_phrase(doc_id: int, ph: tuple) -> bool:
+        toks = idx.doc_tokens.get(doc_id, [])
+        n = len(ph)
+        return any(
+            tuple(toks[i : i + n]) == ph for i in range(len(toks) - n + 1)
+        )
+
     pos_terms, _ = polarity_terms(ast)
     p_ = idx.params
     n, avgdl = idx.n_docs, idx.avgdl
@@ -150,7 +162,11 @@ def bm25_topk_bool(
     idfs = {t: p_.idf(n, len(idx.postings[t])) for t in present}
     scored: list[tuple[int, float]] = []
     for d in range(idx.n_docs):
-        if not eval_predicate(ast, lambda t: d in idx.postings.get(t, {})):
+        if not eval_predicate(
+            ast,
+            lambda t: d in idx.postings.get(t, {}),
+            has_phrase=lambda ph: contains_phrase(d, ph),
+        ):
             continue
         dl = idx.doc_len[d]
         norm = p_.k1 * (1.0 - p_.b + p_.b * (dl / avgdl))

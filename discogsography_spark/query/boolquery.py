@@ -23,15 +23,20 @@ Grammar (keywords case-insensitive; adjacency = AND, websearch-style):
 
     expr   := and_e (OR and_e)*
     and_e  := unary (AND? unary)*
-    unary  := NOT unary | '(' expr ')' | WORD
+    unary  := NOT unary | '(' expr ')' | WORD | "QUOTED PHRASE"
 
 Each WORD runs through the index analyzer (stemming/stopwords identical to
 the corpus side); a word analyzing to nothing (stopword) vanishes from its
-group, a word analyzing to several tokens becomes their conjunction.
+group, a word analyzing to several tokens becomes their conjunction. A
+double-quoted span is a PHRASE node — matched as consecutive tokens (the
+websearch_to_tsquery '"a b" OR c' surface); its words pass through the
+analyzer's ORDERED tokenizer (an ordered-tokenize callable is taken as the
+optional `tokenize` argument; stopword-dropping analyzers compact the
+phrase, exactly like phraseto_tsquery).
 
-AST nodes are plain tuples — ('term', str) | ('and', (nodes…)) |
-('or', (nodes…)) | ('not', node) — hashable, so result caches can key on
-them directly.
+AST nodes are plain tuples — ('term', str) | ('phrase', (str, …)) |
+('and', (nodes…)) | ('or', (nodes…)) | ('not', node) — hashable, so result
+caches can key on them directly.
 """
 
 from __future__ import annotations
@@ -39,7 +44,7 @@ from __future__ import annotations
 import re
 from typing import Callable
 
-_TOKEN_RE = re.compile(r"\(|\)|[^\s()]+")
+_TOKEN_RE = re.compile(r"\"[^\"]*\"|\(|\)|[^\s()\"]+")
 _KEYWORDS = {"and": "AND", "or": "OR", "not": "NOT"}
 
 Node = tuple  # ('term', str) | ('and', tuple) | ('or', tuple) | ('not', Node)
@@ -49,14 +54,31 @@ class BoolQueryError(ValueError):
     pass
 
 
-def parse_bool_query(query_text: str, analyze: Callable[[str], list[str]]) -> Node | None:
+def parse_bool_query(
+    query_text: str,
+    analyze: Callable[[str], list[str]],
+    tokenize: Callable[[str], list[str]] | None = None,
+) -> Node | None:
     """Parse to a normalized AST; None if the query analyzes to nothing.
-    `analyze` maps one raw word to its index tokens (possibly empty)."""
+    `analyze` maps one raw word to its index tokens (possibly empty);
+    `tokenize` (optional) is the ORDERED tokenizer used for quoted phrases
+    — defaults to analyzing word-by-word in order."""
     raw = _TOKEN_RE.findall(query_text)
     toks: list[str] = []
     for t in raw:
-        toks.append(_KEYWORDS.get(t.lower(), t) if t not in "()" else t)
+        if t.startswith('"'):
+            toks.append(t)  # quoted span, handled in parse_unary
+        else:
+            toks.append(_KEYWORDS.get(t.lower(), t) if t not in "()" else t)
     pos = 0
+
+    def phrase_tokens(inner: str) -> list[str]:
+        if tokenize is not None:
+            return tokenize(inner)
+        out: list[str] = []
+        for w in inner.split():
+            out.extend(analyze(w))
+        return out
 
     def peek() -> str | None:
         return toks[pos] if pos < len(toks) else None
@@ -109,6 +131,14 @@ def parse_bool_query(query_text: str, analyze: Callable[[str], list[str]]) -> No
             return inner
         if t in (")", "OR", "AND", None):
             raise BoolQueryError(f"unexpected token {t!r}")
+        if t.startswith('"'):
+            inner = take()[1:-1]
+            ph = phrase_tokens(inner)
+            if not ph:
+                return None
+            if len(ph) == 1:
+                return ("term", ph[0])
+            return ("phrase", tuple(ph))
         word = take()
         terms = analyze(word)
         if not terms:
@@ -131,7 +161,7 @@ def parse_bool_query(query_text: str, analyze: Callable[[str], list[str]]) -> No
 def _satisfiable_empty(ast: Node) -> bool:
     """Would a document containing NO query term match?"""
     kind = ast[0]
-    if kind == "term":
+    if kind in ("term", "phrase"):
         return False
     if kind == "not":
         return not _satisfiable_empty(ast[1])
@@ -150,6 +180,8 @@ def polarity_terms(ast: Node) -> tuple[list[str], list[str]]:
         kind = n[0]
         if kind == "term":
             (neg if negated else pos).add(n[1])
+        elif kind == "phrase":
+            (neg if negated else pos).update(n[1])
         elif kind == "not":
             walk(n[1], not negated)
         else:
@@ -165,27 +197,48 @@ def all_terms(ast: Node) -> list[str]:
     return sorted(set(p) | set(n))
 
 
-def eval_predicate(ast: Node, has: Callable[[str], bool]) -> bool:
-    """Row-at-a-time predicate evaluation (pure-Python oracle path)."""
+def eval_predicate(
+    ast: Node,
+    has: Callable[[str], bool],
+    has_phrase: Callable[[tuple], bool] | None = None,
+) -> bool:
+    """Row-at-a-time predicate evaluation (pure-Python oracle path).
+    `has_phrase(terms_tuple)` resolves phrase nodes; required only when the
+    AST contains one."""
     kind = ast[0]
     if kind == "term":
         return has(ast[1])
+    if kind == "phrase":
+        if has_phrase is None:
+            raise BoolQueryError("phrase node needs a has_phrase resolver")
+        return has_phrase(ast[1])
     if kind == "not":
-        return not eval_predicate(ast[1], has)
+        return not eval_predicate(ast[1], has, has_phrase)
     if kind == "and":
-        return all(eval_predicate(c, has) for c in ast[1])
-    return any(eval_predicate(c, has) for c in ast[1])
+        return all(eval_predicate(c, has, has_phrase) for c in ast[1])
+    return any(eval_predicate(c, has, has_phrase) for c in ast[1])
 
 
-def fold_predicate(ast: Node, term_leaf, and_, or_, not_):
+def fold_predicate(ast: Node, term_leaf, and_, or_, not_, phrase_leaf=None):
     """Generic predicate fold — builds a Spark Column, a SQL string, or a
-    set-algebra value from the same AST with engine-specific combinators."""
+    set-algebra value from the same AST with engine-specific combinators.
+    `phrase_leaf(terms_tuple)` resolves phrase nodes (required only when
+    the AST contains one)."""
     kind = ast[0]
     if kind == "term":
         return term_leaf(ast[1])
+    if kind == "phrase":
+        if phrase_leaf is None:
+            raise BoolQueryError("phrase node needs a phrase_leaf resolver")
+        return phrase_leaf(ast[1])
     if kind == "not":
-        return not_(fold_predicate(ast[1], term_leaf, and_, or_, not_))
-    parts = [fold_predicate(c, term_leaf, and_, or_, not_) for c in ast[1]]
+        return not_(
+            fold_predicate(ast[1], term_leaf, and_, or_, not_, phrase_leaf)
+        )
+    parts = [
+        fold_predicate(c, term_leaf, and_, or_, not_, phrase_leaf)
+        for c in ast[1]
+    ]
     comb = and_ if kind == "and" else or_
     acc = parts[0]
     for p in parts[1:]:
@@ -193,10 +246,22 @@ def fold_predicate(ast: Node, term_leaf, and_, or_, not_):
     return acc
 
 
-def eval_docsets(ast: Node, docs_of):
+def has_phrase_nodes(ast: Node) -> bool:
+    kind = ast[0]
+    if kind == "term":
+        return False
+    if kind == "phrase":
+        return True
+    if kind == "not":
+        return has_phrase_nodes(ast[1])
+    return any(has_phrase_nodes(c) for c in ast[1])
+
+
+def eval_docsets(ast: Node, docs_of, phrase_docs_of=None):
     """Evaluate the predicate over sorted-unique docID arrays.
 
-    `docs_of(term)` → np.ndarray (sorted, unique; empty for absent terms).
+    `docs_of(term)` → np.ndarray (sorted, unique; empty for absent terms);
+    `phrase_docs_of(terms_tuple)` resolves phrase nodes the same way.
     NOT never materializes a complement: values flow as (array, is_complement)
     and the parser's pure-negation rejection guarantees the root resolves
     positive. Returns the sorted matched docID array."""
@@ -228,7 +293,14 @@ def eval_docsets(ast: Node, docs_of):
         # pos ∨ ¬S  =  ¬(S \ pos)
         return (np.setdiff1d(db, da, assume_unique=True), True)
 
-    cand, comp = fold_predicate(ast, leaf, and_, or_, lambda a: (a[0], not a[1]))
+    def ph_leaf(terms_tuple):
+        if phrase_docs_of is None:
+            raise BoolQueryError("phrase node needs a phrase_docs_of resolver")
+        return (phrase_docs_of(terms_tuple), False)
+
+    cand, comp = fold_predicate(
+        ast, leaf, and_, or_, lambda a: (a[0], not a[1]), ph_leaf
+    )
     if comp:  # unreachable: parser rejects pure-negation queries
         raise AssertionError("boolean root resolved to a complement set")
     return cand

@@ -468,6 +468,24 @@ def bm25_phrase_topk_dataframe(
     )
 
 
+def _phrase_pred_on_toks(phrase_terms: list[str]):
+    """phrase_match_col specialized to a pre-tokenized `_toks` column —
+    the boolean DataFrame path's phrase-node leaf."""
+    toks = F.col("_toks")
+    n = len(phrase_terms)
+
+    def match_at(i):
+        cond = F.lit(True)
+        for j, t in enumerate(phrase_terms):
+            cond = cond & (F.element_at(toks, i + F.lit(j)) == F.lit(t))
+        return cond
+
+    starts = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    return F.when(
+        F.size(toks) >= F.lit(n), F.exists(starts, match_at)
+    ).otherwise(F.lit(False))
+
+
 def bm25_bool_topk_dataframe(
     docs: DataFrame,
     query_text: str,
@@ -492,7 +510,7 @@ def bm25_bool_topk_dataframe(
 
     p = params or BM25Params()
     spark = docs.sparkSession
-    ast = parse_bool_query(query_text, analyze_query)
+    ast = parse_bool_query(query_text, analyze_query, tokenize=tokenize_py)
     if ast is None:
         return spark.createDataFrame([], f"{id_col} long, score double")
     pos_terms, _ = polarity_terms(ast)
@@ -508,6 +526,7 @@ def bm25_bool_topk_dataframe(
         lambda a, b: a & b,
         lambda a, b: a | b,
         lambda a: ~a,
+        phrase_leaf=lambda ph: _phrase_pred_on_toks(list(ph)),
     )
     matched = toks.filter(pred).select("_id")
 

@@ -834,6 +834,60 @@ class LocalSearcher:
         res = self._topk_or(uniq, k) if mode == "or" else self._topk_and(uniq, k)
         return res, rewrites
 
+    def _phrase_doc_set(self, ordered: list[str]) -> np.ndarray:
+        """All docs containing the ordered terms CONSECUTIVELY (sorted docID
+        array) — the phrase-node resolver for boolean queries. Same key
+        chain as topk_phrase, without scoring or early termination (a
+        boolean composition needs the full set anyway)."""
+        empty = np.empty(0, dtype=np.int64)
+        if not ordered:
+            return empty
+        terms = sorted(set(ordered))
+        rows = self.lookup_terms(terms)
+        if len(rows) != len(terms):
+            return empty
+        m = self.meta
+        if len(terms) >= 2 and all(rows[t].df * 64 >= m.n_docs for t in terms):
+            mask = None
+            for t in terms:
+                d, _tf, _dl = self._decoded(rows[t])
+                member, _rank = self._membership(t, d)
+                mask = member.copy() if mask is None else (mask & member)
+            cand = np.flatnonzero(mask)
+        else:
+            by_df = sorted(terms, key=lambda t: (rows[t].df, t))
+            cand = self._decoded(rows[by_df[0]])[0]
+            for t in by_df[1:]:
+                mk, _t2, _d2 = self._probe(rows[t], cand)
+                cand = cand[mk]
+                if cand.size == 0:
+                    break
+        if cand.size == 0:
+            return empty
+        max_dl = max(int(self._decoded(rows[t])[2].max()) for t in terms)
+        # +16 slack: pos + phrase-offset must not wrap into the next doc's
+        # key space (same sizing rule as topk_phrase)
+        shift = max(21, (max_dl + 16).bit_length())
+        if m.n_docs >= (1 << (63 - shift)):
+            raise ValueError(
+                f"phrase key packing overflow: n_docs={m.n_docs} with "
+                f"{shift} position bits"
+            )
+        SHIFT = np.int64(shift)
+        survivors = self._term_position_keys(rows[ordered[0]], np.sort(cand), SHIFT)
+        for j, t in enumerate(ordered[1:], start=1):
+            if survivors.size == 0:
+                break
+            alive = np.unique(survivors >> SHIFT)
+            kj = self._term_position_keys(rows[t], alive, SHIFT)
+            target = survivors + np.int64(j)
+            posn = np.searchsorted(kj, target)
+            ok = posn < kj.size
+            hit = np.zeros(survivors.size, dtype=bool)
+            hit[ok] = kj[posn[ok]] == target[ok]
+            survivors = survivors[hit]
+        return np.unique(survivors >> SHIFT)
+
     def _term_position_keys(
         self, tp: TermPostings, docs_sorted: np.ndarray, shift: np.int64
     ) -> np.ndarray:
@@ -1022,7 +1076,9 @@ class LocalSearcher:
         # silently corrupt adjacency keys. If docIDs don't fit the remaining
         # bits, fail loudly rather than return wrong phrase matches.
         max_dl = int(dl0.max()) if dl0.size else 1
-        shift = max(21, max_dl.bit_length())
+        # +16 slack: a candidate start near the end of a max-length doc must
+        # not wrap (doc<<shift|pos)+j into the next doc's key space
+        shift = max(21, (max_dl + 16).bit_length())
         if m.n_docs >= (1 << (63 - shift)):
             raise ValueError(
                 f"phrase key packing overflow: n_docs={m.n_docs} needs more "
@@ -1304,7 +1360,9 @@ class LocalSearcher:
         if k <= 0:
             return []
         analyzer = get_analyzer(self.meta.analyzer)
-        ast = parse_bool_query(query_text, analyzer.analyze_query)
+        ast = parse_bool_query(
+            query_text, analyzer.analyze_query, tokenize=analyzer.tokenize_py
+        )
         if ast is None:
             return []
         # stat overrides come from a sharded caller whose constants differ
@@ -1317,8 +1375,11 @@ class LocalSearcher:
                 self._result_cache.move_to_end(key)
                 return list(hit)
 
+        from discogsography_spark.query.boolquery import has_phrase_nodes
+
         pos_terms, neg_terms = polarity_terms(ast)
         terms = sorted(set(pos_terms) | set(neg_terms))
+        with_phrases = has_phrase_nodes(ast)
 
         # flat conjunctions/disjunctions of plain terms ARE the dedicated
         # modes — delegate to their pruned evaluators (champion-seeded
@@ -1330,14 +1391,14 @@ class LocalSearcher:
                 return True
             return ast[0] == kind and all(c[0] == "term" for c in ast[1])
 
-        if not neg_terms and _flat("and"):
+        if not with_phrases and not neg_terms and _flat("and"):
             res = self._topk_and(terms, k, idfs=idfs, avgdl=avgdl)
             if use_result_cache:
                 self._result_cache[key] = tuple(res)
                 if len(self._result_cache) > self._result_cache_size:
                     self._result_cache.popitem(last=False)
             return res
-        if not neg_terms and _flat("or"):
+        if not with_phrases and not neg_terms and _flat("or"):
             res = self._topk_or(terms, k, idfs=idfs, avgdl=avgdl)
             if use_result_cache:
                 self._result_cache[key] = tuple(res)
@@ -1355,7 +1416,7 @@ class LocalSearcher:
         # rank arrays — the head-term boolean worst case drops from sorted-
         # array set algebra to a handful of N-bit ops.
         present_all = [t for t in terms if t in rows]
-        if present_all and all(
+        if not with_phrases and present_all and all(
             rows[t].df * 64 >= self.meta.n_docs for t in present_all
         ):
             from discogsography_spark.query.boolquery import fold_predicate
@@ -1410,7 +1471,11 @@ class LocalSearcher:
         docsets = {
             t: (self._decoded(rows[t])[0] if t in rows else empty) for t in terms
         }
-        cand = eval_docsets(ast, docsets.__getitem__)
+        cand = eval_docsets(
+            ast,
+            docsets.__getitem__,
+            phrase_docs_of=lambda ph: self._phrase_doc_set(list(ph)),
+        )
         if cand.size == 0:
             return []
 
@@ -1585,10 +1650,20 @@ class DistributedQueryEngine:
         m = self.meta
         p = m.params
         an = get_analyzer(m.analyzer)
-        ast = parse_bool_query(query_text, an.analyze_query)
+        ast = parse_bool_query(
+            query_text, an.analyze_query, tokenize=an.tokenize_py
+        )
         empty = self._empty_result()
         if ast is None:
             return empty
+        from discogsography_spark.query.boolquery import has_phrase_nodes
+
+        if has_phrase_nodes(ast):
+            raise NotImplementedError(
+                "quoted phrases are not supported on the batch index path — "
+                "use bm25_bool_topk_dataframe (ad-hoc, positions from the "
+                "token stream) or LocalSearcher.topk_bool (positional index)"
+            )
         pos_terms, _neg = polarity_terms(ast)
         terms = all_terms(ast)
         rows = self._searcher.lookup_terms(terms)

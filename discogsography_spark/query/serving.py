@@ -142,7 +142,9 @@ class SearchService:
                 parse_bool_query,
             )
 
-            ast = parse_bool_query(query_text, self._an.analyze_query)
+            ast = parse_bool_query(
+                query_text, self._an.analyze_query, tokenize=self._an.tokenize_py
+            )
             if ast is None:
                 return np.empty(0, dtype=np.int64)
             rows = s.lookup_terms(all_terms(ast))
@@ -150,6 +152,7 @@ class SearchService:
             return eval_docsets(
                 ast,
                 lambda t: s._decoded(rows[t])[0] if t in rows else empty,
+                phrase_docs_of=lambda ph: s._phrase_doc_set(list(ph)),
             )
         terms = self._an.analyze_query(query_text)
         if not terms:
@@ -245,7 +248,9 @@ class SearchService:
             polarity_terms,
         )
 
-        ast = parse_bool_query(query_text, self._an.analyze_query)
+        ast = parse_bool_query(
+            query_text, self._an.analyze_query, tokenize=self._an.tokenize_py
+        )
         return polarity_terms(ast)[0] if ast is not None else []
 
 

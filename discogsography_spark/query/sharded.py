@@ -156,7 +156,9 @@ class ShardedSearcher:
         from discogsography_spark.query.boolquery import all_terms, parse_bool_query
 
         an = get_analyzer(self.analyzer)
-        ast = parse_bool_query(query_text, an.analyze_query)
+        ast = parse_bool_query(
+            query_text, an.analyze_query, tokenize=an.tokenize_py
+        )
         if ast is None or k <= 0:
             return []
         terms = all_terms(ast)

@@ -377,6 +377,14 @@ class MergedSearcher:
         ast = parse_bool_query(query_text, an.analyze_query)
         if ast is None or k <= 0:
             return []
+        from discogsography_spark.query.boolquery import has_phrase_nodes
+
+        if has_phrase_nodes(ast):
+            raise NotImplementedError(
+                "quoted phrases inside boolean queries are not yet supported "
+                "on the merged base+delta view — compact() the deltas and "
+                "query the base index, or use topk_phrase for a pure phrase"
+            )
         pos_terms, neg_terms = polarity_terms(ast)
         terms = sorted(set(pos_terms) | set(neg_terms))
         merged = self._merged_rows(terms)

@@ -191,3 +191,24 @@ def test_boolquery_property_roundtrip():
                 assert eval_predicate(ast, has) == eval_predicate(ast0, has), text
         checked += 1
     assert checked > 50  # the sweep must exercise plenty of accepted shapes
+
+
+def test_parser_quoted_phrases():
+    ast = parse_bool_query('"spark index" OR merge', _AN)
+    assert ast == ("or", (("phrase", ("spark", "index")), ("term", "merge")))
+    # single-word quote collapses to a term; empty quote vanishes
+    assert parse_bool_query('"spark" AND x', _AN) == (
+        "and", (("term", "spark"), ("term", "x"))
+    )
+    assert parse_bool_query('"" OR x', _AN) == ("term", "x")
+    with pytest.raises(BoolQueryError):
+        parse_bool_query('NOT "a b"', _AN)  # pure negation still rejected
+
+
+def test_parser_phrase_with_english_analyzer():
+    an = get_analyzer("english")
+    ast = parse_bool_query(
+        '"the running fast" AND spark', an.analyze_query, tokenize=an.tokenize_py
+    )
+    # stopword dropped INSIDE the phrase, stems applied, order kept
+    assert ast == ("and", (("phrase", ("run", "fast")), ("term", "spark")))

@@ -117,3 +117,73 @@ def test_proximity_window_one_superset_of_phrase_pair(spark, pos_setup):
     ab = {d for d, _ in s.topk_phrase("spark index", 10**6)}
     ba = {d for d, _ in s.topk_phrase("index spark", 10**6)}
     assert (ab | ba) <= near
+
+
+BOOL_PHRASE_QUERIES = [
+    '"spark index" OR merge',
+    'query AND NOT "spark index"',
+    '"spark index" AND turn',
+    '("spark index" OR "index spark") AND NOT merge',
+    '"spark zzqqabsent" OR merge',     # absent phrase arm
+]
+
+
+def _oracle_from_docs(docs_df):
+    from discogsography_spark.oracle import build_oracle_index
+
+    pdf = docs_df.toPandas()
+    rows = [(f"{int(d):010d}", 0, t) for d, t in zip(pdf["doc_id"], pdf["text"])]
+    return build_oracle_index(rows)
+
+
+def test_bool_with_phrases_matches_python_oracle(spark, pos_setup):
+    from discogsography_spark.oracle import bm25_topk_bool
+
+    s = LocalSearcher(pos_setup["idx"])
+    oracle = _oracle_from_docs(pos_setup["docs"])
+    n_nonempty = 0
+    for q in BOOL_PHRASE_QUERIES:
+        got = s.topk_bool(q, 12, use_result_cache=False)
+        want = bm25_topk_bool(oracle, q, 12)
+        assert [x[0] for x in got] == [x[0] for x in want], q
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert gs == ws, f"{q}: doc {gd} {gs!r} != {ws!r}"
+        n_nonempty += bool(got)
+    assert n_nonempty >= 4
+
+
+def test_bool_with_phrases_dataframe_identity(spark, pos_setup):
+    from discogsography_spark.oracle import bm25_topk_bool
+    from discogsography_spark.query.dataframe_bm25 import bm25_bool_topk_dataframe
+
+    oracle = _oracle_from_docs(pos_setup["docs"])
+    for q in BOOL_PHRASE_QUERIES[:3]:
+        got = [
+            (r["doc_id"], r["score"])
+            for r in bm25_bool_topk_dataframe(pos_setup["docs"], q, k=10).collect()
+        ]
+        wide = bm25_topk_bool(oracle, q, 400)
+        want = sorted(
+            ((d, round(x, 5)) for d, x in wide), key=lambda y: (-y[1], y[0])
+        )[:10]
+        assert got == want, q
+
+
+def test_bool_phrase_served_response(spark, pos_setup):
+    from discogsography_spark.query.serving import SearchService
+
+    svc = SearchService(pos_setup["idx"])
+    q = '"spark index" OR merge'
+    resp = svc.search(q, 8, mode="bool")
+    s = LocalSearcher(pos_setup["idx"])
+    assert resp.results == s.topk_bool(q, 8)
+    matched = svc.matched_docs(q, mode="bool")
+    assert resp.total_matched == int(matched.size) > 0
+
+
+def test_bool_phrase_batch_path_fails_fast(spark, pos_setup):
+    from discogsography_spark.query.engine import DistributedQueryEngine
+
+    eng = DistributedQueryEngine(spark, pos_setup["idx"])
+    with pytest.raises(NotImplementedError):
+        eng.topk_bool_df('"spark index" OR merge', 5)
