@@ -187,3 +187,37 @@ def test_bool_phrase_batch_path_fails_fast(spark, pos_setup):
     eng = DistributedQueryEngine(spark, pos_setup["idx"])
     with pytest.raises(NotImplementedError):
         eng.topk_bool_df('"spark index" OR merge', 5)
+
+
+def test_bool_phrase_sharded_identity(spark, pos_setup, tmp_path_factory):
+    """Phrase-in-boolean across positional doc-shards must equal the
+    whole-corpus index (phrase doc sets are shard-local exact)."""
+    from discogsography_spark.query.sharded import ShardedSearcher
+
+    d = tmp_path_factory.mktemp("boolph_sh")
+    pdf = pos_setup["docs"].toPandas().sort_values("doc_id")
+    mid = int(pdf["doc_id"].iloc[len(pdf) // 2])
+    shard_dirs = []
+    for i, part in enumerate((pdf[pdf["doc_id"] < mid], pdf[pdf["doc_id"] >= mid])):
+        # conv_id = zero-padded doc_id keeps global dense-rank order across
+        # consecutive shards (the ShardedSearcher offset contract)
+        tdf = part.assign(
+            conv_id=part["doc_id"].map(lambda x: f"{int(x):010d}"),
+            turn_idx=0,
+            role="user",
+            tool=None,
+            ts=None,
+        )[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+        p = str(d / f"s{i}.parquet")
+        tdf.to_parquet(p, index=False)
+        idx = str(d / f"s{i}_idx")
+        IndexBuilder(idx, num_segments=2, with_positions=True).build(
+            spark.read.parquet(p)
+        )
+        shard_dirs.append(idx)
+    sharded = ShardedSearcher(shard_dirs)
+    single = LocalSearcher(pos_setup["idx"])
+    for q in ('"spark index" OR merge', 'query AND NOT "spark index"'):
+        got = sharded.topk_bool(q, 10)
+        want = single.topk_bool(q, 10, use_result_cache=False)
+        assert got == want, q
