@@ -374,23 +374,19 @@ class MergedSearcher:
         )
 
         an = get_analyzer(self.base.meta.analyzer)
-        ast = parse_bool_query(query_text, an.analyze_query)
+        ast = parse_bool_query(
+            query_text, an.analyze_query, tokenize=an.tokenize_py
+        )
         if ast is None or k <= 0:
             return []
-        from discogsography_spark.query.boolquery import has_phrase_nodes
-
-        if has_phrase_nodes(ast):
-            raise NotImplementedError(
-                "quoted phrases inside boolean queries are not yet supported "
-                "on the merged base+delta view — compact() the deltas and "
-                "query the base index, or use topk_phrase for a pure phrase"
-            )
         pos_terms, neg_terms = polarity_terms(ast)
         terms = sorted(set(pos_terms) | set(neg_terms))
         merged = self._merged_rows(terms)
         empty = np.empty(0, dtype=np.int64)
         cand = eval_docsets(
-            ast, lambda t: merged[t][0] if merged[t] is not None else empty
+            ast,
+            lambda t: merged[t][0] if merged[t] is not None else empty,
+            phrase_docs_of=lambda ph: self._merged_phrase_doc_set(list(ph)),
         )
         if cand.size == 0:
             return []
@@ -453,25 +449,15 @@ class MergedSearcher:
             out[t] = (flat, np.concatenate(([0], np.cumsum(tf))))
         return out
 
-    def topk_phrase(self, phrase: str, k: int) -> list[tuple[int, float]]:
-        """Exact-phrase BM25 top-k over the LIVE merged view (base + deltas,
-        combined corpus stats) — phrase capability does not pause between
-        compactions. Simple verify-all shape (merged deltas are the
-        between-compaction state; the latency-tiered evaluator lives on the
-        compacted LocalSearcher path)."""
-        from discogsography_spark.analysis import get_analyzer
-
-        an = get_analyzer(self.base.meta.analyzer)
-        ordered = an.tokenize_py(phrase)
+    def _merged_phrase_state(self, ordered: list[str]):
+        """(matched_docs, cand, tf_by, dl0, merged) for a phrase over the
+        live merged view — shared by topk_phrase and boolean phrase nodes.
+        Returns None when any term is absent or nothing matches."""
         terms = sorted(set(ordered))
-        if not ordered or k <= 0:
-            return []
-        # populate _merged_cache + get the conjunctive candidates via topk's
-        # machinery (k ignored — we need the full AND set)
-        self.topk(" ".join(terms), 1)
-        merged = {t: self._merged_cache.get(t) for t in terms}
+        merged_all = self._merged_rows(terms)
+        merged = {t: merged_all.get(t) for t in terms}
         if any(m is None for m in merged.values()):
-            return []
+            return None
         by_df = sorted(terms, key=lambda t: (merged[t][0].size, t))
         cand, tf0, dl0 = merged[by_df[0]]
         tf_by = {by_df[0]: tf0}
@@ -486,7 +472,7 @@ class MergedSearcher:
                 tf_by[tt] = tf_by[tt][hit]
             tf_by[t] = tf[pos[hit]]
             if cand.size == 0:
-                return []
+                return None
 
         positions = self._merged_positions(terms)
         max_dl = int(dl0.max()) if dl0.size else 1
@@ -510,7 +496,7 @@ class MergedSearcher:
         survivors = term_keys(ordered[0], cand)
         for j, t in enumerate(ordered[1:], start=1):
             if survivors.size == 0:
-                return []
+                return None
             alive = np.unique(survivors >> SHIFT)
             kj = term_keys(t, alive)
             target = survivors + np.int64(j)
@@ -521,7 +507,32 @@ class MergedSearcher:
             survivors = survivors[hit]
         matched = np.unique(survivors >> SHIFT)
         if matched.size == 0:
+            return None
+        return matched, cand, tf_by, dl0, merged
+
+    def _merged_phrase_doc_set(self, ordered: list[str]):
+        st = self._merged_phrase_state(ordered)
+        return (
+            st[0] if st is not None else np.empty(0, dtype=np.int64)
+        )
+
+    def topk_phrase(self, phrase: str, k: int) -> list[tuple[int, float]]:
+        """Exact-phrase BM25 top-k over the LIVE merged view (base + deltas,
+        combined corpus stats) — phrase capability does not pause between
+        compactions. Simple verify-all shape (merged deltas are the
+        between-compaction state; the latency-tiered evaluator lives on the
+        compacted LocalSearcher path)."""
+        from discogsography_spark.analysis import get_analyzer
+
+        an = get_analyzer(self.base.meta.analyzer)
+        ordered = an.tokenize_py(phrase)
+        terms = sorted(set(ordered))
+        if not ordered or k <= 0:
             return []
+        st = self._merged_phrase_state(ordered)
+        if st is None:
+            return []
+        matched, cand, tf_by, dl0, merged = st
         sel = np.searchsorted(cand, matched)
         p = self.params
         idfs = {t: p.idf(self.n_docs, int(merged[t][0].size)) for t in terms}

@@ -138,3 +138,44 @@ def test_merged_view_phrase_before_compact(spark, tmp_path):
         assert got == want, phrase
         n_nonempty += bool(got)
     assert n_nonempty >= 2
+
+
+def test_merged_bool_with_phrases_before_compaction(spark, pos_stream):
+    """Boolean queries with quoted phrases answer on the LIVE merged
+    base+delta view. The merged view's docID order differs from a fresh
+    rebuild until compact() (batch-arrival order), so verify against a
+    python oracle built in the SAME arrival order."""
+    import pandas as pd
+
+    from discogsography_spark.oracle import bm25_topk_bool, build_oracle_index
+    from discogsography_spark.streaming.incremental import MergedSearcher
+
+    tdf = pos_stream["tdf"]
+    convs = sorted(tdf["conv_id"].unique())
+    # arrival order: base (last third), then delta chunks in written order
+    parts = [
+        tdf[tdf["conv_id"].isin(convs[80:])],
+        tdf[tdf["conv_id"].isin(convs[40:80])],
+        tdf[tdf["conv_id"].isin(convs[:40])],
+    ]
+    rows = []
+    offset_tag = 0
+    for part in parts:
+        ordered = part.sort_values(["conv_id", "turn_idx"])
+        for conv, turn, text in zip(ordered["conv_id"], ordered["turn_idx"], ordered["text"]):
+            rows.append((f"{offset_tag:04d}-{conv}", int(turn), text))
+        offset_tag += 1
+    oracle = build_oracle_index(rows)
+
+    m = MergedSearcher(pos_stream["idx"])
+    n_nonempty = 0
+    for q in (
+        '"spark index" OR merge',
+        'query AND NOT "spark index"',
+        '("spark index" OR "index spark") AND NOT merge',
+    ):
+        got = m.topk_bool(q, 10)
+        want = bm25_topk_bool(oracle, q, 10)
+        assert got == want, q
+        n_nonempty += bool(got)
+    assert n_nonempty >= 2
