@@ -141,10 +141,17 @@ def bm25_topk_bool(
         polarity_terms,
     )
 
+    from discogsography_spark.query.boolquery import expand_prefix_nodes
+
     analyzer = get_analyzer(idx.analyzer)
     ast = parse_bool_query(
         query_text, analyzer.analyze_query, tokenize=analyzer.tokenize_py
     )
+    if ast is not None:
+        ast = expand_prefix_nodes(
+            ast,
+            lambda p: sorted(t for t in idx.postings if t.startswith(p))[:64],
+        )
     if ast is None:
         return []
 

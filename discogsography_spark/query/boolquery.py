@@ -23,7 +23,7 @@ Grammar (keywords case-insensitive; adjacency = AND, websearch-style):
 
     expr   := and_e (OR and_e)*
     and_e  := unary (AND? unary)*
-    unary  := NOT unary | '(' expr ')' | WORD | "QUOTED PHRASE"
+    unary  := NOT unary | '(' expr ')' | WORD | WORD* | "QUOTED PHRASE"
 
 Each WORD runs through the index analyzer (stemming/stopwords identical to
 the corpus side); a word analyzing to nothing (stopword) vanishes from its
@@ -34,7 +34,10 @@ analyzer's ORDERED tokenizer (an ordered-tokenize callable is taken as the
 optional `tokenize` argument; stopword-dropping analyzers compact the
 phrase, exactly like phraseto_tsquery).
 
-AST nodes are plain tuples — ('term', str) | ('phrase', (str, …)) |
+A trailing `*` makes a PREFIX node (Lucene PrefixQuery inside BooleanQuery;
+`spa*` matches any vocabulary term starting with "spa", expanded with the
+same deterministic term-ASC cap as autocomplete). AST nodes are plain
+tuples — ('term', str) | ('prefix', str) | ('phrase', (str, …)) |
 ('and', (nodes…)) | ('or', (nodes…)) | ('not', node) — hashable, so result
 caches can key on them directly.
 """
@@ -140,6 +143,12 @@ def parse_bool_query(
                 return ("term", ph[0])
             return ("phrase", tuple(ph))
         word = take()
+        if word.endswith("*") and len(word) > 1:
+            pre = word[:-1].lower()
+            # prefix text is the raw lowercased string (expand_prefix
+            # semantics — expansion happens against the vocabulary, the
+            # analyzer is not applied to an incomplete word)
+            return ("prefix", pre)
         terms = analyze(word)
         if not terms:
             return None
@@ -161,7 +170,7 @@ def parse_bool_query(
 def _satisfiable_empty(ast: Node) -> bool:
     """Would a document containing NO query term match?"""
     kind = ast[0]
-    if kind in ("term", "phrase"):
+    if kind in ("term", "phrase", "prefix"):
         return False
     if kind == "not":
         return not _satisfiable_empty(ast[1])
@@ -180,6 +189,8 @@ def polarity_terms(ast: Node) -> tuple[list[str], list[str]]:
         kind = n[0]
         if kind == "term":
             (neg if negated else pos).add(n[1])
+        elif kind == "prefix":
+            pass  # expansion-dependent; callers resolve via expand_prefixes
         elif kind == "phrase":
             (neg if negated else pos).update(n[1])
         elif kind == "not":
@@ -212,6 +223,11 @@ def eval_predicate(
         if has_phrase is None:
             raise BoolQueryError("phrase node needs a has_phrase resolver")
         return has_phrase(ast[1])
+    if kind == "prefix":
+        raise BoolQueryError(
+            "prefix node must be expanded before evaluation "
+            "(expand_prefix_nodes)"
+        )
     if kind == "not":
         return not eval_predicate(ast[1], has, has_phrase)
     if kind == "and":
@@ -231,6 +247,10 @@ def fold_predicate(ast: Node, term_leaf, and_, or_, not_, phrase_leaf=None):
         if phrase_leaf is None:
             raise BoolQueryError("phrase node needs a phrase_leaf resolver")
         return phrase_leaf(ast[1])
+    if kind == "prefix":
+        raise BoolQueryError(
+            "prefix node must be expanded before folding (expand_prefix_nodes)"
+        )
     if kind == "not":
         return not_(
             fold_predicate(ast[1], term_leaf, and_, or_, not_, phrase_leaf)
@@ -248,13 +268,69 @@ def fold_predicate(ast: Node, term_leaf, and_, or_, not_, phrase_leaf=None):
 
 def has_phrase_nodes(ast: Node) -> bool:
     kind = ast[0]
-    if kind == "term":
+    if kind in ("term", "prefix"):
         return False
     if kind == "phrase":
         return True
     if kind == "not":
         return has_phrase_nodes(ast[1])
     return any(has_phrase_nodes(c) for c in ast[1])
+
+
+def has_prefix_nodes(ast: Node) -> bool:
+    kind = ast[0]
+    if kind == "term":
+        return False
+    if kind == "prefix":
+        return True
+    if kind == "phrase":
+        return False
+    if kind == "not":
+        return has_prefix_nodes(ast[1])
+    return any(has_prefix_nodes(c) for c in ast[1])
+
+
+def expand_prefix_nodes(ast: Node, expand: Callable[[str], list[str]]) -> Node | None:
+    """Replace every ('prefix', p) with the OR of its vocabulary expansions
+    (term-ASC, caller-capped — expand_prefix's deterministic rule). An
+    empty expansion makes the node unsatisfiable: it vanishes from an OR
+    and annihilates its AND group (a conjunct that can never match). The
+    rewritten AST contains only term/phrase nodes, so every existing
+    evaluator works unchanged. Returns None if the whole query collapses."""
+    kind = ast[0]
+    if kind == "term" or kind == "phrase":
+        return ast
+    if kind == "prefix":
+        terms = expand(ast[1])
+        if not terms:
+            return None  # matches nothing
+        if len(terms) == 1:
+            return ("term", terms[0])
+        return ("or", tuple(("term", t) for t in sorted(terms)))
+    if kind == "not":
+        child = expand_prefix_nodes(ast[1], expand)
+        if child is None:
+            # NOT(matches-nothing) = always true → vanishes from AND;
+            # signal with a sentinel the callers fold out
+            return ("true",)
+        if child == ("true",):
+            return None
+        return ("not", child)
+    parts = [expand_prefix_nodes(c, expand) for c in ast[1]]
+    if kind == "and":
+        if any(p is None for p in parts):
+            return None  # an unsatisfiable conjunct kills the group
+        parts = [p for p in parts if p != ("true",)]
+        if not parts:
+            return ("true",)
+        return parts[0] if len(parts) == 1 else ("and", tuple(parts))
+    # or
+    if any(p == ("true",) for p in parts):
+        return ("true",)
+    parts = [p for p in parts if p is not None]
+    if not parts:
+        return None
+    return parts[0] if len(parts) == 1 else ("or", tuple(parts))
 
 
 def eval_docsets(ast: Node, docs_of, phrase_docs_of=None):

@@ -508,9 +508,31 @@ def bm25_bool_topk_dataframe(
         polarity_terms,
     )
 
+    from discogsography_spark.query.boolquery import (
+        expand_prefix_nodes,
+        has_prefix_nodes,
+    )
+
     p = params or BM25Params()
     spark = docs.sparkSession
     ast = parse_bool_query(query_text, analyze_query, tokenize=tokenize_py)
+    if ast is not None and has_prefix_nodes(ast):
+        # vocabulary expansion with expand_prefix's exact deterministic
+        # rule: distinct corpus tokens, term-ASC, capped at 64
+        vocab = docs.select(
+            F.explode(tokens_col(text_col)).alias("t")
+        ).distinct()
+
+        def expand(pre: str) -> list[str]:
+            rows_ = (
+                vocab.filter(F.col("t").startswith(pre))
+                .orderBy("t")
+                .limit(64)
+                .collect()
+            )
+            return [r["t"] for r in rows_]
+
+        ast = expand_prefix_nodes(ast, expand)
     if ast is None:
         return spark.createDataFrame([], f"{id_col} long, score double")
     pos_terms, _ = polarity_terms(ast)

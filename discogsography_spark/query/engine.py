@@ -834,6 +834,27 @@ class LocalSearcher:
         res = self._topk_or(uniq, k) if mode == "or" else self._topk_and(uniq, k)
         return res, rewrites
 
+    def _expand_bool_prefixes(self, ast, prefix_expansions=None):
+        """Rewrite ('prefix', p) nodes to ORs of vocabulary expansions —
+        locally via expand_prefix, or from a caller-supplied map (the
+        sharded searcher injects GLOBAL expansions). None = no matches."""
+        from discogsography_spark.query.boolquery import (
+            BoolQueryError,
+            expand_prefix_nodes,
+            has_prefix_nodes,
+        )
+
+        if not has_prefix_nodes(ast):
+            return ast
+        if prefix_expansions is not None:
+            expand = lambda p: prefix_expansions.get(p, [])  # noqa: E731
+        else:
+            expand = lambda p: self.expand_prefix(p, 64)  # noqa: E731
+        out = expand_prefix_nodes(ast, expand)
+        if out == ("true",):  # defensive: vacuous forms are parse-rejected
+            raise BoolQueryError("prefix expansion produced a match-all query")
+        return out
+
     def _phrase_doc_set(self, ordered: list[str]) -> np.ndarray:
         """All docs containing the ordered terms CONSECUTIVELY (sorted docID
         array) — the phrase-node resolver for boolean queries. Same key
@@ -1341,6 +1362,7 @@ class LocalSearcher:
         use_result_cache: bool = True,
         idfs: dict[str, float] | None = None,
         avgdl: float | None = None,
+        prefix_expansions: dict[str, list[str]] | None = None,
     ) -> list[tuple[int, float]]:
         """Boolean AND/OR/NOT BM25 top-k (`to_tsquery` / Lucene BooleanQuery
         semantics — see boolquery.py for the grammar and scoring contract).
@@ -1365,9 +1387,15 @@ class LocalSearcher:
         )
         if ast is None:
             return []
+        ast = self._expand_bool_prefixes(ast, prefix_expansions)
+        if ast is None:
+            return []
         # stat overrides come from a sharded caller whose constants differ
         # from the shard-local ones — never mix those results into the memo
-        use_result_cache = use_result_cache and idfs is None and avgdl is None
+        use_result_cache = (
+            use_result_cache and idfs is None and avgdl is None
+            and prefix_expansions is None
+        )
         key = ("bool", ast, k)
         if use_result_cache:
             hit = self._result_cache.get(key)
@@ -1664,6 +1692,9 @@ class DistributedQueryEngine:
                 "use bm25_bool_topk_dataframe (ad-hoc, positions from the "
                 "token stream) or LocalSearcher.topk_bool (positional index)"
             )
+        ast = self._searcher._expand_bool_prefixes(ast)
+        if ast is None:
+            return empty
         pos_terms, _neg = polarity_terms(ast)
         terms = all_terms(ast)
         rows = self._searcher.lookup_terms(terms)

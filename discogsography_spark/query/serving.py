@@ -145,6 +145,8 @@ class SearchService:
             ast = parse_bool_query(
                 query_text, self._an.analyze_query, tokenize=self._an.tokenize_py
             )
+            if ast is not None:
+                ast = s._expand_bool_prefixes(ast)
             if ast is None:
                 return np.empty(0, dtype=np.int64)
             rows = s.lookup_terms(all_terms(ast))
@@ -251,6 +253,8 @@ class SearchService:
         ast = parse_bool_query(
             query_text, self._an.analyze_query, tokenize=self._an.tokenize_py
         )
+        if ast is not None:
+            ast = self.searcher._expand_bool_prefixes(ast)
         return polarity_terms(ast)[0] if ast is not None else []
 
 

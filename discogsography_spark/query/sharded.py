@@ -153,7 +153,12 @@ class ShardedSearcher:
         doc lives in its own shard), so each shard runs the full set algebra
         on its own postings with the GLOBAL idf/avgdl injected, and the
         merge is the usual exact concatenate-sort-cut."""
-        from discogsography_spark.query.boolquery import all_terms, parse_bool_query
+        from discogsography_spark.query.boolquery import (
+            all_terms,
+            expand_prefix_nodes,
+            has_prefix_nodes,
+            parse_bool_query,
+        )
 
         an = get_analyzer(self.analyzer)
         ast = parse_bool_query(
@@ -161,10 +166,33 @@ class ShardedSearcher:
         )
         if ast is None or k <= 0:
             return []
-        terms = all_terms(ast)
+        expansions: dict[str, list[str]] | None = None
+        if has_prefix_nodes(ast):
+            # GLOBAL expansion: capped union of per-shard expansions (every
+            # term inside the global first-64 is within its own shard's
+            # first-64 — the topk_prefix argument), injected into every
+            # shard so all of them evaluate the SAME rewrite
+            expansions = {}
+
+            def collect(p: str) -> list[str]:
+                union: set[str] = set()
+                for sh in self.shards:
+                    union.update(sh.expand_prefix(p, 64))
+                expansions[p] = sorted(union)[:64]
+                return expansions[p]
+
+            expanded = expand_prefix_nodes(ast, collect)
+            if expanded is None:
+                return []
+            terms = all_terms(expanded)
+        else:
+            terms = all_terms(ast)
         _, idfs = self._global_idfs(terms)
         hits = [
-            shard.topk_bool(query_text, k, idfs=idfs, avgdl=self.avgdl)
+            shard.topk_bool(
+                query_text, k, idfs=idfs, avgdl=self.avgdl,
+                prefix_expansions=expansions,
+            )
             for shard in self.shards
         ]
         return self._merge(hits, k)

@@ -379,6 +379,14 @@ class MergedSearcher:
         )
         if ast is None or k <= 0:
             return []
+        from discogsography_spark.query.boolquery import has_prefix_nodes
+
+        if has_prefix_nodes(ast):
+            raise NotImplementedError(
+                "prefix terms inside boolean queries are not supported on "
+                "the merged base+delta view (delta vocabularies are not "
+                "range-scannable) — compact() first"
+            )
         pos_terms, neg_terms = polarity_terms(ast)
         terms = sorted(set(pos_terms) | set(neg_terms))
         merged = self._merged_rows(terms)

@@ -212,3 +212,65 @@ def test_parser_phrase_with_english_analyzer():
     )
     # stopword dropped INSIDE the phrase, stems applied, order kept
     assert ast == ("and", (("phrase", ("run", "fast")), ("term", "spark")))
+
+
+# ---------------- prefix terms in boolean queries ----------------
+
+def test_parser_prefix_nodes_and_expansion():
+    from discogsography_spark.query.boolquery import expand_prefix_nodes
+
+    ast = parse_bool_query("spa* AND NOT merge", _AN)
+    assert ast == ("and", (("prefix", "spa"), ("not", ("term", "merge"))))
+    got = expand_prefix_nodes(ast, lambda p: ["spark", "spat"])
+    assert got == (
+        "and",
+        (("or", (("term", "spark"), ("term", "spat"))), ("not", ("term", "merge"))),
+    )
+    # unmatched prefix: OR arm vanishes, AND conjunct annihilates
+    assert expand_prefix_nodes(parse_bool_query("zz* OR merge", _AN), lambda p: []) == ("term", "merge")
+    assert expand_prefix_nodes(parse_bool_query("zz* AND merge", _AN), lambda p: []) is None
+    assert expand_prefix_nodes(parse_bool_query("merge AND NOT zz*", _AN), lambda p: []) == ("term", "merge")
+    with pytest.raises(BoolQueryError):
+        parse_bool_query("NOT spa*", _AN)  # pure negation still rejected
+
+
+def test_topk_bool_prefix_rank_identity(built_index, oracle_index):
+    from discogsography_spark.oracle import bm25_topk_bool
+
+    s = LocalSearcher(built_index)
+    a, b, *_ = _head_terms(oracle_index)
+    pre = a[:3]
+    for q in (
+        f"{pre}* AND NOT {b}",
+        f"{pre}* OR {b}",
+        f"({pre}* OR {b}) AND NOT zz-absent",
+        "zzqq* OR " + b,
+        f"zzqq* AND {b}",
+    ):
+        got = s.topk_bool(q, 12, use_result_cache=False)
+        want = bm25_topk_bool(oracle_index, q, 12)
+        assert [x[0] for x in got] == [x[0] for x in want], q
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert gs == ws, f"{q}: {gs!r} != {ws!r}"
+
+
+def test_bool_prefix_dataframe_identity(spark, corpus_dir, oracle_index):
+    from discogsography_spark.oracle import bm25_topk_bool
+    from discogsography_spark.query.dataframe_bm25 import bm25_bool_topk_dataframe
+
+    tdf = pd.read_parquet(os.path.join(corpus_dir, "transcripts.parquet"))
+    ordered = tdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(ordered)), "text": ordered["text"]})
+    )
+    a, b, *_ = _head_terms(oracle_index)
+    q = f"{a[:3]}* AND NOT {b}"
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_bool_topk_dataframe(docs, q, k=10).collect()
+    ]
+    wide = bm25_topk_bool(oracle_index, q, 400)
+    want = sorted(
+        ((d, round(x, 5)) for d, x in wide), key=lambda y: (-y[1], y[0])
+    )[:10]
+    assert got == want, q

@@ -150,3 +150,22 @@ def test_sharded_bool_bit_identical(sharded_setup):
         want = full.topk_bool(q, 12, use_result_cache=False)
         got = sharded.topk_bool(q, 12)
         assert got == want, q
+
+
+def test_sharded_bool_prefix_bit_identical(sharded_setup):
+    """Prefix-in-boolean across shards uses the GLOBAL capped expansion —
+    must equal the whole-corpus index exactly."""
+    full = LocalSearcher(sharded_setup["full_idx"])
+    sharded = ShardedSearcher(sharded_setup["shards"])
+    tdf = sharded_setup["tdf"]
+    from collections import Counter
+
+    from discogsography_spark.analysis import get_analyzer
+
+    an = get_analyzer("simple")
+    cnt = Counter(t for text in tdf["text"] for t in set(an.tokenize_py(text)))
+    a, b = [t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:2]]
+    for q in (f"{a[:2]}* AND NOT {b}", f"w000* OR {a}"):
+        got = sharded.topk_bool(q, 12)
+        want = full.topk_bool(q, 12, use_result_cache=False)
+        assert got == want, q
