@@ -47,6 +47,7 @@ class SearchResponse:
     total_matched: int
     facets: dict[str, list[tuple[str, int]]] = field(default_factory=dict)
     headlines: dict[int, str] = field(default_factory=dict)
+    rewrites: dict[str, str] = field(default_factory=dict)  # did-you-mean
 
 
 _NULL_FACET = "(none)"
@@ -221,14 +222,36 @@ class SearchService:
         mode: str = "and",
         facets: list[str] | None = None,
         highlight: bool = False,
+        fuzzy: bool = False,
     ) -> SearchResponse:
+        rewrites: dict[str, str] = {}
+        if fuzzy and mode in ("and", "or"):
+            # did-you-mean: rewrite vocabulary-absent terms to their best
+            # trigram suggestion BEFORE evaluation ("showing results for …")
+            terms = self._an.analyze_query(query_text)
+            rows = self.searcher.lookup_terms(terms)
+            fixed = []
+            for t in terms:
+                if t in rows:
+                    fixed.append(t)
+                    continue
+                sugg = self.searcher.suggest_terms(t, k=1)
+                if sugg:
+                    rewrites[t] = sugg[0][0]
+                    fixed.append(sugg[0][0])
+                else:
+                    fixed.append(t)
+            if rewrites:
+                query_text = " ".join(fixed)
         results = (
             self.searcher.topk_bool(query_text, k)
             if mode == "bool"
             else self.searcher.topk(query_text, k, mode=mode)
         )
         matched = self.matched_docs(query_text, mode=mode)
-        resp = SearchResponse(results=results, total_matched=int(matched.size))
+        resp = SearchResponse(
+            results=results, total_matched=int(matched.size), rewrites=rewrites
+        )
         if facets is None and self._facet_codes:
             facets = sorted(self._facet_codes)
         if facets:

@@ -217,3 +217,14 @@ def test_sharded_bool_response_equals_single_index(sharded_served):
     assert a.total_matched == b.total_matched
     assert a.facets == b.facets
     assert a.headlines == b.headlines
+
+
+def test_fuzzy_rewrite_in_served_response(served):
+    svc, tdf = served
+    clean = svc.search("spark index", 8)
+    fz = svc.search("sparkz index", 8, fuzzy=True)
+    assert fz.rewrites == {"sparkz": "spark"}
+    assert fz.results == clean.results
+    assert fz.total_matched == clean.total_matched
+    # without fuzzy, the misspelled AND returns nothing
+    assert svc.search("sparkz index", 8).results == []
