@@ -15,8 +15,9 @@ multiplier, probabilities need not normalize):
 Training = two groupBy counts over the corpus (map-side combined; the
 output is vocabulary-sized, prunable with min_count). Scoring = native
 bigram extraction (arrays_zip over slices — no Python), LEFT JOINs against
-the model tables (Catalyst broadcasts them when the vocab cap keeps them
-small — the intended shape; at a 100 TB corpus the model is still MBs), and
+the model tables (AQE broadcasts them when min_count pruning keeps them
+small — the typical shape; an unpruned web-scale vocabulary falls back to
+a shuffle join instead of a forced-broadcast driver OOM), and
 a POSITION-ORDERED per-doc log-sum (F.aggregate over array_sort by pos) so
 the float64 total is bit-identical on every engine — the same determinism
 discipline as the BM25 entries.
@@ -126,10 +127,14 @@ def lm_cross_entropy(
     ).otherwise(
         F.when(F.col("w1").isNull(), p_uni).otherwise(F.lit(BACKOFF) * p_uni)
     )
+    # no broadcast hints: a min_count-pruned model is MBs and AQE
+    # broadcasts it on its own; an unpruned vocabulary over a web-scale
+    # corpus can exceed any broadcast limit, and a forced hint would then
+    # OOM the driver instead of falling back to a shuffle join
     scored = (
-        pairs.join(F.broadcast(uni2), "w2", "left")
-        .join(F.broadcast(uni1), "w1", "left")
-        .join(F.broadcast(big), ["w1", "w2"], "left")
+        pairs.join(uni2, "w2", "left")
+        .join(uni1, "w1", "left")
+        .join(big, ["w1", "w2"], "left")
         .withColumn("_logp", -F.log2(p))
     )
     return (
