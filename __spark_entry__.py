@@ -251,6 +251,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_bool_prefix_topk"] = fts_bool_prefix_topk
 
+    def fts_filtered_topk(spark, sf_dir):
+        # faceted drill-down: conjunctive match restricted to one facet
+        # value, CORPUS-GLOBAL stats (SearchService.search(filter=...) mirror)
+        from discogsography_spark.query.dataframe_bm25 import (
+            bm25_filtered_topk_dataframe,
+        )
+
+        return bm25_filtered_topk_dataframe(
+            _read(spark, sf_dir, "documents"), "batch value", "source", "src3", k=15
+        )
+
+    q["fts_filtered_topk"] = fts_filtered_topk
+
     def fts_phrase_match_count(spark, sf_dir):
         # phraseto_tsquery / Lucene PhraseQuery: consecutive analyzed tokens
         from discogsography_spark.query.dataframe_bm25 import phrase_match_col
@@ -1485,6 +1498,30 @@ ORDER BY score DESC, doc_id ASC LIMIT 15
         f"len([i FOR i IN range(1, len({_TOKS_SQL})) "
         f"IF {_TOKS_SQL}[i] = 'table' AND {_TOKS_SQL}[i + 1] = 'value']) > 0"
     )
+    # faceted drill-down: corpus-global stats, facet-restricted candidates
+    o["fts_filtered_topk"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT count(*) FROM toks)::DOUBLE AS total_tokens
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ('batch', 'value') GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+matched AS (SELECT doc_id FROM documents WHERE source = 'src3')
+SELECT tf.doc_id,
+       round(sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+            * (tf.tf / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * (dl.dl / (s.total_tokens / s.n_docs)))))), 5) AS score
+FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+WHERE tf.doc_id IN (SELECT doc_id FROM matched)
+GROUP BY tf.doc_id
+HAVING count(*) = 2
+ORDER BY score DESC, doc_id ASC LIMIT 15
+"""
+
     # prefix inside a boolean predicate: the expansion is the same
     # deterministic term-ASC-capped vocabulary scan as autocomplete
     o["fts_bool_prefix_topk"] = f"""

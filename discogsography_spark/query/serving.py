@@ -223,6 +223,7 @@ class SearchService:
         facets: list[str] | None = None,
         highlight: bool = False,
         fuzzy: bool = False,
+        filter: dict[str, str] | None = None,
     ) -> SearchResponse:
         rewrites: dict[str, str] = {}
         if fuzzy and mode in ("and", "or"):
@@ -243,12 +244,31 @@ class SearchService:
                     fixed.append(t)
             if rewrites:
                 query_text = " ".join(fixed)
-        results = (
-            self.searcher.topk_bool(query_text, k)
-            if mode == "bool"
-            else self.searcher.topk(query_text, k, mode=mode)
-        )
         matched = self.matched_docs(query_text, mode=mode)
+        if filter:
+            # faceted drill-down: intersect the matched set with the
+            # requested facet values through the dense code arrays —
+            # O(|matched|) per filter field, zero extra index I/O
+            keep = np.ones(matched.size, dtype=bool)
+            for fname, fval in filter.items():
+                codes = self._facet_codes.get(fname)
+                if codes is None:
+                    raise ValueError(f"unknown facet field {fname!r}")
+                cats = self._facet_cats[fname]
+                try:
+                    code = cats.index(str(fval))
+                except ValueError:
+                    keep[:] = False
+                    break
+                keep &= codes[matched] == code
+            matched = matched[keep]
+            results = self._rank_matched(query_text, mode, matched, k)
+        else:
+            results = (
+                self.searcher.topk_bool(query_text, k)
+                if mode == "bool"
+                else self.searcher.topk(query_text, k, mode=mode)
+            )
         resp = SearchResponse(
             results=results, total_matched=int(matched.size), rewrites=rewrites
         )
@@ -262,6 +282,43 @@ class SearchService:
                 for d, _ in results
             }
         return resp
+
+    def _rank_matched(
+        self, query_text: str, mode: str, matched: np.ndarray, k: int
+    ) -> list[tuple[int, float]]:
+        """Exact BM25 top-k restricted to a pre-filtered matched docID set:
+        probe each scoring term over the set, accumulate in sorted order
+        (the evaluator contract), cut at k."""
+        if matched.size == 0 or k <= 0:
+            return []
+        s = self.searcher
+        m, p = s.meta, s.meta.params
+        terms = (
+            self._highlight_terms(query_text, mode)  # positive terms
+            if mode == "bool"
+            else self._an.analyze_query(query_text)
+        )
+        rows = s.lookup_terms(terms)
+        scores = np.zeros(matched.size, dtype=np.float64)
+        for t in sorted(set(terms)):  # fixed summation order
+            if t not in rows:
+                continue
+            mask, tfv, dlv = s._probe(rows[t], matched)
+            hit = np.flatnonzero(mask)
+            if hit.size == 0:
+                continue
+            idf = p.idf(m.n_docs, rows[t].df)
+            tf = tfv.astype(np.float64)
+            norm = p.k1 * (
+                1.0 - p.b + p.b * (dlv.astype(np.float64) / m.avgdl)
+            )
+            scores[hit] = scores[hit] + idf * (tf / (tf + norm))
+        if matched.size > 4 * k:
+            kth = np.partition(-scores, k - 1)[k - 1]
+            sel = np.flatnonzero(-scores <= kth)
+            matched, scores = matched[sel], scores[sel]
+        top = np.lexsort((matched, -scores))[:k]
+        return [(int(matched[i]), float(scores[i])) for i in top]
 
     def _highlight_terms(self, query_text: str, mode: str) -> list[str]:
         if mode != "bool":

@@ -228,3 +228,33 @@ def test_fuzzy_rewrite_in_served_response(served):
     assert fz.total_matched == clean.total_matched
     # without fuzzy, the misspelled AND returns nothing
     assert svc.search("sparkz index", 8).results == []
+
+
+def test_faceted_drilldown_filter(served):
+    """filter={field: value}: results + total_matched + facets restricted to
+    the drill-down subset, scores identical to an unfiltered scan of that
+    subset."""
+    svc, tdf = served
+    q = "spark index"
+    base = _matched_pdf(tdf, sorted(set(q.split())), "and")
+    sub = base[base["role"] == "assistant"]
+    resp = svc.search(q, 10, filter={"role": "assistant"}, facets=["tool"])
+    assert resp.total_matched == len(sub)
+    assert {d for d, _ in resp.results} <= set(sub["doc_id"])
+    # scores equal the unfiltered ranking's scores for the same docs
+    full_scores = dict(svc.searcher.topk(q, svc.meta.n_docs, use_result_cache=False))
+    for d, x in resp.results:
+        assert x == full_scores[d]
+    # ranking = unfiltered order restricted to the subset
+    want_order = [d for d, _ in sorted(
+        ((d, full_scores[d]) for d in sub["doc_id"]),
+        key=lambda y: (-y[1], y[0]),
+    )][:10]
+    assert [d for d, _ in resp.results] == want_order
+    # facet counts over the filtered subset
+    tool_labels = sub["tool"].astype("string").fillna("(none)")
+    assert dict(resp.facets["tool"]) == tool_labels.groupby(tool_labels).size().to_dict()
+    # unknown value → empty, unknown field → error
+    assert svc.search(q, 5, filter={"role": "nope"}).total_matched == 0
+    with pytest.raises(ValueError):
+        svc.search(q, 5, filter={"bogus": "x"})
