@@ -244,26 +244,14 @@ class SearchService:
                     fixed.append(t)
             if rewrites:
                 query_text = " ".join(fixed)
-        matched = self.matched_docs(query_text, mode=mode)
         if filter:
             # faceted drill-down: intersect the matched set with the
             # requested facet values through the dense code arrays —
             # O(|matched|) per filter field, zero extra index I/O
-            keep = np.ones(matched.size, dtype=bool)
-            for fname, fval in filter.items():
-                codes = self._facet_codes.get(fname)
-                if codes is None:
-                    raise ValueError(f"unknown facet field {fname!r}")
-                cats = self._facet_cats[fname]
-                try:
-                    code = cats.index(str(fval))
-                except ValueError:
-                    keep[:] = False
-                    break
-                keep &= codes[matched] == code
-            matched = matched[keep]
+            matched = self._filtered_matched(query_text, mode, filter)
             results = self._rank_matched(query_text, mode, matched, k)
         else:
+            matched = self.matched_docs(query_text, mode=mode)
             results = (
                 self.searcher.topk_bool(query_text, k)
                 if mode == "bool"
@@ -284,15 +272,24 @@ class SearchService:
         return resp
 
     def _rank_matched(
-        self, query_text: str, mode: str, matched: np.ndarray, k: int
+        self,
+        query_text: str,
+        mode: str,
+        matched: np.ndarray,
+        k: int,
+        idfs: dict[str, float] | None = None,
+        avgdl: float | None = None,
     ) -> list[tuple[int, float]]:
         """Exact BM25 top-k restricted to a pre-filtered matched docID set:
         probe each scoring term over the set, accumulate in sorted order
-        (the evaluator contract), cut at k."""
+        (the evaluator contract), cut at k. `idfs`/`avgdl` inject GLOBAL
+        statistics for sharded drill-down."""
         if matched.size == 0 or k <= 0:
             return []
         s = self.searcher
         m, p = s.meta, s.meta.params
+        if avgdl is None:
+            avgdl = m.avgdl
         terms = (
             self._highlight_terms(query_text, mode)  # positive terms
             if mode == "bool"
@@ -307,10 +304,10 @@ class SearchService:
             hit = np.flatnonzero(mask)
             if hit.size == 0:
                 continue
-            idf = p.idf(m.n_docs, rows[t].df)
+            idf = idfs[t] if idfs is not None else p.idf(m.n_docs, rows[t].df)
             tf = tfv.astype(np.float64)
             norm = p.k1 * (
-                1.0 - p.b + p.b * (dlv.astype(np.float64) / m.avgdl)
+                1.0 - p.b + p.b * (dlv.astype(np.float64) / avgdl)
             )
             scores[hit] = scores[hit] + idf * (tf / (tf + norm))
         if matched.size > 4 * k:
@@ -319,6 +316,24 @@ class SearchService:
             matched, scores = matched[sel], scores[sel]
         top = np.lexsort((matched, -scores))[:k]
         return [(int(matched[i]), float(scores[i])) for i in top]
+
+    def _filtered_matched(
+        self, query_text: str, mode: str, filter: dict[str, str]
+    ) -> np.ndarray:
+        matched = self.matched_docs(query_text, mode=mode)
+        keep = np.ones(matched.size, dtype=bool)
+        for fname, fval in filter.items():
+            codes = self._facet_codes.get(fname)
+            if codes is None:
+                raise ValueError(f"unknown facet field {fname!r}")
+            cats = self._facet_cats[fname]
+            try:
+                code = cats.index(str(fval))
+            except ValueError:
+                keep[:] = False
+                break
+            keep &= codes[matched] == code
+        return matched[keep]
 
     def _highlight_terms(self, query_text: str, mode: str) -> list[str]:
         if mode != "bool":
@@ -370,18 +385,47 @@ class ShardedSearchService:
         mode: str = "and",
         facets: list[str] | None = None,
         highlight: bool = False,
+        filter: dict[str, str] | None = None,
     ) -> SearchResponse:
-        results = (
-            self.sharded.topk_bool(query_text, k)
-            if mode == "bool"
-            else self.sharded.topk(query_text, k, mode=mode)
-        )
+        if filter:
+            # sharded drill-down: each shard filters its own matched set
+            # through its local facet code arrays, re-ranks it with GLOBAL
+            # statistics (idf from summed df, combined avgdl), and the
+            # coordinator merges — exact, because shards are doc-disjoint
+            terms = self.services[0]._an.analyze_query(query_text)
+            _, idfs = self.sharded._global_idfs(sorted(set(terms)))
+            per_shard = []
+            for svc in self.services:
+                m2 = svc._filtered_matched(query_text, mode, filter)
+                per_shard.append(
+                    (m2, svc._rank_matched(
+                        query_text, mode, m2, k,
+                        idfs=idfs, avgdl=self.sharded.avgdl,
+                    ))
+                )
+            merged: list[tuple[int, float]] = []
+            for off, (_m, hits) in zip(self.offsets, per_shard):
+                merged.extend((int(off) + d, x) for d, x in hits)
+            merged.sort(key=lambda dx: (-dx[1], dx[0]))
+            results = merged[:k]
+            matched_sets = [m for m, _h in per_shard]
+        else:
+            results = (
+                self.sharded.topk_bool(query_text, k)
+                if mode == "bool"
+                else self.sharded.topk(query_text, k, mode=mode)
+            )
+            matched_sets = None
         total = 0
         acc: dict[str, dict[str, int]] = {}
         if facets is None and self.services[0]._facet_codes:
             facets = sorted(self.services[0]._facet_codes)
-        for svc in self.services:
-            matched = svc.matched_docs(query_text, mode=mode)
+        for i, svc in enumerate(self.services):
+            matched = (
+                matched_sets[i]
+                if matched_sets is not None
+                else svc.matched_docs(query_text, mode=mode)
+            )
             total += int(matched.size)
             if facets:
                 for name, pairs in svc.facet_counts(matched, facets).items():

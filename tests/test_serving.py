@@ -258,3 +258,18 @@ def test_faceted_drilldown_filter(served):
     assert svc.search(q, 5, filter={"role": "nope"}).total_matched == 0
     with pytest.raises(ValueError):
         svc.search(q, 5, filter={"bogus": "x"})
+
+
+def test_sharded_drilldown_equals_single_index(sharded_served):
+    from discogsography_spark.query.serving import ShardedSearchService
+
+    full_idx, shard_dirs = sharded_served
+    defs = {"role": "role", "tool": "tool"}
+    single = SearchService(full_idx, facet_defs=defs)
+    sharded = ShardedSearchService(shard_dirs, facet_defs=defs)
+    for q in ("spark index", "merge"):
+        a = single.search(q, 10, filter={"role": "assistant"}, facets=["tool"])
+        b = sharded.search(q, 10, filter={"role": "assistant"}, facets=["tool"])
+        assert a.results == b.results, q
+        assert a.total_matched == b.total_matched, q
+        assert a.facets == b.facets, q
