@@ -273,3 +273,22 @@ def test_sharded_drilldown_equals_single_index(sharded_served):
         assert a.results == b.results, q
         assert a.total_matched == b.total_matched, q
         assert a.facets == b.facets, q
+
+
+def test_drilldown_bool_mode(served):
+    svc, tdf = served
+    from discogsography_spark.analysis import tokenize_py
+    from discogsography_spark.query.boolquery import eval_predicate, parse_bool_query
+
+    q = "(spark OR index) AND NOT merge"
+    ast = parse_bool_query(q, lambda w: sorted(set(tokenize_py(w))))
+    toks = tdf["text"].map(lambda t: set(tokenize_py(t)))
+    base = tdf[toks.map(lambda s: eval_predicate(ast, s.__contains__))]
+    sub = base[base["role"] == "user"]
+    resp = svc.search(q, 10, mode="bool", filter={"role": "user"})
+    assert resp.total_matched == len(sub)
+    assert {d for d, _ in resp.results} <= set(sub["doc_id"])
+    # scores equal the unfiltered boolean ranking for the same docs
+    full = dict(svc.searcher.topk_bool(q, svc.meta.n_docs, use_result_cache=False))
+    for d, x in resp.results:
+        assert x == full[d]
