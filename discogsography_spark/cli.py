@@ -38,6 +38,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("query_text")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--window", type=int, default=3, help="proximity window for --mode near")
+    q.add_argument("--fuzzy", action="store_true", help="did-you-mean rewrite of vocabulary-absent terms (and/or modes)")
     q.add_argument("--mode", choices=("and", "or", "prefix", "phrase", "bool", "suggest", "near"), default="and")
     q.add_argument("--show-text", metavar="TRANSCRIPTS", default=None)
 
@@ -94,6 +95,12 @@ def main(argv: list[str] | None = None) -> int:
             for term, sim in searcher.suggest_terms(args.query_text, k=args.k):
                 print(f"{sim:8.4f}  {term}")
             return
+        elif args.fuzzy:
+            hits, rewrites = searcher.topk_fuzzy(
+                args.query_text, args.k, mode=args.mode
+            )
+            for orig, repl in rewrites.items():
+                print(f"# did you mean: {orig} -> {repl}")
         else:
             hits = searcher.topk(args.query_text, args.k, mode=args.mode)
         texts = {}
