@@ -386,7 +386,28 @@ class ShardedSearchService:
         facets: list[str] | None = None,
         highlight: bool = False,
         filter: dict[str, str] | None = None,
+        fuzzy: bool = False,
     ) -> SearchResponse:
+        rewrites: dict[str, str] = {}
+        if fuzzy and mode in ("and", "or"):
+            # did-you-mean over the GLOBAL vocabulary: a term absent from
+            # EVERY shard rewrites to the best global trigram suggestion
+            an = self.services[0]._an
+            terms = an.analyze_query(query_text)
+            per_shard_rows = [s.searcher.lookup_terms(terms) for s in self.services]
+            fixed = []
+            for t in terms:
+                if any(t in r for r in per_shard_rows):
+                    fixed.append(t)
+                    continue
+                sugg = self.sharded.suggest_terms(t, k=1)
+                if sugg:
+                    rewrites[t] = sugg[0][0]
+                    fixed.append(sugg[0][0])
+                else:
+                    fixed.append(t)
+            if rewrites:
+                query_text = " ".join(fixed)
         if filter:
             # sharded drill-down: each shard filters its own matched set
             # through its local facet code arrays, re-ranks it with GLOBAL
@@ -432,7 +453,9 @@ class ShardedSearchService:
                     bucket = acc.setdefault(name, {})
                     for value, n in pairs:
                         bucket[value] = bucket.get(value, 0) + n
-        resp = SearchResponse(results=results, total_matched=total)
+        resp = SearchResponse(
+            results=results, total_matched=total, rewrites=rewrites
+        )
         if facets:
             resp.facets = {
                 name: sorted(acc.get(name, {}).items()) for name in facets

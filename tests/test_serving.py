@@ -292,3 +292,16 @@ def test_drilldown_bool_mode(served):
     full = dict(svc.searcher.topk_bool(q, svc.meta.n_docs, use_result_cache=False))
     for d, x in resp.results:
         assert x == full[d]
+
+
+def test_sharded_fuzzy_rewrite_equals_single(sharded_served):
+    from discogsography_spark.query.serving import ShardedSearchService
+
+    full_idx, shard_dirs = sharded_served
+    single = SearchService(full_idx)
+    sharded = ShardedSearchService(shard_dirs)
+    a = single.search("sparkz index", 8, fuzzy=True)
+    b = sharded.search("sparkz index", 8, fuzzy=True)
+    assert a.rewrites == b.rewrites == {"sparkz": "spark"}
+    assert a.results == b.results
+    assert a.total_matched == b.total_matched
