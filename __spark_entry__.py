@@ -2059,23 +2059,39 @@ WHERE d.hp < th.thresh
 GROUP BY d.source ORDER BY d.source
 """
 
+    # matching is keyed (shingle, width): probes ≥ 8 tokens contribute
+    # 8-gram shingles; SHORTER probes contribute their full m-token
+    # sequence, and the corpus side is additionally shingled at each such
+    # width m (the operator's short-probe containment rule)
     o["dedup_decontaminate"] = f"""
 WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+pw AS (
+  SELECT DISTINCT len(tk) AS w FROM t
+  WHERE doc_id % 17 = 0 AND len(tk) > 0 AND len(tk) < 8
+),
 probe_sh AS (
-  SELECT DISTINCT unnest(
-    CASE WHEN len(tk) >= 8
-         THEN list_transform(range(1, len(tk) - 6),
-                             i -> array_to_string(tk[i:i+7], ' '))
-         ELSE [array_to_string(tk, ' ')] END
-  ) AS shingle
-  FROM t WHERE doc_id % 17 = 0
+  SELECT DISTINCT shingle, w FROM (
+    SELECT unnest(list_transform(range(1, len(tk) - 6),
+                  i -> array_to_string(tk[i:i+7], ' '))) AS shingle, 8 AS w
+    FROM t WHERE doc_id % 17 = 0 AND len(tk) >= 8
+    UNION ALL
+    SELECT array_to_string(tk, ' ') AS shingle, len(tk) AS w
+    FROM t WHERE doc_id % 17 = 0 AND len(tk) > 0 AND len(tk) < 8
+  )
 ),
 doc_sh AS (
   SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6),
-                        i -> array_to_string(tk[i:i+7], ' '))) AS shingle
+                        i -> array_to_string(tk[i:i+7], ' '))) AS shingle, 8 AS w
   FROM t WHERE doc_id % 17 != 0 AND len(tk) >= 8
+  UNION ALL
+  SELECT doc_id, unnest(list_transform(range(1, len(tk) - wd.w + 2),
+                        i -> array_to_string(tk[i:i+wd.w-1], ' '))) AS shingle,
+         wd.w AS w
+  FROM t CROSS JOIN pw wd WHERE doc_id % 17 != 0 AND len(tk) >= wd.w
 ),
-dirty AS (SELECT DISTINCT d.doc_id FROM doc_sh d JOIN probe_sh p USING (shingle))
+dirty AS (
+  SELECT DISTINCT d.doc_id FROM doc_sh d JOIN probe_sh p USING (shingle, w)
+)
 SELECT doc_id FROM documents
 WHERE doc_id % 17 != 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
 ORDER BY doc_id

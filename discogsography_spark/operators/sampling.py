@@ -89,21 +89,54 @@ def decontaminate(
 ) -> DataFrame:
     """Drop documents sharing ANY word n-gram with the probe corpus.
 
-    Conservative containment: a doc shorter than n tokens can't carry an
-    n-gram and is always kept; probe docs shorter than n contribute their
-    FULL token sequence as one shingle (a 3-token benchmark answer still
-    decontaminates). Returns the surviving rows of `df` unchanged."""
-    probe_sh = probe.select(
-        F.explode(
-            F.when(
-                F.size(shingles_col(text_col, n)) > 0, shingles_col(text_col, n)
-            ).otherwise(F.array(F.array_join(_toks(text_col), " ")))
-        ).alias("shingle")
-    ).distinct()
-    doc_sh = df.select(
-        F.col(id_col).alias("_did"), F.explode(shingles_col(text_col, n)).alias("shingle")
+    Containment: a probe doc with ≥ n tokens contributes its n-gram
+    shingles; a SHORTER probe (an m-token benchmark answer, m < n)
+    contributes its full m-token sequence, and the corpus side is
+    additionally shingled at each such width m — so a 3-token benchmark
+    answer decontaminates every doc containing it as a CONSECUTIVE run.
+    Matching is keyed (shingle, width), so an m-gram only matches an
+    m-token probe. The short widths are discovered with one tiny
+    probe-side aggregation (benchmark corpora are MBs); each extra width
+    adds one corpus-side explode, so cost scales with the number of
+    DISTINCT short widths (< n of them, in practice 0-2), never with
+    probe rows. Docs shorter than a width can't carry its shingles and
+    are kept. Returns the surviving rows of `df` unchanged."""
+    probe_t = probe.select(_toks(text_col).alias("_pt")).withColumn(
+        "_m", F.size("_pt")
     )
-    dirty = doc_sh.join(probe_sh, "shingle").select("_did").distinct()
+    short_widths = sorted(
+        r["_m"]
+        for r in probe_t.select("_m")
+        .filter((F.col("_m") > 0) & (F.col("_m") < n))
+        .distinct()
+        .collect()
+    )
+    probe_sh = probe.select(
+        F.explode(shingles_col(text_col, n)).alias("shingle"),
+        F.lit(n).alias("w"),
+    )
+    if short_widths:
+        probe_sh = probe_sh.unionByName(
+            probe_t.filter((F.col("_m") > 0) & (F.col("_m") < n)).select(
+                F.array_join("_pt", " ").alias("shingle"),
+                F.col("_m").alias("w"),
+            )
+        )
+    probe_sh = probe_sh.distinct()
+    doc_sh = df.select(
+        F.col(id_col).alias("_did"),
+        F.explode(shingles_col(text_col, n)).alias("shingle"),
+        F.lit(n).alias("w"),
+    )
+    for m in short_widths:
+        doc_sh = doc_sh.unionByName(
+            df.select(
+                F.col(id_col).alias("_did"),
+                F.explode(shingles_col(text_col, int(m))).alias("shingle"),
+                F.lit(int(m)).alias("w"),
+            )
+        )
+    dirty = doc_sh.join(probe_sh, ["shingle", "w"]).select("_did").distinct()
     return df.join(dirty.withColumnRenamed("_did", id_col), id_col, "left_anti")
 
 

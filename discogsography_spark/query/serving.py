@@ -130,11 +130,20 @@ class SearchService:
         self._texts = arr
 
     # ---- per-query -------------------------------------------------------
-    def matched_docs(self, query_text: str, mode: str = "and") -> np.ndarray:
+    def matched_docs(
+        self,
+        query_text: str,
+        mode: str = "and",
+        terms: list[str] | None = None,
+        prefix_expansions: dict[str, list[str]] | None = None,
+    ) -> np.ndarray:
         """Exact matched docID set (sorted). AND = conjunctive intersection
         driven from the rarest term; OR = union of posting lists; bool =
         AND/OR/NOT set algebra over posting doc arrays (boolquery.py).
-        Decodes are served by LocalSearcher's byte-budgeted caches."""
+        Decodes are served by LocalSearcher's byte-budgeted caches.
+        `terms` bypasses query analysis (did-you-mean rewrites pass the
+        already-analyzed fixed list); `prefix_expansions` injects a GLOBAL
+        prefix-expansion map for bool mode (sharded fan-out)."""
         s = self.searcher
         if mode == "bool":
             from discogsography_spark.query.boolquery import (
@@ -147,7 +156,7 @@ class SearchService:
                 query_text, self._an.analyze_query, tokenize=self._an.tokenize_py
             )
             if ast is not None:
-                ast = s._expand_bool_prefixes(ast)
+                ast = s._expand_bool_prefixes(ast, prefix_expansions)
             if ast is None:
                 return np.empty(0, dtype=np.int64)
             rows = s.lookup_terms(all_terms(ast))
@@ -157,7 +166,8 @@ class SearchService:
                 lambda t: s._decoded(rows[t])[0] if t in rows else empty,
                 phrase_docs_of=lambda ph: s._phrase_doc_set(list(ph)),
             )
-        terms = self._an.analyze_query(query_text)
+        if terms is None:
+            terms = self._an.analyze_query(query_text)
         if not terms:
             return np.empty(0, dtype=np.int64)
         rows = s.lookup_terms(terms)
@@ -226,9 +236,13 @@ class SearchService:
         filter: dict[str, str] | None = None,
     ) -> SearchResponse:
         rewrites: dict[str, str] = {}
+        qterms: list[str] | None = None  # analyzed-term override (fuzzy)
         if fuzzy and mode in ("and", "or"):
             # did-you-mean: rewrite vocabulary-absent terms to their best
-            # trigram suggestion BEFORE evaluation ("showing results for …")
+            # trigram suggestion BEFORE evaluation ("showing results for …").
+            # The fixed ANALYZED list threads through directly — re-joining
+            # into a query string would re-stem suggested terms (Porter is
+            # not idempotent), diverging from the reported rewrite.
             terms = self._an.analyze_query(query_text)
             rows = self.searcher.lookup_terms(terms)
             fixed = []
@@ -243,20 +257,27 @@ class SearchService:
                 else:
                     fixed.append(t)
             if rewrites:
-                query_text = " ".join(fixed)
+                qterms = sorted(set(fixed))
         if filter:
             # faceted drill-down: intersect the matched set with the
             # requested facet values through the dense code arrays —
             # O(|matched|) per filter field, zero extra index I/O
-            matched = self._filtered_matched(query_text, mode, filter)
-            results = self._rank_matched(query_text, mode, matched, k)
+            matched = self._filtered_matched(query_text, mode, filter, terms=qterms)
+            results = self._rank_matched(query_text, mode, matched, k, terms=qterms)
         else:
-            matched = self.matched_docs(query_text, mode=mode)
-            results = (
-                self.searcher.topk_bool(query_text, k)
-                if mode == "bool"
-                else self.searcher.topk(query_text, k, mode=mode)
-            )
+            matched = self.matched_docs(query_text, mode=mode, terms=qterms)
+            if qterms is not None:
+                results = (
+                    self.searcher._topk_or(qterms, k)
+                    if mode == "or"
+                    else self.searcher._topk_and(qterms, k)
+                )
+            else:
+                results = (
+                    self.searcher.topk_bool(query_text, k)
+                    if mode == "bool"
+                    else self.searcher.topk(query_text, k, mode=mode)
+                )
         resp = SearchResponse(
             results=results, total_matched=int(matched.size), rewrites=rewrites
         )
@@ -265,9 +286,13 @@ class SearchService:
         if facets:
             resp.facets = self.facet_counts(matched, facets)
         if highlight:
+            hterms = (
+                qterms
+                if qterms is not None
+                else self._highlight_terms(query_text, mode)
+            )
             resp.headlines = {
-                d: self.headline(d, self._highlight_terms(query_text, mode))
-                for d, _ in results
+                d: self.headline(d, hterms) for d, _ in results
             }
         return resp
 
@@ -279,22 +304,28 @@ class SearchService:
         k: int,
         idfs: dict[str, float] | None = None,
         avgdl: float | None = None,
+        terms: list[str] | None = None,
+        prefix_expansions: dict[str, list[str]] | None = None,
     ) -> list[tuple[int, float]]:
         """Exact BM25 top-k restricted to a pre-filtered matched docID set:
         probe each scoring term over the set, accumulate in sorted order
         (the evaluator contract), cut at k. `idfs`/`avgdl` inject GLOBAL
-        statistics for sharded drill-down."""
+        statistics for sharded drill-down; `terms` overrides the scoring
+        term list (fuzzy rewrites); `prefix_expansions` injects the global
+        prefix rewrite so bool-mode scoring terms match the matched set."""
         if matched.size == 0 or k <= 0:
             return []
         s = self.searcher
         m, p = s.meta, s.meta.params
         if avgdl is None:
             avgdl = m.avgdl
-        terms = (
-            self._highlight_terms(query_text, mode)  # positive terms
-            if mode == "bool"
-            else self._an.analyze_query(query_text)
-        )
+        if terms is None:
+            terms = (
+                # positive terms of the (prefix-expanded) predicate
+                self._highlight_terms(query_text, mode, prefix_expansions)
+                if mode == "bool"
+                else self._an.analyze_query(query_text)
+            )
         rows = s.lookup_terms(terms)
         scores = np.zeros(matched.size, dtype=np.float64)
         for t in sorted(set(terms)):  # fixed summation order
@@ -304,7 +335,14 @@ class SearchService:
             hit = np.flatnonzero(mask)
             if hit.size == 0:
                 continue
-            idf = idfs[t] if idfs is not None else p.idf(m.n_docs, rows[t].df)
+            # fall back to a locally-computed idf when the caller's global
+            # map lacks a term (defensive — the sharded service builds the
+            # map from the SAME expanded AST, so this should not fire)
+            idf = (
+                idfs[t]
+                if idfs is not None and t in idfs
+                else p.idf(m.n_docs, rows[t].df)
+            )
             tf = tfv.astype(np.float64)
             norm = p.k1 * (
                 1.0 - p.b + p.b * (dlv.astype(np.float64) / avgdl)
@@ -318,9 +356,16 @@ class SearchService:
         return [(int(matched[i]), float(scores[i])) for i in top]
 
     def _filtered_matched(
-        self, query_text: str, mode: str, filter: dict[str, str]
+        self,
+        query_text: str,
+        mode: str,
+        filter: dict[str, str],
+        terms: list[str] | None = None,
+        prefix_expansions: dict[str, list[str]] | None = None,
     ) -> np.ndarray:
-        matched = self.matched_docs(query_text, mode=mode)
+        matched = self.matched_docs(
+            query_text, mode=mode, terms=terms, prefix_expansions=prefix_expansions
+        )
         keep = np.ones(matched.size, dtype=bool)
         for fname, fval in filter.items():
             codes = self._facet_codes.get(fname)
@@ -335,7 +380,12 @@ class SearchService:
             keep &= codes[matched] == code
         return matched[keep]
 
-    def _highlight_terms(self, query_text: str, mode: str) -> list[str]:
+    def _highlight_terms(
+        self,
+        query_text: str,
+        mode: str,
+        prefix_expansions: dict[str, list[str]] | None = None,
+    ) -> list[str]:
         if mode != "bool":
             return self._an.analyze_query(query_text)
         # highlight only positive-polarity terms: a matching doc cannot
@@ -349,7 +399,7 @@ class SearchService:
             query_text, self._an.analyze_query, tokenize=self._an.tokenize_py
         )
         if ast is not None:
-            ast = self.searcher._expand_bool_prefixes(ast)
+            ast = self.searcher._expand_bool_prefixes(ast, prefix_expansions)
         return polarity_terms(ast)[0] if ast is not None else []
 
 
@@ -389,10 +439,13 @@ class ShardedSearchService:
         fuzzy: bool = False,
     ) -> SearchResponse:
         rewrites: dict[str, str] = {}
+        qterms: list[str] | None = None  # analyzed-term override (fuzzy)
+        an = self.services[0]._an
         if fuzzy and mode in ("and", "or"):
             # did-you-mean over the GLOBAL vocabulary: a term absent from
-            # EVERY shard rewrites to the best global trigram suggestion
-            an = self.services[0]._an
+            # EVERY shard rewrites to the best global trigram suggestion.
+            # The fixed ANALYZED list threads through directly — re-joining
+            # into a query string would re-stem suggested terms.
             terms = an.analyze_query(query_text)
             per_shard_rows = [s.searcher.lookup_terms(terms) for s in self.services]
             fixed = []
@@ -407,21 +460,52 @@ class ShardedSearchService:
                 else:
                     fixed.append(t)
             if rewrites:
-                query_text = " ".join(fixed)
+                qterms = sorted(set(fixed))
+        # bool mode: parse ONCE, expand prefixes GLOBALLY once, and share
+        # the expansion map between ranking, matched-set counting, idf
+        # derivation, and highlighting — every consumer sees one rewrite
+        expansions: dict[str, list[str]] | None = None
+        if mode == "bool":
+            from discogsography_spark.query.boolquery import (
+                all_terms,
+                expand_prefix_nodes,
+                parse_bool_query,
+            )
+
+            ast = parse_bool_query(
+                query_text, an.analyze_query, tokenize=an.tokenize_py
+            )
+            expansions = self.sharded.global_prefix_expansions(ast)
         if filter:
             # sharded drill-down: each shard filters its own matched set
             # through its local facet code arrays, re-ranks it with GLOBAL
             # statistics (idf from summed df, combined avgdl), and the
             # coordinator merges — exact, because shards are doc-disjoint
-            terms = self.services[0]._an.analyze_query(query_text)
-            _, idfs = self.sharded._global_idfs(sorted(set(terms)))
+            if mode == "bool":
+                # idfs over ALL terms of the EXPANDED predicate, so a
+                # prefix-expanded scoring term is never missing from the map
+                expanded = (
+                    expand_prefix_nodes(ast, lambda p: expansions.get(p, []))
+                    if ast is not None and expansions is not None
+                    else ast
+                )
+                score_terms = all_terms(expanded) if expanded is not None else []
+            else:
+                score_terms = sorted(
+                    set(qterms if qterms is not None else an.analyze_query(query_text))
+                )
+            _, idfs = self.sharded._global_idfs(score_terms)
             per_shard = []
             for svc in self.services:
-                m2 = svc._filtered_matched(query_text, mode, filter)
+                m2 = svc._filtered_matched(
+                    query_text, mode, filter,
+                    terms=qterms, prefix_expansions=expansions,
+                )
                 per_shard.append(
                     (m2, svc._rank_matched(
                         query_text, mode, m2, k,
                         idfs=idfs, avgdl=self.sharded.avgdl,
+                        terms=qterms, prefix_expansions=expansions,
                     ))
                 )
             merged: list[tuple[int, float]] = []
@@ -431,11 +515,12 @@ class ShardedSearchService:
             results = merged[:k]
             matched_sets = [m for m, _h in per_shard]
         else:
-            results = (
-                self.sharded.topk_bool(query_text, k)
-                if mode == "bool"
-                else self.sharded.topk(query_text, k, mode=mode)
-            )
+            if mode == "bool":
+                results = self.sharded.topk_bool(query_text, k, expansions=expansions)
+            elif qterms is not None:
+                results = self.sharded.topk(query_text, k, mode=mode, terms=qterms)
+            else:
+                results = self.sharded.topk(query_text, k, mode=mode)
             matched_sets = None
         total = 0
         acc: dict[str, dict[str, int]] = {}
@@ -445,7 +530,10 @@ class ShardedSearchService:
             matched = (
                 matched_sets[i]
                 if matched_sets is not None
-                else svc.matched_docs(query_text, mode=mode)
+                else svc.matched_docs(
+                    query_text, mode=mode,
+                    terms=qterms, prefix_expansions=expansions,
+                )
             )
             total += int(matched.size)
             if facets:
@@ -461,9 +549,15 @@ class ShardedSearchService:
                 name: sorted(acc.get(name, {}).items()) for name in facets
             }
         if highlight:
-            terms = self.services[0]._highlight_terms(query_text, mode)
+            hterms = (
+                qterms
+                if qterms is not None
+                else self.services[0]._highlight_terms(
+                    query_text, mode, prefix_expansions=expansions
+                )
+            )
             for gid, _ in results:
                 shard = int(np.searchsorted(self.offsets, gid, side="right")) - 1
                 local = gid - int(self.offsets[shard])
-                resp.headlines[gid] = self.services[shard].headline(local, terms)
+                resp.headlines[gid] = self.services[shard].headline(local, hterms)
         return resp

@@ -69,13 +69,20 @@ class ShardedSearcher:
         return merged[:k]
 
     def topk(
-        self, query_text: str, k: int, mode: str = "and"
+        self,
+        query_text: str,
+        k: int,
+        mode: str = "and",
+        terms: list[str] | None = None,
     ) -> list[tuple[int, float]]:
         """Exact BM25 top-k across all shards, global docIDs, ordered
         (score DESC, global doc_id ASC) — bit-identical to a single
         whole-corpus index. mode: 'and' (conjunctive) or 'or' (disjunctive;
-        shards holding any query term contribute)."""
-        terms = get_analyzer(self.analyzer).analyze_query(query_text)
+        shards holding any query term contribute). `terms` bypasses query
+        analysis with an already-analyzed list (the did-you-mean rewrite
+        path — re-analyzing a suggested term can re-stem it differently)."""
+        if terms is None:
+            terms = get_analyzer(self.analyzer).analyze_query(query_text)
         if not terms or k <= 0:
             return []
         per_shard_rows, idfs = self._global_idfs(terms)
@@ -147,16 +154,48 @@ class ShardedSearcher:
         ]
         return self._merge(hits, k)
 
-    def topk_bool(self, query_text: str, k: int) -> list[tuple[int, float]]:
+    def global_prefix_expansions(self, ast) -> dict[str, list[str]] | None:
+        """GLOBAL prefix expansion map for a boolean AST: per prefix node,
+        the term-ASC-capped union of per-shard expansions (every term inside
+        the global first-64 is within its own shard's first-64 — the
+        topk_prefix argument). None when the AST has no prefix nodes. The
+        SAME map must be injected into every shard-local evaluation (ranking
+        AND matched-set counting) so all of them see one rewrite."""
+        from discogsography_spark.query.boolquery import (
+            expand_prefix_nodes,
+            has_prefix_nodes,
+        )
+
+        if ast is None or not has_prefix_nodes(ast):
+            return None
+        expansions: dict[str, list[str]] = {}
+
+        def collect(p: str) -> list[str]:
+            union: set[str] = set()
+            for sh in self.shards:
+                union.update(sh.expand_prefix(p, 64))
+            expansions[p] = sorted(union)[:64]
+            return expansions[p]
+
+        expand_prefix_nodes(ast, collect)
+        return expansions
+
+    def topk_bool(
+        self,
+        query_text: str,
+        k: int,
+        expansions: dict[str, list[str]] | None = None,
+    ) -> list[tuple[int, float]]:
         """Boolean AND/OR/NOT top-k across shards. Doc-disjoint sharding
         makes the predicate exactly shard-local (every term occurrence of a
         doc lives in its own shard), so each shard runs the full set algebra
         on its own postings with the GLOBAL idf/avgdl injected, and the
-        merge is the usual exact concatenate-sort-cut."""
+        merge is the usual exact concatenate-sort-cut. `expansions` supplies
+        a precomputed global prefix-expansion map (ShardedSearchService
+        computes it once and shares it between ranking and facet counting)."""
         from discogsography_spark.query.boolquery import (
             all_terms,
             expand_prefix_nodes,
-            has_prefix_nodes,
             parse_bool_query,
         )
 
@@ -166,22 +205,12 @@ class ShardedSearcher:
         )
         if ast is None or k <= 0:
             return []
-        expansions: dict[str, list[str]] | None = None
-        if has_prefix_nodes(ast):
-            # GLOBAL expansion: capped union of per-shard expansions (every
-            # term inside the global first-64 is within its own shard's
-            # first-64 — the topk_prefix argument), injected into every
-            # shard so all of them evaluate the SAME rewrite
-            expansions = {}
-
-            def collect(p: str) -> list[str]:
-                union: set[str] = set()
-                for sh in self.shards:
-                    union.update(sh.expand_prefix(p, 64))
-                expansions[p] = sorted(union)[:64]
-                return expansions[p]
-
-            expanded = expand_prefix_nodes(ast, collect)
+        if expansions is None:
+            expansions = self.global_prefix_expansions(ast)
+        if expansions is not None:
+            expanded = expand_prefix_nodes(
+                ast, lambda p: expansions.get(p, [])
+            )
             if expanded is None:
                 return []
             terms = all_terms(expanded)

@@ -484,7 +484,9 @@ class MergedSearcher:
 
         positions = self._merged_positions(terms)
         max_dl = int(dl0.max()) if dl0.size else 1
-        shift = max(21, max_dl.bit_length())
+        # +16 slack: survivors + j must not wrap into the next doc's key
+        # space (the engine paths' sizing rule — engine.py topk_phrase)
+        shift = max(21, (max_dl + 16).bit_length())
         if self.n_docs >= (1 << (63 - shift)):
             raise ValueError("phrase key packing overflow on merged view")
         SHIFT = np.int64(shift)

@@ -81,18 +81,38 @@ def test_decontaminate_planted_overlap(spark):
 
 
 def test_decontaminate_short_probe_still_filters(spark):
-    # a 3-token benchmark answer still decontaminates via the full-sequence
-    # fallback shingle... on docs long enough to carry an 8-gram the probe
-    # n-gram can't match, so the conservative rule is: short probes only
-    # match docs whose own shingling produces that exact string — verify the
-    # operator doesn't crash and keeps clean docs
-    probe = spark.createDataFrame([(9, "tiny probe text")], "doc_id long, text string")
+    """A probe SHORTER than n must still decontaminate: the corpus side is
+    additionally shingled at the short probe's width, so any doc containing
+    the m-token probe as a CONSECUTIVE run is dropped — while docs carrying
+    the same tokens non-consecutively (or in another order) are kept."""
+    probe = spark.createDataFrame(
+        [(9, "tiny probe text"), (10, "solo")], "doc_id long, text string"
+    )
     df = spark.createDataFrame(
-        [(0, "a long enough clean document with eight plus tokens in it")],
+        [
+            (0, "a long enough clean document with eight plus tokens in it"),
+            # contains the 3-token probe consecutively inside a long doc →
+            # the old n-gram-only matching silently kept it
+            (1, "preamble words then tiny probe text and a long suffix here"),
+            (2, "tiny probe of text separated so no consecutive run exists"),
+            (3, "text probe tiny reversed order must not match either way"),
+            (4, "the solo keyword appears within this longer document body"),
+            (5, "tiny probe text"),  # doc == probe exactly
+        ],
         "doc_id long, text string",
     )
-    kept = [r["doc_id"] for r in decontaminate(df, probe, n=8).collect()]
-    assert kept == [0]
+    kept = sorted(r["doc_id"] for r in decontaminate(df, probe, n=8).collect())
+    assert kept == [0, 2, 3]
+
+    # no short probes at all → no extra explode widths, same result shape
+    long_probe = spark.createDataFrame(
+        [(9, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    kept2 = sorted(
+        r["doc_id"] for r in decontaminate(df, long_probe, n=8).collect()
+    )
+    assert kept2 == [0, 1, 2, 3, 4, 5]
 
 
 def _expected_stratified(pdf, quotas):

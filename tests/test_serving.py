@@ -305,3 +305,81 @@ def test_sharded_fuzzy_rewrite_equals_single(sharded_served):
     assert a.rewrites == b.rewrites == {"sparkz": "spark"}
     assert a.results == b.results
     assert a.total_matched == b.total_matched
+
+
+def test_sharded_bool_prefix_drilldown_equals_single(sharded_served):
+    """Regression: sharded bool+filter with a PREFIX node used to KeyError —
+    _rank_matched scored prefix-expanded terms absent from the idfs map.
+    The global expansion must now be injected into idf derivation, ranking,
+    matched-set counting, and facets, so the full response equals the
+    single-index one."""
+    from discogsography_spark.query.serving import ShardedSearchService
+
+    full_idx, shard_dirs = sharded_served
+    defs = {"role": "role", "tool": "tool"}
+    single = SearchService(full_idx, facet_defs=defs)
+    sharded = ShardedSearchService(shard_dirs, facet_defs=defs)
+    for q in ("spa* AND index", "w* AND spark"):
+        a = single.search(q, 10, mode="bool", filter={"role": "assistant"},
+                          facets=["tool"], highlight=True)
+        b = sharded.search(q, 10, mode="bool", filter={"role": "assistant"},
+                           facets=["tool"], highlight=True)
+        assert a.results == b.results, q
+        assert a.total_matched == b.total_matched, q
+        assert a.facets == b.facets, q
+        assert a.headlines == b.headlines, q
+
+
+def test_sharded_bool_prefix_counts_use_global_expansion(sharded_served):
+    """Regression: non-filter bool mode with a >cap prefix ('w*' expands to
+    hundreds of terms, shard vocabularies differ) — counts/facets must
+    evaluate the SAME capped global rewrite the ranked results use, which
+    equals the single-index local expansion."""
+    from discogsography_spark.query.serving import ShardedSearchService
+
+    full_idx, shard_dirs = sharded_served
+    defs = {"role": "role"}
+    single = SearchService(full_idx, facet_defs=defs)
+    sharded = ShardedSearchService(shard_dirs, facet_defs=defs)
+    q = "w* AND spark"
+    a = single.search(q, 10, mode="bool", facets=["role"])
+    b = sharded.search(q, 10, mode="bool", facets=["role"])
+    assert a.results == b.results
+    assert a.total_matched == b.total_matched
+    assert a.facets == b.facets
+
+
+def test_fuzzy_rewrite_nonidempotent_stem(spark, tmp_path):
+    """Regression: the did-you-mean rewrite must thread the fixed ANALYZED
+    term list, not a re-joined query string. With the english analyzer,
+    'universities' indexes as 'univers', and re-analyzing 'univers' stems
+    it AGAIN to 'univ' (Porter is not idempotent) — the old string-rejoin
+    path searched a vocabulary-absent term and returned nothing."""
+    import pandas as pd
+
+    rows = []
+    for i, txt in enumerate(
+        ["universities of spark", "universities everywhere", "spark shuffle"]
+    ):
+        rows.append({"conv_id": f"c-{i:04d}", "turn_idx": 0, "role": "user",
+                     "text": txt, "tool": None})
+    pdf = pd.DataFrame(rows)
+    src = str(tmp_path / "t.parquet")
+    pdf.to_parquet(src, index=False)
+    idx = str(tmp_path / "idx")
+    IndexBuilder(idx, num_segments=2, store_text=True, analyzer="english").build(
+        spark.read.parquet(src)
+    )
+    svc = SearchService(idx)
+    an = svc._an
+    assert an.analyze_query("universities") == ["univers"]
+    assert an.analyze_query("univers") == ["univ"]  # the trap this guards
+
+    resp = svc.search("universitiez", 5, fuzzy=True)
+    assert resp.rewrites == {"universitiez": "univers"}
+    assert resp.results == svc.searcher._topk_and(["univers"], 5)
+    assert len(resp.results) == 2 and resp.total_matched == 2
+    # and identical to the LocalSearcher fuzzy path (which always threaded
+    # the term list)
+    res2, rw2 = svc.searcher.topk_fuzzy("universitiez", 5)
+    assert resp.results == res2 and resp.rewrites == rw2
