@@ -928,7 +928,13 @@ class LocalSearcher:
         return (flat_doc << shift) | pos_flat[flat_idx]
 
     def topk_within(
-        self, word1: str, word2: str, window: int, k: int
+        self,
+        word1: str,
+        word2: str,
+        window: int,
+        k: int,
+        idfs: dict[str, float] | None = None,
+        avgdl: float | None = None,
     ) -> list[tuple[int, float]]:
         """Proximity top-k: documents where the two analyzed terms occur
         within `window` token positions of each other, in EITHER order —
@@ -936,7 +942,8 @@ class LocalSearcher:
         ≈ unordered adjacency). Ranked by conjunctive BM25 of the two terms
         (corpus-global stats, 5dp rounding — the phrase contract). Requires
         a positional index. Same-term proximity ("a", "a", w) matches docs
-        with two occurrences ≤ w apart."""
+        with two occurrences ≤ w apart. `idfs`/`avgdl` inject GLOBAL corpus
+        stats (the sharded fan-out, query/sharded.py)."""
         an = get_analyzer(self.meta.analyzer)
         ts1 = an.analyze_query(word1)
         ts2 = an.analyze_query(word2)
@@ -950,7 +957,8 @@ class LocalSearcher:
         if len(rows) != len(terms):
             return []
         m, p = self.meta, self.meta.params
-        idfs = {t: p.idf(m.n_docs, rows[t].df) for t in terms}
+        if idfs is None:
+            idfs = {t: p.idf(m.n_docs, rows[t].df) for t in terms}
 
         # candidate set: conjunctive (or tf ≥ 2 for the same-term case)
         if t1 == t2:
@@ -996,7 +1004,7 @@ class LocalSearcher:
             return []
 
         by_df = sorted(terms, key=lambda t: (rows[t].df, t))
-        sd, ss = self._and_score(matched, terms, by_df, rows, idfs)
+        sd, ss = self._and_score(matched, terms, by_df, rows, idfs, avgdl=avgdl)
         ss = np.round(ss, 5)
         top = np.lexsort((sd, -ss))[:k]
         return [(int(sd[i]), float(ss[i])) for i in top]
@@ -1684,14 +1692,6 @@ class DistributedQueryEngine:
         empty = self._empty_result()
         if ast is None:
             return empty
-        from discogsography_spark.query.boolquery import has_phrase_nodes
-
-        if has_phrase_nodes(ast):
-            raise NotImplementedError(
-                "quoted phrases are not supported on the batch index path — "
-                "use bm25_bool_topk_dataframe (ad-hoc, positions from the "
-                "token stream) or LocalSearcher.topk_bool (positional index)"
-            )
         ast = self._searcher._expand_bool_prefixes(ast)
         if ast is None:
             return empty
@@ -1704,6 +1704,30 @@ class DistributedQueryEngine:
         decoded = self._decoded_postings_df(present_terms)
         if decoded is None:
             return empty
+
+        # phrase nodes: each quoted phrase resolves to its exact doc set on
+        # the POSITIONAL index (the serving path's resolver — one positional
+        # chain over the rarest term's candidates), shipped into the plan as
+        # a per-phrase membership relation joined on doc_id. The join side
+        # is |matching docs| rows of one long each — the standard
+        # distributed-membership shape; AQE broadcasts it when small and
+        # shuffle-joins it otherwise. Scoring parity with
+        # LocalSearcher.topk_bool holds because phrase terms already ride
+        # the positive-polarity partial sum (polarity_terms includes them).
+        phrase_nodes: list[tuple] = []
+
+        def _collect_phrases(n) -> None:
+            if n[0] == "phrase":
+                if n[1] not in phrase_nodes:
+                    phrase_nodes.append(n[1])
+            elif n[0] == "not":
+                _collect_phrases(n[1])
+            elif n[0] in ("and", "or"):
+                for c in n[1]:
+                    _collect_phrases(c)
+
+        _collect_phrases(ast)
+        phrase_flag = {ph: f"_ph{i}" for i, ph in enumerate(phrase_nodes)}
         idf_map = F.create_map(
             *[
                 x
@@ -1735,12 +1759,22 @@ class DistributedQueryEngine:
                 lambda acc, x: acc + x["partial"],
             ).alias("score"),
         )
+        for ph, flag in phrase_flag.items():
+            ph_docs = self._searcher._phrase_doc_set(list(ph))
+            ph_df = self.spark.createDataFrame(
+                [(int(d),) for d in ph_docs],
+                T.StructType([T.StructField("doc_id", T.LongType(), False)]),
+            ).withColumn(flag, F.lit(True))
+            grouped = grouped.join(ph_df, "doc_id", "left").withColumn(
+                flag, F.coalesce(F.col(flag), F.lit(False))
+            )
         pred = fold_predicate(
             ast,
             lambda t: F.array_contains(F.col("present"), t),
             lambda a, b: a & b,
             lambda a, b: a | b,
             lambda a: ~a,
+            phrase_leaf=lambda ph: F.col(phrase_flag[ph]),
         )
         return (
             grouped.filter(pred)

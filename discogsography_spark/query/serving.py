@@ -418,10 +418,11 @@ class ShardedSearchService:
         index_dirs: list[str],
         facet_defs: dict[str, str | Callable[[pd.DataFrame], pd.Series]] | None = None,
         text_lookup: Callable[[int], str] | None = None,
+        parallel: bool = True,
     ):
         from discogsography_spark.query.sharded import ShardedSearcher
 
-        self.sharded = ShardedSearcher(index_dirs)
+        self.sharded = ShardedSearcher(index_dirs, parallel=parallel)
         self.services = [
             SearchService(d, facet_defs=facet_defs, text_lookup=text_lookup)
             for d in index_dirs
@@ -447,7 +448,9 @@ class ShardedSearchService:
             # The fixed ANALYZED list threads through directly — re-joining
             # into a query string would re-stem suggested terms.
             terms = an.analyze_query(query_text)
-            per_shard_rows = [s.searcher.lookup_terms(terms) for s in self.services]
+            per_shard_rows = self.sharded._fanout(
+                lambda s: s.searcher.lookup_terms(terms), self.services
+            )
             fixed = []
             for t in terms:
                 if any(t in r for r in per_shard_rows):
@@ -495,19 +498,19 @@ class ShardedSearchService:
                     set(qterms if qterms is not None else an.analyze_query(query_text))
                 )
             _, idfs = self.sharded._global_idfs(score_terms)
-            per_shard = []
-            for svc in self.services:
+
+            def _filter_and_rank(svc: SearchService):
                 m2 = svc._filtered_matched(
                     query_text, mode, filter,
                     terms=qterms, prefix_expansions=expansions,
                 )
-                per_shard.append(
-                    (m2, svc._rank_matched(
-                        query_text, mode, m2, k,
-                        idfs=idfs, avgdl=self.sharded.avgdl,
-                        terms=qterms, prefix_expansions=expansions,
-                    ))
-                )
+                return (m2, svc._rank_matched(
+                    query_text, mode, m2, k,
+                    idfs=idfs, avgdl=self.sharded.avgdl,
+                    terms=qterms, prefix_expansions=expansions,
+                ))
+
+            per_shard = self.sharded._fanout(_filter_and_rank, self.services)
             merged: list[tuple[int, float]] = []
             for off, (_m, hits) in zip(self.offsets, per_shard):
                 merged.extend((int(off) + d, x) for d, x in hits)
@@ -526,7 +529,9 @@ class ShardedSearchService:
         acc: dict[str, dict[str, int]] = {}
         if facets is None and self.services[0]._facet_codes:
             facets = sorted(self.services[0]._facet_codes)
-        for i, svc in enumerate(self.services):
+
+        def _count_shard(im: tuple[int, SearchService]):
+            i, svc = im
             matched = (
                 matched_sets[i]
                 if matched_sets is not None
@@ -535,12 +540,18 @@ class ShardedSearchService:
                     terms=qterms, prefix_expansions=expansions,
                 )
             )
-            total += int(matched.size)
-            if facets:
-                for name, pairs in svc.facet_counts(matched, facets).items():
-                    bucket = acc.setdefault(name, {})
-                    for value, n in pairs:
-                        bucket[value] = bucket.get(value, 0) + n
+            return int(matched.size), (
+                svc.facet_counts(matched, facets) if facets else {}
+            )
+
+        for size, fc in self.sharded._fanout(
+            _count_shard, list(enumerate(self.services))
+        ):
+            total += size
+            for name, pairs in fc.items():
+                bucket = acc.setdefault(name, {})
+                for value, n in pairs:
+                    bucket[value] = bucket.get(value, 0) + n
         resp = SearchResponse(
             results=results, total_matched=total, rewrites=rewrites
         )

@@ -22,21 +22,51 @@ taken to its cluster form):
 Result: bit-identical to a single index built over the whole corpus
 (tested), while every shard serves independently — the fan-out a 1000-node
 serving tier performs with one RPC per shard.
+
+Shard probes run CONCURRENTLY: the default (`parallel=True`) forks one
+worker PROCESS per shard (query/shardpool.py) — the shared-nothing model of
+a real per-shard serving node, and the only fan-out that actually scales on
+CPython (per-shard probes are interpreter-glued numpy, so a thread pool
+serializes on the GIL and measures SLOWER than sequential; the process pool
+holds p95 flat as shard count doubles). `parallel="thread"` keeps the
+thread-pool variant (the right shape when per-shard work is a remote RPC),
+`parallel=False` the sequential loop — both for A/B measurement, all three
+bit-identical (tested). Every query costs two fan-out rounds: a stats RPC
+(per-term df; the coordinator derives global idfs without moving posting
+blobs) and the evaluator RPC returning the per-shard top-k.
 """
 
 from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterable, TypeVar
 
 import numpy as np
 
 from discogsography_spark.analysis import get_analyzer
 from discogsography_spark.query.engine import LocalSearcher
 
+_A = TypeVar("_A")
+_R = TypeVar("_R")
+
 
 class ShardedSearcher:
-    def __init__(self, index_dirs: list[str]):
+    def __init__(self, index_dirs: list[str], parallel: bool | str = True):
         if not index_dirs:
             raise ValueError("at least one shard required")
         self.shards = [LocalSearcher(d) for d in index_dirs]
+        self._procs = None
+        self._pool: ThreadPoolExecutor | None = None
+        if len(index_dirs) > 1 and parallel == "thread":
+            self._pool = ThreadPoolExecutor(
+                max_workers=min(len(index_dirs), os.cpu_count() or 4),
+                thread_name_prefix="shard-fanout",
+            )
+        elif len(index_dirs) > 1 and parallel:
+            from discogsography_spark.query.shardpool import ShardWorkerPool
+
+            self._procs = ShardWorkerPool(index_dirs)
         analyzers = {s.meta.analyzer for s in self.shards}
         if len(analyzers) != 1:
             raise ValueError(f"shards disagree on analyzer: {analyzers}")
@@ -51,20 +81,59 @@ class ShardedSearcher:
         self.total_tokens = int(sum(s.meta.total_tokens for s in self.shards))
         self.avgdl = self.total_tokens / self.n_docs if self.n_docs else 1.0
 
-    def _global_idfs(self, terms: list[str]) -> tuple[list[dict], dict[str, float]]:
-        """Per-shard term rows + global idfs (df summed across shard
-        dictionaries — the stats RPC of a real serving tier)."""
-        per_shard_rows = [s.lookup_terms(terms) for s in self.shards]
-        gdf = {t: sum(r[t].df for r in per_shard_rows if t in r) for t in terms}
+    def close(self) -> None:
+        if self._procs is not None:
+            self._procs.close()
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+
+    def _fanout(self, fn: Callable[[_A], _R], items: Iterable[_A]) -> list[_R]:
+        """Order-preserving map over coordinator-side per-shard work (used
+        by ShardedSearchService's facet/count loops): thread-pooled only in
+        thread mode, else sequential — measured fastest in both cases."""
+        if self._pool is None:
+            return [fn(x) for x in items]
+        return list(self._pool.map(fn, items))
+
+    def _call_shards(self, method: str, kwargs_list: list[dict | None]) -> list:
+        """Invoke a LocalSearcher method per shard (None kwargs = skip that
+        shard, result slot None). Routes to the worker-process pool, the
+        thread pool, or a sequential loop — results in shard order."""
+        if self._procs is not None:
+            return self._procs.call(method, kwargs_list)
+
+        def one(arg):
+            shard, kw = arg
+            return getattr(shard, method)(**kw) if kw is not None else None
+
+        return self._fanout(one, list(zip(self.shards, kwargs_list)))
+
+    def _global_idfs(
+        self, terms: list[str]
+    ) -> tuple[list[dict[str, int]], dict[str, float]]:
+        """Per-shard {term: df} + global idfs (df summed across shard
+        dictionaries — the stats RPC of a real serving tier; only df
+        numbers move, never posting data)."""
+        if self._procs is not None:
+            per_shard_dfs = self._procs.call(
+                "term_stats", [{"terms": terms}] * len(self.shards)
+            )
+        else:
+            per_shard_dfs = self._fanout(
+                lambda s: {t: tp.df for t, tp in s.lookup_terms(terms).items()},
+                self.shards,
+            )
+        gdf = {t: sum(r[t] for r in per_shard_dfs if t in r) for t in terms}
         idfs = {
             t: self.params.idf(self.n_docs, gdf[t]) for t in terms if gdf[t] > 0
         }
-        return per_shard_rows, idfs
+        return per_shard_dfs, idfs
 
-    def _merge(self, per_shard: list[list[tuple[int, float]]], k: int):
+    def _merge(self, per_shard: list[list[tuple[int, float]] | None], k: int):
         merged: list[tuple[int, float]] = []
         for offset, hits in zip(self.offsets, per_shard):
-            merged.extend((int(offset) + d, s) for d, s in hits)
+            if hits:
+                merged.extend((int(offset) + d, s) for d, s in hits)
         merged.sort(key=lambda ds: (-ds[1], ds[0]))
         return merged[:k]
 
@@ -85,23 +154,19 @@ class ShardedSearcher:
             terms = get_analyzer(self.analyzer).analyze_query(query_text)
         if not terms or k <= 0:
             return []
-        per_shard_rows, idfs = self._global_idfs(terms)
+        per_shard_dfs, idfs = self._global_idfs(terms)
+        kw = {"terms": terms, "k": k, "idfs": idfs, "avgdl": self.avgdl}
         if mode == "or":
-            hits = [
-                shard._topk_or(terms, k, idfs=idfs, avgdl=self.avgdl)
-                if rows
-                else []
-                for shard, rows in zip(self.shards, per_shard_rows)
-            ]
+            hits = self._call_shards(
+                "_topk_or", [kw if r else None for r in per_shard_dfs]
+            )
             return self._merge(hits, k)
         if len(idfs) != len(terms):
             return []  # conjunctive: term absent from the whole corpus
-        hits = [
-            shard._topk_and(terms, k, idfs=idfs, avgdl=self.avgdl)
-            if len(rows) == len(terms)
-            else []
-            for shard, rows in zip(self.shards, per_shard_rows)
-        ]
+        hits = self._call_shards(
+            "_topk_and",
+            [kw if len(r) == len(terms) else None for r in per_shard_dfs],
+        )
         return self._merge(hits, k)
 
     def topk_phrase(self, phrase: str, k: int) -> list[tuple[int, float]]:
@@ -111,15 +176,14 @@ class ShardedSearcher:
         terms = sorted(set(ordered))
         if not ordered or k <= 0:
             return []
-        per_shard_rows, idfs = self._global_idfs(terms)
+        per_shard_dfs, idfs = self._global_idfs(terms)
         if len(idfs) != len(terms):
             return []
-        hits = [
-            shard.topk_phrase(phrase, k, idfs=idfs, avgdl=self.avgdl)
-            if len(rows) == len(terms)
-            else []
-            for shard, rows in zip(self.shards, per_shard_rows)
-        ]
+        kw = {"phrase": phrase, "k": k, "idfs": idfs, "avgdl": self.avgdl}
+        hits = self._call_shards(
+            "topk_phrase",
+            [kw if len(r) == len(terms) else None for r in per_shard_dfs],
+        )
         return self._merge(hits, k)
 
     def topk_prefix(
@@ -138,20 +202,30 @@ class ShardedSearcher:
             return []
         exp: dict[str, list[str]] = {}
         for pre in prefixes:
+            lists = self._call_shards(
+                "expand_prefix",
+                [{"prefix": pre, "max_expansions": max_expansions}]
+                * len(self.shards),
+            )
             union: set[str] = set()
-            for s in self.shards:
-                union.update(s.expand_prefix(pre, max_expansions))
+            for ts in lists:
+                union.update(ts or [])
             exp[pre] = sorted(union)[:max_expansions]
             if not exp[pre]:
                 return []
         union_terms = sorted({t for ts in exp.values() for t in ts})
         _, idfs = self._global_idfs(union_terms)
-        hits = [
-            shard._topk_prefix_uncached(
-                prefixes, k, max_expansions, exp=exp, idfs=idfs, avgdl=self.avgdl
-            )
-            for shard in self.shards
-        ]
+        kw = {
+            "prefixes": prefixes,
+            "k": k,
+            "max_expansions": max_expansions,
+            "exp": exp,
+            "idfs": idfs,
+            "avgdl": self.avgdl,
+        }
+        hits = self._call_shards(
+            "_topk_prefix_uncached", [kw] * len(self.shards)
+        )
         return self._merge(hits, k)
 
     def global_prefix_expansions(self, ast) -> dict[str, list[str]] | None:
@@ -171,9 +245,13 @@ class ShardedSearcher:
         expansions: dict[str, list[str]] = {}
 
         def collect(p: str) -> list[str]:
+            lists = self._call_shards(
+                "expand_prefix",
+                [{"prefix": p, "max_expansions": 64}] * len(self.shards),
+            )
             union: set[str] = set()
-            for sh in self.shards:
-                union.update(sh.expand_prefix(p, 64))
+            for ts in lists:
+                union.update(ts or [])
             expansions[p] = sorted(union)[:64]
             return expansions[p]
 
@@ -217,13 +295,45 @@ class ShardedSearcher:
         else:
             terms = all_terms(ast)
         _, idfs = self._global_idfs(terms)
-        hits = [
-            shard.topk_bool(
-                query_text, k, idfs=idfs, avgdl=self.avgdl,
-                prefix_expansions=expansions,
-            )
-            for shard in self.shards
-        ]
+        kw = {
+            "query_text": query_text,
+            "k": k,
+            "idfs": idfs,
+            "avgdl": self.avgdl,
+            "prefix_expansions": expansions,
+        }
+        hits = self._call_shards("topk_bool", [kw] * len(self.shards))
+        return self._merge(hits, k)
+
+    def topk_within(
+        self, word1: str, word2: str, window: int, k: int
+    ) -> list[tuple[int, float]]:
+        """Proximity top-k (`a <N> b`, either order) across positional
+        shards. A doc's positions live entirely in its own shard, so the
+        within-window predicate is exactly shard-local; scores use the
+        injected GLOBAL idf/avgdl — the same recipe as sharded phrase.
+        Bit-identical to a whole-corpus positional index (tested)."""
+        an = get_analyzer(self.analyzer)
+        ts1 = an.analyze_query(word1)
+        ts2 = an.analyze_query(word2)
+        if not ts1 or not ts2 or k <= 0:
+            return []
+        terms = sorted({ts1[0], ts2[0]})
+        per_shard_dfs, idfs = self._global_idfs(terms)
+        if len(idfs) != len(terms):
+            return []  # conjunctive: a term absent from the whole corpus
+        kw = {
+            "word1": word1,
+            "word2": word2,
+            "window": window,
+            "k": k,
+            "idfs": idfs,
+            "avgdl": self.avgdl,
+        }
+        hits = self._call_shards(
+            "topk_within",
+            [kw if len(r) == len(terms) else None for r in per_shard_dfs],
+        )
         return self._merge(hits, k)
 
     def suggest_terms(
@@ -235,9 +345,13 @@ class ShardedSearcher:
         within top-k of any shard containing it, and the union of per-shard
         top-k lists provably contains the global top-k. Merge = dedupe,
         re-sort, cut."""
+        per_shard = self._call_shards(
+            "suggest_terms",
+            [{"word": word, "k": k, "min_sim": min_sim}] * len(self.shards),
+        )
         seen: dict[str, float] = {}
-        for shard in self.shards:
-            for term, sim in shard.suggest_terms(word, k=k, min_sim=min_sim):
+        for hits in per_shard:
+            for term, sim in hits or []:
                 seen[term] = sim
         out = sorted(seen.items(), key=lambda ts: (-ts[1], ts[0]))
         return out[:k]

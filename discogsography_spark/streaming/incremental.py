@@ -256,33 +256,37 @@ class MergedSearcher:
         dataset filter would read the segment's ENTIRE blob columns per
         lookup (the to_table(filter=) trap), turning a 2-term probe into a
         multi-second scan on a large delta."""
-        from discogsography_spark.query.engine import _SegmentReader
-
-        segroot = os.path.join(delta, "segments")
         out: dict[str, dict] = {}
         by_seg: dict[int, list[str]] = {}
         for t in terms:
             by_seg.setdefault(term_segment(t, self.base.meta.num_segments), []).append(t)
         for seg, seg_terms in by_seg.items():
-            d = os.path.join(segroot, f"seg={seg}")
-            key = (delta, seg)
-            rd = self._delta_readers.get(key)
+            rd = self._delta_reader(delta, seg)
             if rd is None:
-                files = (
-                    [
-                        os.path.join(d, f)
-                        for f in sorted(os.listdir(d))
-                        if f.endswith(".parquet")
-                    ]
-                    if os.path.isdir(d)
-                    else []
-                )
-                if not files:
-                    continue
-                rd = self._delta_readers[key] = _SegmentReader(files)
+                continue
             for row in rd.lookup(sorted(seg_terms)):
                 out[row["term"]] = row  # raw dict is enough for decode
         return out
+
+    def _delta_reader(self, delta: str, seg: int):
+        """Memoized _SegmentReader for one delta segment directory (None if
+        the delta holds no files for that segment)."""
+        from discogsography_spark.query.engine import _SegmentReader
+
+        key = (delta, seg)
+        if key not in self._delta_readers:
+            d = os.path.join(delta, "segments", f"seg={seg}")
+            files = (
+                [
+                    os.path.join(d, f)
+                    for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                ]
+                if os.path.isdir(d)
+                else []
+            )
+            self._delta_readers[key] = _SegmentReader(files) if files else None
+        return self._delta_readers[key]
 
     def _merged_rows(
         self, terms: list[str]
@@ -379,14 +383,25 @@ class MergedSearcher:
         )
         if ast is None or k <= 0:
             return []
-        from discogsography_spark.query.boolquery import has_prefix_nodes
+        from discogsography_spark.query.boolquery import (
+            BoolQueryError,
+            expand_prefix_nodes,
+            has_prefix_nodes,
+        )
 
         if has_prefix_nodes(ast):
-            raise NotImplementedError(
-                "prefix terms inside boolean queries are not supported on "
-                "the merged base+delta view (delta vocabularies are not "
-                "range-scannable) — compact() first"
-            )
+            # expand against the COMBINED base+delta vocabulary (delta term
+            # dictionaries are sorted in memory by _SegmentReader, so each
+            # contributes a binary-searched range — same rule as the base),
+            # keeping the capped term-ASC rewrite identical to a fresh
+            # whole-corpus rebuild's
+            ast = expand_prefix_nodes(ast, lambda p: self.expand_prefix(p, 64))
+            if ast is None:
+                return []
+            if ast == ("true",):  # defensive: parser rejects vacuous forms
+                raise BoolQueryError(
+                    "prefix expansion produced a match-all query"
+                )
         pos_terms, neg_terms = polarity_terms(ast)
         terms = sorted(set(pos_terms) | set(neg_terms))
         merged = self._merged_rows(terms)
@@ -417,6 +432,125 @@ class MergedSearcher:
             scores[mask] = scores[mask] + idf * (tfv / (tfv + norm))
         order = np.lexsort((cand, -scores))[:k]
         return [(int(cand[i]), float(scores[i])) for i in order]
+
+    def expand_prefix(self, prefix: str, max_expansions: int = 64) -> list[str]:
+        """Vocabulary terms starting with `prefix` across base + deltas,
+        term-ASC, capped — LocalSearcher.expand_prefix's deterministic rule
+        over the COMBINED vocabulary. Delta dictionaries are the same
+        sorted in-memory arrays _SegmentReader keeps for the base, so each
+        (delta, segment, file) contributes one binary-searched range."""
+        found: set[str] = set(self.base.expand_prefix(prefix, max_expansions))
+        hi_key = prefix + "{"
+        for delta in self._delta_dirs:
+            for seg in range(self.base.meta.num_segments):
+                rd = self._delta_reader(delta, seg)
+                if rd is None:
+                    continue
+                for terms in rd._terms:
+                    lo = int(np.searchsorted(terms, prefix, side="left"))
+                    hi = int(np.searchsorted(terms, hi_key, side="left"))
+                    if hi > lo:
+                        found.update(terms[lo:hi].tolist())
+        return sorted(found)[:max_expansions]
+
+    def topk_within(
+        self, word1: str, word2: str, window: int, k: int
+    ) -> list[tuple[int, float]]:
+        """Proximity top-k (`a <N> b`, either order) over the LIVE merged
+        view — LocalSearcher.topk_within semantics (conjunctive BM25 of the
+        two terms, combined corpus stats, 5dp rounding) without pausing
+        between compactions. Simple verify-all shape, like merged phrase."""
+        from discogsography_spark.analysis import get_analyzer
+
+        an = get_analyzer(self.base.meta.analyzer)
+        ts1 = an.analyze_query(word1)
+        ts2 = an.analyze_query(word2)
+        if not ts1 or not ts2 or k <= 0:
+            return []
+        if window < 1:
+            raise ValueError(f"window must be ≥ 1, got {window}")
+        t1, t2 = ts1[0], ts2[0]
+        terms = sorted({t1, t2})
+        merged_all = self._merged_rows(terms)
+        merged = {t: merged_all.get(t) for t in terms}
+        if any(m is None for m in merged.values()):
+            return []
+
+        # candidate set: conjunctive (or tf ≥ 2 for the same-term case)
+        if t1 == t2:
+            d, tfv, _dl = merged[t1]
+            cand = d[tfv >= 2]
+        else:
+            by_df = sorted(terms, key=lambda t: (merged[t][0].size, t))
+            cand = merged[by_df[0]][0]
+            for t in by_df[1:]:
+                d, _tf, _dl = merged[t]
+                pos = np.searchsorted(d, cand)
+                ok = pos < d.size
+                hit = np.zeros(cand.shape, dtype=bool)
+                hit[ok] = d[pos[ok]] == cand[ok]
+                cand = cand[hit]
+        if cand.size == 0:
+            return []
+
+        positions = self._merged_positions(terms)
+        max_dl = max(int(merged[t][2].max()) for t in terms)
+        # same sizing rule as the engine's topk_within: window offsets are
+        # clamped to the doc's key space, so no +16 slack is needed
+        shift = max(21, max_dl.bit_length())
+        if self.n_docs >= (1 << (63 - shift)):
+            raise ValueError("proximity key packing overflow on merged view")
+        SHIFT = np.int64(shift)
+        span = np.int64(1 << shift)
+
+        def term_keys(t: str, docs_sorted: np.ndarray) -> np.ndarray:
+            d_full, tf_full, _ = merged[t]
+            flat, off = positions[t]
+            pi = np.searchsorted(d_full, docs_sorted)
+            lens = tf_full[pi]
+            total = int(lens.sum())
+            intra = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+            )
+            flat_idx = np.repeat(off[pi], lens) + intra
+            return (np.repeat(docs_sorted, lens) << SHIFT) | flat[flat_idx]
+
+        cand = np.sort(cand)
+        if t1 == t2:
+            keys = term_keys(t1, cand)
+            same_doc = (keys[1:] >> SHIFT) == (keys[:-1] >> SHIFT)
+            close = (keys[1:] - keys[:-1]) <= window
+            matched = np.unique((keys[1:][same_doc & close]) >> SHIFT)
+        else:
+            k1_ = term_keys(t1, cand)
+            k2_ = term_keys(t2, cand)
+            docbase = (k1_ >> SHIFT) << SHIFT
+            lo = np.maximum(k1_ - np.int64(window), docbase)
+            hi = np.minimum(k1_ + np.int64(window), docbase + span - 1)
+            a = np.searchsorted(k2_, lo, side="left")
+            b2 = np.searchsorted(k2_, hi, side="right")
+            matched = np.unique((k1_[b2 > a]) >> SHIFT)
+        if matched.size == 0:
+            return []
+
+        # exact conjunctive BM25 over the matched set, combined stats,
+        # sorted-term accumulation (the repo-wide float contract), 5dp
+        p = self.params
+        idfs = {t: p.idf(self.n_docs, int(merged[t][0].size)) for t in terms}
+        scores = np.zeros(matched.size, dtype=np.float64)
+        norm: np.ndarray | None = None
+        for t in terms:
+            d, tf, dl = merged[t]
+            pos = np.searchsorted(d, matched)  # exact hits (matched ⊆ d)
+            if norm is None:
+                norm = p.k1 * (
+                    1.0 - p.b + p.b * (dl[pos].astype(np.float64) / self.avgdl)
+                )
+            tfv = tf[pos].astype(np.float64)
+            scores = scores + idfs[t] * (tfv / (tfv + norm))
+        scores = np.round(scores, 5)
+        top = np.lexsort((matched, -scores))[:k]
+        return [(int(matched[i]), float(scores[i])) for i in top]
 
     def _merged_positions(self, terms: list[str]) -> dict[str, tuple]:
         """term → (flat positions, per-posting offsets) over base + deltas,

@@ -179,3 +179,89 @@ def test_merged_bool_with_phrases_before_compaction(spark, pos_stream):
         assert got == want, q
         n_nonempty += bool(got)
     assert n_nonempty >= 2
+
+
+def test_merged_view_within_and_prefix_bool_before_compact(spark, tmp_path):
+    """The two remaining merged-view parity cells: proximity (`a <N> b`) and
+    prefix-in-boolean both answer on the LIVE base+delta view. In-order
+    batches keep merged docIDs equal to a fresh build's, so both compare
+    exactly against a fresh whole-corpus index."""
+    from discogsography_spark.streaming.incremental import MergedSearcher
+
+    tdf = make_transcripts(n_conversations=90, mean_turns=6, vocab_size=300)
+    convs = sorted(tdf["conv_id"].unique())
+    base = tdf[tdf["conv_id"].isin(convs[:30])]
+    base_p = str(tmp_path / "base.parquet")
+    base.to_parquet(base_p, index=False)
+    idx_dir = str(tmp_path / "idx")
+    IndexBuilder(idx_dir, num_segments=2, with_positions=True).build(
+        spark.read.parquet(base_p)
+    )
+    writer = DeltaIndexWriter(idx_dir)
+    for i, cs in enumerate([convs[30:60], convs[60:]]):  # IN order
+        p = str(tmp_path / f"c{i}.parquet")
+        tdf[tdf["conv_id"].isin(cs)].to_parquet(p, index=False)
+        writer.write_batch(spark.read.parquet(p), i)
+
+    fresh_p = str(tmp_path / "union.parquet")
+    tdf.to_parquet(fresh_p, index=False)
+    fresh_dir = str(tmp_path / "fresh")
+    IndexBuilder(fresh_dir, num_segments=2, with_positions=True).build(
+        spark.read.parquet(fresh_p)
+    )
+    merged = MergedSearcher(idx_dir)
+    fresh = LocalSearcher(fresh_dir)
+
+    n_nonempty = 0
+    for w1, w2, win, k in [
+        ("spark", "index", 3, 10),
+        ("index", "spark", 2, 10),
+        ("turn", "turn", 2, 8),
+        ("merge", "window", 5, 10),
+    ]:
+        got = merged.topk_within(w1, w2, win, k)
+        want = fresh.topk_within(w1, w2, win, k)
+        assert got == want, (w1, w2, win)
+        n_nonempty += bool(got)
+    assert n_nonempty >= 2
+
+    # prefix expansion spans base AND delta vocabularies
+    assert merged.expand_prefix("spa") == fresh.expand_prefix("spa")
+    assert merged.expand_prefix("w0", 64) == fresh.expand_prefix("w0", 64)
+    n_nonempty = 0
+    for q in ["spa* AND NOT merge", "w0* AND spark", "spa* OR w00*"]:
+        got = merged.topk_bool(q, 10)
+        want = fresh.topk_bool(q, 10, use_result_cache=False)
+        assert got == want, q
+        n_nonempty += bool(got)
+    assert n_nonempty >= 2
+
+
+def test_merged_prefix_expansion_sees_delta_only_terms(spark, tmp_path):
+    """A vocabulary term that exists ONLY in a delta must be reachable via
+    prefix expansion on the merged view (the old fail-fast claimed delta
+    vocabularies weren't range-scannable)."""
+    import pandas as pd
+
+    from discogsography_spark.streaming.incremental import MergedSearcher
+
+    base = pd.DataFrame(
+        {"conv_id": ["a"], "turn_idx": [0], "role": ["user"],
+         "text": ["plain base document"], "tool": [None]}
+    )
+    delta = pd.DataFrame(
+        {"conv_id": ["b"], "turn_idx": [0], "role": ["user"],
+         "text": ["qqzupdated qqzunique plain"], "tool": [None]}
+    )
+    base_p, delta_p = str(tmp_path / "b.parquet"), str(tmp_path / "d.parquet")
+    base.to_parquet(base_p, index=False)
+    delta.to_parquet(delta_p, index=False)
+    idx = str(tmp_path / "idx")
+    IndexBuilder(idx, num_segments=2, with_positions=True).build(
+        spark.read.parquet(base_p)
+    )
+    DeltaIndexWriter(idx).write_batch(spark.read.parquet(delta_p), 0)
+    m = MergedSearcher(idx)
+    assert m.expand_prefix("qqz") == ["qqzunique", "qqzupdated"]
+    got = m.topk_bool("qqz* AND plain", 5)
+    assert [d for d, _ in got] == [1]  # the delta doc (base doc is 0)

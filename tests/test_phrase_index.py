@@ -181,12 +181,33 @@ def test_bool_phrase_served_response(spark, pos_setup):
     assert resp.total_matched == int(matched.size) > 0
 
 
-def test_bool_phrase_batch_path_fails_fast(spark, pos_setup):
+def test_bool_phrase_batch_path_identity(spark, pos_setup):
+    """Quoted phrases on the batch/Distributed path: phrase nodes resolve to
+    exact doc sets on the positional index and join into the plan as
+    membership relations — results must be bit-identical to
+    LocalSearcher.topk_bool on every composition shape."""
     from discogsography_spark.query.engine import DistributedQueryEngine
 
     eng = DistributedQueryEngine(spark, pos_setup["idx"])
-    with pytest.raises(NotImplementedError):
-        eng.topk_bool_df('"spark index" OR merge', 5)
+    s = LocalSearcher(pos_setup["idx"])
+    n_nonempty = 0
+    for q in [
+        '"spark index" OR merge',
+        '"spark index" AND NOT merge',
+        'merge AND NOT "spark index"',
+        '("spark index" OR "index spark") AND turn',
+        '"turn turn" OR spark',
+    ]:
+        got = [
+            (r["doc_id"], r["score"])
+            for r in eng.topk_bool_df(q, 10).collect()
+        ]
+        want = s.topk_bool(q, 10, use_result_cache=False)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-12, f"{q}: doc {gd} {gs!r} != {ws!r}"
+        n_nonempty += bool(got)
+    assert n_nonempty >= 4
 
 
 def test_bool_phrase_sharded_identity(spark, pos_setup, tmp_path_factory):

@@ -169,3 +169,52 @@ def test_sharded_bool_prefix_bit_identical(sharded_setup):
         got = sharded.topk_bool(q, 12)
         want = full.topk_bool(q, 12, use_result_cache=False)
         assert got == want, q
+
+
+def test_parallel_fanout_identical_to_sequential(sharded_setup):
+    """All three fan-out modes — worker processes (default), thread pool,
+    sequential loop — must be bit-identical in every query mode: an
+    order-preserving dispatch with no shared mutable state."""
+    proc = ShardedSearcher(sharded_setup["shards"], parallel=True)
+    thr = ShardedSearcher(sharded_setup["shards"], parallel="thread")
+    seq = ShardedSearcher(sharded_setup["shards"], parallel=False)
+    assert proc._procs is not None and proc._pool is None
+    assert thr._pool is not None and thr._procs is None
+    assert seq._pool is None and seq._procs is None
+    queries = make_queries(sharded_setup["tdf"], n_queries=10)
+    for _, q in queries.iterrows():
+        qt, k = q["query_text"], int(q["k"])
+        want = seq.topk(qt, k)
+        assert proc.topk(qt, k) == want and thr.topk(qt, k) == want
+        want_or = seq.topk(qt, k, mode="or")
+        assert proc.topk(qt, k, mode="or") == want_or
+        assert thr.topk(qt, k, mode="or") == want_or
+    for q in ("(spark OR index) AND NOT merge", "w* AND spark"):
+        want = seq.topk_bool(q, 10)
+        assert proc.topk_bool(q, 10) == want and thr.topk_bool(q, 10) == want
+    assert proc.topk_prefix("spa", 10) == seq.topk_prefix("spa", 10)
+    assert proc.suggest_terms("sparkz", k=5) == seq.suggest_terms("sparkz", k=5)
+    proc.close()
+    thr.close()
+
+
+def test_sharded_within_bit_identical(pos_sharded_setup):
+    """Proximity (`a <N> b`) across positional shards must equal the
+    whole-corpus positional index — the last query mode joining the
+    sharded parity matrix."""
+    full = LocalSearcher(pos_sharded_setup["full"])
+    sharded = ShardedSearcher(pos_sharded_setup["shards"])
+    n_nonempty = 0
+    for w1, w2, win, k in [
+        ("spark", "index", 3, 10),
+        ("index", "spark", 3, 10),   # symmetric — either order
+        ("spark", "index", 1, 10),
+        ("turn", "turn", 2, 8),      # same-term proximity
+        ("merge", "window", 5, 10),
+        ("spark", "zzqqabsent", 3, 5),
+    ]:
+        got = sharded.topk_within(w1, w2, win, k)
+        want = full.topk_within(w1, w2, win, k)
+        assert got == want, (w1, w2, win)
+        n_nonempty += bool(got)
+    assert n_nonempty >= 3
