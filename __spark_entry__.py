@@ -251,6 +251,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_bool_prefix_topk"] = fts_bool_prefix_topk
 
+    def fts_bool_within_topk(spark, sf_dir):
+        # proximity operator inside the boolean language: `a <N> b`
+        # (tsquery <->/<N> family, this engine's either-order semantics)
+        # composing with AND/OR/NOT — mirrors LocalSearcher.topk_bool with
+        # ('within', ...) nodes (query/boolquery.py)
+        from discogsography_spark.query.dataframe_bm25 import bm25_bool_topk_dataframe
+
+        return bm25_bool_topk_dataframe(
+            _read(spark, sf_dir, "documents"),
+            "table <3> value OR (batch AND NOT window)",
+            k=20,
+        )
+
+    q["fts_bool_within_topk"] = fts_bool_within_topk
+
+    def fts_bool_fuzzy_topk(spark, sf_dir):
+        # did-you-mean inside the boolean language: the vocabulary-absent
+        # leaf 'tabel' rewrites to its top trigram suggestion (pg_trgm
+        # rule), then the corrected predicate evaluates — mirrors
+        # LocalSearcher.topk_fuzzy(mode='bool'). The oracle derives the
+        # SAME correction dynamically in SQL (no hard-coded fix-up).
+        from discogsography_spark.query.dataframe_bm25 import (
+            bm25_fuzzy_bool_topk_dataframe,
+        )
+
+        return bm25_fuzzy_bool_topk_dataframe(
+            _read(spark, sf_dir, "documents"),
+            "tabel AND (value OR batch)",
+            k=20,
+        )
+
+    q["fts_bool_fuzzy_topk"] = fts_bool_fuzzy_topk
+
     def fts_filtered_topk(spark, sf_dir):
         # faceted drill-down: conjunctive match restricted to one facet
         # value, CORPUS-GLOBAL stats (SearchService.search(filter=...) mirror)
@@ -1492,6 +1525,90 @@ scored AS (
 )
 SELECT doc_id, score FROM scored WHERE nt = 2
 ORDER BY score DESC, doc_id ASC LIMIT 15
+"""
+
+    # within-in-bool: proximity predicate composed with AND/OR/NOT; scoring
+    # = present positive terms (table, value, batch), bool contract
+    o["fts_bool_within_topk"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT count(*) FROM toks)::DOUBLE AS total_tokens
+),
+tl AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+matched AS (
+  SELECT doc_id FROM tl
+  WHERE len([i FOR i IN range(1, len(tk) + 1)
+             IF tk[i] = 'table' AND
+                len([j FOR j IN range(greatest(1, i - 3),
+                                      least(len(tk), i + 3) + 1)
+                     IF j != i AND tk[j] = 'value']) > 0]) > 0
+     OR (list_contains(tk, 'batch') AND NOT list_contains(tk, 'window'))
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ('batch', 'table', 'value') GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       round(sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+            * (tf.tf / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * (dl.dl / (s.total_tokens / s.n_docs)))))), 5) AS score
+FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+WHERE tf.doc_id IN (SELECT doc_id FROM matched)
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+    # fuzzy-in-bool: the correction is DERIVED in SQL (trigram top-1 over
+    # the corpus vocabulary, pg_trgm rule, sim-6dp DESC then term ASC —
+    # byte-identical to fuzzy_term_matches), then used in both the
+    # predicate and the scoring term set
+    from discogsography_spark.query.fuzzy import char_trigrams as _ctg
+
+    _FTG = "[" + ", ".join(f"'{g}'" for g in _ctg("tabel")) + "]"
+    _FNQ = len(_ctg("tabel"))
+    o["fts_bool_fuzzy_topk"] = f"""
+WITH vocab AS (SELECT DISTINCT unnest({_TOKS_SQL}) AS term FROM documents),
+tg AS (
+  SELECT term,
+         list_distinct([substr('  ' || term || ' ', i, 3)
+                        FOR i IN range(1, length('  ' || term || ' ') - 1)]) AS tgs
+  FROM vocab
+),
+corrected AS (
+  SELECT term FROM (
+    SELECT term,
+           round(len(list_intersect(tgs, {_FTG}))::DOUBLE /
+                 (len(tgs) + {_FNQ} - len(list_intersect(tgs, {_FTG}))), 6) AS sim
+    FROM tg WHERE len(list_intersect(tgs, {_FTG})) > 0
+  ) WHERE sim >= 0.3 ORDER BY sim DESC, term ASC LIMIT 1
+),
+toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT count(*) FROM toks)::DOUBLE AS total_tokens
+),
+tl AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+matched AS (
+  SELECT doc_id FROM tl
+  WHERE list_contains(tk, (SELECT term FROM corrected))
+    AND (list_contains(tk, 'value') OR list_contains(tk, 'batch'))
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ('batch', 'value') OR term = (SELECT term FROM corrected)
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       round(sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+            * (tf.tf / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * (dl.dl / (s.total_tokens / s.n_docs)))))), 5) AS score
+FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+WHERE tf.doc_id IN (SELECT doc_id FROM matched)
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 20
 """
 
     _PHRASE_SQL = (

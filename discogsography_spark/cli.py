@@ -38,7 +38,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("query_text")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--window", type=int, default=3, help="proximity window for --mode near")
-    q.add_argument("--fuzzy", action="store_true", help="did-you-mean rewrite of vocabulary-absent terms (and/or modes)")
+    q.add_argument("--fuzzy", action="store_true", help="did-you-mean rewrite of vocabulary-absent terms (and/or/bool modes)")
     q.add_argument("--mode", choices=("and", "or", "prefix", "phrase", "bool", "suggest", "near"), default="and")
     q.add_argument("--show-text", metavar="TRANSCRIPTS", default=None)
 
@@ -85,7 +85,14 @@ def main(argv: list[str] | None = None) -> int:
         elif args.mode == "phrase":
             hits = searcher.topk_phrase(args.query_text, args.k)
         elif args.mode == "bool":
-            hits = searcher.topk_bool(args.query_text, args.k)
+            if args.fuzzy:
+                hits, rewrites = searcher.topk_fuzzy(
+                    args.query_text, args.k, mode="bool"
+                )
+                for orig, repl in rewrites.items():
+                    print(f"# did you mean: {orig} -> {repl}")
+            else:
+                hits = searcher.topk_bool(args.query_text, args.k)
         elif args.mode == "near":
             w = args.query_text.split()
             if len(w) != 2:

@@ -162,6 +162,15 @@ def bm25_topk_bool(
             tuple(toks[i : i + n]) == ph for i in range(len(toks) - n + 1)
         )
 
+    def contains_within(doc_id: int, pair: tuple, window: int) -> bool:
+        toks = idx.doc_tokens.get(doc_id, [])
+        t1, t2 = pair
+        p1 = [i for i, t in enumerate(toks) if t == t1]
+        p2 = [i for i, t in enumerate(toks) if t == t2]
+        return any(
+            i != j and abs(i - j) <= window for i in p1 for j in p2
+        )
+
     pos_terms, _ = polarity_terms(ast)
     p_ = idx.params
     n, avgdl = idx.n_docs, idx.avgdl
@@ -173,6 +182,7 @@ def bm25_topk_bool(
             ast,
             lambda t: d in idx.postings.get(t, {}),
             has_phrase=lambda ph: contains_phrase(d, ph),
+            has_within=lambda pair, w: contains_within(d, pair, w),
         ):
             continue
         dl = idx.doc_len[d]

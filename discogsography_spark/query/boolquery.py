@@ -36,10 +36,20 @@ phrase, exactly like phraseto_tsquery).
 
 A trailing `*` makes a PREFIX node (Lucene PrefixQuery inside BooleanQuery;
 `spa*` matches any vocabulary term starting with "spa", expanded with the
-same deterministic term-ASC cap as autocomplete). AST nodes are plain
-tuples — ('term', str) | ('prefix', str) | ('phrase', (str, …)) |
-('and', (nodes…)) | ('or', (nodes…)) | ('not', node) — hashable, so result
-caches can key on them directly.
+same deterministic term-ASC cap as autocomplete).
+
+`a <N> b` makes a WITHIN node — the tsquery `<->`/`<N>` distance-operator
+family composed with AND/OR/NOT, carrying this engine's proximity
+semantics (LocalSearcher.topk_within: the two analyzed terms within N
+token positions, EITHER order; tsquery's is ordered-exact-distance — ours
+is the Lucene sloppy-phrase shape the proximity surface already serves).
+Operands must be single analyzed terms; both score as ordinary
+positive-polarity terms when the doc matches, exactly like phrase terms.
+
+AST nodes are plain tuples — ('term', str) | ('prefix', str) |
+('phrase', (str, …)) | ('within', (str, str), int) | ('and', (nodes…)) |
+('or', (nodes…)) | ('not', node) — hashable, so result caches can key on
+them directly.
 """
 
 from __future__ import annotations
@@ -49,6 +59,7 @@ from typing import Callable
 
 _TOKEN_RE = re.compile(r"\"[^\"]*\"|\(|\)|[^\s()\"]+")
 _KEYWORDS = {"and": "AND", "or": "OR", "not": "NOT"}
+_NEAR_RE = re.compile(r"^<(\d+)>$|^<->$")  # <N> distance operator; <-> = <1>
 
 Node = tuple  # ('term', str) | ('and', tuple) | ('or', tuple) | ('not', Node)
 
@@ -110,6 +121,24 @@ def parse_bool_query(
             if peek() == "AND":
                 take()
                 continue
+            nxt = peek()
+            if nxt is not None and _NEAR_RE.match(nxt):
+                # `a <N> b`: combine the previous term with the next one
+                m = _NEAR_RE.match(take())
+                window = int(m.group(1)) if m.group(1) else 1
+                if window < 1:
+                    raise BoolQueryError("proximity window must be ≥ 1")
+                if not nodes:
+                    raise BoolQueryError("<N> operator needs a left operand")
+                left = nodes.pop()
+                right = parse_unary()
+                if left[0] != "term" or right is None or right[0] != "term":
+                    raise BoolQueryError(
+                        "proximity operands must be single analyzed terms "
+                        "(no phrases, prefixes, groups, or chained <N>)"
+                    )
+                nodes.append(("within", (left[1], right[1]), window))
+                continue
             n = parse_unary()
             if n is not None:
                 nodes.append(n)
@@ -170,7 +199,7 @@ def parse_bool_query(
 def _satisfiable_empty(ast: Node) -> bool:
     """Would a document containing NO query term match?"""
     kind = ast[0]
-    if kind in ("term", "phrase", "prefix"):
+    if kind in ("term", "phrase", "prefix", "within"):
         return False
     if kind == "not":
         return not _satisfiable_empty(ast[1])
@@ -191,7 +220,7 @@ def polarity_terms(ast: Node) -> tuple[list[str], list[str]]:
             (neg if negated else pos).add(n[1])
         elif kind == "prefix":
             pass  # expansion-dependent; callers resolve via expand_prefixes
-        elif kind == "phrase":
+        elif kind in ("phrase", "within"):
             (neg if negated else pos).update(n[1])
         elif kind == "not":
             walk(n[1], not negated)
@@ -212,10 +241,12 @@ def eval_predicate(
     ast: Node,
     has: Callable[[str], bool],
     has_phrase: Callable[[tuple], bool] | None = None,
+    has_within: Callable[[tuple, int], bool] | None = None,
 ) -> bool:
     """Row-at-a-time predicate evaluation (pure-Python oracle path).
-    `has_phrase(terms_tuple)` resolves phrase nodes; required only when the
-    AST contains one."""
+    `has_phrase(terms_tuple)` resolves phrase nodes; `has_within(
+    (t1, t2), window)` resolves proximity nodes; each required only when
+    the AST contains one."""
     kind = ast[0]
     if kind == "term":
         return has(ast[1])
@@ -223,22 +254,31 @@ def eval_predicate(
         if has_phrase is None:
             raise BoolQueryError("phrase node needs a has_phrase resolver")
         return has_phrase(ast[1])
+    if kind == "within":
+        if has_within is None:
+            raise BoolQueryError("within node needs a has_within resolver")
+        return has_within(ast[1], ast[2])
     if kind == "prefix":
         raise BoolQueryError(
             "prefix node must be expanded before evaluation "
             "(expand_prefix_nodes)"
         )
     if kind == "not":
-        return not eval_predicate(ast[1], has, has_phrase)
+        return not eval_predicate(ast[1], has, has_phrase, has_within)
     if kind == "and":
-        return all(eval_predicate(c, has, has_phrase) for c in ast[1])
-    return any(eval_predicate(c, has, has_phrase) for c in ast[1])
+        return all(
+            eval_predicate(c, has, has_phrase, has_within) for c in ast[1]
+        )
+    return any(eval_predicate(c, has, has_phrase, has_within) for c in ast[1])
 
 
-def fold_predicate(ast: Node, term_leaf, and_, or_, not_, phrase_leaf=None):
+def fold_predicate(
+    ast: Node, term_leaf, and_, or_, not_, phrase_leaf=None, within_leaf=None
+):
     """Generic predicate fold — builds a Spark Column, a SQL string, or a
     set-algebra value from the same AST with engine-specific combinators.
-    `phrase_leaf(terms_tuple)` resolves phrase nodes (required only when
+    `phrase_leaf(terms_tuple)` resolves phrase nodes; `within_leaf(
+    (t1, t2), window)` resolves proximity nodes (each required only when
     the AST contains one)."""
     kind = ast[0]
     if kind == "term":
@@ -247,16 +287,22 @@ def fold_predicate(ast: Node, term_leaf, and_, or_, not_, phrase_leaf=None):
         if phrase_leaf is None:
             raise BoolQueryError("phrase node needs a phrase_leaf resolver")
         return phrase_leaf(ast[1])
+    if kind == "within":
+        if within_leaf is None:
+            raise BoolQueryError("within node needs a within_leaf resolver")
+        return within_leaf(ast[1], ast[2])
     if kind == "prefix":
         raise BoolQueryError(
             "prefix node must be expanded before folding (expand_prefix_nodes)"
         )
     if kind == "not":
         return not_(
-            fold_predicate(ast[1], term_leaf, and_, or_, not_, phrase_leaf)
+            fold_predicate(
+                ast[1], term_leaf, and_, or_, not_, phrase_leaf, within_leaf
+            )
         )
     parts = [
-        fold_predicate(c, term_leaf, and_, or_, not_, phrase_leaf)
+        fold_predicate(c, term_leaf, and_, or_, not_, phrase_leaf, within_leaf)
         for c in ast[1]
     ]
     comb = and_ if kind == "and" else or_
@@ -268,7 +314,7 @@ def fold_predicate(ast: Node, term_leaf, and_, or_, not_, phrase_leaf=None):
 
 def has_phrase_nodes(ast: Node) -> bool:
     kind = ast[0]
-    if kind in ("term", "prefix"):
+    if kind in ("term", "prefix", "within"):
         return False
     if kind == "phrase":
         return True
@@ -277,14 +323,29 @@ def has_phrase_nodes(ast: Node) -> bool:
     return any(has_phrase_nodes(c) for c in ast[1])
 
 
+def has_within_nodes(ast: Node) -> bool:
+    kind = ast[0]
+    if kind in ("term", "prefix", "phrase"):
+        return False
+    if kind == "within":
+        return True
+    if kind == "not":
+        return has_within_nodes(ast[1])
+    return any(has_within_nodes(c) for c in ast[1])
+
+
+def has_positional_nodes(ast: Node) -> bool:
+    """True when evaluation needs token positions (phrase or within nodes) —
+    the gate for evaluators that only track per-term presence."""
+    return has_phrase_nodes(ast) or has_within_nodes(ast)
+
+
 def has_prefix_nodes(ast: Node) -> bool:
     kind = ast[0]
-    if kind == "term":
+    if kind in ("term", "phrase", "within"):
         return False
     if kind == "prefix":
         return True
-    if kind == "phrase":
-        return False
     if kind == "not":
         return has_prefix_nodes(ast[1])
     return any(has_prefix_nodes(c) for c in ast[1])
@@ -298,7 +359,7 @@ def expand_prefix_nodes(ast: Node, expand: Callable[[str], list[str]]) -> Node |
     rewritten AST contains only term/phrase nodes, so every existing
     evaluator works unchanged. Returns None if the whole query collapses."""
     kind = ast[0]
-    if kind == "term" or kind == "phrase":
+    if kind in ("term", "phrase", "within"):
         return ast
     if kind == "prefix":
         terms = expand(ast[1])
@@ -333,11 +394,12 @@ def expand_prefix_nodes(ast: Node, expand: Callable[[str], list[str]]) -> Node |
     return parts[0] if len(parts) == 1 else ("or", tuple(parts))
 
 
-def eval_docsets(ast: Node, docs_of, phrase_docs_of=None):
+def eval_docsets(ast: Node, docs_of, phrase_docs_of=None, within_docs_of=None):
     """Evaluate the predicate over sorted-unique docID arrays.
 
     `docs_of(term)` → np.ndarray (sorted, unique; empty for absent terms);
-    `phrase_docs_of(terms_tuple)` resolves phrase nodes the same way.
+    `phrase_docs_of(terms_tuple)` resolves phrase nodes the same way;
+    `within_docs_of((t1, t2), window)` resolves proximity nodes.
     NOT never materializes a complement: values flow as (array, is_complement)
     and the parser's pure-negation rejection guarantees the root resolves
     positive. Returns the sorted matched docID array."""
@@ -374,9 +436,49 @@ def eval_docsets(ast: Node, docs_of, phrase_docs_of=None):
             raise BoolQueryError("phrase node needs a phrase_docs_of resolver")
         return (phrase_docs_of(terms_tuple), False)
 
+    def wi_leaf(pair, window):
+        if within_docs_of is None:
+            raise BoolQueryError("within node needs a within_docs_of resolver")
+        return (within_docs_of(pair, window), False)
+
     cand, comp = fold_predicate(
-        ast, leaf, and_, or_, lambda a: (a[0], not a[1]), ph_leaf
+        ast, leaf, and_, or_, lambda a: (a[0], not a[1]), ph_leaf, wi_leaf
     )
     if comp:  # unreachable: parser rejects pure-negation queries
         raise AssertionError("boolean root resolved to a complement set")
     return cand
+
+
+def rewrite_fuzzy_terms(
+    ast: Node,
+    known: Callable[[str], bool],
+    suggest: Callable[[str], str | None],
+) -> tuple[Node, dict[str, str]]:
+    """Did-you-mean inside a boolean query: every PLAIN term leaf absent
+    from the vocabulary (`known(t)` false) is rewritten to its best
+    suggestion (None = keep as-is; an AND over it then correctly empties).
+    Terms inside phrase/within nodes are left alone — a quoted phrase is an
+    exact-match request (Lucene keeps fuzzy and phrase queries separate the
+    same way). Returns (rewritten AST, {original: suggestion})."""
+    rewrites: dict[str, str] = {}
+
+    def walk(n: Node) -> Node:
+        kind = n[0]
+        if kind == "term":
+            t = n[1]
+            if known(t):
+                return n
+            s = rewrites.get(t)
+            if s is None:
+                s = suggest(t)
+                if s is None:
+                    return n
+                rewrites[t] = s
+            return ("term", s)
+        if kind in ("phrase", "prefix", "within"):
+            return n
+        if kind == "not":
+            return ("not", walk(n[1]))
+        return (kind, tuple(walk(c) for c in n[1]))
+
+    return walk(ast), rewrites

@@ -468,6 +468,29 @@ def bm25_phrase_topk_dataframe(
     )
 
 
+def _within_pred_on_toks(t1: str, t2: str, window: int):
+    """proximity_match_col specialized to a pre-tokenized `_toks` column —
+    the boolean DataFrame path's within-node leaf (`a <N> b`)."""
+    toks = F.col("_toks")
+
+    def near(i):
+        js = F.sequence(
+            F.greatest(F.lit(1), i - F.lit(window)),
+            F.least(F.size(toks), i + F.lit(window)),
+        )
+        return F.exists(
+            js, lambda j: (j != i) & (F.element_at(toks, j) == F.lit(t2))
+        )
+
+    starts = F.sequence(F.lit(1), F.size(toks))
+    return F.when(
+        F.size(toks) >= F.lit(2),
+        F.exists(
+            starts, lambda i: (F.element_at(toks, i) == F.lit(t1)) & near(i)
+        ),
+    ).otherwise(F.lit(False))
+
+
 def _phrase_pred_on_toks(phrase_terms: list[str]):
     """phrase_match_col specialized to a pre-tokenized `_toks` column —
     the boolean DataFrame path's phrase-node leaf."""
@@ -494,14 +517,18 @@ def bm25_bool_topk_dataframe(
     text_col: str = "text",
     params: BM25Params | None = None,
     round_dp: int = 5,
+    ast=None,
 ) -> DataFrame:
     """Boolean AND/OR/NOT BM25 top-k — the DataFrame mirror of
-    `LocalSearcher.topk_bool` (grammar + scoring contract in boolquery.py).
+    `LocalSearcher.topk_bool` (grammar + scoring contract in boolquery.py;
+    phrase and `a <N> b` within nodes evaluate as native exists-over-
+    positions predicates on the token stream).
 
     The predicate folds to ONE native Column of array_contains conjunctions/
     disjunctions/negations (whole-stage codegen, no Python); scoring reuses
     the OR plan restricted to matching docs, with idf from CORPUS document
-    frequency so index-path and DataFrame-path scores agree."""
+    frequency so index-path and DataFrame-path scores agree. `ast` supplies
+    a pre-parsed (possibly fuzzy-rewritten) AST, skipping the parse."""
     from discogsography_spark.query.boolquery import (
         fold_predicate,
         parse_bool_query,
@@ -515,7 +542,8 @@ def bm25_bool_topk_dataframe(
 
     p = params or BM25Params()
     spark = docs.sparkSession
-    ast = parse_bool_query(query_text, analyze_query, tokenize=tokenize_py)
+    if ast is None:
+        ast = parse_bool_query(query_text, analyze_query, tokenize=tokenize_py)
     if ast is not None and has_prefix_nodes(ast):
         # vocabulary expansion with expand_prefix's exact deterministic
         # rule: distinct corpus tokens, term-ASC, capped at 64
@@ -549,6 +577,7 @@ def bm25_bool_topk_dataframe(
         lambda a, b: a | b,
         lambda a: ~a,
         phrase_leaf=lambda ph: _phrase_pred_on_toks(list(ph)),
+        within_leaf=lambda pair, w: _within_pred_on_toks(pair[0], pair[1], w),
     )
     matched = toks.filter(pred).select("_id")
 
@@ -778,4 +807,58 @@ def bm25_filtered_topk_dataframe(
         )
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def bm25_fuzzy_bool_topk_dataframe(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 10,
+    min_sim: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    params: BM25Params | None = None,
+    round_dp: int = 5,
+) -> DataFrame:
+    """Did-you-mean boolean search — the DataFrame mirror of
+    `LocalSearcher.topk_fuzzy(mode='bool')`: every PLAIN term leaf of the
+    parsed query absent from the corpus vocabulary rewrites to its top
+    trigram suggestion (pg_trgm rule via fuzzy_term_matches: similarity
+    DESC, term ASC, ≥ min_sim; phrase/within/prefix nodes stay exact), then
+    the rewritten AST runs through bm25_bool_topk_dataframe. Vocabulary
+    membership and per-absent-term suggestion are driver-side lookups over
+    tiny results (bounded by query length), never a corpus collect."""
+    from discogsography_spark.query.boolquery import (
+        parse_bool_query,
+        polarity_terms,
+        rewrite_fuzzy_terms,
+    )
+    from discogsography_spark.query.fuzzy import fuzzy_term_matches
+
+    spark = docs.sparkSession
+    ast = parse_bool_query(query_text, analyze_query, tokenize=tokenize_py)
+    if ast is None:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    pos_t, neg_t = polarity_terms(ast)
+    qterms = sorted(set(pos_t) | set(neg_t))
+    vocab_hits = {
+        r["t"]
+        for r in docs.select(F.explode(tokens_col(text_col)).alias("t"))
+        .filter(F.col("t").isin(qterms))
+        .distinct()
+        .collect()
+    }
+
+    def _suggest(t: str) -> str | None:
+        rows_ = fuzzy_term_matches(
+            docs, t, k=1, min_sim=min_sim, text_col=text_col
+        ).collect()
+        return rows_[0]["term"] if rows_ else None
+
+    fixed_ast, _rewrites = rewrite_fuzzy_terms(
+        ast, known=vocab_hits.__contains__, suggest=_suggest
+    )
+    return bm25_bool_topk_dataframe(
+        docs, query_text, k=k, id_col=id_col, text_col=text_col,
+        params=params, round_dp=round_dp, ast=fixed_ast,
     )

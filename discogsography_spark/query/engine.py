@@ -811,9 +811,36 @@ class LocalSearcher:
     ) -> tuple[list[tuple[int, float]], dict[str, str]]:
         """Did-you-mean search: analyzed terms ABSENT from the vocabulary are
         rewritten to their best trigram suggestion (≥ min_sim) before the
-        normal AND/OR evaluation. Returns (results, rewrites) so the caller
-        can surface 'showing results for …'. Terms with no suggestion stay
-        as-is (AND then correctly returns empty)."""
+        normal AND/OR/boolean evaluation. Returns (results, rewrites) so the
+        caller can surface 'showing results for …'. Terms with no suggestion
+        stay as-is (AND then correctly returns empty). mode='bool' rewrites
+        the PLAIN term leaves of the parsed AST (phrase/within/prefix nodes
+        are exact-match requests and stay untouched — boolquery.py
+        rewrite_fuzzy_terms)."""
+        if mode == "bool":
+            from discogsography_spark.query.boolquery import (
+                parse_bool_query,
+                rewrite_fuzzy_terms,
+            )
+
+            an = get_analyzer(self.meta.analyzer)
+            ast = parse_bool_query(
+                query_text, an.analyze_query, tokenize=an.tokenize_py
+            )
+            if ast is None or k <= 0:
+                return [], {}
+
+            def _suggest(t: str) -> str | None:
+                sugg = self.suggest_terms(t, k=1, min_sim=min_sim)
+                return sugg[0][0] if sugg else None
+
+            fixed_ast, rewrites = rewrite_fuzzy_terms(
+                ast,
+                known=lambda t: bool(self.lookup_terms([t])),
+                suggest=_suggest,
+            )
+            res = self.topk_bool(query_text, k, ast_override=fixed_ast)
+            return res, rewrites
         terms = get_analyzer(self.meta.analyzer).analyze_query(query_text)
         if not terms or k <= 0:
             return [], {}
@@ -960,6 +987,41 @@ class LocalSearcher:
         if idfs is None:
             idfs = {t: p.idf(m.n_docs, rows[t].df) for t in terms}
 
+        matched = self._within_doc_set_analyzed(t1, t2, window, rows)
+        if matched.size == 0:
+            return []
+
+        by_df = sorted(terms, key=lambda t: (rows[t].df, t))
+        sd, ss = self._and_score(matched, terms, by_df, rows, idfs, avgdl=avgdl)
+        ss = np.round(ss, 5)
+        top = np.lexsort((sd, -ss))[:k]
+        return [(int(sd[i]), float(ss[i])) for i in top]
+
+    def _within_doc_set(self, pair: tuple[str, str], window: int) -> np.ndarray:
+        """Sorted docIDs where the two ANALYZED terms occur within `window`
+        positions (either order) — the within-node resolver for boolean
+        queries (boolquery.py ('within', (t1, t2), N))."""
+        t1, t2 = pair
+        terms = sorted({t1, t2})
+        rows = self.lookup_terms(terms)
+        if len(rows) != len(terms):
+            return np.empty(0, dtype=np.int64)
+        return self._within_doc_set_analyzed(t1, t2, window, rows)
+
+    def _within_doc_set_analyzed(
+        self,
+        t1: str,
+        t2: str,
+        window: int,
+        rows: dict[str, TermPostings],
+    ) -> np.ndarray:
+        """Matched-set computation shared by topk_within and the boolean
+        within-node resolver: conjunctive candidates (tf ≥ 2 for the
+        same-term case), then the vectorized position-key window check."""
+        terms = sorted({t1, t2})
+        m = self.meta
+        empty = np.empty(0, dtype=np.int64)
+
         # candidate set: conjunctive (or tf ≥ 2 for the same-term case)
         if t1 == t2:
             d, tfv, _dl = self._decoded(rows[t1])
@@ -971,7 +1033,7 @@ class LocalSearcher:
                 mask, _tf, _dl = self._probe(rows[t], cand)
                 cand = cand[mask]
         if cand.size == 0:
-            return []
+            return empty
 
         dls = np.concatenate(
             [self._decoded(rows[t])[2] for t in terms]
@@ -990,24 +1052,15 @@ class LocalSearcher:
             keys = self._term_position_keys(rows[t1], cand, SHIFT)
             same_doc = (keys[1:] >> SHIFT) == (keys[:-1] >> SHIFT)
             close = (keys[1:] - keys[:-1]) <= window
-            matched = np.unique((keys[1:][same_doc & close]) >> SHIFT)
-        else:
-            k1_ = self._term_position_keys(rows[t1], cand, SHIFT)
-            k2_ = self._term_position_keys(rows[t2], cand, SHIFT)
-            docbase = (k1_ >> SHIFT) << SHIFT
-            lo = np.maximum(k1_ - np.int64(window), docbase)
-            hi = np.minimum(k1_ + np.int64(window), docbase + span - 1)
-            a = np.searchsorted(k2_, lo, side="left")
-            b2 = np.searchsorted(k2_, hi, side="right")
-            matched = np.unique((k1_[b2 > a]) >> SHIFT)
-        if matched.size == 0:
-            return []
-
-        by_df = sorted(terms, key=lambda t: (rows[t].df, t))
-        sd, ss = self._and_score(matched, terms, by_df, rows, idfs, avgdl=avgdl)
-        ss = np.round(ss, 5)
-        top = np.lexsort((sd, -ss))[:k]
-        return [(int(sd[i]), float(ss[i])) for i in top]
+            return np.unique((keys[1:][same_doc & close]) >> SHIFT)
+        k1_ = self._term_position_keys(rows[t1], cand, SHIFT)
+        k2_ = self._term_position_keys(rows[t2], cand, SHIFT)
+        docbase = (k1_ >> SHIFT) << SHIFT
+        lo = np.maximum(k1_ - np.int64(window), docbase)
+        hi = np.minimum(k1_ + np.int64(window), docbase + span - 1)
+        a = np.searchsorted(k2_, lo, side="left")
+        b2 = np.searchsorted(k2_, hi, side="right")
+        return np.unique((k1_[b2 > a]) >> SHIFT)
 
     def _positions(self, tp: TermPostings) -> tuple[np.ndarray, np.ndarray]:
         """(flat positions, per-posting offset array) for one term, cached
@@ -1371,16 +1424,21 @@ class LocalSearcher:
         idfs: dict[str, float] | None = None,
         avgdl: float | None = None,
         prefix_expansions: dict[str, list[str]] | None = None,
+        ast_override=None,
     ) -> list[tuple[int, float]]:
         """Boolean AND/OR/NOT BM25 top-k (`to_tsquery` / Lucene BooleanQuery
-        semantics — see boolquery.py for the grammar and scoring contract).
+        semantics — see boolquery.py for the grammar and scoring contract;
+        phrase and within/proximity nodes resolve over the positional
+        index).
 
         Candidate resolution is pure sorted-array set algebra over decoded
         posting docID arrays; NOT never materializes a complement — the
         algebra carries an `is_complement` flag and the parser's
         pure-negation rejection guarantees the root resolves positive. Docs
         are then scored over the positive-polarity terms with the same
-        probe/accumulate kernel as OR mode."""
+        probe/accumulate kernel as OR mode. `ast_override` supplies an
+        already-parsed (possibly rewritten) AST — the did-you-mean path and
+        the sharded coordinator's fuzzy fan-out."""
         from discogsography_spark.query.boolquery import (
             eval_docsets,
             parse_bool_query,
@@ -1389,10 +1447,13 @@ class LocalSearcher:
 
         if k <= 0:
             return []
-        analyzer = get_analyzer(self.meta.analyzer)
-        ast = parse_bool_query(
-            query_text, analyzer.analyze_query, tokenize=analyzer.tokenize_py
-        )
+        if ast_override is not None:
+            ast = ast_override
+        else:
+            analyzer = get_analyzer(self.meta.analyzer)
+            ast = parse_bool_query(
+                query_text, analyzer.analyze_query, tokenize=analyzer.tokenize_py
+            )
         if ast is None:
             return []
         ast = self._expand_bool_prefixes(ast, prefix_expansions)
@@ -1411,11 +1472,11 @@ class LocalSearcher:
                 self._result_cache.move_to_end(key)
                 return list(hit)
 
-        from discogsography_spark.query.boolquery import has_phrase_nodes
+        from discogsography_spark.query.boolquery import has_positional_nodes
 
         pos_terms, neg_terms = polarity_terms(ast)
         terms = sorted(set(pos_terms) | set(neg_terms))
-        with_phrases = has_phrase_nodes(ast)
+        with_phrases = has_positional_nodes(ast)
 
         # flat conjunctions/disjunctions of plain terms ARE the dedicated
         # modes — delegate to their pruned evaluators (champion-seeded
@@ -1511,6 +1572,7 @@ class LocalSearcher:
             ast,
             docsets.__getitem__,
             phrase_docs_of=lambda ph: self._phrase_doc_set(list(ph)),
+            within_docs_of=self._within_doc_set,
         )
         if cand.size == 0:
             return []
@@ -1705,29 +1767,30 @@ class DistributedQueryEngine:
         if decoded is None:
             return empty
 
-        # phrase nodes: each quoted phrase resolves to its exact doc set on
-        # the POSITIONAL index (the serving path's resolver — one positional
-        # chain over the rarest term's candidates), shipped into the plan as
-        # a per-phrase membership relation joined on doc_id. The join side
-        # is |matching docs| rows of one long each — the standard
-        # distributed-membership shape; AQE broadcasts it when small and
-        # shuffle-joins it otherwise. Scoring parity with
-        # LocalSearcher.topk_bool holds because phrase terms already ride
-        # the positive-polarity partial sum (polarity_terms includes them).
-        phrase_nodes: list[tuple] = []
+        # positional nodes (quoted phrases, `a <N> b` proximity): each
+        # resolves to its exact doc set on the POSITIONAL index (the serving
+        # path's resolvers — one positional chain over the rarest term's
+        # candidates), shipped into the plan as a per-node membership
+        # relation joined on doc_id. The join side is |matching docs| rows
+        # of one long each — the standard distributed-membership shape; AQE
+        # broadcasts it when small and shuffle-joins it otherwise. Scoring
+        # parity with LocalSearcher.topk_bool holds because phrase/within
+        # terms already ride the positive-polarity partial sum
+        # (polarity_terms includes them).
+        pos_nodes: list[tuple] = []
 
-        def _collect_phrases(n) -> None:
-            if n[0] == "phrase":
-                if n[1] not in phrase_nodes:
-                    phrase_nodes.append(n[1])
+        def _collect_positional(n) -> None:
+            if n[0] in ("phrase", "within"):
+                if n not in pos_nodes:
+                    pos_nodes.append(n)
             elif n[0] == "not":
-                _collect_phrases(n[1])
+                _collect_positional(n[1])
             elif n[0] in ("and", "or"):
                 for c in n[1]:
-                    _collect_phrases(c)
+                    _collect_positional(c)
 
-        _collect_phrases(ast)
-        phrase_flag = {ph: f"_ph{i}" for i, ph in enumerate(phrase_nodes)}
+        _collect_positional(ast)
+        node_flag = {n: f"_pos{i}" for i, n in enumerate(pos_nodes)}
         idf_map = F.create_map(
             *[
                 x
@@ -1759,13 +1822,16 @@ class DistributedQueryEngine:
                 lambda acc, x: acc + x["partial"],
             ).alias("score"),
         )
-        for ph, flag in phrase_flag.items():
-            ph_docs = self._searcher._phrase_doc_set(list(ph))
-            ph_df = self.spark.createDataFrame(
-                [(int(d),) for d in ph_docs],
+        for node, flag in node_flag.items():
+            if node[0] == "phrase":
+                nd_docs = self._searcher._phrase_doc_set(list(node[1]))
+            else:  # within
+                nd_docs = self._searcher._within_doc_set(node[1], node[2])
+            nd_df = self.spark.createDataFrame(
+                [(int(d),) for d in nd_docs],
                 T.StructType([T.StructField("doc_id", T.LongType(), False)]),
             ).withColumn(flag, F.lit(True))
-            grouped = grouped.join(ph_df, "doc_id", "left").withColumn(
+            grouped = grouped.join(nd_df, "doc_id", "left").withColumn(
                 flag, F.coalesce(F.col(flag), F.lit(False))
             )
         pred = fold_predicate(
@@ -1774,7 +1840,8 @@ class DistributedQueryEngine:
             lambda a, b: a & b,
             lambda a, b: a | b,
             lambda a: ~a,
-            phrase_leaf=lambda ph: F.col(phrase_flag[ph]),
+            phrase_leaf=lambda ph: F.col(node_flag[("phrase", ph)]),
+            within_leaf=lambda pair, w: F.col(node_flag[("within", pair, w)]),
         )
         return (
             grouped.filter(pred)

@@ -136,14 +136,17 @@ class SearchService:
         mode: str = "and",
         terms: list[str] | None = None,
         prefix_expansions: dict[str, list[str]] | None = None,
+        ast_override=None,
     ) -> np.ndarray:
         """Exact matched docID set (sorted). AND = conjunctive intersection
         driven from the rarest term; OR = union of posting lists; bool =
-        AND/OR/NOT set algebra over posting doc arrays (boolquery.py).
-        Decodes are served by LocalSearcher's byte-budgeted caches.
-        `terms` bypasses query analysis (did-you-mean rewrites pass the
-        already-analyzed fixed list); `prefix_expansions` injects a GLOBAL
-        prefix-expansion map for bool mode (sharded fan-out)."""
+        AND/OR/NOT set algebra over posting doc arrays (boolquery.py),
+        phrase/within nodes resolved positionally. Decodes are served by
+        LocalSearcher's byte-budgeted caches. `terms` bypasses query
+        analysis (did-you-mean rewrites pass the already-analyzed fixed
+        list); `prefix_expansions` injects a GLOBAL prefix-expansion map
+        for bool mode (sharded fan-out); `ast_override` supplies an
+        already-parsed (possibly fuzzy-rewritten) boolean AST."""
         s = self.searcher
         if mode == "bool":
             from discogsography_spark.query.boolquery import (
@@ -152,8 +155,12 @@ class SearchService:
                 parse_bool_query,
             )
 
-            ast = parse_bool_query(
-                query_text, self._an.analyze_query, tokenize=self._an.tokenize_py
+            ast = (
+                ast_override
+                if ast_override is not None
+                else parse_bool_query(
+                    query_text, self._an.analyze_query, tokenize=self._an.tokenize_py
+                )
             )
             if ast is not None:
                 ast = s._expand_bool_prefixes(ast, prefix_expansions)
@@ -165,6 +172,7 @@ class SearchService:
                 ast,
                 lambda t: s._decoded(rows[t])[0] if t in rows else empty,
                 phrase_docs_of=lambda ph: s._phrase_doc_set(list(ph)),
+                within_docs_of=s._within_doc_set,
             )
         if terms is None:
             terms = self._an.analyze_query(query_text)
@@ -237,6 +245,7 @@ class SearchService:
     ) -> SearchResponse:
         rewrites: dict[str, str] = {}
         qterms: list[str] | None = None  # analyzed-term override (fuzzy)
+        qast = None  # rewritten boolean AST (fuzzy bool mode)
         if fuzzy and mode in ("and", "or"):
             # did-you-mean: rewrite vocabulary-absent terms to their best
             # trigram suggestion BEFORE evaluation ("showing results for …").
@@ -258,19 +267,54 @@ class SearchService:
                     fixed.append(t)
             if rewrites:
                 qterms = sorted(set(fixed))
+        elif fuzzy and mode == "bool":
+            # did-you-mean on the boolean language: rewrite the parsed
+            # AST's vocabulary-absent PLAIN term leaves (phrase/within/
+            # prefix nodes stay exact), then thread the rewritten AST into
+            # ranking, matched-set counting, and highlighting
+            from discogsography_spark.query.boolquery import (
+                parse_bool_query,
+                rewrite_fuzzy_terms,
+            )
+
+            ast0 = parse_bool_query(
+                query_text, self._an.analyze_query, tokenize=self._an.tokenize_py
+            )
+            if ast0 is not None:
+                s = self.searcher
+
+                def _sugg(t: str) -> str | None:
+                    got = s.suggest_terms(t, k=1)
+                    return got[0][0] if got else None
+
+                qast, rewrites = rewrite_fuzzy_terms(
+                    ast0,
+                    known=lambda t: bool(s.lookup_terms([t])),
+                    suggest=_sugg,
+                )
         if filter:
             # faceted drill-down: intersect the matched set with the
             # requested facet values through the dense code arrays —
             # O(|matched|) per filter field, zero extra index I/O
-            matched = self._filtered_matched(query_text, mode, filter, terms=qterms)
-            results = self._rank_matched(query_text, mode, matched, k, terms=qterms)
+            matched = self._filtered_matched(
+                query_text, mode, filter, terms=qterms, ast_override=qast
+            )
+            results = self._rank_matched(
+                query_text, mode, matched, k, terms=qterms, ast_override=qast
+            )
         else:
-            matched = self.matched_docs(query_text, mode=mode, terms=qterms)
+            matched = self.matched_docs(
+                query_text, mode=mode, terms=qterms, ast_override=qast
+            )
             if qterms is not None:
                 results = (
                     self.searcher._topk_or(qterms, k)
                     if mode == "or"
                     else self.searcher._topk_and(qterms, k)
+                )
+            elif qast is not None:
+                results = self.searcher.topk_bool(
+                    query_text, k, ast_override=qast
                 )
             else:
                 results = (
@@ -289,7 +333,7 @@ class SearchService:
             hterms = (
                 qterms
                 if qterms is not None
-                else self._highlight_terms(query_text, mode)
+                else self._highlight_terms(query_text, mode, ast_override=qast)
             )
             resp.headlines = {
                 d: self.headline(d, hterms) for d, _ in results
@@ -306,13 +350,15 @@ class SearchService:
         avgdl: float | None = None,
         terms: list[str] | None = None,
         prefix_expansions: dict[str, list[str]] | None = None,
+        ast_override=None,
     ) -> list[tuple[int, float]]:
         """Exact BM25 top-k restricted to a pre-filtered matched docID set:
         probe each scoring term over the set, accumulate in sorted order
         (the evaluator contract), cut at k. `idfs`/`avgdl` inject GLOBAL
         statistics for sharded drill-down; `terms` overrides the scoring
         term list (fuzzy rewrites); `prefix_expansions` injects the global
-        prefix rewrite so bool-mode scoring terms match the matched set."""
+        prefix rewrite so bool-mode scoring terms match the matched set;
+        `ast_override` supplies a pre-parsed (fuzzy-rewritten) AST."""
         if matched.size == 0 or k <= 0:
             return []
         s = self.searcher
@@ -322,7 +368,9 @@ class SearchService:
         if terms is None:
             terms = (
                 # positive terms of the (prefix-expanded) predicate
-                self._highlight_terms(query_text, mode, prefix_expansions)
+                self._highlight_terms(
+                    query_text, mode, prefix_expansions, ast_override
+                )
                 if mode == "bool"
                 else self._an.analyze_query(query_text)
             )
@@ -362,9 +410,11 @@ class SearchService:
         filter: dict[str, str],
         terms: list[str] | None = None,
         prefix_expansions: dict[str, list[str]] | None = None,
+        ast_override=None,
     ) -> np.ndarray:
         matched = self.matched_docs(
-            query_text, mode=mode, terms=terms, prefix_expansions=prefix_expansions
+            query_text, mode=mode, terms=terms,
+            prefix_expansions=prefix_expansions, ast_override=ast_override,
         )
         keep = np.ones(matched.size, dtype=bool)
         for fname, fval in filter.items():
@@ -385,6 +435,7 @@ class SearchService:
         query_text: str,
         mode: str,
         prefix_expansions: dict[str, list[str]] | None = None,
+        ast_override=None,
     ) -> list[str]:
         if mode != "bool":
             return self._an.analyze_query(query_text)
@@ -395,8 +446,12 @@ class SearchService:
             polarity_terms,
         )
 
-        ast = parse_bool_query(
-            query_text, self._an.analyze_query, tokenize=self._an.tokenize_py
+        ast = (
+            ast_override
+            if ast_override is not None
+            else parse_bool_query(
+                query_text, self._an.analyze_query, tokenize=self._an.tokenize_py
+            )
         )
         if ast is not None:
             ast = self.searcher._expand_bool_prefixes(ast, prefix_expansions)
@@ -441,6 +496,7 @@ class ShardedSearchService:
     ) -> SearchResponse:
         rewrites: dict[str, str] = {}
         qterms: list[str] | None = None  # analyzed-term override (fuzzy)
+        qast = None  # rewritten boolean AST (fuzzy bool mode)
         an = self.services[0]._an
         if fuzzy and mode in ("and", "or"):
             # did-you-mean over the GLOBAL vocabulary: a term absent from
@@ -464,8 +520,9 @@ class ShardedSearchService:
                     fixed.append(t)
             if rewrites:
                 qterms = sorted(set(fixed))
-        # bool mode: parse ONCE, expand prefixes GLOBALLY once, and share
-        # the expansion map between ranking, matched-set counting, idf
+        # bool mode: parse ONCE, fuzzy-rewrite against the GLOBAL
+        # vocabulary, expand prefixes GLOBALLY once, and share AST +
+        # expansion map between ranking, matched-set counting, idf
         # derivation, and highlighting — every consumer sees one rewrite
         expansions: dict[str, list[str]] | None = None
         if mode == "bool":
@@ -473,11 +530,26 @@ class ShardedSearchService:
                 all_terms,
                 expand_prefix_nodes,
                 parse_bool_query,
+                rewrite_fuzzy_terms,
             )
 
             ast = parse_bool_query(
                 query_text, an.analyze_query, tokenize=an.tokenize_py
             )
+            if fuzzy and ast is not None:
+                sh = self.sharded
+
+                def _known(t: str) -> bool:
+                    dfs, _ = sh._global_idfs([t])
+                    return any(t in r for r in dfs)
+
+                def _sugg(t: str) -> str | None:
+                    got = sh.suggest_terms(t, k=1)
+                    return got[0][0] if got else None
+
+                ast, rewrites = rewrite_fuzzy_terms(ast, _known, _sugg)
+                if rewrites:
+                    qast = ast
             expansions = self.sharded.global_prefix_expansions(ast)
         if filter:
             # sharded drill-down: each shard filters its own matched set
@@ -503,11 +575,13 @@ class ShardedSearchService:
                 m2 = svc._filtered_matched(
                     query_text, mode, filter,
                     terms=qterms, prefix_expansions=expansions,
+                    ast_override=qast,
                 )
                 return (m2, svc._rank_matched(
                     query_text, mode, m2, k,
                     idfs=idfs, avgdl=self.sharded.avgdl,
                     terms=qterms, prefix_expansions=expansions,
+                    ast_override=qast,
                 ))
 
             per_shard = self.sharded._fanout(_filter_and_rank, self.services)
@@ -519,7 +593,9 @@ class ShardedSearchService:
             matched_sets = [m for m, _h in per_shard]
         else:
             if mode == "bool":
-                results = self.sharded.topk_bool(query_text, k, expansions=expansions)
+                results = self.sharded.topk_bool(
+                    query_text, k, expansions=expansions, ast_override=qast
+                )
             elif qterms is not None:
                 results = self.sharded.topk(query_text, k, mode=mode, terms=qterms)
             else:
@@ -538,6 +614,7 @@ class ShardedSearchService:
                 else svc.matched_docs(
                     query_text, mode=mode,
                     terms=qterms, prefix_expansions=expansions,
+                    ast_override=qast,
                 )
             )
             return int(matched.size), (
@@ -564,7 +641,8 @@ class ShardedSearchService:
                 qterms
                 if qterms is not None
                 else self.services[0]._highlight_terms(
-                    query_text, mode, prefix_expansions=expansions
+                    query_text, mode, prefix_expansions=expansions,
+                    ast_override=qast,
                 )
             )
             for gid, _ in results:

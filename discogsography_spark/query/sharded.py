@@ -263,6 +263,7 @@ class ShardedSearcher:
         query_text: str,
         k: int,
         expansions: dict[str, list[str]] | None = None,
+        ast_override=None,
     ) -> list[tuple[int, float]]:
         """Boolean AND/OR/NOT top-k across shards. Doc-disjoint sharding
         makes the predicate exactly shard-local (every term occurrence of a
@@ -277,10 +278,13 @@ class ShardedSearcher:
             parse_bool_query,
         )
 
-        an = get_analyzer(self.analyzer)
-        ast = parse_bool_query(
-            query_text, an.analyze_query, tokenize=an.tokenize_py
-        )
+        if ast_override is not None:
+            ast = ast_override
+        else:
+            an = get_analyzer(self.analyzer)
+            ast = parse_bool_query(
+                query_text, an.analyze_query, tokenize=an.tokenize_py
+            )
         if ast is None or k <= 0:
             return []
         if expansions is None:
@@ -301,6 +305,10 @@ class ShardedSearcher:
             "idfs": idfs,
             "avgdl": self.avgdl,
             "prefix_expansions": expansions,
+            # ship the parsed AST so workers skip re-parsing and fuzzy
+            # rewrites evaluate identically on every shard (plain tuples —
+            # picklable)
+            "ast_override": ast,
         }
         hits = self._call_shards("topk_bool", [kw] * len(self.shards))
         return self._merge(hits, k)

@@ -410,6 +410,7 @@ class MergedSearcher:
             ast,
             lambda t: merged[t][0] if merged[t] is not None else empty,
             phrase_docs_of=lambda ph: self._merged_phrase_doc_set(list(ph)),
+            within_docs_of=self._merged_within_doc_set,
         )
         if cand.size == 0:
             return []
@@ -471,10 +472,43 @@ class MergedSearcher:
             raise ValueError(f"window must be ≥ 1, got {window}")
         t1, t2 = ts1[0], ts2[0]
         terms = sorted({t1, t2})
+        matched = self._merged_within_doc_set((t1, t2), window)
+        if matched.size == 0:
+            return []
+        merged = self._merged_rows(terms)  # cache hits from the resolver
+
+        # exact conjunctive BM25 over the matched set, combined stats,
+        # sorted-term accumulation (the repo-wide float contract), 5dp
+        p = self.params
+        idfs = {t: p.idf(self.n_docs, int(merged[t][0].size)) for t in terms}
+        scores = np.zeros(matched.size, dtype=np.float64)
+        norm: np.ndarray | None = None
+        for t in terms:
+            d, tf, dl = merged[t]
+            pos = np.searchsorted(d, matched)  # exact hits (matched ⊆ d)
+            if norm is None:
+                norm = p.k1 * (
+                    1.0 - p.b + p.b * (dl[pos].astype(np.float64) / self.avgdl)
+                )
+            tfv = tf[pos].astype(np.float64)
+            scores = scores + idfs[t] * (tfv / (tfv + norm))
+        scores = np.round(scores, 5)
+        top = np.lexsort((matched, -scores))[:k]
+        return [(int(matched[i]), float(scores[i])) for i in top]
+
+    def _merged_within_doc_set(
+        self, pair: tuple[str, str], window: int
+    ) -> np.ndarray:
+        """Sorted docIDs of the merged view where the two analyzed terms
+        occur within `window` positions (either order) — shared by
+        topk_within and boolean within nodes."""
+        t1, t2 = pair
+        terms = sorted({t1, t2})
+        empty = np.empty(0, dtype=np.int64)
         merged_all = self._merged_rows(terms)
         merged = {t: merged_all.get(t) for t in terms}
         if any(m is None for m in merged.values()):
-            return []
+            return empty
 
         # candidate set: conjunctive (or tf ≥ 2 for the same-term case)
         if t1 == t2:
@@ -491,7 +525,7 @@ class MergedSearcher:
                 hit[ok] = d[pos[ok]] == cand[ok]
                 cand = cand[hit]
         if cand.size == 0:
-            return []
+            return empty
 
         positions = self._merged_positions(terms)
         max_dl = max(int(merged[t][2].max()) for t in terms)
@@ -530,27 +564,7 @@ class MergedSearcher:
             a = np.searchsorted(k2_, lo, side="left")
             b2 = np.searchsorted(k2_, hi, side="right")
             matched = np.unique((k1_[b2 > a]) >> SHIFT)
-        if matched.size == 0:
-            return []
-
-        # exact conjunctive BM25 over the matched set, combined stats,
-        # sorted-term accumulation (the repo-wide float contract), 5dp
-        p = self.params
-        idfs = {t: p.idf(self.n_docs, int(merged[t][0].size)) for t in terms}
-        scores = np.zeros(matched.size, dtype=np.float64)
-        norm: np.ndarray | None = None
-        for t in terms:
-            d, tf, dl = merged[t]
-            pos = np.searchsorted(d, matched)  # exact hits (matched ⊆ d)
-            if norm is None:
-                norm = p.k1 * (
-                    1.0 - p.b + p.b * (dl[pos].astype(np.float64) / self.avgdl)
-                )
-            tfv = tf[pos].astype(np.float64)
-            scores = scores + idfs[t] * (tfv / (tfv + norm))
-        scores = np.round(scores, 5)
-        top = np.lexsort((matched, -scores))[:k]
-        return [(int(matched[i]), float(scores[i])) for i in top]
+        return matched
 
     def _merged_positions(self, terms: list[str]) -> dict[str, tuple]:
         """term → (flat positions, per-posting offsets) over base + deltas,

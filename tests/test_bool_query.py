@@ -274,3 +274,76 @@ def test_bool_prefix_dataframe_identity(spark, corpus_dir, oracle_index):
         ((d, round(x, 5)) for d, x in wide), key=lambda y: (-y[1], y[0])
     )[:10]
     assert got == want, q
+
+
+def test_parser_within_nodes():
+    """`a <N> b` (and websearch `<->` = <1>) parse to ('within', (t1, t2),
+    N) nodes composing with AND/OR/NOT; operands must be plain terms."""
+    from discogsography_spark.analysis import analyze_query
+
+    from discogsography_spark.query.boolquery import (
+        BoolQueryError,
+        has_positional_nodes,
+        has_within_nodes,
+        parse_bool_query,
+        polarity_terms,
+    )
+
+    ast = parse_bool_query("spark <3> index AND NOT merge", analyze_query)
+    assert ast == (
+        "and",
+        (("within", ("spark", "index"), 3), ("not", ("term", "merge"))),
+    )
+    assert has_within_nodes(ast) and has_positional_nodes(ast)
+    assert polarity_terms(ast) == (["index", "spark"], ["merge"])
+    assert parse_bool_query("a <-> b OR c", analyze_query) == (
+        "or", (("within", ("a", "b"), 1), ("term", "c"))
+    )
+    for bad in ("<3> b", "a <3>", '"x y" <2> b', "a <3> b <2> c",
+                "a <0> b", "spa* <2> b", "(a OR b) <2> c"):
+        with pytest.raises(BoolQueryError):
+            parse_bool_query(bad, analyze_query)
+
+
+def test_eval_predicate_within():
+    from discogsography_spark.analysis import analyze_query
+
+    from discogsography_spark.query.boolquery import (
+        eval_predicate,
+        parse_bool_query,
+    )
+
+    ast = parse_bool_query("a <2> b AND NOT c", analyze_query)
+    toks = ["x", "a", "y", "b", "z"]
+
+    def has_within(pair, w):
+        t1, t2 = pair
+        p1 = [i for i, t in enumerate(toks) if t == t1]
+        p2 = [i for i, t in enumerate(toks) if t == t2]
+        return any(i != j and abs(i - j) <= w for i in p1 for j in p2)
+
+    assert eval_predicate(
+        ast, lambda t: t in toks, has_within=has_within
+    )
+    toks = ["a", "x", "y", "z", "b"]  # distance 4 > 2
+    assert not eval_predicate(
+        ast, lambda t: t in toks, has_within=has_within
+    )
+
+
+def test_rewrite_fuzzy_terms_ast():
+    from discogsography_spark.analysis import analyze_query
+
+    from discogsography_spark.query.boolquery import (
+        parse_bool_query,
+        rewrite_fuzzy_terms,
+    )
+
+    ast = parse_bool_query('sparc AND ("exact phrase" OR indx*)', analyze_query)
+    vocab = {"spark", "exact", "phrase"}
+    fixed, rw = rewrite_fuzzy_terms(
+        ast, known=vocab.__contains__, suggest=lambda t: "spark" if t == "sparc" else None
+    )
+    assert rw == {"sparc": "spark"}
+    # phrase and prefix nodes untouched; only the plain term leaf rewrote
+    assert fixed == parse_bool_query('spark AND ("exact phrase" OR indx*)', analyze_query)

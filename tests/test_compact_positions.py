@@ -265,3 +265,42 @@ def test_merged_prefix_expansion_sees_delta_only_terms(spark, tmp_path):
     assert m.expand_prefix("qqz") == ["qqzunique", "qqzupdated"]
     got = m.topk_bool("qqz* AND plain", 5)
     assert [d for d, _ in got] == [1]  # the delta doc (base doc is 0)
+
+
+def test_merged_bool_within_before_compaction(spark, pos_stream):
+    """`a <N> b` inside boolean queries on the LIVE merged view: verify
+    against the python oracle built in the same arrival order."""
+    import pandas as pd
+
+    from discogsography_spark.oracle import bm25_topk_bool, build_oracle_index
+    from discogsography_spark.streaming.incremental import MergedSearcher
+
+    tdf = pos_stream["tdf"]
+    convs = sorted(tdf["conv_id"].unique())
+    parts = [
+        tdf[tdf["conv_id"].isin(convs[80:])],
+        tdf[tdf["conv_id"].isin(convs[40:80])],
+        tdf[tdf["conv_id"].isin(convs[:40])],
+    ]
+    rows = []
+    for tag, part in enumerate(parts):  # arrival-order docIDs via tag prefix
+        ordered = part.sort_values(["conv_id", "turn_idx"])
+        rows.extend(
+            (f"{tag:04d}-{c}", int(t), x)
+            for c, t, x in zip(ordered["conv_id"], ordered["turn_idx"], ordered["text"])
+        )
+    oracle = build_oracle_index(rows)
+    m = MergedSearcher(pos_stream["idx"])
+    n_nonempty = 0
+    for q in (
+        "spark <3> index AND NOT merge",
+        "spark <2> index OR merge",
+        "turn <2> turn AND spark",
+    ):
+        got = m.topk_bool(q, 12)
+        want = bm25_topk_bool(oracle, q, 12)
+        assert [x[0] for x in got] == [x[0] for x in want], q
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert gs == ws, f"{q}: doc {gd}"
+        n_nonempty += bool(got)
+    assert n_nonempty >= 2

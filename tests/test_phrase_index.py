@@ -242,3 +242,106 @@ def test_bool_phrase_sharded_identity(spark, pos_setup, tmp_path_factory):
         got = sharded.topk_bool(q, 10)
         want = single.topk_bool(q, 10, use_result_cache=False)
         assert got == want, q
+
+
+WITHIN_BOOL_QUERIES = [
+    "spark <3> index AND NOT merge",
+    "spark <2> index OR merge",
+    "turn <2> turn AND spark",
+    "(spark <1> index) OR (index <1> spark)",
+    "merge AND NOT (spark <2> index)",
+]
+
+
+def test_bool_within_matches_python_oracle(spark, pos_setup):
+    """`a <N> b` composed with AND/OR/NOT: LocalSearcher.topk_bool over the
+    positional index must equal the brute-force python oracle."""
+    from discogsography_spark.oracle import bm25_topk_bool
+
+    oracle = _oracle_from_docs(pos_setup["docs"])
+    s = LocalSearcher(pos_setup["idx"])
+    n_nonempty = 0
+    for q in WITHIN_BOOL_QUERIES:
+        got = s.topk_bool(q, 10, use_result_cache=False)
+        want = bm25_topk_bool(oracle, q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, f"{q}: doc {gd}"
+        n_nonempty += bool(got)
+    assert n_nonempty >= 4
+
+
+def test_bool_within_dataframe_identity(spark, pos_setup):
+    from discogsography_spark.oracle import bm25_topk_bool
+    from discogsography_spark.query.dataframe_bm25 import bm25_bool_topk_dataframe
+
+    oracle = _oracle_from_docs(pos_setup["docs"])
+    for q in WITHIN_BOOL_QUERIES[:3]:
+        got = [
+            (r["doc_id"], r["score"])
+            for r in bm25_bool_topk_dataframe(pos_setup["docs"], q, k=10).collect()
+        ]
+        wide = bm25_topk_bool(oracle, q, 400)
+        want = sorted(
+            ((d, round(x, 5)) for d, x in wide), key=lambda y: (-y[1], y[0])
+        )[:10]
+        assert got == want, q
+
+
+def test_bool_within_batch_path_identity(spark, pos_setup):
+    from discogsography_spark.query.engine import DistributedQueryEngine
+
+    eng = DistributedQueryEngine(spark, pos_setup["idx"])
+    s = LocalSearcher(pos_setup["idx"])
+    for q in WITHIN_BOOL_QUERIES[:3]:
+        got = [
+            (r["doc_id"], r["score"]) for r in eng.topk_bool_df(q, 10).collect()
+        ]
+        want = s.topk_bool(q, 10, use_result_cache=False)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-12, q
+
+
+def test_bool_within_served_and_sharded(spark, pos_setup, tmp_path_factory):
+    from discogsography_spark.query.serving import SearchService
+    from discogsography_spark.query.sharded import ShardedSearcher
+
+    s = LocalSearcher(pos_setup["idx"])
+    svc = SearchService(pos_setup["idx"])
+    q = "spark <3> index AND NOT merge"
+    resp = svc.search(q, 8, mode="bool")
+    assert resp.results == s.topk_bool(q, 8)
+    assert resp.total_matched == int(svc.matched_docs(q, mode="bool").size) > 0
+
+    # sharded: split the positional corpus in two, expect bit-identity
+    d = tmp_path_factory.mktemp("within_sh")
+    pdf = pos_setup["docs"].toPandas().sort_values("doc_id")
+    mid = int(pdf["doc_id"].iloc[len(pdf) // 2])
+    from discogsography_spark.index.builder import IndexBuilder as IB
+
+    shard_dirs = []
+    for i, m in enumerate([pdf["doc_id"] < mid, pdf["doc_id"] >= mid]):
+        p = str(d / f"s{i}.parquet")
+        part = pdf[m].rename(columns={"doc_id": "turn_idx"})
+        part["conv_id"] = "c"
+        part[["conv_id", "turn_idx", "text"]].to_parquet(p, index=False)
+        idx = str(d / f"s{i}_idx")
+        IB(idx, num_segments=2, with_positions=True).build(spark.read.parquet(p))
+        shard_dirs.append(idx)
+    sharded = ShardedSearcher(shard_dirs)
+    for q2 in WITHIN_BOOL_QUERIES[:3]:
+        assert sharded.topk_bool(q2, 10) == s.topk_bool(q2, 10, use_result_cache=False), q2
+
+
+def test_topk_fuzzy_bool_mode(spark, pos_setup):
+    """fuzzy=bool: vocabulary-absent plain terms rewrite via trigram
+    suggestion, then the boolean evaluator runs the rewritten AST —
+    identical to querying with the corrected term."""
+    s = LocalSearcher(pos_setup["idx"])
+    res, rw = s.topk_fuzzy("sparkz AND index", 8, mode="bool")
+    assert rw == {"sparkz": "spark"}
+    assert res == s.topk_bool("spark AND index", 8, use_result_cache=False)
+    res2, rw2 = s.topk_fuzzy("sparkz <3> index", 8, mode="bool")
+    # within operands are exact-match: no rewrite, empty result
+    assert rw2 == {} and res2 == []

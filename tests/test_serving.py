@@ -383,3 +383,34 @@ def test_fuzzy_rewrite_nonidempotent_stem(spark, tmp_path):
     # the term list)
     res2, rw2 = svc.searcher.topk_fuzzy("universitiez", 5)
     assert resp.results == res2 and resp.rewrites == rw2
+
+
+def test_fuzzy_bool_served_response(served):
+    """fuzzy=True with mode='bool': vocabulary-absent plain term leaves
+    rewrite via trigram suggestion; results/matched/facets all evaluate the
+    rewritten AST."""
+    svc, tdf = served
+    clean = svc.search("spark AND index", 8, mode="bool", facets=["role"])
+    fz = svc.search("sparkz AND index", 8, mode="bool", fuzzy=True, facets=["role"])
+    assert fz.rewrites == {"sparkz": "spark"}
+    assert fz.results == clean.results
+    assert fz.total_matched == clean.total_matched
+    assert fz.facets == clean.facets
+    # without fuzzy, the misspelled conjunct matches nothing
+    assert svc.search("sparkz AND index", 8, mode="bool").results == []
+
+
+def test_sharded_fuzzy_bool_equals_single(sharded_served):
+    from discogsography_spark.query.serving import ShardedSearchService
+
+    full_idx, shard_dirs = sharded_served
+    defs = {"role": "role"}
+    single = SearchService(full_idx, facet_defs=defs)
+    sharded = ShardedSearchService(shard_dirs, facet_defs=defs)
+    for q in ("sparkz AND index", "sparkz OR (index AND NOT merge)"):
+        a = single.search(q, 10, mode="bool", fuzzy=True, facets=["role"])
+        b = sharded.search(q, 10, mode="bool", fuzzy=True, facets=["role"])
+        assert a.rewrites == b.rewrites == {"sparkz": "spark"}, q
+        assert a.results == b.results, q
+        assert a.total_matched == b.total_matched, q
+        assert a.facets == b.facets, q
