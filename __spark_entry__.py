@@ -749,6 +749,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_token_budget_mix"] = sample_token_budget_mix
 
+    def sample_pack_sequences(spark, sf_dir):
+        # sequence packing (concat-and-chunk, GPT-style): deterministic bin
+        # assignment over the doc_id-ordered token stream — the dataset-
+        # assembly stage downstream of BPE (operators/packing.py). The
+        # global cumsum is bucketed (no single-reducer window); the oracle
+        # is the equivalent window-cumsum.
+        from discogsography_spark.operators.packing import pack_sequences
+
+        docs = _read(spark, sf_dir, "documents")
+        counted = docs.select(
+            "doc_id", F.size(tokens_col("text")).alias("n_tokens")
+        )
+        return (
+            pack_sequences(counted, 256, bucket=1 << 8)
+            .select(
+                "doc_id",
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                "start_offset",
+                "first_seq",
+                "last_seq",
+            )
+            .orderBy("doc_id")
+        )
+
+    q["sample_pack_sequences"] = sample_pack_sequences
+
     def dedup_decontaminate(spark, sf_dir):
         # benchmark n-gram decontamination: drop docs sharing ANY 8-gram
         # with the probe corpus (deterministic pseudo-benchmark: every 17th
@@ -2174,6 +2200,26 @@ SELECT d.source, count(*)::BIGINT AS n_docs, sum(d.ntok)::BIGINT AS n_word_token
 FROM d JOIN th USING (source)
 WHERE d.hp < th.thresh
 GROUP BY d.source ORDER BY d.source
+"""
+
+    # sequence packing: the bucketed distributed cumsum must equal the
+    # plain window-cumsum (the semantics it restates without the
+    # single-reducer window)
+    o["sample_pack_sequences"] = f"""
+WITH d AS (
+  SELECT doc_id, len({_TOKS_SQL})::BIGINT AS n_tokens FROM documents
+  WHERE len({_TOKS_SQL}) > 0
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s0
+  FROM d
+)
+SELECT doc_id, n_tokens, s0::BIGINT AS start_offset,
+       (s0 // 256)::BIGINT AS first_seq,
+       ((s0 + n_tokens - 1) // 256)::BIGINT AS last_seq
+FROM c ORDER BY doc_id
 """
 
     # matching is keyed (shingle, width): probes ≥ 8 tokens contribute

@@ -1,0 +1,164 @@
+"""Sequence packing (operators/packing.py): concat-and-chunk bin assignment
+must equal the pandas cumsum oracle, be identical at any parallelism, and
+the shard writer must reproduce the exact concatenated token stream in
+fixed-length rows."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from discogsography_spark.operators.packing import (
+    exclusive_cumsum,
+    explode_assignments,
+    pack_sequences,
+    write_training_shards,
+)
+
+
+@pytest.fixture(scope="module")
+def tok_docs(spark):
+    """60 docs with irregular token counts (including one spanning several
+    sequences and two empty docs), sparse non-contiguous doc_ids."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(60):
+        doc_id = i * 7 + (3 if i % 2 else 0)  # sparse, increasing
+        n = int(rng.integers(0, 40))
+        if i == 17:
+            n = 700  # spans many seq_len=128 sequences
+        if i in (5, 30):
+            n = 0
+        rows.append((doc_id, [f"t{doc_id}_{j}" for j in range(n)]))
+    return spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+
+
+def _pdf(tok_docs):
+    pdf = tok_docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pdf["n"] = pdf["tokens"].map(len)
+    return pdf
+
+
+def test_assignment_matches_pandas_cumsum(spark, tok_docs):
+    from pyspark.sql import functions as F
+
+    L = 128
+    counted = tok_docs.select("doc_id", F.size("tokens").alias("n_tokens"))
+    got = (
+        pack_sequences(counted, L, bucket=64)  # small bucket → many buckets
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    pdf = _pdf(tok_docs)
+    pdf = pdf[pdf["n"] > 0].reset_index(drop=True)
+    pdf["start"] = pdf["n"].cumsum() - pdf["n"]
+    assert got["doc_id"].tolist() == pdf["doc_id"].tolist()
+    assert got["start_offset"].tolist() == pdf["start"].tolist()
+    assert got["first_seq"].tolist() == (pdf["start"] // L).tolist()
+    assert got["last_seq"].tolist() == ((pdf["start"] + pdf["n"] - 1) // L).tolist()
+    # the 700-token doc spans >5 sequences
+    assert (got["last_seq"] - got["first_seq"]).max() >= 5
+
+
+def test_determinism_under_parallelism(spark, tok_docs):
+    from pyspark.sql import functions as F
+
+    L = 100
+    counted = tok_docs.select("doc_id", F.size("tokens").alias("n_tokens"))
+    outs = []
+    for parts in (2, 32):
+        got = (
+            pack_sequences(counted.repartition(parts), L, bucket=32)
+            .orderBy("doc_id")
+            .select("doc_id", "start_offset", "first_seq", "last_seq")
+            .toPandas()
+        )
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_explode_assignments_covers_stream(spark, tok_docs):
+    """Slices per sequence tile the stream exactly: lengths sum to n per
+    doc, and per sequence the pieces are contiguous from seq_pos 0 (except
+    the final partial sequence)."""
+    from pyspark.sql import functions as F
+
+    L = 64
+    counted = tok_docs.select("doc_id", F.size("tokens").alias("n_tokens"))
+    packed = pack_sequences(counted, L, bucket=64)
+    pieces = explode_assignments(packed, L).toPandas()
+    per_doc = pieces.groupby("doc_id")["slice_len"].sum()
+    pdf = _pdf(tok_docs)
+    want = pdf[pdf["n"] > 0].set_index("doc_id")["n"]
+    assert per_doc.sort_index().tolist() == want.sort_index().tolist()
+    total = int(want.sum())
+    for sid, g in pieces.groupby("seq_id"):
+        g = g.sort_values("seq_pos")
+        expect_len = min(L, total - sid * L)
+        assert g["slice_len"].sum() == expect_len, sid
+        # contiguity: each piece starts where the previous ended
+        pos = 0
+        for _, r in g.iterrows():
+            assert r["seq_pos"] == pos
+            pos += r["slice_len"]
+
+
+def test_shard_writer_roundtrip(spark, tok_docs, tmp_path):
+    L, SPS = 128, 4
+    out = str(tmp_path / "shards_out")
+    manifest = write_training_shards(
+        tok_docs, out, seq_len=L, seqs_per_shard=SPS
+    )
+    pdf = _pdf(tok_docs)
+    stream = [t for toks in pdf["tokens"] for t in toks]
+    n_full = len(stream) // L
+    assert manifest["n_sequences"] == n_full
+    assert manifest["total_tokens"] == len(stream)
+    assert manifest["dropped_remainder_tokens"] == len(stream) - n_full * L
+    with open(os.path.join(out, "manifest.json")) as f:
+        assert json.load(f) == manifest
+
+    got = spark.read.parquet(os.path.join(out, "shards")).toPandas()
+    got = got.sort_values("seq_id").reset_index(drop=True)
+    assert got["seq_id"].tolist() == list(range(n_full))
+    assert (got["n"] == L).all()  # every written sequence is exactly seq_len
+    assert (got["shard"] == got["seq_id"] // SPS).all()
+    rebuilt = [t for toks in got["tokens"] for t in toks]
+    assert rebuilt == stream[: n_full * L]  # byte-exact stream reconstruction
+
+
+def test_shard_writer_on_bpe_encoded_docs(spark, tmp_path):
+    """The intended composition: BPE-encode documents, then pack the encoded
+    streams — stream reconstruction stays exact through the tokenizer."""
+    from pyspark.sql import functions as F
+
+    from discogsography_spark.operators.bpe import (
+        bpe_encode_col,
+        train_bpe,
+        word_frequencies,
+    )
+
+    rows = [(i, f"the spark engine packs token streams number {i} tightly "
+                * (1 + i % 3)) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(word_frequencies(docs, text_col="text"), num_merges=40)
+    enc = bpe_encode_col(docs, merges, text_col="text", out_col="tokens")
+    out = str(tmp_path / "bpe_shards")
+    manifest = write_training_shards(
+        enc.select("doc_id", "tokens"), out, seq_len=32, seqs_per_shard=8
+    )
+    assert manifest["n_sequences"] > 0
+    got = spark.read.parquet(os.path.join(out, "shards")).toPandas()
+    assert (got["n"] == 32).all()
+    want_stream = [
+        t
+        for toks in enc.orderBy("doc_id").select("tokens").toPandas()["tokens"]
+        for t in toks
+    ]
+    got = got.sort_values("seq_id")
+    rebuilt = [t for toks in got["tokens"] for t in toks]
+    assert rebuilt == want_stream[: manifest["n_sequences"] * 32]
