@@ -427,6 +427,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_highlight"] = fts_highlight
 
+    def fts_highlight_fragments(spark, sf_dir):
+        # ts_headline FRAGMENT mode (MaxFragments analog): fixed-length
+        # character windows around each present term's FIRST occurrence,
+        # query terms wrapped inside the window, joined ' ... ' — the
+        # snippet a UI shows for long transcript turns instead of the whole
+        # marked-up text. Mirrors serving.fragment_headline byte-for-byte.
+        R = 30
+        docs = _read(spark, sf_dir, "documents")
+        text = F.col("text")
+
+        def frag(term: str):
+            loc = F.locate(term, text)  # 1-based; 0 when absent
+            raw = F.substring(
+                text, F.greatest(F.lit(1), loc - F.lit(R)), len(term) + 2 * R
+            )
+            wrapped = raw
+            for t in ("table", "value"):  # sorted query terms
+                wrapped = F.regexp_replace(wrapped, f"({t})", "<<$1>>")
+            return F.when(loc > 0, wrapped)
+
+        toks_set = F.array_distinct(tokens_col("text"))
+        return (
+            docs.filter(
+                F.array_contains(toks_set, "table")
+                & F.array_contains(toks_set, "value")
+            )
+            .select(
+                "doc_id",
+                F.concat_ws(" ... ", frag("table"), frag("value")).alias(
+                    "headline"
+                ),
+            )
+            .orderBy("doc_id")
+            .limit(10)
+        )
+
+    q["fts_highlight_fragments"] = fts_highlight_fragments
+
     # ---- SERVED search-response path (index-side facets + highlight) ----
     # These two entries answer the SAME contracts as fts_facets_multi /
     # fts_highlight but from the SERVING path: a LocalSearcher index over the
@@ -1833,6 +1871,25 @@ SELECT count(*)::BIGINT AS capped_total FROM (
 SELECT doc_id, regexp_replace(text, '(spark)', '<<\\1>>', 'g') AS headline
 FROM documents
 WHERE list_contains(list_distinct({toks}), 'spark')
+ORDER BY doc_id LIMIT 10
+"""
+
+    def _frag_sql(term: str) -> str:
+        win = len(term) + 60
+        inner = (
+            f"substr(text, greatest(1, position('{term}' IN text) - 30), {win})"
+        )
+        wrapped = inner
+        for t in ("table", "value"):
+            wrapped = f"regexp_replace({wrapped}, '({t})', '<<\\1>>', 'g')"
+        return f"CASE WHEN position('{term}' IN text) > 0 THEN {wrapped} END"
+
+    o["fts_highlight_fragments"] = f"""
+SELECT doc_id,
+       concat_ws(' ... ', {_frag_sql('table')}, {_frag_sql('value')}) AS headline
+FROM documents
+WHERE list_contains(list_distinct({toks}), 'table')
+  AND list_contains(list_distinct({toks}), 'value')
 ORDER BY doc_id LIMIT 10
 """
 

@@ -53,6 +53,58 @@ class SearchResponse:
 _NULL_FACET = "(none)"
 
 
+def fragment_headline(
+    text: str,
+    terms: list[str],
+    max_fragments: int = 3,
+    radius: int = 30,
+) -> str:
+    """ts_headline FRAGMENT mode (PostgreSQL's MaxFragments/MinWords family,
+    search_queries.py:144): instead of marking up the whole document, return
+    up to `max_fragments` windowed snippets joined by ' ... '.
+
+    Deterministic, SQL-expressible contract (the DuckDB oracle mirrors it
+    byte-for-byte): for each of the first `max_fragments` SORTED query terms
+    present in the text (case-sensitive substring — the whole-text
+    headline's matching rule), take the fixed-length character window
+    `substr(text, max(1, first_pos - radius), len(term) + 2*radius)` around
+    the term's FIRST occurrence, then wrap every query-term occurrence
+    inside the window with `<<...>>` exactly like the whole-text mode.
+    No term present → empty string."""
+    ordered = sorted({t for t in terms if t})
+    present = [t for t in ordered if t in text]
+    frags = []
+    for t in present[:max_fragments]:
+        s = text.index(t)  # first occurrence, 0-based
+        start = max(0, s - radius)
+        frag = text[start : start + len(t) + 2 * radius]
+        for tt in ordered:
+            frag = re.sub(f"({re.escape(tt)})", r"<<\1>>", frag)
+        frags.append(frag)
+    return " ... ".join(frags)
+
+
+def _facet_arrays(
+    pdf: pd.DataFrame,
+    facet_defs: dict,
+    n_docs: int,
+) -> tuple[dict[str, np.ndarray], dict[str, list[str]]]:
+    """Factorize facet labels into dense code arrays indexed by docID —
+    shared by the single-index, sharded, and merged serving services."""
+    ids = pdf["doc_id"].to_numpy()
+    codes: dict[str, np.ndarray] = {}
+    cats: dict[str, list[str]] = {}
+    for name, spec in facet_defs.items():
+        series = pdf[spec] if isinstance(spec, str) else spec(pdf)
+        labels = series.astype("string").fillna(_NULL_FACET)
+        cs, cd = np.unique(labels.to_numpy(dtype=object), return_inverse=True)
+        dense = np.zeros(n_docs, dtype=np.int32)
+        dense[ids] = cd
+        codes[name] = dense
+        cats[name] = [str(c) for c in cs]
+    return codes, cats
+
+
 class SearchService:
     """One-stop search response over a LocalSearcher index.
 
@@ -105,16 +157,9 @@ class SearchService:
             sorted(cols) if not derived else
             [c for c in self._all_docmap_columns(index_dir) if c not in ("tokens", "text")],
         )
-        ids = pdf["doc_id"].to_numpy()
-        n = self.meta.n_docs
-        for name, spec in facet_defs.items():
-            series = pdf[spec] if isinstance(spec, str) else spec(pdf)
-            labels = series.astype("string").fillna(_NULL_FACET)
-            cats, codes = np.unique(labels.to_numpy(dtype=object), return_inverse=True)
-            dense = np.zeros(n, dtype=np.int32)
-            dense[ids] = codes
-            self._facet_codes[name] = dense
-            self._facet_cats[name] = [str(c) for c in cats]
+        self._facet_codes, self._facet_cats = _facet_arrays(
+            pdf, facet_defs, self.meta.n_docs
+        )
 
     def _all_docmap_columns(self, index_dir: str) -> list[str]:
         import pyarrow.dataset as ds
@@ -223,12 +268,25 @@ class SearchService:
             "or pass text_lookup to SearchService"
         )
 
-    def headline(self, doc_id: int, terms: list[str]) -> str:
+    def headline(
+        self,
+        doc_id: int,
+        terms: list[str],
+        max_fragments: int | None = None,
+        radius: int = 30,
+    ) -> str:
         """ts_headline analog — wraps every occurrence of each analyzed query
         token with <<...>>, the EXACT regexp_replace(text, '(tok)', '<<$1>>')
         contract of the fts_highlight DataFrame entry (case-sensitive,
-        substring-inclusive), applied in sorted term order."""
+        substring-inclusive), applied in sorted term order. With
+        `max_fragments`, returns windowed snippets instead of the whole
+        marked-up text (fragment_headline — PostgreSQL's MaxFragments
+        mode), which is what a UI wants for long transcript turns."""
         text = self._text_of(doc_id)
+        if max_fragments is not None:
+            return fragment_headline(
+                text, terms, max_fragments=max_fragments, radius=radius
+            )
         for t in sorted(set(terms)):
             text = re.sub(f"({re.escape(t)})", r"<<\1>>", text)
         return text
@@ -242,7 +300,10 @@ class SearchService:
         highlight: bool = False,
         fuzzy: bool = False,
         filter: dict[str, str] | None = None,
+        highlight_fragments: int | None = None,
     ) -> SearchResponse:
+        if highlight_fragments is not None:
+            highlight = True
         rewrites: dict[str, str] = {}
         qterms: list[str] | None = None  # analyzed-term override (fuzzy)
         qast = None  # rewritten boolean AST (fuzzy bool mode)
@@ -336,7 +397,8 @@ class SearchService:
                 else self._highlight_terms(query_text, mode, ast_override=qast)
             )
             resp.headlines = {
-                d: self.headline(d, hterms) for d, _ in results
+                d: self.headline(d, hterms, max_fragments=highlight_fragments)
+                for d, _ in results
             }
         return resp
 
@@ -493,7 +555,10 @@ class ShardedSearchService:
         highlight: bool = False,
         filter: dict[str, str] | None = None,
         fuzzy: bool = False,
+        highlight_fragments: int | None = None,
     ) -> SearchResponse:
+        if highlight_fragments is not None:
+            highlight = True
         rewrites: dict[str, str] = {}
         qterms: list[str] | None = None  # analyzed-term override (fuzzy)
         qast = None  # rewritten boolean AST (fuzzy bool mode)
@@ -648,5 +713,298 @@ class ShardedSearchService:
             for gid, _ in results:
                 shard = int(np.searchsorted(self.offsets, gid, side="right")) - 1
                 local = gid - int(self.offsets[shard])
-                resp.headlines[gid] = self.services[shard].headline(local, hterms)
+                resp.headlines[gid] = self.services[shard].headline(
+                    local, hterms, max_fragments=highlight_fragments
+                )
+        return resp
+
+
+class MergedSearchService:
+    """Full search response (results + facets + total_matched + headlines +
+    drill-down) over the LIVE merged base+delta view — a streaming
+    deployment serves the same shape as a compacted index, without pausing
+    between compactions. Facet code arrays factorize ONCE at init over the
+    base docmap plus every delta docmap (DeltaIndexWriter carries all batch
+    columns, and text when the base stores it); counts are plain bincounts
+    over the combined dense docID space, exactly like SearchService.
+
+    After compact(), an instance opened fresh equals the single-index
+    SearchService response bit-for-bit (tested)."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        facet_defs: dict[str, str | Callable[[pd.DataFrame], pd.Series]] | None = None,
+        text_lookup: Callable[[int], str] | None = None,
+    ):
+        from discogsography_spark.streaming.incremental import MergedSearcher
+
+        self.searcher = MergedSearcher(index_dir)
+        base_meta = self.searcher.base.meta
+        self._an = get_analyzer(base_meta.analyzer)
+        self.n_docs = self.searcher.n_docs
+        self._text_lookup = text_lookup
+        self._texts: np.ndarray | None = None
+        self._facet_codes: dict[str, np.ndarray] = {}
+        self._facet_cats: dict[str, list[str]] = {}
+        if facet_defs:
+            cols: set[str] = {
+                s for s in facet_defs.values() if isinstance(s, str)
+            }
+            derived = any(not isinstance(s, str) for s in facet_defs.values())
+            pdf = self._docs_pdf(sorted(cols) if not derived else None)
+            self._facet_codes, self._facet_cats = _facet_arrays(
+                pdf, facet_defs, self.n_docs
+            )
+        if text_lookup is None and bool(base_meta.stats.get("store_text")):
+            tp = self._docs_pdf(["text"])
+            arr = np.empty(self.n_docs, dtype=object)
+            arr[tp["doc_id"].to_numpy()] = tp["text"].to_numpy(dtype=object)
+            self._texts = arr
+
+    def _docs_pdf(self, columns: list[str] | None) -> pd.DataFrame:
+        """Concatenated docmap rows over base + deltas (delta docIDs are
+        already globally offset). columns=None loads every shared column
+        except the token stream."""
+        import pyarrow.dataset as ds
+
+        from discogsography_spark.streaming.incremental import list_deltas
+
+        dirs = [os.path.join(self.searcher.index_dir, "docs")] + [
+            os.path.join(d, "docs")
+            for d in list_deltas(self.searcher.index_dir)
+            if os.path.isdir(os.path.join(d, "docs"))
+        ]
+        frames = []
+        for i, d in enumerate(dirs):
+            dset = ds.dataset(d, format="parquet")
+            avail = set(dset.schema.names)
+            want = (
+                [c for c in avail if c not in ("tokens", "text")]
+                if columns is None
+                else columns
+            )
+            missing = set(want) - avail
+            if missing:
+                raise ValueError(
+                    f"docmap at {d} lacks columns {sorted(missing)} — facet "
+                    "fields must be present in every micro-batch (deltas "
+                    "written by an older DeltaIndexWriter carried only the "
+                    "key columns; compact() or re-stream them)"
+                )
+            frames.append(
+                dset.to_table(
+                    columns=sorted({"doc_id", *want})
+                ).to_pandas()
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    # ---- per-query ------------------------------------------------------
+    def matched_docs(self, query_text: str, mode: str = "and") -> np.ndarray:
+        s = self.searcher
+        if mode == "bool":
+            from discogsography_spark.query.boolquery import (
+                BoolQueryError,
+                all_terms,
+                eval_docsets,
+                expand_prefix_nodes,
+                has_prefix_nodes,
+                parse_bool_query,
+            )
+
+            ast = parse_bool_query(
+                query_text, self._an.analyze_query, tokenize=self._an.tokenize_py
+            )
+            if ast is not None and has_prefix_nodes(ast):
+                ast = expand_prefix_nodes(
+                    ast, lambda p: s.expand_prefix(p, 64)
+                )
+                if ast == ("true",):
+                    raise BoolQueryError(
+                        "prefix expansion produced a match-all query"
+                    )
+            if ast is None:
+                return np.empty(0, dtype=np.int64)
+            merged = s._merged_rows(all_terms(ast))
+            empty = np.empty(0, dtype=np.int64)
+            return eval_docsets(
+                ast,
+                lambda t: merged[t][0] if merged.get(t) is not None else empty,
+                phrase_docs_of=lambda ph: s._merged_phrase_doc_set(list(ph)),
+                within_docs_of=s._merged_within_doc_set,
+            )
+        terms = self._an.analyze_query(query_text)
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        merged = s._merged_rows(sorted(set(terms)))
+        arrs = [merged[t][0] for t in sorted(set(terms)) if merged[t] is not None]
+        if mode == "or":
+            if not arrs:
+                return np.empty(0, dtype=np.int64)
+            return np.unique(np.concatenate(arrs))
+        if len(arrs) != len(set(terms)):
+            return np.empty(0, dtype=np.int64)
+        cand = arrs[0]
+        for d in sorted(arrs[1:], key=lambda a: a.size):
+            pos = np.searchsorted(d, cand)
+            ok = pos < d.size
+            hit = np.zeros(cand.shape, dtype=bool)
+            hit[ok] = d[pos[ok]] == cand[ok]
+            cand = cand[hit]
+            if cand.size == 0:
+                break
+        return cand
+
+    def facet_counts(
+        self, matched: np.ndarray, facet_names: list[str] | None = None
+    ) -> dict[str, list[tuple[str, int]]]:
+        out: dict[str, list[tuple[str, int]]] = {}
+        for name in facet_names or sorted(self._facet_codes):
+            codes = self._facet_codes[name]
+            cats = self._facet_cats[name]
+            counts = np.bincount(codes[matched], minlength=len(cats))
+            out[name] = [
+                (cats[i], int(counts[i]))
+                for i in range(len(cats))
+                if counts[i] > 0
+            ]
+        return out
+
+    def _highlight_terms(self, query_text: str, mode: str) -> list[str]:
+        if mode != "bool":
+            return self._an.analyze_query(query_text)
+        from discogsography_spark.query.boolquery import (
+            expand_prefix_nodes,
+            has_prefix_nodes,
+            parse_bool_query,
+            polarity_terms,
+        )
+
+        ast = parse_bool_query(
+            query_text, self._an.analyze_query, tokenize=self._an.tokenize_py
+        )
+        if ast is not None and has_prefix_nodes(ast):
+            ast = expand_prefix_nodes(
+                ast, lambda p: self.searcher.expand_prefix(p, 64)
+            )
+        return polarity_terms(ast)[0] if ast is not None else []
+
+    def _text_of(self, doc_id: int) -> str:
+        if self._texts is not None:
+            t = self._texts[doc_id]
+            return "" if t is None else str(t)
+        if self._text_lookup is not None:
+            return self._text_lookup(doc_id)
+        raise ValueError(
+            "highlighting needs text: build with IndexBuilder(store_text="
+            "True) (deltas inherit it) or pass text_lookup"
+        )
+
+    def headline(
+        self,
+        doc_id: int,
+        terms: list[str],
+        max_fragments: int | None = None,
+        radius: int = 30,
+    ) -> str:
+        text = self._text_of(doc_id)
+        if max_fragments is not None:
+            return fragment_headline(
+                text, terms, max_fragments=max_fragments, radius=radius
+            )
+        for t in sorted(set(terms)):
+            text = re.sub(f"({re.escape(t)})", r"<<\1>>", text)
+        return text
+
+    def _rank_matched(
+        self, query_text: str, mode: str, matched: np.ndarray, k: int
+    ) -> list[tuple[int, float]]:
+        """Exact BM25 over a pre-filtered matched set, combined base+delta
+        stats, sorted-term accumulation — the drill-down ranking contract
+        of SearchService._rank_matched on the live view."""
+        if matched.size == 0 or k <= 0:
+            return []
+        s = self.searcher
+        p = s.params
+        terms = (
+            self._highlight_terms(query_text, mode)
+            if mode == "bool"
+            else self._an.analyze_query(query_text)
+        )
+        merged = s._merged_rows(sorted(set(terms)))
+        scores = np.zeros(matched.size, dtype=np.float64)
+        for t in sorted(set(terms)):
+            ent = merged.get(t)
+            if ent is None:
+                continue
+            d, tf, dl = ent
+            pos = np.searchsorted(d, matched)
+            ok = pos < d.size
+            mask = np.zeros(matched.size, dtype=bool)
+            mask[ok] = d[pos[ok]] == matched[ok]
+            sel = pos[mask]
+            idf = p.idf(s.n_docs, int(d.size))
+            tfv = tf[sel].astype(np.float64)
+            norm = p.k1 * (
+                1.0 - p.b + p.b * (dl[sel].astype(np.float64) / s.avgdl)
+            )
+            scores[mask] = scores[mask] + idf * (tfv / (tfv + norm))
+        if matched.size > 4 * k:
+            kth = np.partition(-scores, k - 1)[k - 1]
+            sel2 = np.flatnonzero(-scores <= kth)
+            matched, scores = matched[sel2], scores[sel2]
+        top = np.lexsort((matched, -scores))[:k]
+        return [(int(matched[i]), float(scores[i])) for i in top]
+
+    def _filtered_matched(
+        self, query_text: str, mode: str, filter: dict[str, str]
+    ) -> np.ndarray:
+        matched = self.matched_docs(query_text, mode=mode)
+        keep = np.ones(matched.size, dtype=bool)
+        for fname, fval in filter.items():
+            codes = self._facet_codes.get(fname)
+            if codes is None:
+                raise ValueError(f"unknown facet field {fname!r}")
+            cats = self._facet_cats[fname]
+            try:
+                code = cats.index(str(fval))
+            except ValueError:
+                keep[:] = False
+                break
+            keep &= codes[matched] == code
+        return matched[keep]
+
+    def search(
+        self,
+        query_text: str,
+        k: int,
+        mode: str = "and",
+        facets: list[str] | None = None,
+        highlight: bool = False,
+        filter: dict[str, str] | None = None,
+        highlight_fragments: int | None = None,
+    ) -> SearchResponse:
+        if highlight_fragments is not None:
+            highlight = True
+        if filter:
+            matched = self._filtered_matched(query_text, mode, filter)
+            results = self._rank_matched(query_text, mode, matched, k)
+        else:
+            matched = self.matched_docs(query_text, mode=mode)
+            results = (
+                self.searcher.topk_bool(query_text, k)
+                if mode == "bool"
+                else self.searcher.topk(query_text, k)
+            )
+        resp = SearchResponse(results=results, total_matched=int(matched.size))
+        if facets is None and self._facet_codes:
+            facets = sorted(self._facet_codes)
+        if facets:
+            resp.facets = self.facet_counts(matched, facets)
+        if highlight:
+            hterms = self._highlight_terms(query_text, mode)
+            resp.headlines = {
+                d: self.headline(d, hterms, max_fragments=highlight_fragments)
+                for d, _ in results
+            }
         return resp

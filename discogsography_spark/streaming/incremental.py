@@ -128,15 +128,21 @@ class DeltaIndexWriter:
         # quarantine); they are dropped here with a count in the delta stats
         # — per-turn exactly-once across batches is the upstream foreachBatch
         # contract, so cross-batch duplicate keys are the producer's bug.
-        src = batch_df.select("conv_id", "turn_idx", "text")
+        # ALL batch columns ride into the delta docmap (the base builder's
+        # quarantine path keeps them too) so the merged serving view can
+        # factorize facets — and text, when the base stores it, so merged
+        # highlighting works without a source-table lookup.
+        src = batch_df
         clean = src.filter(
             F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
         )
+        store_text = bool(self.meta.stats.get("store_text"))
         docs = (
             assign_doc_ids(
                 clean,
                 with_tokens=True,
                 analyzer=self.meta.analyzer,
+                keep_text=store_text,
             )
             .withColumn("doc_id", (F.col("doc_id") + F.lit(doc_offset)).cast("long"))
             .persist(StorageLevel.MEMORY_AND_DISK)
@@ -213,9 +219,9 @@ class DeltaIndexWriter:
         encoded.write.mode("overwrite").partitionBy("seg").parquet(
             os.path.join(tmp, "segments")
         )
-        docs.select("doc_id", "conv_id", "turn_idx", "dl").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(tmp, "docs"))
+        docs.drop("tokens").write.mode("overwrite").parquet(
+            os.path.join(tmp, "docs")
+        )
         docs.unpersist()
         os.makedirs(_deltas_root(self.index_dir), exist_ok=True)
         if os.path.isdir(final):
@@ -801,17 +807,21 @@ def compact(spark: SparkSession, index_dir: str) -> int:
         os.path.join(d, "docs") for d in deltas if os.path.isdir(os.path.join(d, "docs"))
     ]
     union_docs = (
-        spark.read.parquet(docs_dir, *delta_docs)
-        # drop bookkeeping columns from a previous compact / quarantine build
-        # (a stale old_doc_id would collide with the rename below)
-        .drop("old_doc_id", "_quarantine_reason")
+        # mergeSchema: base and delta docmaps can carry different column
+        # sets (e.g. the base has a token column deltas don't); ALL payload
+        # columns (facet fields, stored text) must survive compaction — a
+        # compacted index serves the same facets/highlights as the live
+        # merged view
+        spark.read.option("mergeSchema", "true").parquet(docs_dir, *delta_docs)
+        # drop bookkeeping columns from a previous compact / quarantine
+        # build (a stale old_doc_id would collide with the rename below)
+        # and the token stream (rebuilt from postings, never read back)
+        .drop("old_doc_id", "_quarantine_reason", "tokens")
         .withColumnRenamed("doc_id", "old_doc_id")
     )
     from discogsography_spark.index.docids import assign_doc_ids
 
-    new_docs = assign_doc_ids(union_docs).select(
-        "doc_id", "conv_id", "turn_idx", "dl", "old_doc_id"
-    )
+    new_docs = assign_doc_ids(union_docs)
     new_docs.write.mode("overwrite").parquet(docs_tmp)
     map_df = spark.read.parquet(docs_tmp).select("old_doc_id", "doc_id")
 

@@ -414,3 +414,162 @@ def test_sharded_fuzzy_bool_equals_single(sharded_served):
         assert a.results == b.results, q
         assert a.total_matched == b.total_matched, q
         assert a.facets == b.facets, q
+
+
+@pytest.fixture(scope="module")
+def merged_served(spark, tmp_path_factory):
+    """Positional store_text base + two IN-ORDER deltas, plus the fresh
+    whole-corpus index — merged docIDs equal the fresh build's."""
+    from discogsography_spark.corpus import make_transcripts
+    from discogsography_spark.streaming.incremental import DeltaIndexWriter
+
+    d = tmp_path_factory.mktemp("mrgsrv")
+    tdf = make_transcripts(n_conversations=90, mean_turns=6, vocab_size=300)
+    convs = sorted(tdf["conv_id"].unique())
+    base_p = str(d / "base.parquet")
+    tdf[tdf["conv_id"].isin(convs[:30])].to_parquet(base_p, index=False)
+    idx = str(d / "idx")
+    IndexBuilder(
+        idx, num_segments=2, store_text=True, with_positions=True
+    ).build(spark.read.parquet(base_p))
+    writer = DeltaIndexWriter(idx)
+    for i, cs in enumerate([convs[30:60], convs[60:]]):  # IN order
+        p = str(d / f"c{i}.parquet")
+        tdf[tdf["conv_id"].isin(cs)].to_parquet(p, index=False)
+        writer.write_batch(spark.read.parquet(p), i)
+    fresh_p = str(d / "union.parquet")
+    tdf.to_parquet(fresh_p, index=False)
+    fresh = str(d / "fresh")
+    IndexBuilder(
+        fresh, num_segments=2, store_text=True, with_positions=True
+    ).build(spark.read.parquet(fresh_p))
+    return {"idx": idx, "fresh": fresh, "tdf": tdf, "dir": str(d)}
+
+
+def test_merged_service_equals_fresh_index_service(merged_served):
+    """The live merged view serves the FULL response shape (results,
+    total_matched, facets, headlines) identically to a fresh whole-corpus
+    index — streaming deployments lose nothing between compactions."""
+    from discogsography_spark.query.serving import MergedSearchService
+
+    defs = {"role": "role", "tool": "tool"}
+    fresh = SearchService(merged_served["fresh"], facet_defs=defs)
+    live = MergedSearchService(merged_served["idx"], facet_defs=defs)
+    assert live.n_docs == fresh.meta.n_docs
+    for q, mode in [
+        ("spark index", "and"), ("merge", "and"), ("spark index", "or"),
+        ("(spark OR index) AND NOT merge", "bool"),
+        ("spa* AND NOT merge", "bool"),
+        ('"spark index" OR merge', "bool"),
+        ("spark <3> index AND NOT merge", "bool"),
+    ]:
+        a = fresh.search(q, 10, mode=mode, facets=["role", "tool"], highlight=True)
+        b = live.search(q, 10, mode=mode, facets=["role", "tool"], highlight=True)
+        assert a.results == b.results, (q, mode)
+        assert a.total_matched == b.total_matched, (q, mode)
+        assert a.facets == b.facets, (q, mode)
+        assert a.headlines == b.headlines, (q, mode)
+
+
+def test_merged_service_drilldown_live_view(merged_served):
+    """filter= narrows results/counts/facets on the LIVE view; scores equal
+    the unfiltered merged ranking for the same docs."""
+    from discogsography_spark.query.serving import MergedSearchService
+
+    defs = {"role": "role", "tool": "tool"}
+    live = MergedSearchService(merged_served["idx"], facet_defs=defs)
+    q = "spark index"
+    full_resp = live.search(q, 10**6)
+    full_scores = dict(full_resp.results)
+    resp = live.search(q, 10, filter={"role": "assistant"}, facets=["tool"])
+    assert 0 < resp.total_matched < full_resp.total_matched
+    for doc, score in resp.results:
+        assert score == full_scores[doc]
+    # subset restriction matches the facet count for the filter value
+    base_facets = live.search(q, 5, facets=["role"]).facets["role"]
+    assert resp.total_matched == dict(base_facets)["assistant"]
+    assert live.search(q, 5, filter={"role": "nope"}).total_matched == 0
+    with pytest.raises(ValueError):
+        live.search(q, 5, filter={"bogus": "x"})
+
+
+def test_merged_service_after_compact_equals_single(spark, merged_served):
+    """compact() then MergedSearchService (no deltas left) == SearchService
+    over the same directory — the service works across the whole lifecycle."""
+    import shutil
+
+    from discogsography_spark.query.serving import MergedSearchService
+    from discogsography_spark.streaming.incremental import compact
+
+    work = os.path.join(merged_served["dir"], "compact_copy")
+    if os.path.isdir(work):
+        shutil.rmtree(work)
+    shutil.copytree(merged_served["idx"], work)
+    assert compact(spark, work) == 2
+    defs = {"role": "role"}
+    a = SearchService(work, facet_defs=defs).search(
+        "spark index", 10, facets=["role"], highlight=True
+    )
+    b = MergedSearchService(work, facet_defs=defs).search(
+        "spark index", 10, facets=["role"], highlight=True
+    )
+    assert a.results == b.results
+    assert a.total_matched == b.total_matched
+    assert a.facets == b.facets
+    assert a.headlines == b.headlines
+
+
+def test_fragment_headlines_served(served):
+    """highlight_fragments=N returns windowed snippets per the documented
+    contract (first-occurrence fixed-length windows, sorted present terms
+    capped at N, ' ... ' joins, in-window wrapping) — verified against an
+    independent in-test reimplementation, on single-index, and the
+    whole-text mode stays unchanged."""
+    import re as _re
+
+    svc, tdf = served
+    q = "spark index"
+    resp = svc.search(q, 8, highlight_fragments=2)
+    assert resp.results and len(resp.headlines) == len(resp.results)
+    terms = sorted(set(q.split()))
+    R = 30
+    for doc_id, _ in resp.results:
+        raw = tdf.loc[tdf["doc_id"] == doc_id, "text"].iloc[0]
+        frags = []
+        for t in [t for t in terms if t in raw][:2]:
+            s = raw.index(t)
+            start = max(0, s - R)
+            fr = raw[start : start + len(t) + 2 * R]
+            for tt in terms:
+                fr = _re.sub(f"({tt})", r"<<\1>>", fr)
+            frags.append(fr)
+        assert resp.headlines[doc_id] == " ... ".join(frags)
+        assert "<<" in resp.headlines[doc_id]
+    # whole-text mode unchanged
+    whole = svc.search(q, 8, highlight=True)
+    for doc_id, _ in whole.results:
+        raw = tdf.loc[tdf["doc_id"] == doc_id, "text"].iloc[0]
+        want = raw
+        for t in terms:
+            want = _re.sub(f"({t})", r"<<\1>>", want)
+        assert whole.headlines[doc_id] == want
+
+
+def test_fragment_headlines_sharded_and_merged(sharded_served, merged_served):
+    from discogsography_spark.query.serving import (
+        MergedSearchService,
+        ShardedSearchService,
+    )
+
+    full_idx, shard_dirs = sharded_served
+    single = SearchService(full_idx)
+    sharded = ShardedSearchService(shard_dirs)
+    a = single.search("spark index", 8, highlight_fragments=1)
+    b = sharded.search("spark index", 8, highlight_fragments=1)
+    assert a.headlines == b.headlines and a.headlines
+
+    fresh = SearchService(merged_served["fresh"])
+    live = MergedSearchService(merged_served["idx"])
+    c = fresh.search("spark index", 8, highlight_fragments=1)
+    d = live.search("spark index", 8, highlight_fragments=1)
+    assert c.headlines == d.headlines and c.headlines
