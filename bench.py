@@ -109,7 +109,9 @@ def main() -> None:
         "fts_phrase_topk",
         "fts_term_stats",
         "fts_bool_topk",
+        "fts_bool_within_topk",
         "sample_mix_sources",
+        "sample_pack_sequences",
         "dedup_minhash_lsh",
         "embedding_cosine_topk",
         "embedding_ivf_topk",

@@ -42,6 +42,39 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--mode", choices=("and", "or", "prefix", "phrase", "bool", "suggest", "near"), default="and")
     q.add_argument("--show-text", metavar="TRANSCRIPTS", default=None)
 
+    sr = sub.add_parser(
+        "search",
+        help="full search response (results + facets + headlines), the "
+        "/api/search analog over SearchService",
+    )
+    sr.add_argument("index_dir")
+    sr.add_argument("query_text")
+    sr.add_argument("--k", type=int, default=10)
+    sr.add_argument("--mode", choices=("and", "or", "bool"), default="and")
+    sr.add_argument(
+        "--facets", default=None,
+        help="comma-separated docmap columns to facet on (e.g. role,tool)",
+    )
+    sr.add_argument(
+        "--filter", default=None, metavar="FIELD=VALUE",
+        help="faceted drill-down, e.g. --filter role=assistant",
+    )
+    sr.add_argument("--fuzzy", action="store_true")
+    sr.add_argument("--highlight", action="store_true")
+    sr.add_argument(
+        "--fragments", type=int, default=None, metavar="N",
+        help="snippet headlines: up to N windowed fragments (implies --highlight)",
+    )
+    sr.add_argument(
+        "--shards", action="store_true",
+        help="treat index_dir as a comma-separated list of shard dirs "
+        "(ShardedSearchService fan-out)",
+    )
+    sr.add_argument(
+        "--merged", action="store_true",
+        help="serve the LIVE base+delta view (MergedSearchService)",
+    )
+
     s = sub.add_parser("stats", help="print index manifest stats")
     s.add_argument("index_dir")
 
@@ -135,6 +168,57 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(line))
         if not hits:
             print(json.dumps({"matches": 0}))
+        return 0
+
+    if args.cmd == "search":
+        facet_defs = (
+            {f: f for f in args.facets.split(",")} if args.facets else None
+        )
+        filt = None
+        if args.filter:
+            if "=" not in args.filter:
+                raise SystemExit("--filter expects FIELD=VALUE")
+            fk, fv = args.filter.split("=", 1)
+            filt = {fk: fv}
+        kwargs = dict(
+            mode=args.mode,
+            facets=sorted(facet_defs) if facet_defs else None,
+            highlight=args.highlight,
+            filter=filt,
+            highlight_fragments=args.fragments,
+        )
+        if args.merged:
+            from discogsography_spark.query.serving import MergedSearchService
+
+            svc = MergedSearchService(args.index_dir, facet_defs=facet_defs)
+            resp = svc.search(args.query_text, args.k, fuzzy=args.fuzzy, **kwargs)
+        elif args.shards:
+            from discogsography_spark.query.serving import ShardedSearchService
+
+            svc = ShardedSearchService(
+                args.index_dir.split(","), facet_defs=facet_defs
+            )
+            resp = svc.search(args.query_text, args.k, fuzzy=args.fuzzy, **kwargs)
+        else:
+            from discogsography_spark.query.serving import SearchService
+
+            svc = SearchService(args.index_dir, facet_defs=facet_defs)
+            resp = svc.search(args.query_text, args.k, fuzzy=args.fuzzy, **kwargs)
+        print(
+            json.dumps(
+                {
+                    "results": [
+                        {"doc_id": d, "score": round(x, 6)}
+                        for d, x in resp.results
+                    ],
+                    "total_matched": resp.total_matched,
+                    "facets": resp.facets,
+                    "rewrites": resp.rewrites,
+                    "headlines": {str(d): h for d, h in resp.headlines.items()},
+                },
+                indent=2,
+            )
+        )
         return 0
 
     if args.cmd == "stats":

@@ -800,7 +800,13 @@ class MergedSearchService:
         return pd.concat(frames, ignore_index=True)
 
     # ---- per-query ------------------------------------------------------
-    def matched_docs(self, query_text: str, mode: str = "and") -> np.ndarray:
+    def matched_docs(
+        self,
+        query_text: str,
+        mode: str = "and",
+        terms: list[str] | None = None,
+        ast_override=None,
+    ) -> np.ndarray:
         s = self.searcher
         if mode == "bool":
             from discogsography_spark.query.boolquery import (
@@ -812,8 +818,12 @@ class MergedSearchService:
                 parse_bool_query,
             )
 
-            ast = parse_bool_query(
-                query_text, self._an.analyze_query, tokenize=self._an.tokenize_py
+            ast = (
+                ast_override
+                if ast_override is not None
+                else parse_bool_query(
+                    query_text, self._an.analyze_query, tokenize=self._an.tokenize_py
+                )
             )
             if ast is not None and has_prefix_nodes(ast):
                 ast = expand_prefix_nodes(
@@ -833,7 +843,8 @@ class MergedSearchService:
                 phrase_docs_of=lambda ph: s._merged_phrase_doc_set(list(ph)),
                 within_docs_of=s._merged_within_doc_set,
             )
-        terms = self._an.analyze_query(query_text)
+        if terms is None:
+            terms = self._an.analyze_query(query_text)
         if not terms:
             return np.empty(0, dtype=np.int64)
         merged = s._merged_rows(sorted(set(terms)))
@@ -870,7 +881,9 @@ class MergedSearchService:
             ]
         return out
 
-    def _highlight_terms(self, query_text: str, mode: str) -> list[str]:
+    def _highlight_terms(
+        self, query_text: str, mode: str, ast_override=None
+    ) -> list[str]:
         if mode != "bool":
             return self._an.analyze_query(query_text)
         from discogsography_spark.query.boolquery import (
@@ -880,8 +893,12 @@ class MergedSearchService:
             polarity_terms,
         )
 
-        ast = parse_bool_query(
-            query_text, self._an.analyze_query, tokenize=self._an.tokenize_py
+        ast = (
+            ast_override
+            if ast_override is not None
+            else parse_bool_query(
+                query_text, self._an.analyze_query, tokenize=self._an.tokenize_py
+            )
         )
         if ast is not None and has_prefix_nodes(ast):
             ast = expand_prefix_nodes(
@@ -917,7 +934,13 @@ class MergedSearchService:
         return text
 
     def _rank_matched(
-        self, query_text: str, mode: str, matched: np.ndarray, k: int
+        self,
+        query_text: str,
+        mode: str,
+        matched: np.ndarray,
+        k: int,
+        terms: list[str] | None = None,
+        ast_override=None,
     ) -> list[tuple[int, float]]:
         """Exact BM25 over a pre-filtered matched set, combined base+delta
         stats, sorted-term accumulation — the drill-down ranking contract
@@ -926,11 +949,12 @@ class MergedSearchService:
             return []
         s = self.searcher
         p = s.params
-        terms = (
-            self._highlight_terms(query_text, mode)
-            if mode == "bool"
-            else self._an.analyze_query(query_text)
-        )
+        if terms is None:
+            terms = (
+                self._highlight_terms(query_text, mode, ast_override=ast_override)
+                if mode == "bool"
+                else self._an.analyze_query(query_text)
+            )
         merged = s._merged_rows(sorted(set(terms)))
         scores = np.zeros(matched.size, dtype=np.float64)
         for t in sorted(set(terms)):
@@ -957,9 +981,16 @@ class MergedSearchService:
         return [(int(matched[i]), float(scores[i])) for i in top]
 
     def _filtered_matched(
-        self, query_text: str, mode: str, filter: dict[str, str]
+        self,
+        query_text: str,
+        mode: str,
+        filter: dict[str, str],
+        terms: list[str] | None = None,
+        ast_override=None,
     ) -> np.ndarray:
-        matched = self.matched_docs(query_text, mode=mode)
+        matched = self.matched_docs(
+            query_text, mode=mode, terms=terms, ast_override=ast_override
+        )
         keep = np.ones(matched.size, dtype=bool)
         for fname, fval in filter.items():
             codes = self._facet_codes.get(fname)
@@ -983,26 +1014,104 @@ class MergedSearchService:
         highlight: bool = False,
         filter: dict[str, str] | None = None,
         highlight_fragments: int | None = None,
+        fuzzy: bool = False,
     ) -> SearchResponse:
         if highlight_fragments is not None:
             highlight = True
-        if filter:
-            matched = self._filtered_matched(query_text, mode, filter)
-            results = self._rank_matched(query_text, mode, matched, k)
-        else:
-            matched = self.matched_docs(query_text, mode=mode)
-            results = (
-                self.searcher.topk_bool(query_text, k)
-                if mode == "bool"
-                else self.searcher.topk(query_text, k)
+        rewrites: dict[str, str] = {}
+        qterms: list[str] | None = None
+        qast = None
+        if fuzzy:
+            # did-you-mean against the COMBINED base+delta vocabulary —
+            # the same rewrite-threading discipline as SearchService
+            from discogsography_spark.query.boolquery import (
+                parse_bool_query,
+                rewrite_fuzzy_terms,
             )
-        resp = SearchResponse(results=results, total_matched=int(matched.size))
+
+            s = self.searcher
+
+            def _known(t: str) -> bool:
+                return s._merged_rows([t])[t] is not None
+
+            def _sugg(t: str) -> str | None:
+                got = s.suggest_terms(t, k=1)
+                return got[0][0] if got else None
+
+            if mode == "bool":
+                ast0 = parse_bool_query(
+                    query_text, self._an.analyze_query,
+                    tokenize=self._an.tokenize_py,
+                )
+                if ast0 is not None:
+                    qast, rewrites = rewrite_fuzzy_terms(ast0, _known, _sugg)
+            else:
+                fixed = []
+                for t in self._an.analyze_query(query_text):
+                    if _known(t):
+                        fixed.append(t)
+                        continue
+                    sg = _sugg(t)
+                    if sg is not None:
+                        rewrites[t] = sg
+                        fixed.append(sg)
+                    else:
+                        fixed.append(t)
+                if rewrites:
+                    qterms = sorted(set(fixed))
+        if filter:
+            matched = self._filtered_matched(
+                query_text, mode, filter, terms=qterms, ast_override=qast
+            )
+            results = self._rank_matched(
+                query_text, mode, matched, k, terms=qterms, ast_override=qast
+            )
+        else:
+            matched = self.matched_docs(
+                query_text, mode=mode, terms=qterms, ast_override=qast
+            )
+            def _flat_ast(ts: list[str], kind: str):
+                if not ts:
+                    return None
+                if len(ts) == 1:
+                    return ("term", ts[0])
+                return (kind, tuple(("term", t) for t in ts))
+
+            if qterms is not None:
+                node = _flat_ast(qterms, "or" if mode == "or" else "and")
+                results = (
+                    self.searcher.topk_bool(query_text, k, ast_override=node)
+                    if node is not None
+                    else []
+                )
+            elif qast is not None:
+                results = self.searcher.topk_bool(query_text, k, ast_override=qast)
+            elif mode == "bool":
+                results = self.searcher.topk_bool(query_text, k)
+            elif mode == "or":
+                node = _flat_ast(
+                    sorted(set(self._an.analyze_query(query_text))), "or"
+                )
+                results = (
+                    self.searcher.topk_bool(query_text, k, ast_override=node)
+                    if node is not None
+                    else []
+                )
+            else:
+                results = self.searcher.topk(query_text, k)
+        resp = SearchResponse(
+            results=results, total_matched=int(matched.size), rewrites=rewrites
+        )
         if facets is None and self._facet_codes:
             facets = sorted(self._facet_codes)
         if facets:
             resp.facets = self.facet_counts(matched, facets)
         if highlight:
-            hterms = self._highlight_terms(query_text, mode)
+            hterms = (
+                qterms
+                if qterms is not None
+                else self._highlight_terms(query_text, mode, ast_override=qast)
+            )
             resp.headlines = {
                 d: self.headline(d, hterms, max_fragments=highlight_fragments)
                 for d, _ in results

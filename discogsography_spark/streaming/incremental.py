@@ -255,6 +255,7 @@ class MergedSearcher:
         # term → merged (docs, tf, dl) arrays; deltas are immutable for this
         # searcher's lifetime, so merged decodes cache like base decodes
         self._merged_cache: dict[str, tuple] = {}
+        self._trigram_index = None  # built lazily by suggest_terms
 
     def _delta_rows(self, delta: str, terms: list[str]) -> dict[str, dict]:
         """Term rows from one delta via the same dictionary-indexed
@@ -370,12 +371,96 @@ class MergedSearcher:
         order = np.lexsort((cand, -score))[:k]
         return [(int(cand[i]), float(score[i])) for i in order]
 
-    def topk_bool(self, query_text: str, k: int) -> list[tuple[int, float]]:
+    def suggest_terms(
+        self, word: str, k: int = 10, min_sim: float = 0.3
+    ) -> list[tuple[str, float]]:
+        """Fuzzy vocabulary suggestions over the COMBINED base+delta
+        vocabulary (LocalSearcher.suggest_terms's contract on the live
+        view). The trigram map builds once per searcher; deltas are
+        immutable for its lifetime."""
+        if self._trigram_index is None:
+            from discogsography_spark.query.fuzzy import TrigramVocabIndex
+
+            vocab: set[str] = set()
+            base = self.base
+            for seg in range(base.meta.num_segments):
+                rd = base._reader(seg)
+                if rd is not None:
+                    for terms in rd._terms:
+                        vocab.update(terms.tolist())
+            for delta in self._delta_dirs:
+                for seg in range(base.meta.num_segments):
+                    rd = self._delta_reader(delta, seg)
+                    if rd is not None:
+                        for terms in rd._terms:
+                            vocab.update(terms.tolist())
+            self._trigram_index = TrigramVocabIndex(sorted(vocab))
+        return self._trigram_index.suggest(word, k=k, min_sim=min_sim)
+
+    def topk_fuzzy(
+        self, query_text: str, k: int, min_sim: float = 0.3, mode: str = "and"
+    ) -> tuple[list[tuple[int, float]], dict[str, str]]:
+        """Did-you-mean on the live merged view — LocalSearcher.topk_fuzzy's
+        contract with combined-corpus vocabulary and stats. and/or modes
+        rewrite the analyzed term list; bool mode rewrites the AST's plain
+        term leaves (phrase/within/prefix stay exact)."""
+        from discogsography_spark.analysis import get_analyzer
+        from discogsography_spark.query.boolquery import (
+            parse_bool_query,
+            rewrite_fuzzy_terms,
+        )
+
+        an = get_analyzer(self.base.meta.analyzer)
+        if k <= 0:
+            return [], {}
+
+        def _known(t: str) -> bool:
+            return self._merged_rows([t])[t] is not None
+
+        def _sugg(t: str) -> str | None:
+            got = self.suggest_terms(t, k=1, min_sim=min_sim)
+            return got[0][0] if got else None
+
+        if mode == "bool":
+            ast = parse_bool_query(
+                query_text, an.analyze_query, tokenize=an.tokenize_py
+            )
+            if ast is None:
+                return [], {}
+            fixed_ast, rewrites = rewrite_fuzzy_terms(ast, _known, _sugg)
+            return self.topk_bool(query_text, k, ast_override=fixed_ast), rewrites
+        terms = an.analyze_query(query_text)
+        if not terms:
+            return [], {}
+        rewrites: dict[str, str] = {}
+        fixed: list[str] = []
+        for t in terms:
+            if _known(t):
+                fixed.append(t)
+                continue
+            s = _sugg(t)
+            if s is not None:
+                rewrites[t] = s
+                fixed.append(s)
+            else:
+                fixed.append(t)
+        uniq = sorted(set(fixed))
+        node = (
+            ("term", uniq[0])
+            if len(uniq) == 1
+            else (("or" if mode == "or" else "and"), tuple(("term", t) for t in uniq))
+        )
+        return self.topk_bool(query_text, k, ast_override=node), rewrites
+
+    def topk_bool(
+        self, query_text: str, k: int, ast_override=None
+    ) -> list[tuple[int, float]]:
         """Boolean AND/OR/NOT BM25 over the live base+delta view — the same
         grammar/scoring contract as LocalSearcher.topk_bool (boolquery.py),
         with df/avgdl from the COMBINED corpus so scores equal a fresh
         whole-corpus rebuild. This is also the merged view's disjunctive
-        path (`a OR b`)."""
+        path (`a OR b`). `ast_override` supplies a pre-parsed (possibly
+        fuzzy-rewritten) AST."""
         from discogsography_spark.analysis import get_analyzer
         from discogsography_spark.query.boolquery import (
             eval_docsets,
@@ -383,10 +468,13 @@ class MergedSearcher:
             polarity_terms,
         )
 
-        an = get_analyzer(self.base.meta.analyzer)
-        ast = parse_bool_query(
-            query_text, an.analyze_query, tokenize=an.tokenize_py
-        )
+        if ast_override is not None:
+            ast = ast_override
+        else:
+            an = get_analyzer(self.base.meta.analyzer)
+            ast = parse_bool_query(
+                query_text, an.analyze_query, tokenize=an.tokenize_py
+            )
         if ast is None or k <= 0:
             return []
         from discogsography_spark.query.boolquery import (

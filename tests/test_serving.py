@@ -573,3 +573,45 @@ def test_fragment_headlines_sharded_and_merged(sharded_served, merged_served):
     c = fresh.search("spark index", 8, highlight_fragments=1)
     d = live.search("spark index", 8, highlight_fragments=1)
     assert c.headlines == d.headlines and c.headlines
+
+
+def test_merged_service_or_mode_and_fuzzy(merged_served):
+    """OR-mode ranking on the merged service must be genuinely disjunctive
+    (regression: it silently ranked with AND semantics), and fuzzy=True
+    works on the live view in every mode, equal to a fresh index."""
+    from discogsography_spark.query.serving import MergedSearchService
+
+    fresh = SearchService(merged_served["fresh"])
+    live = MergedSearchService(merged_served["idx"])
+    tdf = merged_served["tdf"]
+    # a rare token appearing without 'spark' somewhere → OR != AND
+    from collections import Counter
+
+    from discogsography_spark.analysis import tokenize_py
+
+    cnt = Counter(t for text in tdf["text"] for t in set(tokenize_py(text)))
+    rare = next(t for t, c in sorted(cnt.items(), key=lambda kv: (kv[1], kv[0]))
+                if t != "spark" and c >= 2)
+    q = f"{rare} spark"
+    a_or = fresh.search(q, 10, mode="or")
+    b_or = live.search(q, 10, mode="or")
+    assert a_or.results == b_or.results
+    assert a_or.total_matched == b_or.total_matched
+    a_and = live.search(q, 10, mode="and")
+    assert a_or.total_matched > a_and.total_matched  # genuinely disjunctive
+
+    for q2, mode in [
+        ("sparkz index", "and"),
+        ("sparkz index", "or"),
+        ("sparkz AND index", "bool"),
+        ("sparkz OR (index AND NOT merge)", "bool"),
+    ]:
+        a = fresh.search(q2, 10, mode=mode, fuzzy=True)
+        b = live.search(q2, 10, mode=mode, fuzzy=True)
+        assert a.rewrites == b.rewrites == {"sparkz": "spark"}, (q2, mode)
+        assert a.results == b.results, (q2, mode)
+        assert a.total_matched == b.total_matched, (q2, mode)
+    # merged topk_fuzzy surface directly
+    res, rw = live.searcher.topk_fuzzy("sparkz index", 10)
+    assert rw == {"sparkz": "spark"}
+    assert res == live.searcher.topk("spark index", 10)
