@@ -66,3 +66,37 @@ def test_year_plausibility_gate(spark):
     )
     out = [r["yy"] for r in df.select(year_plausibility("y").alias("yy")).collect()]
     assert out == [1999, None, None, None, None]
+
+
+def test_cli_search_subcommand(built_index):
+    """`cli search` returns the full response shape: results + facets +
+    total_matched, drill-down --filter narrows it, --fuzzy reports the
+    rewrite, --mode bool accepts the boolean language."""
+    resp = json.loads(_run(
+        ["search", built_index, "spark index", "--k", "5", "--facets", "role,tool"]
+    ))
+    assert resp["results"] and resp["total_matched"] >= len(resp["results"])
+    assert set(resp["facets"]) == {"role", "tool"}
+    assert sum(n for _, n in resp["facets"]["role"]) == resp["total_matched"]
+
+    filt = json.loads(_run(
+        ["search", built_index, "spark index", "--k", "5",
+         "--facets", "role", "--filter", "role=assistant"]
+    ))
+    assert 0 < filt["total_matched"] < resp["total_matched"]
+
+    fz = json.loads(_run(
+        ["search", built_index, "sparkz index", "--k", "5", "--fuzzy"]
+    ))
+    assert fz["rewrites"] == {"sparkz": "spark"}
+    assert [r["doc_id"] for r in fz["results"]] == [
+        r["doc_id"] for r in json.loads(
+            _run(["search", built_index, "spark index", "--k", "5"])
+        )["results"]
+    ]
+
+    bl = json.loads(_run(
+        ["search", built_index, "(spark OR index) AND NOT merge",
+         "--k", "5", "--mode", "bool"]
+    ))
+    assert bl["results"]
