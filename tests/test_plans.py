@@ -116,3 +116,28 @@ def test_prefix_expansion_broadcasts(spark):
     assert rep["has_broadcast_join"], "expansion/df maps must broadcast"
     s = explain_str(df, "simple")
     assert "TakeOrderedAndProject" in s
+
+
+def test_pack_sequences_plan_has_no_single_partition_exchange(spark):
+    """The packing cumsum must stay bucketed: the physical plan may shuffle
+    by bucket (hashpartitioning(_b)) but must NEVER contain a
+    SinglePartition exchange or a global (non-window-partitioned) sort —
+    the single-reducer shape a naive Window.orderBy would produce."""
+    from discogsography_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    counted = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    packed = pack_sequences(counted, 256, bucket=64)
+    s = explain_str(packed, "simple")
+    assert "SinglePartition" not in s, s
+    assert "hashpartitioning(_b" in s, "cumsum window must partition by bucket"
+    # contrast: the naive global window DOES produce the single-reducer plan
+    from pyspark.sql.window import Window
+
+    naive = counted.withColumn(
+        "start",
+        F.sum("n_tokens").over(
+            Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    assert "SinglePartition" in explain_str(naive, "simple")
