@@ -62,27 +62,64 @@ class ShardWorkerPool:
     shard order. Single-coordinator use (calls are not thread-safe)."""
 
     def __init__(self, shard_dirs: list[str]):
-        ctx = mp.get_context("fork")
+        self._dirs = list(shard_dirs)
+        self._ctx = mp.get_context("fork")
         self._conns = []
         self._procs = []
-        for d in shard_dirs:
-            parent, child = ctx.Pipe()
-            p = ctx.Process(target=_worker_main, args=(child, d), daemon=True)
-            p.start()
-            child.close()
-            self._conns.append(parent)
-            self._procs.append(p)
+        for i in range(len(shard_dirs)):
+            self._conns.append(None)
+            self._procs.append(None)
+            self._spawn(i)
+
+    def _spawn(self, i: int) -> None:
+        parent, child = self._ctx.Pipe()
+        p = self._ctx.Process(
+            target=_worker_main, args=(child, self._dirs[i]), daemon=True
+        )
+        p.start()
+        child.close()
+        old = self._conns[i]
+        if old is not None:
+            try:
+                old.close()
+            except OSError:
+                pass
+        self._conns[i] = parent
+        self._procs[i] = p
 
     def call(self, method: str, kwargs_list: list[dict | None]) -> list:
         """Invoke `method` on every shard whose kwargs is not None
         (None = shard skipped, e.g. a conjunctive term it lacks); returns
-        per-shard results in shard order with None at skipped slots."""
+        per-shard results in shard order with None at skipped slots.
+
+        A dead worker (EOF/broken pipe — the process was killed or OOMed)
+        is respawned from its shard directory and the request retried ONCE
+        — the restart policy of a real per-shard serving node; a second
+        failure raises."""
         live = [i for i, kw in enumerate(kwargs_list) if kw is not None]
-        for i in live:
-            self._conns[i].send((method, kwargs_list[i]))
         out: list = [None] * len(kwargs_list)
+        retry: list[int] = []
         for i in live:
-            ok, r = self._conns[i].recv()
+            try:
+                self._conns[i].send((method, kwargs_list[i]))
+            except (BrokenPipeError, OSError):
+                self._spawn(i)
+                retry.append(i)
+        for i in live:
+            if i in retry:
+                continue
+            try:
+                ok, r = self._conns[i].recv()
+            except (EOFError, OSError):
+                self._spawn(i)
+                retry.append(i)
+                continue
+            if not ok:
+                raise RuntimeError(f"shard {i} failed in {method}: {r}")
+            out[i] = r
+        for i in retry:
+            self._conns[i].send((method, kwargs_list[i]))
+            ok, r = self._conns[i].recv()  # second death propagates
             if not ok:
                 raise RuntimeError(f"shard {i} failed in {method}: {r}")
             out[i] = r

@@ -218,3 +218,23 @@ def test_sharded_within_bit_identical(pos_sharded_setup):
         assert got == want, (w1, w2, win)
         n_nonempty += bool(got)
     assert n_nonempty >= 3
+
+
+def test_worker_pool_respawns_dead_shard(sharded_setup):
+    """Killing a shard worker mid-serving must not take the searcher down:
+    the pool respawns the worker from its shard directory and the query
+    retries transparently, results unchanged."""
+    import os
+    import signal
+    import time
+
+    s = ShardedSearcher(sharded_setup["shards"], parallel=True)
+    want = s.topk("spark index", 10)
+    victim = s._procs._procs[1]
+    os.kill(victim.pid, signal.SIGKILL)
+    victim.join(timeout=5)
+    time.sleep(0.1)
+    got = s.topk("spark index", 10)
+    assert got == want
+    assert s._procs._procs[1].pid != victim.pid  # genuinely respawned
+    s.close()
