@@ -1,10 +1,15 @@
 """Multimodal columns: image/audio/video as opaque `binary` with typed
 metadata, processed via Arrow-batched mapInPandas.
 
-The decode step is STUBBED (no image/audio libs in this container): decoding
-dispatches to `_decode_image_impl`, which raises NotImplementedError unless
-`fake=True` selects the deterministic fake decoder. Everything Spark-side —
-schema, partitioning, UDF signature, Arrow batch shape — is real and tested.
+Decode is REAL for the dependency-free formats — PNG and uncompressed BMP
+images, RIFF PCM WAV audio (operators/codecs.py: stdlib zlib/struct/wave +
+numpy, byte-exact roundtrip-tested) — with `fake=False`. Formats that
+genuinely need a native library (JPEG, lossy audio, video) raise
+NotImplementedError from the codec sniffer unless a pluggable `decoder=`
+callable is supplied; `fake=True` keeps the deterministic payload-hash
+fake for pipeline-shape tests. Everything Spark-side — schema,
+partitioning, UDF signature, Arrow batch shape, per-row quarantine — is
+identical across all three decode sources.
 """
 
 from __future__ import annotations
@@ -41,13 +46,14 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _decode_image_impl(payload: bytes, fake: bool) -> np.ndarray:
-    """Real decode would use PIL/libvips (not installed). The deterministic
-    fake derives a pseudo-image from the payload hash so the full pipeline
-    (batching, resize, feature shape) is exercised end-to-end."""
+    """fake=False: REAL decode via operators/codecs.py (PNG/BMP natively;
+    other formats raise with guidance to plug a decoder). fake=True: the
+    deterministic payload-hash fake, which exercises the full pipeline
+    (batching, pooling, feature shape) without real media bytes."""
     if not fake:
-        raise NotImplementedError(
-            "image decoding requires PIL/libvips, not available in this container"
-        )
+        from discogsography_spark.operators.codecs import decode_image
+
+        return decode_image(payload).astype(np.float32)
     h = hashlib.sha256(payload or b"").digest()
     rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
     return rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8).astype(np.float32)
@@ -97,13 +103,13 @@ def extract_image_features(
 
 
 def _decode_audio_impl(payload: bytes, fake: bool) -> np.ndarray:
-    """Real decode would use soundfile/ffmpeg (not installed). The
-    deterministic fake derives a pseudo-PCM mono stream from the payload
-    hash so windowing and feature pooling are exercised end-to-end."""
+    """fake=False: REAL RIFF PCM WAV decode via operators/codecs.py
+    (lossy formats need a pluggable decoder). fake=True: deterministic
+    pseudo-PCM from the payload hash for pipeline-shape tests."""
     if not fake:
-        raise NotImplementedError(
-            "audio decoding requires soundfile/ffmpeg, not available in this container"
-        )
+        from discogsography_spark.operators.codecs import decode_wav
+
+        return decode_wav(payload)
     h = hashlib.sha256(payload or b"").digest()
     rng = np.random.default_rng(int.from_bytes(h[8:16], "little"))
     return (rng.standard_normal(4096)).astype(np.float32)

@@ -155,7 +155,11 @@ def test_multimodal_feature_plumbing(spark):
     assert all(r["count"] == 5 for r in counts)  # 5000ms / 1000ms
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
+def test_multimodal_real_decode_quarantines_unknown_formats(spark):
+    """fake=False is the REAL codec path (PNG/BMP decode natively); the
+    synthetic table's hash-noise payloads are not a supported format, so
+    every row quarantines with the plug-a-decoder guidance instead of
+    failing the job."""
     from discogsography_spark.operators.multimodal import (
         extract_image_features,
         synthetic_media,
@@ -164,7 +168,7 @@ def test_multimodal_real_decode_is_stubbed(spark):
     media = synthetic_media(spark, n=3)
     feats = extract_image_features(media, fake=False).toPandas()
     assert (~feats["decode_ok"]).all()
-    assert feats["error"].str.contains("NotImplementedError").all()
+    assert feats["error"].str.contains("NotImplementedError|ValueError").all()
 
 
 def test_ivf_trained_recall_and_determinism(spark):
@@ -374,10 +378,17 @@ def test_audio_feature_plumbing_and_quarantine(spark):
         assert r["feature"] == [1.0, 1.0, 1.0, 1.0]
 
 
-def test_audio_real_decode_is_stubbed(spark):
+def test_audio_real_decode_junk_raises_real_wav_decodes(spark):
+    """fake=False audio is the REAL RIFF PCM codec: junk bytes raise (the
+    operator quarantines them); an actual WAV payload decodes exactly."""
+    import numpy as np
     import pytest as _pytest
 
+    from discogsography_spark.operators.codecs import encode_wav
     from discogsography_spark.operators.multimodal import _decode_audio_impl
 
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(Exception):
         _decode_audio_impl(b"x", fake=False)
+    pcm = np.linspace(-0.5, 0.5, 256).astype(np.float32)
+    out = _decode_audio_impl(encode_wav(pcm), fake=False)
+    assert np.abs(out - pcm).max() < 2 / 32767
