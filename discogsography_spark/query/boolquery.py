@@ -449,6 +449,50 @@ def eval_docsets(ast: Node, docs_of, phrase_docs_of=None, within_docs_of=None):
     return cand
 
 
+def simplify_absent(ast: Node, present: Callable[[str], bool]) -> Node | None:
+    """Algebraically simplify the AST against VOCABULARY knowledge: a term
+    (or phrase/within operand) absent from the corpus matches nothing, so
+    its leaf is the empty set — `NOT absent` is always-true, an empty
+    conjunct annihilates its AND group, empty arms vanish from ORs.
+    Returns None when the whole query is unsatisfiable.
+
+    This turns e.g. `spark AND NOT zzz` (zzz absent) into the plain term
+    `spark`, which then takes the delegated single-term champion fast path
+    instead of scoring the full posting list. Purely an evaluation-plan
+    rewrite: the matched set and scores are unchanged (absent terms never
+    match or score). An always-true node can never reach an OR arm or the
+    root — the parser's pure-negation rejection already refused every query
+    satisfiable by a document with no query term."""
+    kind = ast[0]
+    if kind == "term":
+        return ast if present(ast[1]) else None
+    if kind in ("phrase", "within"):
+        return ast if all(present(t) for t in ast[1]) else None
+    if kind == "prefix":
+        return ast  # resolved by expand_prefix_nodes, not vocabulary lookup
+    if kind == "not":
+        c = simplify_absent(ast[1], present)
+        if c is None:
+            return ("true",)
+        if c == ("true",):
+            return None
+        return ("not", c)
+    parts = [simplify_absent(c, present) for c in ast[1]]
+    if kind == "and":
+        if any(p is None for p in parts):
+            return None
+        parts = [p for p in parts if p != ("true",)]
+        if not parts:
+            return ("true",)
+        return parts[0] if len(parts) == 1 else ("and", tuple(parts))
+    kept = [p for p in parts if p is not None]
+    if any(p == ("true",) for p in kept):  # unreachable (parser rejection)
+        return ("true",)
+    if not kept:
+        return None
+    return kept[0] if len(kept) == 1 else ("or", tuple(kept))
+
+
 def rewrite_fuzzy_terms(
     ast: Node,
     known: Callable[[str], bool],

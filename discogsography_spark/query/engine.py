@@ -1347,6 +1347,12 @@ class LocalSearcher:
         present = sorted(t for t in terms if t in rows)
         if not present:
             return []
+        if len(present) == 1:
+            # degenerate OR = single-term ranking — identical scores, and
+            # _topk_and's champion fast path answers it without decoding
+            # the posting list (the `head OR absent-term` worst case was
+            # a full-list score: 306 ms → sub-ms)
+            return self._topk_and(present, k, idfs=idfs, avgdl=avgdl)
         m, p = self.meta, self.meta.params
         k1, b = p.k1, p.b
         if avgdl is None:
@@ -1440,6 +1446,7 @@ class LocalSearcher:
         already-parsed (possibly rewritten) AST — the did-you-mean path and
         the sharded coordinator's fuzzy fan-out."""
         from discogsography_spark.query.boolquery import (
+            all_terms,
             eval_docsets,
             parse_bool_query,
             polarity_terms,
@@ -1472,7 +1479,27 @@ class LocalSearcher:
                 self._result_cache.move_to_end(key)
                 return list(hit)
 
-        from discogsography_spark.query.boolquery import has_positional_nodes
+        from discogsography_spark.query.boolquery import (
+            BoolQueryError,
+            has_positional_nodes,
+            simplify_absent,
+        )
+
+        # simplify against the vocabulary BEFORE choosing an evaluation
+        # plan: absent leaves are empty sets, `NOT absent` is always-true —
+        # `spark AND NOT zzz` collapses to the term `spark` and takes the
+        # champion fast path instead of scoring the full posting list.
+        # Results are unchanged (absent terms never match or score).
+        known = self.lookup_terms(all_terms(ast))
+        ast = simplify_absent(ast, known.__contains__)
+        if ast is None:
+            if use_result_cache:
+                self._result_cache[key] = ()
+                if len(self._result_cache) > self._result_cache_size:
+                    self._result_cache.popitem(last=False)
+            return []
+        if ast == ("true",):  # unreachable: parser rejects vacuous forms
+            raise BoolQueryError("query simplified to match-all")
 
         pos_terms, neg_terms = polarity_terms(ast)
         terms = sorted(set(pos_terms) | set(neg_terms))
