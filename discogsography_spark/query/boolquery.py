@@ -467,7 +467,11 @@ def simplify_absent(ast: Node, present: Callable[[str], bool]) -> Node | None:
     if kind == "term":
         return ast if present(ast[1]) else None
     if kind in ("phrase", "within"):
-        return ast if all(present(t) for t in ast[1]) else None
+        # drop only when EVERY operand is absent: a phrase with a present
+        # term can't match either, but its PRESENT terms still belong to
+        # the positive-polarity scoring set (the boolquery scoring
+        # contract), so the node must survive for score parity
+        return ast if any(present(t) for t in ast[1]) else None
     if kind == "prefix":
         return ast  # resolved by expand_prefix_nodes, not vocabulary lookup
     if kind == "not":

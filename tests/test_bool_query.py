@@ -347,3 +347,32 @@ def test_rewrite_fuzzy_terms_ast():
     assert rw == {"sparc": "spark"}
     # phrase and prefix nodes untouched; only the plain term leaf rewrote
     assert fixed == parse_bool_query('spark AND ("exact phrase" OR indx*)', analyze_query)
+
+
+def test_simplify_absent_preserves_phrase_scoring_terms():
+    """Regression: simplifying `"spark zzqq" OR merge` (zzqq absent) must
+    NOT drop the phrase node — its PRESENT term 'spark' belongs to the
+    positive-polarity scoring set even though the phrase can't match.
+    Only an all-absent phrase (no scoring impact) may vanish."""
+    from discogsography_spark.analysis import analyze_query
+
+    from discogsography_spark.query.boolquery import (
+        parse_bool_query,
+        polarity_terms,
+        simplify_absent,
+    )
+
+    vocab = {"spark", "merge", "index"}
+    ast = parse_bool_query('"spark zzqq" OR merge', analyze_query)
+    simp = simplify_absent(ast, vocab.__contains__)
+    assert simp == ast  # phrase kept: one operand is present
+    assert "spark" in polarity_terms(simp)[0]
+
+    # all-absent phrase vanishes from the OR; absent term leaf vanishes;
+    # NOT-absent collapses its AND wrapper
+    ast2 = parse_bool_query('"zza zzb" OR merge', analyze_query)
+    assert simplify_absent(ast2, vocab.__contains__) == ("term", "merge")
+    ast3 = parse_bool_query("spark AND NOT zzq", analyze_query)
+    assert simplify_absent(ast3, vocab.__contains__) == ("term", "spark")
+    ast4 = parse_bool_query("zza AND spark", analyze_query)
+    assert simplify_absent(ast4, vocab.__contains__) is None
