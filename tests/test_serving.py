@@ -615,3 +615,25 @@ def test_merged_service_or_mode_and_fuzzy(merged_served):
     res, rw = live.searcher.topk_fuzzy("sparkz index", 10)
     assert rw == {"sparkz": "spark"}
     assert res == live.searcher.topk("spark index", 10)
+
+
+def test_sharded_fuzzy_bool_with_filter_equals_single(sharded_served):
+    """The full combination: fuzzy rewrite + boolean mode + faceted
+    drill-down on the sharded tier must equal the single index — the
+    rewritten AST threads through filtering, global-idf derivation,
+    ranking, counting, and facets together."""
+    from discogsography_spark.query.serving import ShardedSearchService
+
+    full_idx, shard_dirs = sharded_served
+    defs = {"role": "role", "tool": "tool"}
+    single = SearchService(full_idx, facet_defs=defs)
+    sharded = ShardedSearchService(shard_dirs, facet_defs=defs)
+    q = "sparkz AND (index OR merge)"
+    a = single.search(q, 10, mode="bool", fuzzy=True,
+                      filter={"role": "user"}, facets=["tool"])
+    b = sharded.search(q, 10, mode="bool", fuzzy=True,
+                       filter={"role": "user"}, facets=["tool"])
+    assert a.rewrites == b.rewrites == {"sparkz": "spark"}
+    assert a.results == b.results
+    assert a.total_matched == b.total_matched
+    assert a.facets == b.facets
