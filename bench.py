@@ -77,12 +77,13 @@ def main() -> None:
     transcripts = spark.read.parquet(os.path.join(corpus, "transcripts.parquet"))
     n_turns = transcripts.count()
 
-    # best of 2: the first build in a session pays one-time Python-worker
+    # best of 3: the first build in a session pays one-time Python-worker
     # spin-up (~10-30 s) and this VM's fault-path jitter swings single runs
-    # 1.5-2x; the better run is the steady-state number a long-lived
-    # pipeline sees. Both runs are reported.
+    # 1.5-2x (measured spread at sf0.1: 11.5-31.2 s for identical code);
+    # the best run is the steady-state number a long-lived pipeline sees.
+    # All runs are reported.
     build_runs = []
-    for _ in range(2):
+    for _ in range(3):
         if os.path.isdir(idx_dir):
             shutil.rmtree(idx_dir)
         t0 = time.time()

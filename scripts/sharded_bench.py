@@ -69,6 +69,7 @@ sys.path.insert(0, {repo!r})
 import numpy as np
 import pandas as pd
 from discogsography_spark.query.sharded import ShardedSearcher
+from discogsography_spark.query.serving import ShardedSearchService
 qdf = pd.read_parquet({queries!r})
 out = {{}}
 for par in (True, "thread", False):
@@ -84,6 +85,19 @@ for par in (True, "thread", False):
     out[key + "_p50_ms"] = round(float(np.percentile(lat, 50)), 3)
     out[key + "_p95_ms"] = round(float(np.percentile(lat, 95)), 3)
     s.close()
+# full-response service tier (results + facets + counts per request)
+svc = ShardedSearchService({dirs!r}, facet_defs={{"role": "role", "tool": "tool"}})
+for _ in range(2):
+    for _, row in qdf.iterrows():
+        svc.search(row["query_text"], int(row["k"]), facets=["role", "tool"])
+lat = []
+for _, row in qdf.iterrows():
+    t0 = time.time()
+    svc.search(row["query_text"], int(row["k"]), facets=["role", "tool"])
+    lat.append((time.time() - t0) * 1000.0)
+out["service_p50_ms"] = round(float(np.percentile(lat, 50)), 3)
+out["service_p95_ms"] = round(float(np.percentile(lat, 95)), 3)
+svc.sharded.close()
 print(json.dumps(out))
 """
 
