@@ -497,6 +497,25 @@ def simplify_absent(ast: Node, present: Callable[[str], bool]) -> Node | None:
     return kept[0] if len(kept) == 1 else ("or", tuple(kept))
 
 
+def simplify_for_eval(ast: Node, present: Callable[[str], bool]) -> Node | None:
+    """simplify_absent guarded by the SCORING contract: positive-polarity
+    terms present in the index score on matching docs even when their
+    containing branch can never match (`(t2 AND absent) OR t4` scores t2 on
+    t4-docs that contain it — the same rule every evaluator and oracle
+    applies). So the simplified AST is only usable when it retains every
+    present positive term of the original; otherwise evaluate the original.
+    The common degenerate shapes (`x AND NOT absent`, `x OR absent`) always
+    pass the guard — only a PRESENT term trapped in a dead branch falls
+    back. Found by the randomized property suite."""
+    simp = simplify_absent(ast, present)
+    if simp is None or simp == ("true",):
+        return simp
+    keep = {t for t in polarity_terms(ast)[0] if present(t)}
+    if keep <= set(polarity_terms(simp)[0]):
+        return simp
+    return ast
+
+
 def rewrite_fuzzy_terms(
     ast: Node,
     known: Callable[[str], bool],

@@ -1482,16 +1482,18 @@ class LocalSearcher:
         from discogsography_spark.query.boolquery import (
             BoolQueryError,
             has_positional_nodes,
-            simplify_absent,
+            simplify_for_eval,
         )
 
         # simplify against the vocabulary BEFORE choosing an evaluation
         # plan: absent leaves are empty sets, `NOT absent` is always-true —
         # `spark AND NOT zzz` collapses to the term `spark` and takes the
         # champion fast path instead of scoring the full posting list.
-        # Results are unchanged (absent terms never match or score).
+        # Results are unchanged by construction: simplify_for_eval falls
+        # back to the original AST whenever a PRESENT positive term would
+        # leave the scoring set (dead-branch case).
         known = self.lookup_terms(all_terms(ast))
-        ast = simplify_absent(ast, known.__contains__)
+        ast = simplify_for_eval(ast, known.__contains__)
         if ast is None:
             if use_result_cache:
                 self._result_cache[key] = ()

@@ -376,3 +376,70 @@ def test_simplify_absent_preserves_phrase_scoring_terms():
     assert simplify_absent(ast3, vocab.__contains__) == ("term", "spark")
     ast4 = parse_bool_query("zza AND spark", analyze_query)
     assert simplify_absent(ast4, vocab.__contains__) is None
+
+
+def test_simplify_absent_property_equivalence():
+    """Property pin for the vocabulary simplification the engine actually
+    evaluates (simplify_for_eval): over random parser-valid ASTs, random
+    vocabularies, and random per-doc term sets, the output evaluates to the
+    IDENTICAL matched set and keeps the identical PRESENT positive-polarity
+    scoring terms — the guard falls back to the original AST when a present
+    term sits in a dead branch (this suite found that case)."""
+    import random
+
+    import numpy as np
+
+    from discogsography_spark.query.boolquery import (
+        _satisfiable_empty,
+        eval_docsets,
+        polarity_terms,
+        simplify_for_eval,
+    )
+
+    alphabet = [f"t{i}" for i in range(6)]
+    rng = random.Random(1234)
+
+    def gen(depth: int):
+        r = rng.random()
+        if depth <= 0 or r < 0.45:
+            return ("term", rng.choice(alphabet))
+        if r < 0.6:
+            return ("not", gen(depth - 1))
+        kids = tuple(gen(depth - 1) for _ in range(rng.randint(2, 3)))
+        return (("and", kids) if r < 0.8 else ("or", kids))
+
+    checked = 0
+    for _ in range(400):
+        ast = gen(3)
+        if _satisfiable_empty(ast):
+            continue  # the parser rejects these shapes
+        vocab = {t for t in alphabet if rng.random() < 0.6}
+        # random corpus: 12 docs, term membership via docID arrays
+        docs_of = {}
+        for t in alphabet:
+            if t not in vocab:
+                docs_of[t] = np.empty(0, dtype=np.int64)
+            else:
+                docs_of[t] = np.array(
+                    sorted(d for d in range(12) if rng.random() < 0.4),
+                    dtype=np.int64,
+                )
+        want = eval_docsets(ast, lambda t: docs_of[t])
+        simp = simplify_for_eval(ast, vocab.__contains__)
+        if simp is None:
+            got = np.empty(0, dtype=np.int64)
+        else:
+            assert simp != ("true",)  # parser invariant survives
+            got = eval_docsets(simp, lambda t: docs_of[t])
+        assert got.tolist() == want.tolist(), (ast, sorted(vocab))
+        # scoring parity: PRESENT positive terms unchanged
+        pos_before = [t for t in polarity_terms(ast)[0] if t in vocab]
+        pos_after = (
+            [t for t in polarity_terms(simp)[0] if t in vocab]
+            if simp is not None
+            else []
+        )
+        if simp is not None:
+            assert pos_after == pos_before, (ast, sorted(vocab))
+        checked += 1
+    assert checked > 150
