@@ -162,3 +162,34 @@ def test_shard_writer_on_bpe_encoded_docs(spark, tmp_path):
     got = got.sort_values("seq_id")
     rebuilt = [t for toks in got["tokens"] for t in toks]
     assert rebuilt == want_stream[: manifest["n_sequences"] * 32]
+
+
+def test_assignment_property_random_counts(spark):
+    """Property: for random sparse doc_ids and token counts (zeros
+    included), the bucketed distributed cumsum equals the pandas oracle at
+    several bucket widths and partitionings."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(99)
+    for trial in range(3):
+        ids = np.unique(rng.integers(0, 5000, size=120))
+        ns = rng.integers(0, 50, size=ids.size)
+        pdf = pd.DataFrame({"doc_id": ids, "n_tokens": ns})
+        df = spark.createDataFrame(pdf)
+        live = pdf[pdf["n_tokens"] > 0].sort_values("doc_id").reset_index(drop=True)
+        live["start"] = live["n_tokens"].cumsum() - live["n_tokens"]
+        L = int(rng.integers(16, 200))
+        for bucket, parts in ((7, 3), (256, 17), (1 << 20, 2)):
+            got = (
+                pack_sequences(df.repartition(parts), L, bucket=bucket)
+                .orderBy("doc_id")
+                .toPandas()
+            )
+            assert got["doc_id"].tolist() == live["doc_id"].tolist(), (trial, bucket)
+            assert got["start_offset"].tolist() == live["start"].tolist(), (trial, bucket)
+            assert got["first_seq"].tolist() == (live["start"] // L).tolist()
+            assert (
+                got["last_seq"].tolist()
+                == ((live["start"] + live["n_tokens"] - 1) // L).tolist()
+            )
