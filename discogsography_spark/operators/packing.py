@@ -150,9 +150,12 @@ def write_training_shards(
     Every written sequence has EXACTLY `seq_len` tokens; with
     `drop_remainder` (the standard choice) the trailing partial sequence is
     dropped and accounted in the manifest. Returns the manifest dict."""
+    # F.size(NULL) is -1 under non-ANSI Spark — clamp so a null token array
+    # counts as an empty doc instead of silently shrinking total_tokens
+    # (which would drop a legitimate final full sequence)
     counted = docs.select(
         F.col(order_col), F.col(token_col).alias("_toks")
-    ).withColumn("_pack_n", F.size("_toks"))
+    ).withColumn("_pack_n", F.greatest(F.size("_toks"), F.lit(0)))
     packed = pack_sequences(
         counted, seq_len, n_col="_pack_n", order_col=order_col, bucket=bucket
     )
@@ -195,13 +198,14 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(os.path.join(out_dir, "shards"))
     )
+    n_seqs = int(n_full if drop_remainder else n_full + (1 if dropped else 0))
     manifest = {
         "seq_len": int(seq_len),
         "seqs_per_shard": int(seqs_per_shard),
-        "n_sequences": int(n_full if drop_remainder else n_full + (1 if dropped else 0)),
-        "n_shards": int(
-            (n_full + seqs_per_shard - 1) // seqs_per_shard if n_full else 0
-        ),
+        "n_sequences": n_seqs,
+        # shard count follows the sequences actually WRITTEN (the trailing
+        # partial sequence occupies a shard too when drop_remainder=False)
+        "n_shards": int((n_seqs + seqs_per_shard - 1) // seqs_per_shard),
         "total_tokens": total_tokens,
         "dropped_remainder_tokens": int(dropped if drop_remainder else 0),
         "drop_remainder": bool(drop_remainder),

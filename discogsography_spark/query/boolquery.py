@@ -117,6 +117,7 @@ def parse_bool_query(
 
     def parse_and() -> Node | None:
         nodes: list[Node] = []
+        last_vanished = False  # previous word analyzed to nothing (stopword)
         while peek() not in (None, ")", "OR"):
             if peek() == "AND":
                 take()
@@ -128,20 +129,32 @@ def parse_bool_query(
                 window = int(m.group(1)) if m.group(1) else 1
                 if window < 1:
                     raise BoolQueryError("proximity window must be ≥ 1")
-                if not nodes:
-                    raise BoolQueryError("<N> operator needs a left operand")
+                if not nodes or last_vanished:
+                    # a stopword immediately before <N> must NOT silently
+                    # rebind the operator to an earlier term
+                    raise BoolQueryError(
+                        "<N> operator needs a left operand (the preceding "
+                        "word analyzed to nothing)"
+                        if last_vanished
+                        else "<N> operator needs a left operand"
+                    )
                 left = nodes.pop()
                 right = parse_unary()
                 if left[0] != "term" or right is None or right[0] != "term":
                     raise BoolQueryError(
                         "proximity operands must be single analyzed terms "
-                        "(no phrases, prefixes, groups, or chained <N>)"
+                        "(no phrases, prefixes, groups, stopwords, or "
+                        "chained <N>)"
                     )
                 nodes.append(("within", (left[1], right[1]), window))
+                last_vanished = False
                 continue
             n = parse_unary()
             if n is not None:
                 nodes.append(n)
+                last_vanished = False
+            else:
+                last_vanished = True
         if not nodes:
             return None
         return nodes[0] if len(nodes) == 1 else ("and", tuple(nodes))
@@ -528,6 +541,8 @@ def rewrite_fuzzy_terms(
     exact-match request (Lucene keeps fuzzy and phrase queries separate the
     same way). Returns (rewritten AST, {original: suggestion})."""
     rewrites: dict[str, str] = {}
+    tried: dict[str, str | None] = {}  # memoizes FAILED suggestions too —
+    # a repeated hopeless term must not re-run the trigram vocabulary scan
 
     def walk(n: Node) -> Node:
         kind = n[0]
@@ -535,12 +550,13 @@ def rewrite_fuzzy_terms(
             t = n[1]
             if known(t):
                 return n
-            s = rewrites.get(t)
+            if t not in tried:
+                tried[t] = suggest(t)
+                if tried[t] is not None:
+                    rewrites[t] = tried[t]
+            s = tried[t]
             if s is None:
-                s = suggest(t)
-                if s is None:
-                    return n
-                rewrites[t] = s
+                return n
             return ("term", s)
         if kind in ("phrase", "prefix", "within"):
             return n

@@ -602,17 +602,24 @@ class ShardedSearchService:
                 query_text, an.analyze_query, tokenize=an.tokenize_py
             )
             if fuzzy and ast is not None:
-                sh = self.sharded
+                from discogsography_spark.query.boolquery import all_terms
 
-                def _known(t: str) -> bool:
-                    dfs, _ = sh._global_idfs([t])
-                    return any(t in r for r in dfs)
+                sh = self.sharded
+                # ONE batched stats round answers every vocabulary probe —
+                # a per-term _global_idfs would pay a full fan-out RPC per
+                # query term
+                per_shard_dfs, _ = sh._global_idfs(all_terms(ast))
+                vocab_hits = {
+                    t for dfs in per_shard_dfs for t in dfs
+                }
 
                 def _sugg(t: str) -> str | None:
                     got = sh.suggest_terms(t, k=1)
                     return got[0][0] if got else None
 
-                ast, rewrites = rewrite_fuzzy_terms(ast, _known, _sugg)
+                ast, rewrites = rewrite_fuzzy_terms(
+                    ast, vocab_hits.__contains__, _sugg
+                )
                 if rewrites:
                     qast = ast
             expansions = self.sharded.global_prefix_expansions(ast)

@@ -54,7 +54,30 @@ def _worker_main(conn, shard_dir: str) -> None:
                 out = getattr(searcher, method)(**kwargs)
             conn.send((True, out))
         except BaseException as e:  # ship, don't kill the worker
-            conn.send((False, f"{type(e).__name__}: {e}"))
+            conn.send((False, (type(e).__name__, str(e))))
+
+
+def _rebuild_error(method: str, shard: int, err) -> BaseException:
+    """Re-raise a worker-side failure as the SAME exception type when it is
+    one of the engine's contract errors — `parallel=True` must not change
+    which exceptions a caller can catch vs the sequential loop. Unknown
+    types fall back to RuntimeError with the shard attached."""
+    type_name, msg = err if isinstance(err, tuple) else (None, str(err))
+    text = f"shard {shard} failed in {method}: {msg}"
+    known: dict[str, type[BaseException]] = {
+        "ValueError": ValueError,
+        "KeyError": KeyError,
+        "NotImplementedError": NotImplementedError,
+        "FileNotFoundError": FileNotFoundError,
+    }
+    try:
+        from discogsography_spark.query.boolquery import BoolQueryError
+
+        known["BoolQueryError"] = BoolQueryError
+    except ImportError:  # pragma: no cover
+        pass
+    cls = known.get(type_name, RuntimeError)
+    return cls(text)
 
 
 class ShardWorkerPool:
@@ -99,12 +122,17 @@ class ShardWorkerPool:
         live = [i for i, kw in enumerate(kwargs_list) if kw is not None]
         out: list = [None] * len(kwargs_list)
         retry: list[int] = []
+        first_err: tuple[int, object] | None = None
         for i in live:
             try:
                 self._conns[i].send((method, kwargs_list[i]))
             except (BrokenPipeError, OSError):
                 self._spawn(i)
                 retry.append(i)
+        # ALWAYS drain every pending response before raising anything —
+        # leaving an unread response in a pipe would desync the protocol
+        # and make every later call on this pool return the previous
+        # query's payloads
         for i in live:
             if i in retry:
                 continue
@@ -114,15 +142,19 @@ class ShardWorkerPool:
                 self._spawn(i)
                 retry.append(i)
                 continue
-            if not ok:
-                raise RuntimeError(f"shard {i} failed in {method}: {r}")
-            out[i] = r
+            if not ok and first_err is None:
+                first_err = (i, r)
+            elif ok:
+                out[i] = r
         for i in retry:
             self._conns[i].send((method, kwargs_list[i]))
             ok, r = self._conns[i].recv()  # second death propagates
-            if not ok:
-                raise RuntimeError(f"shard {i} failed in {method}: {r}")
-            out[i] = r
+            if not ok and first_err is None:
+                first_err = (i, r)
+            elif ok:
+                out[i] = r
+        if first_err is not None:
+            raise _rebuild_error(method, *first_err)
         return out
 
     def close(self) -> None:

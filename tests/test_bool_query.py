@@ -443,3 +443,24 @@ def test_simplify_absent_property_equivalence():
             assert pos_after == pos_before, (ast, sorted(vocab))
         checked += 1
     assert checked > 150
+
+
+def test_within_stopword_operand_raises():
+    """A stopword immediately before/after `<N>` must raise, not silently
+    rebind the operator to an earlier term."""
+    from discogsography_spark.query.boolquery import (
+        BoolQueryError,
+        parse_bool_query,
+    )
+
+    def an(w):  # english-style: 'the' analyzes to nothing
+        return [] if w.lower() == "the" else [w.lower()]
+
+    with pytest.raises(BoolQueryError, match="analyzed to nothing"):
+        parse_bool_query("spark the <2> batch", an)
+    with pytest.raises(BoolQueryError):
+        parse_bool_query("spark <2> the batch", an)
+    # sanity: without the stopword it parses normally
+    assert parse_bool_query("spark <2> batch", an) == (
+        "within", ("spark", "batch"), 2
+    )

@@ -193,3 +193,35 @@ def test_assignment_property_random_counts(spark):
                 got["last_seq"].tolist()
                 == ((live["start"] + live["n_tokens"] - 1) // L).tolist()
             )
+
+
+def test_shard_writer_null_tokens_and_keep_remainder(spark, tmp_path):
+    """Null token arrays count as empty docs (F.size(NULL) is -1 — must not
+    shrink total_tokens and drop a real final sequence); with
+    drop_remainder=False the trailing partial sequence is written and the
+    manifest's n_shards covers it."""
+    L = 8
+    rows = [
+        (0, [f"a{j}" for j in range(2 * L)]),  # exactly two full sequences
+        (1, None),                              # null array
+        (2, [f"b{j}" for j in range(3)]),       # remainder
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    out1 = str(tmp_path / "drop")
+    m1 = write_training_shards(docs, out1, seq_len=L, seqs_per_shard=1)
+    assert m1["total_tokens"] == 2 * L + 3
+    assert m1["n_sequences"] == 2          # null row didn't eat a sequence
+    assert m1["dropped_remainder_tokens"] == 3
+    assert m1["n_shards"] == 2
+    got = spark.read.parquet(os.path.join(out1, "shards")).toPandas()
+    assert sorted(got["seq_id"]) == [0, 1] and (got["n"] == L).all()
+
+    out2 = str(tmp_path / "keep")
+    m2 = write_training_shards(
+        docs, out2, seq_len=L, seqs_per_shard=1, drop_remainder=False
+    )
+    assert m2["n_sequences"] == 3 and m2["n_shards"] == 3
+    got2 = spark.read.parquet(os.path.join(out2, "shards")).toPandas()
+    assert sorted(got2["seq_id"]) == [0, 1, 2]
+    assert sorted(got2["shard"]) == [0, 1, 2]
+    assert got2.sort_values("seq_id")["n"].tolist() == [L, L, 3]

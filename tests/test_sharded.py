@@ -238,3 +238,21 @@ def test_worker_pool_respawns_dead_shard(sharded_setup):
     assert got == want
     assert s._procs._procs[1].pid != victim.pid  # genuinely respawned
     s.close()
+
+
+def test_worker_pool_survives_worker_side_error(sharded_setup):
+    """A worker-side exception must (a) re-raise with its ORIGINAL type
+    (sequential/parallel error-contract parity) and (b) leave the pipe
+    protocol clean — the next query on the same pool returns correct
+    results, not the failed query's leftovers."""
+    s = ShardedSearcher(sharded_setup["shards"], parallel=True)
+    want = s.topk("spark index", 10)
+    # phrase query on non-positional shards → ValueError in every worker
+    with pytest.raises(ValueError, match="with_positions"):
+        s.topk_phrase("spark index", 5)
+    # pool still in sync: same query, same results
+    assert s.topk("spark index", 10) == want
+    assert s.topk("merge", 5) == ShardedSearcher(
+        sharded_setup["shards"], parallel=False
+    ).topk("merge", 5)
+    s.close()
