@@ -785,6 +785,14 @@ class LocalSearcher:
                     found.update(terms[lo:hi].tolist())
         return sorted(found)[:max_expansions]
 
+    def expand_prefixes(
+        self, prefixes: list[str], max_expansions: int = 64
+    ) -> dict[str, list[str]]:
+        """Batched expand_prefix — one call answers every prefix (the
+        sharded coordinator ships ONE RPC round per query instead of one
+        per prefix node)."""
+        return {p: self.expand_prefix(p, max_expansions) for p in prefixes}
+
     def suggest_terms(
         self, word: str, k: int = 10, min_sim: float = 0.3
     ) -> list[tuple[str, float]]:

@@ -200,16 +200,17 @@ class ShardedSearcher:
         prefixes = analyze_query(query_text)
         if not prefixes or k <= 0:
             return []
+        # ONE batched expansion round for every prefix (not one per prefix)
+        per_shard = self._call_shards(
+            "expand_prefixes",
+            [{"prefixes": sorted(set(prefixes)), "max_expansions": max_expansions}]
+            * len(self.shards),
+        )
         exp: dict[str, list[str]] = {}
         for pre in prefixes:
-            lists = self._call_shards(
-                "expand_prefix",
-                [{"prefix": pre, "max_expansions": max_expansions}]
-                * len(self.shards),
-            )
             union: set[str] = set()
-            for ts in lists:
-                union.update(ts or [])
+            for maps in per_shard:
+                union.update((maps or {}).get(pre, []))
             exp[pre] = sorted(union)[:max_expansions]
             if not exp[pre]:
                 return []
@@ -242,20 +243,20 @@ class ShardedSearcher:
 
         if ast is None or not has_prefix_nodes(ast):
             return None
+        # collect every prefix string first, then ONE batched fan-out round
+        wanted: list[str] = []
+        expand_prefix_nodes(ast, lambda p: (wanted.append(p), [])[1])
+        prefixes = sorted(set(wanted))
+        per_shard = self._call_shards(
+            "expand_prefixes",
+            [{"prefixes": prefixes, "max_expansions": 64}] * len(self.shards),
+        )
         expansions: dict[str, list[str]] = {}
-
-        def collect(p: str) -> list[str]:
-            lists = self._call_shards(
-                "expand_prefix",
-                [{"prefix": p, "max_expansions": 64}] * len(self.shards),
-            )
+        for p in prefixes:
             union: set[str] = set()
-            for ts in lists:
-                union.update(ts or [])
+            for maps in per_shard:
+                union.update((maps or {}).get(p, []))
             expansions[p] = sorted(union)[:64]
-            return expansions[p]
-
-        expand_prefix_nodes(ast, collect)
         return expansions
 
     def topk_bool(
