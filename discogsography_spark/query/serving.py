@@ -546,6 +546,10 @@ class ShardedSearchService:
         ]
         self.offsets = self.sharded.offsets
 
+    def close(self) -> None:
+        """Shut down the underlying shard worker pool / thread pool."""
+        self.sharded.close()
+
     def search(
         self,
         query_text: str,
