@@ -101,7 +101,9 @@ def decode_png(payload: bytes) -> np.ndarray:
         elif ftype == 1:  # Sub
             recon = row
             for i in range(ch, stride):
-                recon[i] = (recon[i] + recon[i - ch]) & 0xFF
+                # int-cast before adding: uint8 + uint8 overflows (numpy
+                # RuntimeWarning, crash under np.seterr(over='raise'))
+                recon[i] = (int(recon[i]) + int(recon[i - ch])) & 0xFF
         elif ftype == 2:  # Up
             recon = (row.astype(np.int16) + prior).astype(np.uint8)
         elif ftype == 3:  # Average

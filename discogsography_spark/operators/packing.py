@@ -47,7 +47,12 @@ def exclusive_cumsum(
     `order_col` (exclusive running total in order-key order), without a
     global single-reducer window: per-bucket windows + a broadcast map of
     bucket base offsets (see module docstring)."""
-    b = df.withColumn("_b", (F.col(order_col) / F.lit(bucket)).cast("long"))
+    # floor division, not truncate-toward-zero: a negative order key in
+    # -bucket+1..-1 must land in bucket -1, not collapse into bucket 0 with
+    # the positives (which would corrupt the global order / base offsets)
+    b = df.withColumn(
+        "_b", F.floor(F.col(order_col) / F.lit(bucket)).cast("long")
+    )
     w = (
         Window.partitionBy("_b")
         .orderBy(order_col)

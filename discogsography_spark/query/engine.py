@@ -1697,6 +1697,135 @@ class DistributedQueryEngine:
 
         return idx.mapInPandas(decode, schema=out_schema)
 
+    def _decoded_positions_df(self, terms: list[str]) -> DataFrame | None:
+        """(term, doc_id, positions array<long>) DataFrame for the given
+        terms: same segment-pruned scan as `_decoded_postings_df`, plus the
+        flat varbyte positional stream split per posting (positions per
+        posting == tf). This is the distributed substrate for phrase /
+        proximity membership — posting blobs are decoded on executors and
+        never ship through the driver."""
+        seg_map = self.meta.seg_dirs_for_terms(terms)
+        dirs = [
+            self.meta.seg_dir(s)
+            for s in sorted(seg_map)
+            if os.path.isdir(self.meta.seg_dir(s))
+            and os.listdir(self.meta.seg_dir(s))
+        ]
+        if not dirs:
+            return None
+        idx = (
+            self.spark.read.parquet(*dirs)
+            .filter(F.col("term").isin(terms))
+            .select("term", "doc_blob", "tf_blob", "pos_blob")
+        )
+        out_schema = T.StructType(
+            [
+                T.StructField("term", T.StringType(), False),
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField(
+                    "positions", T.ArrayType(T.LongType(), False), False
+                ),
+            ]
+        )
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            CHUNK = 1 << 16
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    if row.pos_blob is None or len(row.pos_blob) == 0:
+                        raise ValueError(
+                            f"term {row.term!r} has no positional postings — "
+                            "build the index with "
+                            "IndexBuilder(with_positions=True) for phrase "
+                            "queries"
+                        )
+                    doc_ids, tfs = decode_postings(row.doc_blob, row.tf_blob)
+                    flat = varbyte_decode(row.pos_blob).astype(np.int64)
+                    bounds = np.concatenate(([0], np.cumsum(tfs)))
+                    for s in range(0, doc_ids.size, CHUNK):
+                        e = min(s + CHUNK, doc_ids.size)
+                        yield pd.DataFrame(
+                            {
+                                "term": row.term,
+                                "doc_id": doc_ids[s:e],
+                                "positions": [
+                                    flat[bounds[i]:bounds[i + 1]]
+                                    for i in range(s, e)
+                                ],
+                            }
+                        )
+
+        return idx.mapInPandas(decode, schema=out_schema)
+
+    def _positional_membership_df(
+        self, pos_nodes: list[tuple], node_flag: dict[tuple, str]
+    ) -> DataFrame | None:
+        """One distributed relation (doc_id, _pos0, _pos1, ...) with a
+        boolean column per phrase/within node, evaluated from the positional
+        postings with native array expressions — replacing the former
+        driver-side doc-set lists (a common phrase would otherwise
+        materialize |matching docs| rows on the driver). Docs matching no
+        node are filtered out, so the join side is exactly the union of the
+        node memberships. Returns None when none of the positional terms
+        exist in the index (every node is then vacuously false)."""
+        need = sorted(
+            {
+                t
+                for n in pos_nodes
+                for t in (n[1] if n[0] == "phrase" else n[1])
+            }
+        )
+        pos_df = self._decoded_positions_df(need)
+        if pos_df is None:
+            return None
+        per_doc = pos_df.groupBy("doc_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("pmap")
+        )
+        pm = F.col("pmap")
+        for node, flag in node_flag.items():
+            if node[0] == "phrase":
+                words = list(node[1])
+                # consecutive-run check: some occurrence p of the first
+                # word with every later word at p + j. Absent words make
+                # pmap[w] NULL → the exists folds to NULL → flag false.
+                rest = list(enumerate(words[1:], start=1))
+
+                def adjacency(p):
+                    cond = F.lit(True)
+                    for j, w in rest:
+                        cond = cond & F.array_contains(pm[w], p + j)
+                    return cond
+
+                pred = F.exists(pm[words[0]], adjacency)
+            else:  # ("within", (t1, t2), window)
+                (t1, t2), w = node[1], int(node[2])
+                if t1 == t2:
+                    pred = F.exists(
+                        pm[t1],
+                        lambda x: F.exists(
+                            pm[t1],
+                            lambda y: (y > x) & (y - x <= F.lit(w)),
+                        ),
+                    )
+                else:
+                    pred = F.exists(
+                        pm[t1],
+                        lambda x: F.exists(
+                            pm[t2],
+                            lambda y: F.abs(x - y) <= F.lit(w),
+                        ),
+                    )
+            per_doc = per_doc.withColumn(
+                flag, F.coalesce(pred, F.lit(False))
+            )
+        flags = list(node_flag.values())
+        cond = F.col(flags[0])
+        for f in flags[1:]:
+            cond = cond | F.col(f)
+        return per_doc.filter(cond).select("doc_id", *flags)
+
     def _empty_result(self) -> DataFrame:
         return self.spark.createDataFrame(
             [],
@@ -1804,16 +1933,17 @@ class DistributedQueryEngine:
         if decoded is None:
             return empty
 
-        # positional nodes (quoted phrases, `a <N> b` proximity): each
-        # resolves to its exact doc set on the POSITIONAL index (the serving
-        # path's resolvers — one positional chain over the rarest term's
-        # candidates), shipped into the plan as a per-node membership
-        # relation joined on doc_id. The join side is |matching docs| rows
-        # of one long each — the standard distributed-membership shape; AQE
-        # broadcasts it when small and shuffle-joins it otherwise. Scoring
-        # parity with LocalSearcher.topk_bool holds because phrase/within
-        # terms already ride the positive-polarity partial sum
-        # (polarity_terms includes them).
+        # positional nodes (quoted phrases, `a <N> b` proximity): evaluated
+        # DISTRIBUTIVELY — the positional postings of the node terms decode
+        # on executors (`_decoded_positions_df`) and each node becomes a
+        # native array predicate over per-doc position arrays, yielding one
+        # membership relation (doc_id, flag...) joined on doc_id. Nothing
+        # proportional to |matching docs| ever touches the driver (a common
+        # phrase at 10^12 turns would otherwise be a driver-sized list);
+        # AQE broadcasts the relation when small and shuffle-joins it
+        # otherwise. Scoring parity with LocalSearcher.topk_bool holds
+        # because phrase/within terms already ride the positive-polarity
+        # partial sum (polarity_terms includes them).
         pos_nodes: list[tuple] = []
 
         def _collect_positional(n) -> None:
@@ -1859,18 +1989,17 @@ class DistributedQueryEngine:
                 lambda acc, x: acc + x["partial"],
             ).alias("score"),
         )
-        for node, flag in node_flag.items():
-            if node[0] == "phrase":
-                nd_docs = self._searcher._phrase_doc_set(list(node[1]))
-            else:  # within
-                nd_docs = self._searcher._within_doc_set(node[1], node[2])
-            nd_df = self.spark.createDataFrame(
-                [(int(d),) for d in nd_docs],
-                T.StructType([T.StructField("doc_id", T.LongType(), False)]),
-            ).withColumn(flag, F.lit(True))
-            grouped = grouped.join(nd_df, "doc_id", "left").withColumn(
-                flag, F.coalesce(F.col(flag), F.lit(False))
-            )
+        if pos_nodes:
+            memb = self._positional_membership_df(pos_nodes, node_flag)
+            if memb is None:  # no positional term exists → nodes all false
+                for flag in node_flag.values():
+                    grouped = grouped.withColumn(flag, F.lit(False))
+            else:
+                grouped = grouped.join(memb, "doc_id", "left")
+                for flag in node_flag.values():
+                    grouped = grouped.withColumn(
+                        flag, F.coalesce(F.col(flag), F.lit(False))
+                    )
         pred = fold_predicate(
             ast,
             lambda t: F.array_contains(F.col("present"), t),

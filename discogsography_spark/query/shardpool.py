@@ -53,8 +53,45 @@ def _worker_main(conn, shard_dir: str) -> None:
             else:
                 out = getattr(searcher, method)(**kwargs)
             conn.send((True, out))
-        except BaseException as e:  # ship, don't kill the worker
+        except Exception as e:  # ship, don't kill the worker
             conn.send((False, (type(e).__name__, str(e))))
+        # KeyboardInterrupt/SystemExit deliberately NOT caught: a Ctrl-C
+        # to the process group must terminate workers, not be swallowed
+        # and reported as a shard query failure
+
+
+def _pick_start_method() -> str:
+    """fork is fastest (workers inherit the imported package), but forking
+    a multithreaded process — e.g. a live PySpark driver with JVM socket
+    threads and Arrow state — is unsafe: a thread can hold a lock at fork
+    time and deadlock the child. Workers rebuild their LocalSearcher from
+    shard_dir regardless, so spawn only costs startup time; pick it
+    whenever this process has more than the main thread AND __main__ can be
+    re-executed from a file (spawn's prepare step runs the parent's main
+    script under ``__mp_main__``; a ``python -c``/stdin parent has no file
+    and would crash every worker). In the remaining corner — multithreaded
+    parent without a runnable __main__ — fall back to fork with a warning:
+    the workers only touch freshly-rebuilt state, so the residual risk is a
+    lock held across fork inside an unrelated library."""
+    import sys
+    import threading
+
+    if threading.active_count() <= 1:
+        return "fork"
+    main_mod = sys.modules.get("__main__")
+    main_file = getattr(main_mod, "__file__", None)
+    if main_file and os.path.exists(main_file):
+        return "spawn"
+    import warnings
+
+    warnings.warn(
+        "ShardWorkerPool: multithreaded parent without a re-runnable "
+        "__main__ — forking anyway; pass start_method='spawn' from a "
+        "script entry point for full safety",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+    return "fork"
 
 
 def _rebuild_error(method: str, shard: int, err) -> BaseException:
@@ -84,9 +121,9 @@ class ShardWorkerPool:
     """One forked worker per shard; requests fan out, responses gather in
     shard order. Single-coordinator use (calls are not thread-safe)."""
 
-    def __init__(self, shard_dirs: list[str]):
+    def __init__(self, shard_dirs: list[str], start_method: str | None = None):
         self._dirs = list(shard_dirs)
-        self._ctx = mp.get_context("fork")
+        self._ctx = mp.get_context(start_method or _pick_start_method())
         self._conns = []
         self._procs = []
         for i in range(len(shard_dirs)):

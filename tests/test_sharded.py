@@ -256,3 +256,70 @@ def test_worker_pool_survives_worker_side_error(sharded_setup):
         sharded_setup["shards"], parallel=False
     ).topk("merge", 5)
     s.close()
+
+
+def test_start_method_picker_and_spawn_parity(sharded_setup):
+    """ADVICE r4: forking a multithreaded parent (live PySpark driver) is
+    unsafe. The picker must choose spawn when threads exist and __main__ is
+    a real file (pytest qualifies), and a spawn pool must answer
+    bit-identically to fork/sequential."""
+    import threading
+
+    from discogsography_spark.query.shardpool import (
+        ShardWorkerPool,
+        _pick_start_method,
+    )
+
+    # pytest under a built Spark fixture has JVM/py4j threads alive
+    assert threading.active_count() > 1
+    assert _pick_start_method() == "spawn"
+
+    # the real serving path: parallel=True builds a ShardWorkerPool, whose
+    # picker chooses spawn here — must stay bit-identical to sequential
+    seq = ShardedSearcher(sharded_setup["shards"], parallel=False)
+    par = ShardedSearcher(sharded_setup["shards"], parallel=True)
+    try:
+        assert par._procs is not None
+        assert par._procs._ctx.get_start_method() == "spawn"
+        for q in ("spark index", "merge window"):
+            assert par.topk(q, 10) == seq.topk(q, 10)
+        assert par.topk_bool("spark AND NOT merge", 10) == seq.topk_bool(
+            "spark AND NOT merge", 10
+        )
+    finally:
+        par.close()
+
+    # explicit start_method= still overrides the picker
+    pool = ShardWorkerPool(sharded_setup["shards"][:1], start_method="fork")
+    try:
+        assert pool._ctx.get_start_method() == "fork"
+    finally:
+        pool.close()
+
+
+def test_worker_exits_on_interrupt(sharded_setup):
+    """ADVICE r4: a KeyboardInterrupt delivered to a worker must terminate
+    it (exit, pipe EOF) — not be swallowed and reported as a shard query
+    failure."""
+    import signal
+    import time
+
+    from discogsography_spark.query.shardpool import ShardWorkerPool
+
+    pool = ShardWorkerPool(sharded_setup["shards"][:1], start_method="fork")
+    try:
+        out = pool.call("topk", [{"query_text": "spark", "k": 3}])
+        assert out[0] is not None
+        victim = pool._procs[0]
+        os.kill(victim.pid, signal.SIGINT)
+        victim.join(timeout=5)
+        # worker must be DEAD (interrupt not caught-and-replied); the pool's
+        # respawn policy then serves the retry from a fresh worker
+        deadline = time.time() + 5
+        while victim.is_alive() and time.time() < deadline:
+            time.sleep(0.05)
+        assert not victim.is_alive()
+        out2 = pool.call("topk", [{"query_text": "spark", "k": 3}])
+        assert out2 == out
+    finally:
+        pool.close()
