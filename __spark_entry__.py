@@ -96,7 +96,7 @@ _BATCH_QUERIES: list[tuple[str, str]] = [
 ]
 
 
-def _bm25_oracle(terms: list[str], k: int) -> str:
+def _bm25_oracle(terms: list[str], k: int, offset: int = 0) -> str:
     tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
     nt = len(set(terms))
     return f"""
@@ -122,7 +122,7 @@ scored AS (
   GROUP BY tf.doc_id
 )
 SELECT doc_id, round(raw, 5) AS score FROM scored WHERE nt = {nt}
-ORDER BY score DESC, doc_id ASC LIMIT {k}
+ORDER BY score DESC, doc_id ASC LIMIT {k} OFFSET {offset}
 """
 
 
@@ -481,8 +481,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cached = _SERVED.get(sf_dir)
         if cached is not None:
             return cached
+        # zero-padded conv_id: internal index docIDs follow (conv_id,
+        # turn_idx) STRING order — padding makes that equal to numeric
+        # doc_id order, so score ties break identically to the SQL
+        # oracle's ORDER BY ... doc_id ASC (load-bearing for pagination)
         docs = _read(spark, sf_dir, "documents").select(
-            F.col("doc_id").cast("string").alias("conv_id"),
+            F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("conv_id"),
             F.lit(0).alias("turn_idx"),
             F.col("doc_id").alias("src_doc_id"),
             "source",
@@ -535,6 +539,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id")
 
     q["fts_highlight_served"] = fts_highlight_served
+
+    def fts_bm25_page(spark, sf_dir):
+        # served-path pagination (reference api/queries/search_queries.py:
+        # 230-234 — ORDER BY rank DESC, id LIMIT k OFFSET n): page 3 of the
+        # conjunctive ranking, k=15 offset=10, through SearchService.search
+        svc = _served_service(spark, sf_dir)
+        resp = svc.search("table value", k=15, offset=10)
+        src = svc._docs_pdf(svc.meta.index_dir, ["src_doc_id"])
+        src_of = src.set_index("doc_id")["src_doc_id"]
+        rows = [
+            (int(src_of[d]), round(float(s), 5)) for d, s in resp.results
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, score double"
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+    q["fts_bm25_page"] = fts_bm25_page
 
     # ---- text analysis family (documents) ----
     def doc_token_count(spark, sf_dir):
@@ -1409,6 +1430,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["fts_bm25_topk"] = _bm25_oracle(analyze_query("table value"), 20)
     o["fts_bm25_topk_head"] = _bm25_oracle(analyze_query("table"), 50)
+    o["fts_bm25_page"] = _bm25_oracle(analyze_query("table value"), 15, offset=10)
 
     qvals = ", ".join(
         f"('{qid}', '{t}')"

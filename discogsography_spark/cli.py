@@ -60,6 +60,11 @@ def main(argv: list[str] | None = None) -> int:
         help="faceted drill-down, e.g. --filter role=assistant",
     )
     sr.add_argument("--fuzzy", action="store_true")
+    sr.add_argument(
+        "--offset", type=int, default=0,
+        help="result pagination: skip the first N ranked hits "
+        "(LIMIT k OFFSET n semantics)",
+    )
     sr.add_argument("--highlight", action="store_true")
     sr.add_argument(
         "--fragments", type=int, default=None, metavar="N",
@@ -186,6 +191,7 @@ def main(argv: list[str] | None = None) -> int:
             highlight=args.highlight,
             filter=filt,
             highlight_fragments=args.fragments,
+            offset=args.offset,
         )
         if args.merged:
             from discogsography_spark.query.serving import MergedSearchService

@@ -577,23 +577,37 @@ class LocalSearcher:
         # single-term fast path: rank is monotone in tfnorm, so the champion
         # list answers k ≤ |champions| EXACTLY without decoding the postings
         # (impact-ordered early termination — the reference's 4-7 ms Lucene
-        # autocomplete design point)
+        # autocomplete design point). CAVEAT: the stored champion order
+        # bakes in THIS index's avgdl; under an injected (sharded global)
+        # avgdl the tf/dl trade-off shifts and that order is no longer the
+        # score order — then the list is usable only when it covers the
+        # whole posting list (exact re-score + re-sort), else fall through
+        # to the full evaluation.
         if len(terms) == 1:
             tp = rows[terms[0]]
+            local_stats = avgdl == m.avgdl
+            full_cover = (
+                tp.champ_doc is not None and tp.champ_doc.size == tp.df
+            )
             if (
                 tp.champ_doc is not None
                 and tp.champ_doc.size
-                and (k <= tp.champ_doc.size or tp.champ_doc.size == tp.df)
+                and (full_cover or (local_stats and k <= tp.champ_doc.size))
             ):
                 tf = tp.champ_tf.astype(np.float64)
                 norm = p.k1 * (
                     1.0 - p.b + p.b * (tp.champ_dl.astype(np.float64) / avgdl)
                 )
                 scores = idfs[terms[0]] * (tf / (tf + norm))
-                # champions are already (tfnorm DESC, doc ASC) == final order
+                if local_stats:
+                    # champions are already (tfnorm DESC, doc ASC) == final
+                    return [
+                        (int(d), float(s))
+                        for d, s in zip(tp.champ_doc[:k], scores[:k])
+                    ]
+                order = np.lexsort((tp.champ_doc, -scores))[:k]
                 return [
-                    (int(d), float(s))
-                    for d, s in zip(tp.champ_doc[:k], scores[:k])
+                    (int(tp.champ_doc[i]), float(scores[i])) for i in order
                 ]
 
         # dense-intersection fast path: when EVERY term's postings cover
@@ -668,8 +682,16 @@ class LocalSearcher:
 
         # 2. per-driving-block upper bounds: own block-max + each other
         #    term's range-max block-max over the overlapping docID span.
+        #    Stored block maxes bake in the LOCAL avgdl; under a LARGER
+        #    injected avgdl the true tfnorm grows, so scale the bound by
+        #    avgdl_inj/avgdl_local (per-posting tfnorm ratio is provably
+        #    ≤ that) and cap at 1.0 (tfnorm < 1 always) — pruning stays
+        #    sound under sharded global statistics.
+        bscale = 1.0 if avgdl <= m.avgdl else avgdl / m.avgdl
         nb0 = len(tp0.block_last_doc)
-        ub = idfs[t0] * tp0.block_max_tfnorm.astype(np.float64)
+        ub = idfs[t0] * np.minimum(
+            1.0, tp0.block_max_tfnorm.astype(np.float64) * bscale
+        )
         first0 = np.concatenate(([0], tp0.block_last_doc[:-1] + 1))
         for t in others:
             tpt = rows[t]
@@ -680,7 +702,9 @@ class LocalSearcher:
             lo = np.clip(lo, 0, last.size - 1)
             hi = np.clip(hi, lo, last.size - 1)
             tabs = _sparse_max_table(tpt.block_max_tfnorm)
-            ub = ub + idfs[t] * _range_max(tabs, lo, hi)
+            ub = ub + idfs[t] * np.minimum(
+                1.0, _range_max(tabs, lo, hi) * bscale
+            )
             ub[beyond] = -np.inf
 
         # 3. chunked impact-order traversal with θ refinement. The driving
@@ -1367,8 +1391,13 @@ class LocalSearcher:
             avgdl = m.avgdl
         if idfs is None:
             idfs = {t: p.idf(m.n_docs, rows[t].df) for t in present}
+        # stored maxes bake in LOCAL avgdl — scale up under a larger
+        # injected avgdl so essential-list pruning stays an upper bound
+        # (same soundness rule as _topk_and's block bounds)
+        bscale = 1.0 if avgdl <= m.avgdl else avgdl / m.avgdl
         maxcontrib = {
-            t: idfs[t] * float(rows[t].block_max_tfnorm.max()) for t in present
+            t: idfs[t] * min(1.0, float(rows[t].block_max_tfnorm.max()) * bscale)
+            for t in present
         }
 
         # 1. θ from champion partials (exact lower bounds)

@@ -301,7 +301,16 @@ class SearchService:
         fuzzy: bool = False,
         filter: dict[str, str] | None = None,
         highlight_fragments: int | None = None,
+        offset: int = 0,
     ) -> SearchResponse:
+        """`offset` pages the ranked results (reference:
+        api/queries/search_queries.py:230-234 `ORDER BY rank DESC, id
+        LIMIT %s OFFSET %s`): rank to depth k+offset, return rows
+        offset..offset+k. Deterministic under the engine-wide
+        (score DESC, doc_id ASC) tiebreak, so pages never overlap or skip."""
+        if offset < 0:
+            raise ValueError(f"offset must be ≥ 0, got {offset}")
+        k = k + offset  # rank depth; sliced back to the page below
         if highlight_fragments is not None:
             highlight = True
         rewrites: dict[str, str] = {}
@@ -383,6 +392,8 @@ class SearchService:
                     if mode == "bool"
                     else self.searcher.topk(query_text, k, mode=mode)
                 )
+        if offset:
+            results = results[offset:]
         resp = SearchResponse(
             results=results, total_matched=int(matched.size), rewrites=rewrites
         )
@@ -560,7 +571,15 @@ class ShardedSearchService:
         filter: dict[str, str] | None = None,
         fuzzy: bool = False,
         highlight_fragments: int | None = None,
+        offset: int = 0,
     ) -> SearchResponse:
+        """`offset` pages exactly like SearchService.search: every shard
+        ranks to depth k+offset (a shard may own the whole page), the
+        coordinator merges under (score DESC, global doc_id ASC), then the
+        page slices out — bit-identical to the single-index service."""
+        if offset < 0:
+            raise ValueError(f"offset must be ≥ 0, got {offset}")
+        k = k + offset  # rank depth; sliced back to the page below
         if highlight_fragments is not None:
             highlight = True
         rewrites: dict[str, str] = {}
@@ -677,6 +696,8 @@ class ShardedSearchService:
             else:
                 results = self.sharded.topk(query_text, k, mode=mode)
             matched_sets = None
+        if offset:
+            results = results[offset:]
         total = 0
         acc: dict[str, dict[str, int]] = {}
         if facets is None and self.services[0]._facet_codes:
@@ -1026,7 +1047,13 @@ class MergedSearchService:
         filter: dict[str, str] | None = None,
         highlight_fragments: int | None = None,
         fuzzy: bool = False,
+        offset: int = 0,
     ) -> SearchResponse:
+        """`offset` pages exactly like SearchService.search — rank the
+        merged base+delta view to depth k+offset, slice out the page."""
+        if offset < 0:
+            raise ValueError(f"offset must be ≥ 0, got {offset}")
+        k = k + offset  # rank depth; sliced back to the page below
         if highlight_fragments is not None:
             highlight = True
         rewrites: dict[str, str] = {}
@@ -1110,6 +1137,8 @@ class MergedSearchService:
                 )
             else:
                 results = self.searcher.topk(query_text, k)
+        if offset:
+            results = results[offset:]
         resp = SearchResponse(
             results=results, total_matched=int(matched.size), rewrites=rewrites
         )

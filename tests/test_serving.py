@@ -637,3 +637,72 @@ def test_sharded_fuzzy_bool_with_filter_equals_single(sharded_served):
     assert a.results == b.results
     assert a.total_matched == b.total_matched
     assert a.facets == b.facets
+
+
+def test_offset_pagination_single(served):
+    """offset= pages the ranked results (reference search API: ORDER BY
+    rank DESC, id LIMIT k OFFSET n — api/queries/search_queries.py:230):
+    consecutive pages tile the deep top-k exactly, never overlapping or
+    skipping, for every query mode; headlines follow the page."""
+    svc, _tdf = served
+    for q, mode in [
+        ("spark index", "and"),
+        ("spark index merge", "or"),
+        ("(spark OR index) AND NOT merge", "bool"),
+    ]:
+        deep = svc.search(q, k=40, mode=mode)
+        beyond = deep.total_matched + 3  # off the end of every ranking
+        for off, k in [(0, 10), (3, 5), (10, 10), (25, 10), (beyond, 5)]:
+            page = svc.search(q, k=k, mode=mode, offset=off, highlight=True)
+            assert page.results == deep.results[off:off + k], (q, off)
+            assert page.total_matched == deep.total_matched
+            assert set(page.headlines) == {d for d, _ in page.results}
+        # three consecutive pages == the first 30
+        tiles = [
+            svc.search(q, k=10, mode=mode, offset=o).results
+            for o in (0, 10, 20)
+        ]
+        assert [r for t in tiles for r in t] == deep.results[:30]
+    with pytest.raises(ValueError, match="offset"):
+        svc.search("spark", 5, offset=-1)
+
+
+def test_offset_pagination_drilldown_and_fuzzy(served):
+    """offset composes with faceted drill-down and did-you-mean rewrite —
+    the page is a slice of the same filtered/rewritten ranking."""
+    svc, _tdf = served
+    deep = svc.search("spark index", k=25, filter={"role": "user"})
+    page = svc.search("spark index", k=10, filter={"role": "user"}, offset=5)
+    assert page.results == deep.results[5:15]
+    assert page.total_matched == deep.total_matched
+    deepf = svc.search("sparkz index", k=20, fuzzy=True)
+    pagef = svc.search("sparkz index", k=8, fuzzy=True, offset=4)
+    assert pagef.results == deepf.results[4:12]
+    assert pagef.rewrites == deepf.rewrites
+
+
+def test_offset_pagination_sharded_equals_single(sharded_served):
+    from discogsography_spark.query.serving import ShardedSearchService
+
+    full_idx, shard_dirs = sharded_served
+    single = SearchService(full_idx)
+    sharded = ShardedSearchService(shard_dirs)
+    for q, mode in [("spark index", "and"), ("merge OR window", "bool")]:
+        for off in (0, 4, 11):
+            a = single.search(q, k=7, mode=mode, offset=off)
+            b = sharded.search(q, k=7, mode=mode, offset=off)
+            assert a.results == b.results, (q, off)
+            assert a.total_matched == b.total_matched
+
+
+def test_offset_pagination_merged_equals_fresh(merged_served):
+    from discogsography_spark.query.serving import MergedSearchService
+
+    fresh = SearchService(merged_served["fresh"])
+    merged = MergedSearchService(merged_served["idx"])
+    for q in ("spark index", "merge"):
+        for off in (0, 5, 12):
+            a = fresh.search(q, k=6, offset=off)
+            b = merged.search(q, k=6, offset=off)
+            assert a.results == b.results, (q, off)
+            assert a.total_matched == b.total_matched

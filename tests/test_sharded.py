@@ -323,3 +323,72 @@ def test_worker_exits_on_interrupt(sharded_setup):
         assert out2 == out
     finally:
         pool.close()
+
+
+@pytest.fixture(scope="module")
+def skewed_avgdl_setup(spark, tmp_path_factory):
+    """Shards with DELIBERATELY different avgdl (short-doc shard vs
+    long-doc shard): the worst case for injected-global-stat pruning,
+    where each shard's stored tfnorm bounds (baked with LOCAL avgdl)
+    underestimate true contributions under the larger global avgdl."""
+    d = tmp_path_factory.mktemp("skewshard")
+    short = make_transcripts(n_conversations=60, mean_turns=4, vocab_size=300)
+    short["text"] = short["text"].str.split().str[:6].str.join(" ")
+    long = make_transcripts(n_conversations=60, mean_turns=4, vocab_size=300)
+    long["conv_id"] = "z" + long["conv_id"]
+    long["text"] = (long["text"] + " ") * 6 + long["text"]
+    import pandas as pd
+
+    tdf = pd.concat([short, long], ignore_index=True)
+    full_p = str(d / "full.parquet")
+    tdf.to_parquet(full_p, index=False)
+    full_idx = str(d / "full_idx")
+    IndexBuilder(full_idx, num_segments=2).build(spark.read.parquet(full_p))
+    shard_dirs = []
+    for i, part in enumerate([short, long]):
+        p = str(d / f"s{i}.parquet")
+        part.to_parquet(p, index=False)
+        idx = str(d / f"s{i}_idx")
+        IndexBuilder(idx, num_segments=2).build(spark.read.parquet(p))
+        shard_dirs.append(idx)
+    return {"full_idx": full_idx, "shards": shard_dirs, "tdf": tdf}
+
+
+def test_sharded_exact_under_skewed_avgdl(skewed_avgdl_setup):
+    """Regression (r5): per-shard champion order and block-max bounds bake
+    in the shard-LOCAL avgdl; with global stats injected, the single-term
+    champion fast path returned champion-order (not score-order) results
+    and block-max/essential-list pruning could drop true top-k docs. The
+    sweep over k makes the set monotone property load-bearing."""
+    full = LocalSearcher(skewed_avgdl_setup["full_idx"])
+    sharded = ShardedSearcher(skewed_avgdl_setup["shards"], parallel=False)
+    # shard avgdls genuinely differ — the fixture's whole point
+    avgdls = [LocalSearcher(s).meta.avgdl for s in skewed_avgdl_setup["shards"]]
+    assert max(avgdls) > 2 * min(avgdls)
+    tdf = skewed_avgdl_setup["tdf"]
+    from collections import Counter
+
+    from discogsography_spark.analysis import get_analyzer
+
+    an = get_analyzer(sharded.analyzer)
+    cnt = Counter(
+        t for text in tdf["text"] for t in set(an.tokenize_py(text))
+    )
+    common = [t for t, _ in cnt.most_common(4)]
+    a, b = common[0], common[1]
+    queries = [
+        (a, "and"), (a, "or"),                      # single-term champion path
+        (f"{a} {b}", "and"), (f"{a} {b}", "or"),    # AND block-max / OR essential
+        (f"{a} OR zzqqabsent", "bool"),             # single-present OR delegation
+        (f"{a} OR {b}", "bool"),
+        (f"{a} AND NOT {b}", "bool"),
+    ]
+    for q, mode in queries:
+        for k in (1, 3, 7, 11, 25, 50):
+            if mode == "bool":
+                want = full.topk_bool(q, k, use_result_cache=False)
+                got = sharded.topk_bool(q, k)
+            else:
+                want = full.topk(q, k, mode=mode, use_result_cache=False)
+                got = sharded.topk(q, k, mode=mode)
+            assert got == want, (q, mode, k)
