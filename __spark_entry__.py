@@ -266,6 +266,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_bool_within_topk"] = fts_bool_within_topk
 
+    def fts_bool_within_chain(spark, sf_dir):
+        # n-ary proximity chain `a <N1> b <N2> c` (chained tsquery
+        # distance operators) inside the boolean language: left-fold of
+        # alive occurrence sets, one per-link window — see boolquery.py
+        # chain semantics and _chain_fold_keys
+        from discogsography_spark.query.dataframe_bm25 import (
+            bm25_bool_topk_dataframe,
+        )
+
+        return bm25_bool_topk_dataframe(
+            _read(spark, sf_dir, "documents"),
+            "table <3> value <4> batch OR (batch AND NOT window)",
+            k=20,
+        )
+
+    q["fts_bool_within_chain"] = fts_bool_within_chain
+
     def fts_bool_fuzzy_topk(spark, sf_dir):
         # did-you-mean inside the boolean language: the vocabulary-absent
         # leaf 'tabel' rewrites to its top trigram suggestion (pg_trgm
@@ -685,6 +702,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simhash_near_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
 
     q["dedup_simhash_near"] = dedup_simhash_near
+
+    def dedup_simhash_verify(spark, sf_dir):
+        # the FULL banded SimHash pipeline (fingerprint → max_hamming+1
+        # bands → bucket self-join → exact bit_count(xor) verify) under a
+        # cross-engine md5 token hash, so DuckDB can recompute the
+        # fingerprints and the exhaustive Hamming ≤ 3 pair set
+        # independently — pigeonhole gives the banded join PERFECT recall,
+        # so the two relations must be EQUAL (closes the rows-only gap the
+        # xxhash64 production entries necessarily have)
+        from discogsography_spark.operators.dedup import (
+            md5_token_hash64,
+            simhash_near_pairs,
+        )
+
+        docs = _read(spark, sf_dir, "documents")
+        return simhash_near_pairs(
+            docs, max_hamming=3, token_hash=md5_token_hash64
+        ).orderBy("doc_a", "doc_b")
+
+    q["dedup_simhash_verify"] = dedup_simhash_verify
 
     def dedup_minhash_verify(spark, sf_dir):
         # end-to-end LSH pipeline invariant, DuckDB-checkable: with 32 bands
@@ -1646,6 +1683,45 @@ GROUP BY tf.doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 20
 """
 
+    o["fts_bool_within_chain"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT count(*) FROM toks)::DOUBLE AS total_tokens
+),
+tl AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+chain AS (
+  -- left-fold of the proximity chain table <3> value <4> batch: alive
+  -- occurrence positions per link (lateral alias refs), non-empty a3 =>
+  -- a full chain exists (path constraints: arc consistency is global)
+  SELECT doc_id,
+    [i FOR i IN range(1, len(tk) + 1) IF tk[i] = 'table'] AS a1,
+    [j FOR j IN range(1, len(tk) + 1) IF tk[j] = 'value'
+       AND len([p FOR p IN a1 IF abs(j - p) <= 3]) > 0] AS a2,
+    [m FOR m IN range(1, len(tk) + 1) IF tk[m] = 'batch'
+       AND len([p FOR p IN a2 IF abs(m - p) <= 4]) > 0] AS a3,
+    list_contains(tk, 'batch') AS has_b,
+    list_contains(tk, 'window') AS has_w
+  FROM tl
+),
+matched AS (
+  SELECT doc_id FROM chain WHERE len(a3) > 0 OR (has_b AND NOT has_w)
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ('batch', 'table', 'value') GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       round(sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+            * (tf.tf / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * (dl.dl / (s.total_tokens / s.n_docs)))))), 5) AS score
+FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+WHERE tf.doc_id IN (SELECT doc_id FROM matched)
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
     # fuzzy-in-bool: the correction is DERIVED in SQL (trigram top-1 over
     # the corpus vocabulary, pg_trgm rule, sim-6dp DESC then term ASC —
     # byte-identical to fuzzy_term_matches), then used in both the
@@ -2077,6 +2153,47 @@ WHERE doc_id NOT IN (SELECT node FROM removed)
 GROUP BY source ORDER BY source
 """
     )
+
+    # dedup_simhash_verify: recompute the md5-hash SimHash fingerprints in
+    # SQL (tf-weighted bit votes, signed-64 reassembly), then the exhaustive
+    # O(n^2) Hamming <= 3 pair set — the banded pipeline has pigeonhole-
+    # perfect recall and an exact verify stage, so the relations are equal
+    o["dedup_simhash_verify"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, tok),
+th AS (
+  SELECT doc_id, tf,
+    ((CASE WHEN u >= 9223372036854775808::HUGEINT
+      THEN u - 18446744073709551616::HUGEINT ELSE u END))::BIGINT AS h64
+  FROM (
+    SELECT doc_id, tf,
+      ('0x' || substr(md5(tok),1,8))::BIGINT::HUGEINT * 4294967296::HUGEINT
+      + ('0x' || substr(md5(tok),9,8))::BIGINT::HUGEINT AS u
+    FROM tf
+  )
+),
+bits AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h64 >> b.bit) & 1 = 1 THEN tf ELSE -tf END) AS v
+  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+fp AS (
+  SELECT doc_id,
+    ((CASE WHEN u >= 9223372036854775808::HUGEINT
+      THEN u - 18446744073709551616::HUGEINT ELSE u END))::BIGINT AS simhash
+  FROM (
+    SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS u
+    FROM bits GROUP BY doc_id
+  )
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_a, doc_b
+"""
 
     # dedup_minhash_verify: the LSH pipeline must recover EXACTLY the
     # exhaustive exact-Jaccard ≥ 0.8 pairs (banding makes a miss < 1e-14

@@ -111,6 +111,7 @@ def main() -> None:
         "fts_term_stats",
         "fts_bool_topk",
         "fts_bool_within_topk",
+        "fts_bool_within_chain",
         "sample_mix_sources",
         "sample_pack_sequences",
         "dedup_minhash_lsh",
@@ -124,6 +125,28 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         df.collect()
         queries[name] = round(time.time() - t0, 3)
+
+    # ---- 2b. live merged view: base + two deltas ----
+    # DeltaIndexWriter ingests two out-of-band batches (~2% of the corpus
+    # each, disjoint conv_ids) into the just-built index; the fresh serving
+    # process below then measures MergedSearcher latency HONESTLY (the
+    # streaming_bench number is measured next to a live builder JVM — the
+    # documented 3-10x fault-path inflation).
+    from discogsography_spark.corpus import make_transcripts
+    from discogsography_spark.streaming.incremental import DeltaIndexWriter
+
+    n_delta_conv = max(50, int(CONVS_PER_SF * sf) // 50)
+    t0 = time.time()
+    writer = DeltaIndexWriter(idx_dir)
+    for i in range(2):
+        batch = make_transcripts(
+            n_conversations=n_delta_conv, mean_turns=10,
+            vocab_size=20_000, seed=9100 + i,
+        )
+        batch["conv_id"] = f"zdelta{i}-" + batch["conv_id"]
+        writer.write_batch(spark.createDataFrame(batch), i)
+    extra["delta_write_sec"] = round(time.time() - t0, 3)
+    extra["delta_turns"] = int(2 * n_delta_conv * 10)
 
     # ---- 3. BM25 query latency over the reference query set ----
     # Measured in a FRESH serving process with the builder's Spark session
@@ -190,10 +213,25 @@ for _, row in qdf.iterrows():
     t0 = time.time()
     svc.search(row["query_text"], int(row["k"]), facets=["role", "tool"])
     faceted_warm.append((time.time() - t0) * 1000.0)
+# merged live-view tier: base + two deltas through MergedSearcher —
+# what a streaming deployment serves between compactions. Same query
+# set, warm pass then measured pass.
+from discogsography_spark.streaming.incremental import MergedSearcher
+t0 = time.time()
+ms = MergedSearcher({idx_dir!r})
+merged_init_ms = (time.time() - t0) * 1000.0
+for _, row in qdf.iterrows():
+    ms.topk(row["query_text"], int(row["k"]))
+merged_ms = []
+for _, row in qdf.iterrows():
+    t0 = time.time()
+    ms.topk(row["query_text"], int(row["k"]))
+    merged_ms.append((time.time() - t0) * 1000.0)
 print(json.dumps({{"cold": cold, "steady": steady, "memo": memo,
                    "bool": bool_ms,
                    "faceted": faceted, "faceted_warm": faceted_warm,
-                   "facet_init_ms": facet_init_ms}}))
+                   "facet_init_ms": facet_init_ms,
+                   "merged": merged_ms, "merged_init_ms": merged_init_ms}}))
 """
     t0 = time.time()
     proc = subprocess.run(
@@ -218,6 +256,10 @@ print(json.dumps({{"cold": cold, "steady": steady, "memo": memo,
     extra["served_facets_p50_ms"] = round(float(np.percentile(fac_ms, 50)), 2)
     extra["served_facets_p95_ms"] = round(float(np.percentile(fac_ms, 95)), 2)
     extra["served_facets_init_ms"] = round(float(tiers["facet_init_ms"]), 1)
+    mrg_ms = np.array(tiers["merged"])
+    extra["merged_view_p50_ms"] = round(float(np.percentile(mrg_ms, 50)), 2)
+    extra["merged_view_p95_ms"] = round(float(np.percentile(mrg_ms, 95)), 2)
+    extra["merged_view_init_ms"] = round(float(tiers["merged_init_ms"]), 1)
 
     total = round(sum(queries.values()), 3)
     print(

@@ -266,18 +266,36 @@ def minhash_lsh_pairs(
     )
 
 
+def md5_token_hash64(tok):
+    """Deterministic 64-bit token hash both Spark and DuckDB can compute
+    bit-identically (md5 hex → two 32-bit halves → signed 64-bit wrap) —
+    the cross-engine hash behind the dedup_simhash_verify oracle closure.
+    xxhash64 stays the production default (faster, JVM-native); this
+    variant exists so the ENTIRE banded near-dup pipeline is checkable by
+    an independent SQL engine."""
+    hexc = F.md5(tok)
+    hi = F.conv(F.substring(hexc, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hexc, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def simhash_fingerprints(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash=None,
 ) -> DataFrame:
-    """64-bit SimHash over tokens: per-token xxhash64 bit votes weighted by
+    """64-bit SimHash over tokens: per-token hash bit votes weighted by
     tf, sign of the vote sum per bit. Entirely native expressions: explode →
-    xxhash64 → bit extraction via shiftright/bitwise-and → weighted sum →
-    bit reassembly."""
+    hash → bit extraction via shiftright/bitwise-and → weighted sum →
+    bit reassembly. `token_hash` (Column → Column) overrides the xxhash64
+    default — e.g. md5_token_hash64 for cross-engine verification."""
     toks = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    h = tf.withColumn("h", F.xxhash64("tok"))
+    hash_fn = token_hash if token_hash is not None else F.xxhash64
+    h = tf.withColumn("h", hash_fn(F.col("tok")))
     bits = h.select(
         "doc_id",
         "tf",
@@ -326,6 +344,7 @@ def simhash_near_pairs(
     max_bucket: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_hash=None,
 ) -> DataFrame:
     """Near-duplicate pairs within Hamming distance `max_hamming` of the
     64-bit SimHash — the banded expansion equal-fingerprint grouping misses
@@ -346,7 +365,9 @@ def simhash_near_pairs(
         raise ValueError(f"bands must divide 64, got {B}")
     w = 64 // B
     mask = F.lit((1 << w) - 1).cast("long")
-    fps = simhash_fingerprints(df, id_col=id_col, text_col=text_col)
+    fps = simhash_fingerprints(
+        df, id_col=id_col, text_col=text_col, token_hash=token_hash
+    )
     banded = fps.select(
         "doc_id",
         "simhash",

@@ -162,14 +162,26 @@ def bm25_topk_bool(
             tuple(toks[i : i + n]) == ph for i in range(len(toks) - n + 1)
         )
 
-    def contains_within(doc_id: int, pair: tuple, window: int) -> bool:
+    def contains_within(doc_id: int, terms: tuple, windows: tuple) -> bool:
+        # chain left-fold: alive positions of terms[i+1] reachable from an
+        # alive terms[i] occurrence within windows[i] (adjacent equal
+        # terms need distinct occurrences) — arc consistency on a path is
+        # globally consistent, so a non-empty final set proves a chain
         toks = idx.doc_tokens.get(doc_id, [])
-        t1, t2 = pair
-        p1 = [i for i, t in enumerate(toks) if t == t1]
-        p2 = [i for i, t in enumerate(toks) if t == t2]
-        return any(
-            i != j and abs(i - j) <= window for i in p1 for j in p2
-        )
+        alive = [i for i, t in enumerate(toks) if t == terms[0]]
+        for step, w in enumerate(windows):
+            nxt = [i for i, t in enumerate(toks) if t == terms[step + 1]]
+            same = terms[step] == terms[step + 1]
+            alive = [
+                q
+                for q in nxt
+                if any(
+                    abs(q - p) <= w and (not same or q != p) for p in alive
+                )
+            ]
+            if not alive:
+                return False
+        return True
 
     pos_terms, _ = polarity_terms(ast)
     p_ = idx.params

@@ -43,13 +43,18 @@ family composed with AND/OR/NOT, carrying this engine's proximity
 semantics (LocalSearcher.topk_within: the two analyzed terms within N
 token positions, EITHER order; tsquery's is ordered-exact-distance — ours
 is the Lucene sloppy-phrase shape the proximity surface already serves).
-Operands must be single analyzed terms; both score as ordinary
+Chains compose n-arily: `a <N1> b <N2> c` matches docs admitting
+occurrences p1..pn with |p_{i+1} − p_i| ≤ N_i per link (adjacent equal
+terms need DISTINCT occurrences; non-adjacent repeats may reuse one) —
+the chained tsquery phrase/distance shape behind websearch_to_tsquery.
+Operands must be single analyzed terms; all score as ordinary
 positive-polarity terms when the doc matches, exactly like phrase terms.
 
 AST nodes are plain tuples — ('term', str) | ('prefix', str) |
-('phrase', (str, …)) | ('within', (str, str), int) | ('and', (nodes…)) |
-('or', (nodes…)) | ('not', node) — hashable, so result caches can key on
-them directly.
+('phrase', (str, …)) | ('within', (str, …), (int, …)) | ('and',
+(nodes…)) | ('or', (nodes…)) | ('not', node) — hashable, so result
+caches can key on them directly. A within node's windows tuple always
+has len(terms) − 1 entries (the 2-term form is ((t1, t2), (N,))).
 """
 
 from __future__ import annotations
@@ -140,13 +145,23 @@ def parse_bool_query(
                     )
                 left = nodes.pop()
                 right = parse_unary()
-                if left[0] != "term" or right is None or right[0] != "term":
+                if right is None or right[0] != "term" or left[0] not in (
+                    "term", "within"
+                ):
                     raise BoolQueryError(
                         "proximity operands must be single analyzed terms "
-                        "(no phrases, prefixes, groups, stopwords, or "
-                        "chained <N>)"
+                        "(no phrases, prefixes, groups, or stopwords)"
                     )
-                nodes.append(("within", (left[1], right[1]), window))
+                if left[0] == "within":
+                    # chain: `a <N1> b <N2> c` extends the n-ary node —
+                    # tsquery's chained distance operators
+                    nodes.append(
+                        ("within", (*left[1], right[1]), (*left[2], window))
+                    )
+                else:
+                    nodes.append(
+                        ("within", (left[1], right[1]), (window,))
+                    )
                 last_vanished = False
                 continue
             n = parse_unary()
@@ -258,8 +273,8 @@ def eval_predicate(
 ) -> bool:
     """Row-at-a-time predicate evaluation (pure-Python oracle path).
     `has_phrase(terms_tuple)` resolves phrase nodes; `has_within(
-    (t1, t2), window)` resolves proximity nodes; each required only when
-    the AST contains one."""
+    terms_tuple, windows_tuple)` resolves proximity(-chain) nodes; each
+    required only when the AST contains one."""
     kind = ast[0]
     if kind == "term":
         return has(ast[1])
@@ -412,7 +427,8 @@ def eval_docsets(ast: Node, docs_of, phrase_docs_of=None, within_docs_of=None):
 
     `docs_of(term)` → np.ndarray (sorted, unique; empty for absent terms);
     `phrase_docs_of(terms_tuple)` resolves phrase nodes the same way;
-    `within_docs_of((t1, t2), window)` resolves proximity nodes.
+    `within_docs_of(terms_tuple, windows_tuple)` resolves
+    proximity(-chain) nodes.
     NOT never materializes a complement: values flow as (array, is_complement)
     and the parser's pure-negation rejection guarantees the root resolves
     positive. Returns the sorted matched docID array."""
@@ -449,10 +465,10 @@ def eval_docsets(ast: Node, docs_of, phrase_docs_of=None, within_docs_of=None):
             raise BoolQueryError("phrase node needs a phrase_docs_of resolver")
         return (phrase_docs_of(terms_tuple), False)
 
-    def wi_leaf(pair, window):
+    def wi_leaf(terms, windows):
         if within_docs_of is None:
             raise BoolQueryError("within node needs a within_docs_of resolver")
-        return (within_docs_of(pair, window), False)
+        return (within_docs_of(terms, windows), False)
 
     cand, comp = fold_predicate(
         ast, leaf, and_, or_, lambda a: (a[0], not a[1]), ph_leaf, wi_leaf

@@ -468,10 +468,60 @@ def bm25_phrase_topk_dataframe(
     )
 
 
-def _within_pred_on_toks(t1: str, t2: str, window: int):
-    """proximity_match_col specialized to a pre-tokenized `_toks` column —
-    the boolean DataFrame path's within-node leaf (`a <N> b`)."""
-    return _proximity_pred_on(F.col("_toks"), t1, t2, window)
+def _let(value, body):
+    """Expression-level let-binding: evaluate `value` ONCE and expose it to
+    `body` as a lambda VARIABLE (O(1) lookups) instead of an inlined
+    expression subtree. Without this, an array expression referenced inside
+    a nested higher-order lambda re-evaluates per element — a 3-link
+    proximity chain went O(n^3)-ish per row (measured 97 s vs 5 s on the
+    bench corpus). transform over a 1-element array is the standard
+    Catalyst-safe binding trick (no projection boundary to collapse)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def _within_pred_on_toks(chain: tuple, windows: tuple):
+    """Proximity-chain predicate on a pre-tokenized `_toks` column — the
+    boolean DataFrame path's within-node leaf (`a <N1> b <N2> c …`):
+    left-fold of alive occurrence-position arrays, one link per window
+    (adjacent equal terms need distinct occurrences). Chain constraints
+    form a path, so the forward fold is exact. Each stage array is
+    let-bound, so per-row cost is Σ occ_i · occ_{i+1}, linear in chain
+    length."""
+    toks = F.col("_toks")
+    alive = _occurrence_positions(toks, chain[0])
+    for i, w in enumerate(windows):
+        nxt = _occurrence_positions(toks, chain[i + 1])
+        alive = _chain_step_arrays(alive, nxt, int(w), chain[i] == chain[i + 1])
+    return F.size(alive) > 0
+
+
+def _chain_step_arrays(alive, nxt, w: int, same: bool):
+    """Keep occurrences in `nxt` having an alive neighbor within `w`
+    (distinct occurrence when the adjacent chain terms are equal). Both
+    input arrays are let-bound to lambda variables before the quadratic
+    membership check — see _let."""
+    if same:
+        return _let(
+            alive,
+            lambda A: _let(
+                nxt,
+                lambda N: F.filter(
+                    N,
+                    lambda q: F.exists(
+                        A, lambda p: (q != p) & (F.abs(q - p) <= F.lit(w))
+                    ),
+                ),
+            ),
+        )
+    return _let(
+        alive,
+        lambda A: _let(
+            nxt,
+            lambda N: F.filter(
+                N, lambda q: F.exists(A, lambda p: F.abs(q - p) <= F.lit(w))
+            ),
+        ),
+    )
 
 
 def _phrase_pred_on_toks(phrase_terms: list[str]):
@@ -560,7 +610,7 @@ def bm25_bool_topk_dataframe(
         lambda a, b: a | b,
         lambda a: ~a,
         phrase_leaf=lambda ph: _phrase_pred_on_toks(list(ph)),
-        within_leaf=lambda pair, w: _within_pred_on_toks(pair[0], pair[1], w),
+        within_leaf=lambda terms, ws: _within_pred_on_toks(terms, ws),
     )
     matched = toks.filter(pred).select("_id")
 
@@ -631,12 +681,15 @@ def _proximity_pred_on(toks, t1: str, t2: str, window: int):
     beats the O(n·window) sliding-window form by ~5-10x on long docs."""
     p1 = _occurrence_positions(toks, t1)
     p2 = _occurrence_positions(toks, t2)
-    return F.exists(
-        p1,
-        lambda i: F.exists(
-            p2,
-            lambda j: (j != i)
-            & (F.abs(j - i) <= F.lit(window)),
+    return _let(
+        p2,
+        lambda P2: F.exists(
+            p1,
+            lambda i: F.exists(
+                P2,
+                lambda j: (j != i)
+                & (F.abs(j - i) <= F.lit(window)),
+            ),
         ),
     )
 

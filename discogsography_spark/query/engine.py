@@ -78,6 +78,45 @@ def _range_max(tabs: list[np.ndarray], lo: np.ndarray, hi: np.ndarray) -> np.nda
     return out
 
 
+def _chain_fold_keys(
+    chain: tuple[str, ...],
+    windows: tuple[int, ...],
+    keys: dict[str, np.ndarray],
+    SHIFT: np.int64,
+    span: np.int64,
+) -> np.ndarray:
+    """Left-fold a proximity chain over packed (doc << SHIFT | pos) key
+    arrays: alive_{i+1} = occurrences of chain[i+1] with an alive chain[i]
+    occurrence within windows[i] (same doc; adjacent equal terms need a
+    DISTINCT neighbor). Window offsets clamp to each doc's key space, so
+    links never cross documents. Path-shaped constraints make one forward
+    pass exact — every surviving final-slot key certifies a full chain.
+    Shared by LocalSearcher and the merged live view."""
+    alive = keys[chain[0]]
+    for i, w in enumerate(windows):
+        if alive.size == 0:
+            break
+        nxt = keys[chain[i + 1]]
+        docbase = (nxt >> SHIFT) << SHIFT
+        lo = np.maximum(nxt - np.int64(w), docbase)
+        hi = np.minimum(nxt + np.int64(w), docbase + span - 1)
+        a = np.searchsorted(alive, lo, side="left")
+        b = np.searchsorted(alive, hi, side="right")
+        cnt = (b - a).astype(np.int64)
+        if chain[i] == chain[i + 1]:
+            # q itself may be alive (same key set) — a chain link needs a
+            # distinct occurrence, so discount the self-hit
+            pos = np.searchsorted(alive, nxt)
+            inb = pos < alive.size
+            selfin = np.zeros(nxt.size, dtype=bool)
+            selfin[inb] = alive[pos[inb]] == nxt[inb]
+            cnt -= selfin.astype(np.int64)
+        alive = nxt[cnt > 0]
+    if alive.size == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(alive >> SHIFT)
+
+
 @dataclass
 class TermPostings:
     term: str
@@ -1019,7 +1058,7 @@ class LocalSearcher:
         if idfs is None:
             idfs = {t: p.idf(m.n_docs, rows[t].df) for t in terms}
 
-        matched = self._within_doc_set_analyzed(t1, t2, window, rows)
+        matched = self._within_doc_set_analyzed((t1, t2), (window,), rows)
         if matched.size == 0:
             return []
 
@@ -1029,41 +1068,50 @@ class LocalSearcher:
         top = np.lexsort((sd, -ss))[:k]
         return [(int(sd[i]), float(ss[i])) for i in top]
 
-    def _within_doc_set(self, pair: tuple[str, str], window: int) -> np.ndarray:
-        """Sorted docIDs where the two ANALYZED terms occur within `window`
-        positions (either order) — the within-node resolver for boolean
-        queries (boolquery.py ('within', (t1, t2), N))."""
-        t1, t2 = pair
-        terms = sorted({t1, t2})
+    def _within_doc_set(
+        self, chain: tuple[str, ...], windows: tuple[int, ...]
+    ) -> np.ndarray:
+        """Sorted docIDs admitting chain occurrences p1..pn of the ANALYZED
+        terms with |p_{i+1} − p_i| ≤ windows[i] per link (either direction;
+        adjacent equal terms need distinct occurrences) — the within-node
+        resolver for boolean queries (boolquery.py
+        ('within', (t1, …), (N1, …)))."""
+        terms = sorted(set(chain))
         rows = self.lookup_terms(terms)
         if len(rows) != len(terms):
             return np.empty(0, dtype=np.int64)
-        return self._within_doc_set_analyzed(t1, t2, window, rows)
+        return self._within_doc_set_analyzed(tuple(chain), tuple(windows), rows)
 
     def _within_doc_set_analyzed(
         self,
-        t1: str,
-        t2: str,
-        window: int,
+        chain: tuple[str, ...],
+        windows: tuple[int, ...],
         rows: dict[str, TermPostings],
     ) -> np.ndarray:
         """Matched-set computation shared by topk_within and the boolean
-        within-node resolver: conjunctive candidates (tf ≥ 2 for the
-        same-term case), then the vectorized position-key window check."""
-        terms = sorted({t1, t2})
+        within-node resolver: conjunctive candidates (tf ≥ 2 for terms with
+        an adjacent equal repeat), then a vectorized left-fold over
+        position keys — alive_{i+1} = occurrences of chain[i+1] with an
+        alive chain[i] occurrence within windows[i]. Constraints form a
+        path, so arc consistency is global consistency: any surviving
+        final-slot occurrence certifies a full chain."""
+        terms = sorted(set(chain))
         m = self.meta
         empty = np.empty(0, dtype=np.int64)
 
-        # candidate set: conjunctive (or tf ≥ 2 for the same-term case)
-        if t1 == t2:
-            d, tfv, _dl = self._decoded(rows[t1])
-            cand = d[tfv >= 2]
-        else:
-            by_df = sorted(terms, key=lambda t: (rows[t].df, t))
-            cand = self._decoded(rows[by_df[0]])[0]
-            for t in by_df[1:]:
-                mask, _tf, _dl = self._probe(rows[t], cand)
-                cand = cand[mask]
+        # candidate set: conjunctive; adjacent-equal links need ≥ 2 occs
+        need2 = {
+            chain[i] for i in range(len(chain) - 1) if chain[i] == chain[i + 1]
+        }
+        by_df = sorted(terms, key=lambda t: (rows[t].df, t))
+        t0 = by_df[0]
+        d, tfv, _dl = self._decoded(rows[t0])
+        cand = d[tfv >= 2] if t0 in need2 else d
+        for t in by_df[1:]:
+            mask, tfh, _dlh = self._probe(rows[t], cand)
+            cand = cand[mask]
+            if t in need2:
+                cand = cand[tfh >= 2]
         if cand.size == 0:
             return empty
 
@@ -1080,19 +1128,9 @@ class LocalSearcher:
         SHIFT = np.int64(shift)
         span = np.int64(1 << shift)
 
-        if t1 == t2:
-            keys = self._term_position_keys(rows[t1], cand, SHIFT)
-            same_doc = (keys[1:] >> SHIFT) == (keys[:-1] >> SHIFT)
-            close = (keys[1:] - keys[:-1]) <= window
-            return np.unique((keys[1:][same_doc & close]) >> SHIFT)
-        k1_ = self._term_position_keys(rows[t1], cand, SHIFT)
-        k2_ = self._term_position_keys(rows[t2], cand, SHIFT)
-        docbase = (k1_ >> SHIFT) << SHIFT
-        lo = np.maximum(k1_ - np.int64(window), docbase)
-        hi = np.minimum(k1_ + np.int64(window), docbase + span - 1)
-        a = np.searchsorted(k2_, lo, side="left")
-        b2 = np.searchsorted(k2_, hi, side="right")
-        return np.unique((k1_[b2 > a]) >> SHIFT)
+        cand = np.sort(cand)
+        keys = {t: self._term_position_keys(rows[t], cand, SHIFT) for t in terms}
+        return _chain_fold_keys(chain, windows, keys, SHIFT, span)
 
     def _positions(self, tp: TermPostings) -> tuple[np.ndarray, np.ndarray]:
         """(flat positions, per-posting offset array) for one term, cached
@@ -1786,6 +1824,39 @@ class DistributedQueryEngine:
 
         return idx.mapInPandas(decode, schema=out_schema)
 
+    @staticmethod
+    def _chain_step(alive, nxt, w: int, same: bool):
+        """One proximity-chain link as a native array expression: keep the
+        occurrences in `nxt` having an alive neighbor within `w` (distinct
+        when the adjacent terms are equal). Stage arrays are let-bound so
+        the accumulated fold expression evaluates each stage once per row
+        (dataframe_bm25._let — nested-lambda re-evaluation otherwise
+        compounds per link)."""
+        from discogsography_spark.query.dataframe_bm25 import _let
+
+        if same:
+            return _let(
+                alive,
+                lambda A: _let(
+                    nxt,
+                    lambda N: F.filter(
+                        N,
+                        lambda q: F.exists(
+                            A, lambda p: (q != p) & (F.abs(q - p) <= F.lit(w))
+                        ),
+                    ),
+                ),
+            )
+        return _let(
+            alive,
+            lambda A: _let(
+                nxt,
+                lambda N: F.filter(
+                    N, lambda q: F.exists(A, lambda p: F.abs(q - p) <= F.lit(w))
+                ),
+            ),
+        )
+
     def _positional_membership_df(
         self, pos_nodes: list[tuple], node_flag: dict[tuple, str]
     ) -> DataFrame | None:
@@ -1828,24 +1899,21 @@ class DistributedQueryEngine:
                     return cond
 
                 pred = F.exists(pm[words[0]], adjacency)
-            else:  # ("within", (t1, t2), window)
-                (t1, t2), w = node[1], int(node[2])
-                if t1 == t2:
-                    pred = F.exists(
-                        pm[t1],
-                        lambda x: F.exists(
-                            pm[t1],
-                            lambda y: (y > x) & (y - x <= F.lit(w)),
-                        ),
+            else:  # ("within", (t1, …), (N1, …)) — n-ary proximity chain
+                chain, wins = node[1], node[2]
+                # left-fold alive position arrays: alive_{i+1} = positions
+                # of chain[i+1] with an alive neighbor within windows[i]
+                # (adjacent equal terms need a distinct one) — the same
+                # path-consistency argument as _chain_fold_keys, as native
+                # array expressions. Absent terms → NULL arrays → NULL
+                # fold → flag false via the coalesce below.
+                alive = pm[chain[0]]
+                for i, w in enumerate(wins):
+                    same = chain[i] == chain[i + 1]
+                    alive = self._chain_step(
+                        alive, pm[chain[i + 1]], int(w), same
                     )
-                else:
-                    pred = F.exists(
-                        pm[t1],
-                        lambda x: F.exists(
-                            pm[t2],
-                            lambda y: F.abs(x - y) <= F.lit(w),
-                        ),
-                    )
+                pred = F.size(alive) > 0
             per_doc = per_doc.withColumn(
                 flag, F.coalesce(pred, F.lit(False))
             )

@@ -566,7 +566,7 @@ class MergedSearcher:
             raise ValueError(f"window must be ≥ 1, got {window}")
         t1, t2 = ts1[0], ts2[0]
         terms = sorted({t1, t2})
-        matched = self._merged_within_doc_set((t1, t2), window)
+        matched = self._merged_within_doc_set((t1, t2), (window,))
         if matched.size == 0:
             return []
         merged = self._merged_rows(terms)  # cache hits from the resolver
@@ -591,33 +591,40 @@ class MergedSearcher:
         return [(int(matched[i]), float(scores[i])) for i in top]
 
     def _merged_within_doc_set(
-        self, pair: tuple[str, str], window: int
+        self, chain: tuple[str, ...], windows: tuple[int, ...]
     ) -> np.ndarray:
-        """Sorted docIDs of the merged view where the two analyzed terms
-        occur within `window` positions (either order) — shared by
-        topk_within and boolean within nodes."""
-        t1, t2 = pair
-        terms = sorted({t1, t2})
+        """Sorted docIDs of the merged view admitting a proximity chain —
+        occurrences p1..pn with |p_{i+1} − p_i| ≤ windows[i] per link
+        (either direction; adjacent equal terms need distinct occurrences)
+        — shared by topk_within and boolean within(-chain) nodes. Same
+        left-fold kernel as the engine (_chain_fold_keys)."""
+        chain = tuple(chain)
+        windows = tuple(windows)
+        terms = sorted(set(chain))
         empty = np.empty(0, dtype=np.int64)
         merged_all = self._merged_rows(terms)
         merged = {t: merged_all.get(t) for t in terms}
         if any(m is None for m in merged.values()):
             return empty
 
-        # candidate set: conjunctive (or tf ≥ 2 for the same-term case)
-        if t1 == t2:
-            d, tfv, _dl = merged[t1]
-            cand = d[tfv >= 2]
-        else:
-            by_df = sorted(terms, key=lambda t: (merged[t][0].size, t))
-            cand = merged[by_df[0]][0]
-            for t in by_df[1:]:
-                d, _tf, _dl = merged[t]
-                pos = np.searchsorted(d, cand)
-                ok = pos < d.size
-                hit = np.zeros(cand.shape, dtype=bool)
-                hit[ok] = d[pos[ok]] == cand[ok]
-                cand = cand[hit]
+        # candidate set: conjunctive; adjacent-equal links need ≥ 2 occs
+        need2 = {
+            chain[i] for i in range(len(chain) - 1) if chain[i] == chain[i + 1]
+        }
+        by_df = sorted(terms, key=lambda t: (merged[t][0].size, t))
+        t0 = by_df[0]
+        d0, tf0, _dl0 = merged[t0]
+        cand = d0[tf0 >= 2] if t0 in need2 else d0
+        for t in by_df[1:]:
+            d, tf, _dl = merged[t]
+            pos = np.searchsorted(d, cand)
+            ok = pos < d.size
+            hit = np.zeros(cand.shape, dtype=bool)
+            hit[ok] = d[pos[ok]] == cand[ok]
+            cand = cand[hit]
+            if t in need2:
+                pos2 = np.searchsorted(d, cand)
+                cand = cand[tf[pos2] >= 2]
         if cand.size == 0:
             return empty
 
@@ -643,22 +650,11 @@ class MergedSearcher:
             flat_idx = np.repeat(off[pi], lens) + intra
             return (np.repeat(docs_sorted, lens) << SHIFT) | flat[flat_idx]
 
+        from discogsography_spark.query.engine import _chain_fold_keys
+
         cand = np.sort(cand)
-        if t1 == t2:
-            keys = term_keys(t1, cand)
-            same_doc = (keys[1:] >> SHIFT) == (keys[:-1] >> SHIFT)
-            close = (keys[1:] - keys[:-1]) <= window
-            matched = np.unique((keys[1:][same_doc & close]) >> SHIFT)
-        else:
-            k1_ = term_keys(t1, cand)
-            k2_ = term_keys(t2, cand)
-            docbase = (k1_ >> SHIFT) << SHIFT
-            lo = np.maximum(k1_ - np.int64(window), docbase)
-            hi = np.minimum(k1_ + np.int64(window), docbase + span - 1)
-            a = np.searchsorted(k2_, lo, side="left")
-            b2 = np.searchsorted(k2_, hi, side="right")
-            matched = np.unique((k1_[b2 > a]) >> SHIFT)
-        return matched
+        keys = {t: term_keys(t, cand) for t in terms}
+        return _chain_fold_keys(chain, windows, keys, SHIFT, span)
 
     def _merged_positions(self, terms: list[str]) -> dict[str, tuple]:
         """term → (flat positions, per-posting offsets) over base + deltas,

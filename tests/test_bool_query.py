@@ -292,14 +292,14 @@ def test_parser_within_nodes():
     ast = parse_bool_query("spark <3> index AND NOT merge", analyze_query)
     assert ast == (
         "and",
-        (("within", ("spark", "index"), 3), ("not", ("term", "merge"))),
+        (("within", ("spark", "index"), (3,)), ("not", ("term", "merge"))),
     )
     assert has_within_nodes(ast) and has_positional_nodes(ast)
     assert polarity_terms(ast) == (["index", "spark"], ["merge"])
     assert parse_bool_query("a <-> b OR c", analyze_query) == (
-        "or", (("within", ("a", "b"), 1), ("term", "c"))
+        "or", (("within", ("a", "b"), (1,)), ("term", "c"))
     )
-    for bad in ("<3> b", "a <3>", '"x y" <2> b', "a <3> b <2> c",
+    for bad in ("<3> b", "a <3>", '"x y" <2> b',
                 "a <0> b", "spa* <2> b", "(a OR b) <2> c"):
         with pytest.raises(BoolQueryError):
             parse_bool_query(bad, analyze_query)
@@ -316,8 +316,9 @@ def test_eval_predicate_within():
     ast = parse_bool_query("a <2> b AND NOT c", analyze_query)
     toks = ["x", "a", "y", "b", "z"]
 
-    def has_within(pair, w):
+    def has_within(pair, ws):
         t1, t2 = pair
+        (w,) = ws
         p1 = [i for i, t in enumerate(toks) if t == t1]
         p2 = [i for i, t in enumerate(toks) if t == t2]
         return any(i != j and abs(i - j) <= w for i in p1 for j in p2)
@@ -462,5 +463,35 @@ def test_within_stopword_operand_raises():
         parse_bool_query("spark <2> the batch", an)
     # sanity: without the stopword it parses normally
     assert parse_bool_query("spark <2> batch", an) == (
-        "within", ("spark", "batch"), 2
+        "within", ("spark", "batch"), (2,)
     )
+
+
+def test_parse_within_chain():
+    """r5: `a <N1> b <N2> c` parses into one n-ary within node with
+    per-link windows; composition with AND/OR/NOT and the 2-term form
+    are unchanged."""
+    from discogsography_spark.analysis import analyze_query
+    from discogsography_spark.query.boolquery import (
+        BoolQueryError,
+        parse_bool_query,
+    )
+
+    assert parse_bool_query("a <1> b <2> c", analyze_query) == (
+        "within", ("a", "b", "c"), (1, 2)
+    )
+    assert parse_bool_query("a <-> b <3> c <1> d", analyze_query) == (
+        "within", ("a", "b", "c", "d"), (1, 3, 1)
+    )
+    assert parse_bool_query("a <2> b <2> c AND NOT x", analyze_query) == (
+        "and",
+        (("within", ("a", "b", "c"), (2, 2)), ("not", ("term", "x"))),
+    )
+    # same-term chain (adjacent links need distinct occurrences)
+    assert parse_bool_query("a <2> a <2> a", analyze_query) == (
+        "within", ("a", "a", "a"), (2, 2)
+    )
+    with pytest.raises(BoolQueryError):
+        parse_bool_query('a <1> "x y" <2> c', analyze_query)
+    with pytest.raises(BoolQueryError):
+        parse_bool_query("a <1> b <0> c", analyze_query)

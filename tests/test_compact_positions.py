@@ -296,6 +296,8 @@ def test_merged_bool_within_before_compaction(spark, pos_stream):
         "spark <3> index AND NOT merge",
         "spark <2> index OR merge",
         "turn <2> turn AND spark",
+        "spark <3> index <5> merge",          # n-ary chain (r5)
+        "turn <2> turn <3> spark OR merge",
     ):
         got = m.topk_bool(q, 12)
         want = bm25_topk_bool(oracle, q, 12)

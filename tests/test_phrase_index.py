@@ -250,6 +250,10 @@ WITHIN_BOOL_QUERIES = [
     "turn <2> turn AND spark",
     "(spark <1> index) OR (index <1> spark)",
     "merge AND NOT (spark <2> index)",
+    # n-ary chains (r5): `a <N1> b <N2> c` — per-link windows, left-fold
+    "spark <3> index <5> merge",
+    "spark <4> index <4> query AND NOT merge",
+    "turn <2> turn <3> spark OR merge",
 ]
 
 
@@ -276,7 +280,7 @@ def test_bool_within_dataframe_identity(spark, pos_setup):
     from discogsography_spark.query.dataframe_bm25 import bm25_bool_topk_dataframe
 
     oracle = _oracle_from_docs(pos_setup["docs"])
-    for q in WITHIN_BOOL_QUERIES[:3]:
+    for q in WITHIN_BOOL_QUERIES[:3] + WITHIN_BOOL_QUERIES[5:]:
         got = [
             (r["doc_id"], r["score"])
             for r in bm25_bool_topk_dataframe(pos_setup["docs"], q, k=10).collect()
@@ -293,7 +297,7 @@ def test_bool_within_batch_path_identity(spark, pos_setup):
 
     eng = DistributedQueryEngine(spark, pos_setup["idx"])
     s = LocalSearcher(pos_setup["idx"])
-    for q in WITHIN_BOOL_QUERIES[:3]:
+    for q in WITHIN_BOOL_QUERIES[:3] + WITHIN_BOOL_QUERIES[5:]:
         got = [
             (r["doc_id"], r["score"]) for r in eng.topk_bool_df(q, 10).collect()
         ]
@@ -309,10 +313,10 @@ def test_bool_within_served_and_sharded(spark, pos_setup, tmp_path_factory):
 
     s = LocalSearcher(pos_setup["idx"])
     svc = SearchService(pos_setup["idx"])
-    q = "spark <3> index AND NOT merge"
-    resp = svc.search(q, 8, mode="bool")
-    assert resp.results == s.topk_bool(q, 8)
-    assert resp.total_matched == int(svc.matched_docs(q, mode="bool").size) > 0
+    for q in ("spark <3> index AND NOT merge", "spark <3> index <5> merge"):
+        resp = svc.search(q, 8, mode="bool")
+        assert resp.results == s.topk_bool(q, 8)
+        assert resp.total_matched == int(svc.matched_docs(q, mode="bool").size) > 0
 
     # sharded: split the positional corpus in two, expect bit-identity
     d = tmp_path_factory.mktemp("within_sh")
@@ -330,7 +334,7 @@ def test_bool_within_served_and_sharded(spark, pos_setup, tmp_path_factory):
         IB(idx, num_segments=2, with_positions=True).build(spark.read.parquet(p))
         shard_dirs.append(idx)
     sharded = ShardedSearcher(shard_dirs)
-    for q2 in WITHIN_BOOL_QUERIES[:3]:
+    for q2 in WITHIN_BOOL_QUERIES[:3] + WITHIN_BOOL_QUERIES[5:]:
         assert sharded.topk_bool(q2, 10) == s.topk_bool(q2, 10, use_result_cache=False), q2
 
 
