@@ -19,6 +19,7 @@ from pyspark.sql import SparkSession
 def main() -> None:
     transcripts_path, index_dir = sys.argv[1], sys.argv[2]
     num_segments = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    with_positions = len(sys.argv) > 4 and sys.argv[4] == "positions"
 
     spark = SparkSession.builder.appName("index_build").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -32,6 +33,7 @@ def main() -> None:
         index_dir,
         num_segments=num_segments,
         head_df_threshold=max(2000, min(100_000, n_turns // 20)),  # absolute cap: per-group size must stay bounded as the corpus grows
+        with_positions=with_positions,
     )
     res = builder.build(transcripts)
     elapsed = time.time() - t0
