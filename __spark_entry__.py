@@ -482,6 +482,114 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_highlight_fragments"] = fts_highlight_fragments
 
+    def fts_headline_cover(spark, sf_dir):
+        # ts_headline FRAGMENT mode with PostgreSQL's COVER-DENSITY
+        # selection (mark_hl_fragments family): fragments are the TIGHTEST
+        # word windows containing ALL query terms (covers), greedily chosen
+        # non-overlapping by (width, start, end), padded to max_words —
+        # serving.cover_fragments' exact contract, expressed natively with
+        # higher-order functions over the per-doc word array: no explode,
+        # no shuffle, no UDF — the plan a 100-TB text scan wants.
+        MW = 12  # max_words per fragment; max_fragments = 2
+        docs = _read(spark, sf_dir, "documents")
+
+        def occ(term):
+            return (
+                f"filter(transform(split(coalesce(text,''), ' '), "
+                f"(w, i) -> IF(instr(w, '{term}') > 0, i + 1, "
+                f"CAST(NULL AS INT))), x -> x IS NOT NULL)"
+            )
+
+        def wrap(expr):
+            for t in ("table", "value"):  # sorted query terms
+                expr = f"regexp_replace({expr}, '({t})', '<<$1>>')"
+            return expr
+
+        lastmin = (
+            "CASE WHEN size(filter(_a, x -> x <= e)) > 0 "
+            "AND size(filter(_b, x -> x <= e)) > 0 "
+            "THEN least(array_max(filter(_a, x -> x <= e)), "
+            "array_max(filter(_b, x -> x <= e))) END"
+        )
+        return (
+            docs.filter(
+                (F.instr("text", "table") > 0) & (F.instr("text", "value") > 0)
+            )
+            .withColumn("_words", F.expr("split(coalesce(text,''), ' ')"))
+            .withColumn("_a", F.expr(occ("table")))
+            .withColumn("_b", F.expr(occ("value")))
+            .withColumn(
+                "_covs",
+                F.expr(
+                    f"""
+array_sort(
+  filter(
+    transform(array_sort(array_union(_a, _b)), e -> named_struct(
+      'w', e - ({lastmin}) + 1, 's', {lastmin}, 'e', e)),
+    c -> c.s IS NOT NULL),
+  (l, r) -> CASE WHEN l.w < r.w THEN -1 WHEN l.w > r.w THEN 1
+                 WHEN l.s < r.s THEN -1 WHEN l.s > r.s THEN 1
+                 WHEN l.e < r.e THEN -1 WHEN l.e > r.e THEN 1 ELSE 0 END)
+"""
+                ),
+            )
+            .withColumn("_c1", F.expr("get(_covs, 0)"))
+            .withColumn(
+                "_c2",
+                F.expr("get(filter(_covs, c -> c.e < _c1.s OR c.s > _c1.e), 0)"),
+            )
+            .withColumn(
+                "_first",
+                F.expr("IF(_c2 IS NOT NULL AND _c2.s < _c1.s, _c2, _c1)"),
+            )
+            .withColumn(
+                "_second",
+                F.expr("IF(_c2 IS NULL, NULL, IF(_c2.s < _c1.s, _c1, _c2))"),
+            )
+            .withColumn(
+                "_s21",
+                F.expr(
+                    f"greatest(1, _first.s - (greatest(_first.w, {MW}) - _first.w) div 2)"
+                ),
+            )
+            .withColumn(
+                "_l1",
+                F.expr(
+                    f"least(size(_words), _s21 + greatest(_first.w, {MW}) - 1) - _s21 + 1"
+                ),
+            )
+            .withColumn(
+                "_s22",
+                F.expr(
+                    f"greatest(1, _second.s - (greatest(_second.w, {MW}) - _second.w) div 2)"
+                ),
+            )
+            .withColumn(
+                "_l2",
+                F.expr(
+                    f"least(size(_words), _s22 + greatest(_second.w, {MW}) - 1) - _s22 + 1"
+                ),
+            )
+            .select(
+                "doc_id",
+                # the second-fragment window must be NULL-guarded explicitly:
+                # greatest/least IGNORE nulls in Spark SQL, so _s22/_l2
+                # silently collapse to window [1, max_words] when _second
+                # is NULL instead of propagating the NULL
+                F.expr(
+                    "concat_ws(' ... ', "
+                    + wrap("array_join(slice(_words, _s21, _l1), ' ')")
+                    + ", IF(_second IS NULL, CAST(NULL AS STRING), "
+                    + wrap("array_join(slice(_words, _s22, _l2), ' ')")
+                    + "))"
+                ).alias("headline"),
+            )
+            .orderBy("doc_id")
+            .limit(10)
+        )
+
+    q["fts_headline_cover"] = fts_headline_cover
+
     # ---- SERVED search-response path (index-side facets + highlight) ----
     # These two entries answer the SAME contracts as fts_facets_multi /
     # fts_highlight but from the SERVING path: a LocalSearcher index over the
@@ -1989,6 +2097,66 @@ FROM documents
 WHERE list_contains(list_distinct({toks}), 'table')
   AND list_contains(list_distinct({toks}), 'value')
 ORDER BY doc_id LIMIT 10
+"""
+
+    # cover-density fragments (serving.cover_fragments contract): minimal
+    # covers via per-term running last-occurrence windows, greedy top-2
+    # non-overlapping by (width, start, end), pad to 12 words, wrap, join
+    # in document order.
+    o["fts_headline_cover"] = """
+WITH d AS (
+  SELECT doc_id, string_split(coalesce(text,''), ' ') AS words
+  FROM documents
+  WHERE contains(text, 'table') AND contains(text, 'value')
+  ORDER BY doc_id LIMIT 10
+), w AS (
+  SELECT doc_id, unnest(words) AS word,
+         generate_subscripts(words, 1) AS pos
+  FROM d
+), occ AS (
+  SELECT doc_id, pos, word,
+    max(CASE WHEN contains(word, 'table') THEN pos END)
+        OVER (PARTITION BY doc_id ORDER BY pos) AS la,
+    max(CASE WHEN contains(word, 'value') THEN pos END)
+        OVER (PARTITION BY doc_id ORDER BY pos) AS lb
+  FROM w
+), cov AS (
+  SELECT doc_id, least(la, lb) AS s, pos AS e,
+         pos - least(la, lb) + 1 AS w
+  FROM occ
+  WHERE (contains(word, 'table') OR contains(word, 'value'))
+    AND la IS NOT NULL AND lb IS NOT NULL
+), r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY w, s, e) AS rn
+  FROM cov
+), c1 AS (
+  SELECT doc_id, s, e, w FROM r1 WHERE rn = 1
+), r2 AS (
+  SELECT c.doc_id, c.s, c.e, c.w,
+         row_number() OVER (PARTITION BY c.doc_id ORDER BY c.w, c.s, c.e) AS rn
+  FROM cov c JOIN c1 ON c.doc_id = c1.doc_id
+  WHERE c.e < c1.s OR c.s > c1.e
+), chosen AS (
+  SELECT doc_id, s, e, w FROM c1
+  UNION ALL
+  SELECT doc_id, s, e, w FROM r2 WHERE rn = 1
+), rend AS (
+  SELECT ch.doc_id, ch.s,
+    greatest(1, ch.s - (greatest(ch.w, 12) - ch.w) // 2) AS s2,
+    least(len(d.words),
+          greatest(1, ch.s - (greatest(ch.w, 12) - ch.w) // 2)
+          + greatest(ch.w, 12) - 1) AS e2,
+    d.words
+  FROM chosen ch JOIN d ON ch.doc_id = d.doc_id
+), frags AS (
+  SELECT doc_id, s,
+    regexp_replace(regexp_replace(
+      array_to_string(list_slice(words, s2, e2), ' '),
+      '(table)', '<<\\1>>', 'g'), '(value)', '<<\\1>>', 'g') AS frag
+  FROM rend
+)
+SELECT doc_id, string_agg(frag, ' ... ' ORDER BY s) AS headline
+FROM frags GROUP BY doc_id ORDER BY doc_id
 """
 
     o["doc_token_count"] = f"""

@@ -71,6 +71,11 @@ def main(argv: list[str] | None = None) -> int:
         help="snippet headlines: up to N windowed fragments (implies --highlight)",
     )
     sr.add_argument(
+        "--fragment-mode", choices=("term", "cover"), default="term",
+        help="fragment selection: per-term windows, or PostgreSQL "
+        "cover-density (tightest windows containing ALL present terms)",
+    )
+    sr.add_argument(
         "--shards", action="store_true",
         help="treat index_dir as a comma-separated list of shard dirs "
         "(ShardedSearchService fan-out)",
@@ -191,6 +196,7 @@ def main(argv: list[str] | None = None) -> int:
             highlight=args.highlight,
             filter=filt,
             highlight_fragments=args.fragments,
+            fragment_mode=args.fragment_mode,
             offset=args.offset,
         )
         if args.merged:

@@ -84,6 +84,88 @@ def fragment_headline(
     return " ... ".join(frags)
 
 
+def cover_fragments(
+    text: str,
+    terms: list[str],
+    max_fragments: int = 2,
+    max_words: int = 12,
+) -> str:
+    """ts_headline FRAGMENT mode with PostgreSQL's COVER-DENSITY selection
+    (the mark_hl_fragments algorithm family behind MaxFragments,
+    search_queries.py:144): fragments are the tightest word windows that
+    contain ALL present query terms, not per-term windows.
+
+    Deterministic word-level contract, mirrored byte-for-byte by the
+    `fts_headline_cover` Spark entry and its DuckDB oracle:
+
+    - words = text.split(' ') (single-space split; runs of spaces yield
+      empty words that keep positions stable and never match a term);
+      word positions are 1-based.
+    - word w matches term t iff t is a substring of w (the case-sensitive
+      substring rule every highlight mode here uses).
+    - present terms = sorted distinct query terms matching >= 1 word;
+      none present -> ''.
+    - candidate covers: for each position e matching at least one present
+      term where every present term has an occurrence <= e, the cover is
+      [min over terms of lastocc_t(e), e] — the tightest window ENDING at
+      e that contains all present terms (PostgreSQL's cover enumeration).
+    - selection: greedily take up to max_fragments covers in
+      (width ASC, start ASC, end ASC) order, skipping any cover that
+      overlaps an already-chosen one; render in document order.
+    - rendering [s, e]: target = max(width, max_words); pad the left by
+      (target - width) // 2 words (clamped at position 1; the unused left
+      pad flows right), then extend right to target total words (clamped
+      at n, with no second left re-extension — covers wider than
+      max_words render whole, untrimmed). Join the window's words with
+      ' ', wrap every occurrence of every present term with <<...>> in
+      sorted term order, join fragments with ' ... '.
+    """
+    ordered = sorted({t for t in terms if t})
+    words = text.split(" ")
+    n = len(words)
+    occ: dict[str, list[int]] = {
+        t: [i + 1 for i, w in enumerate(words) if t in w] for t in ordered
+    }
+    present = [t for t in ordered if occ[t]]
+    if not present:
+        return ""
+    # tightest cover ending at each candidate end position
+    last = {t: 0 for t in present}
+    its = {t: 0 for t in present}
+    ends = sorted({p for t in present for p in occ[t]})
+    covers: list[tuple[int, int, int]] = []  # (width, s, e)
+    for e in ends:
+        for t in present:
+            lst = occ[t]
+            i = its[t]
+            while i < len(lst) and lst[i] <= e:
+                last[t] = lst[i]
+                i += 1
+            its[t] = i
+        if all(last[t] for t in present):
+            s = min(last[t] for t in present)
+            covers.append((e - s + 1, s, e))
+    if not covers:
+        return ""
+    chosen: list[tuple[int, int]] = []
+    for _w, s, e in sorted(covers):
+        if len(chosen) >= max_fragments:
+            break
+        if all(e < cs or s > ce for cs, ce in chosen):
+            chosen.append((s, e))
+    frags = []
+    for s, e in sorted(chosen):
+        width = e - s + 1
+        target = max(width, max_words)
+        s2 = max(1, s - (target - width) // 2)
+        e2 = min(n, s2 + target - 1)
+        frag = " ".join(words[s2 - 1 : e2])
+        for t in ordered:
+            frag = re.sub(f"({re.escape(t)})", r"<<\1>>", frag)
+        frags.append(frag)
+    return " ... ".join(frags)
+
+
 def _facet_arrays(
     pdf: pd.DataFrame,
     facet_defs: dict,
@@ -274,16 +356,25 @@ class SearchService:
         terms: list[str],
         max_fragments: int | None = None,
         radius: int = 30,
+        fragment_mode: str = "term",
+        max_words: int = 12,
     ) -> str:
         """ts_headline analog — wraps every occurrence of each analyzed query
         token with <<...>>, the EXACT regexp_replace(text, '(tok)', '<<$1>>')
         contract of the fts_highlight DataFrame entry (case-sensitive,
         substring-inclusive), applied in sorted term order. With
         `max_fragments`, returns windowed snippets instead of the whole
-        marked-up text (fragment_headline — PostgreSQL's MaxFragments
-        mode), which is what a UI wants for long transcript turns."""
+        marked-up text, which is what a UI wants for long transcript turns:
+        fragment_mode='term' gives per-term character windows
+        (fragment_headline), fragment_mode='cover' gives PostgreSQL
+        cover-density fragments (cover_fragments — tightest word windows
+        containing ALL present terms, up to `max_words` words each)."""
         text = self._text_of(doc_id)
         if max_fragments is not None:
+            if fragment_mode == "cover":
+                return cover_fragments(
+                    text, terms, max_fragments=max_fragments, max_words=max_words
+                )
             return fragment_headline(
                 text, terms, max_fragments=max_fragments, radius=radius
             )
@@ -301,6 +392,7 @@ class SearchService:
         fuzzy: bool = False,
         filter: dict[str, str] | None = None,
         highlight_fragments: int | None = None,
+        fragment_mode: str = "term",
         offset: int = 0,
     ) -> SearchResponse:
         """`offset` pages the ranked results (reference:
@@ -408,7 +500,12 @@ class SearchService:
                 else self._highlight_terms(query_text, mode, ast_override=qast)
             )
             resp.headlines = {
-                d: self.headline(d, hterms, max_fragments=highlight_fragments)
+                d: self.headline(
+                    d,
+                    hterms,
+                    max_fragments=highlight_fragments,
+                    fragment_mode=fragment_mode,
+                )
                 for d, _ in results
             }
         return resp
@@ -571,6 +668,7 @@ class ShardedSearchService:
         filter: dict[str, str] | None = None,
         fuzzy: bool = False,
         highlight_fragments: int | None = None,
+        fragment_mode: str = "term",
         offset: int = 0,
     ) -> SearchResponse:
         """`offset` pages exactly like SearchService.search: every shard
@@ -746,7 +844,10 @@ class ShardedSearchService:
                 shard = int(np.searchsorted(self.offsets, gid, side="right")) - 1
                 local = gid - int(self.offsets[shard])
                 resp.headlines[gid] = self.services[shard].headline(
-                    local, hterms, max_fragments=highlight_fragments
+                    local,
+                    hterms,
+                    max_fragments=highlight_fragments,
+                    fragment_mode=fragment_mode,
                 )
         return resp
 
@@ -955,9 +1056,15 @@ class MergedSearchService:
         terms: list[str],
         max_fragments: int | None = None,
         radius: int = 30,
+        fragment_mode: str = "term",
+        max_words: int = 12,
     ) -> str:
         text = self._text_of(doc_id)
         if max_fragments is not None:
+            if fragment_mode == "cover":
+                return cover_fragments(
+                    text, terms, max_fragments=max_fragments, max_words=max_words
+                )
             return fragment_headline(
                 text, terms, max_fragments=max_fragments, radius=radius
             )
@@ -1047,6 +1154,7 @@ class MergedSearchService:
         filter: dict[str, str] | None = None,
         highlight_fragments: int | None = None,
         fuzzy: bool = False,
+        fragment_mode: str = "term",
         offset: int = 0,
     ) -> SearchResponse:
         """`offset` pages exactly like SearchService.search — rank the
@@ -1153,7 +1261,12 @@ class MergedSearchService:
                 else self._highlight_terms(query_text, mode, ast_override=qast)
             )
             resp.headlines = {
-                d: self.headline(d, hterms, max_fragments=highlight_fragments)
+                d: self.headline(
+                    d,
+                    hterms,
+                    max_fragments=highlight_fragments,
+                    fragment_mode=fragment_mode,
+                )
                 for d, _ in results
             }
         return resp

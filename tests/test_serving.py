@@ -706,3 +706,113 @@ def test_offset_pagination_merged_equals_fresh(merged_served):
             b = merged.search(q, k=6, offset=off)
             assert a.results == b.results, (q, off)
             assert a.total_matched == b.total_matched
+
+
+def _brute_cover_fragments(
+    text: str, terms: list[str], max_fragments: int, max_words: int
+) -> str:
+    """Independent naive re-derivation of the cover_fragments contract:
+    occurrence scans recomputed per end position (O(n^2)), full candidate
+    sort, greedy non-overlap, padded render."""
+    import re as _re
+
+    ordered = sorted({t for t in terms if t})
+    words = text.split(" ")
+    n = len(words)
+    occ = {t: [p for p in range(1, n + 1) if t in words[p - 1]] for t in ordered}
+    present = [t for t in ordered if occ[t]]
+    if not present:
+        return ""
+    covers = []
+    for e in range(1, n + 1):
+        if not any(e in occ[t] for t in present):
+            continue
+        lasts = []
+        for t in present:
+            before = [p for p in occ[t] if p <= e]
+            if not before:
+                lasts = None
+                break
+            lasts.append(before[-1])
+        if lasts is None:
+            continue
+        s = min(lasts)
+        covers.append((e - s + 1, s, e))
+    chosen = []
+    for _w, s, e in sorted(covers):
+        if len(chosen) >= max_fragments:
+            break
+        if all(e < cs or s > ce for cs, ce in chosen):
+            chosen.append((s, e))
+    frags = []
+    for s, e in sorted(chosen):
+        width = e - s + 1
+        target = max(width, max_words)
+        s2 = max(1, s - (target - width) // 2)
+        e2 = min(n, s2 + target - 1)
+        fr = " ".join(words[s2 - 1 : e2])
+        for t in ordered:
+            fr = _re.sub(f"({_re.escape(t)})", r"<<\1>>", fr)
+        frags.append(fr)
+    return " ... ".join(frags)
+
+
+def test_cover_fragments_randomized_brute():
+    """cover_fragments == the naive O(n^2) re-derivation over seeded random
+    texts sweeping term counts, fragment counts, window sizes, and the
+    degenerate edges (no terms present, single word, adjacent/overlapping
+    occurrences, double spaces)."""
+    import random
+
+    from discogsography_spark.query.serving import cover_fragments
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "tab", "table", "value", "val", "x", "yy", ""]
+    for trial in range(300):
+        nw = rng.randint(1, 40)
+        text = " ".join(rng.choice(vocab) for _ in range(nw))
+        terms = rng.sample(["table", "value", "beta", "zzz"], rng.randint(1, 3))
+        mf = rng.randint(1, 3)
+        mw = rng.choice([1, 4, 8, 12])
+        got = cover_fragments(text, terms, max_fragments=mf, max_words=mw)
+        want = _brute_cover_fragments(text, terms, mf, mw)
+        assert got == want, (trial, text, terms, mf, mw, got, want)
+    assert cover_fragments("", ["table"]) == ""
+    assert cover_fragments("table value", []) == ""
+
+
+def test_cover_fragment_headlines_all_services(
+    served, sharded_served, merged_served
+):
+    """fragment_mode='cover' answers identically on single-index, sharded,
+    and live merged services, and matches cover_fragments applied to the
+    raw text (analyzed query terms)."""
+    from discogsography_spark.query.serving import (
+        MergedSearchService,
+        ShardedSearchService,
+        cover_fragments,
+    )
+
+    svc, tdf = served
+    q = "spark index"
+    resp = svc.search(q, 8, highlight_fragments=2, fragment_mode="cover")
+    assert resp.results and len(resp.headlines) == len(resp.results)
+    terms = sorted(set(q.split()))
+    for doc_id, _ in resp.results:
+        raw = tdf.loc[tdf["doc_id"] == doc_id, "text"].iloc[0]
+        assert resp.headlines[doc_id] == cover_fragments(
+            raw, terms, max_fragments=2, max_words=12
+        )
+
+    full_idx, shard_dirs = sharded_served
+    single = SearchService(full_idx)
+    sharded = ShardedSearchService(shard_dirs)
+    a = single.search(q, 8, highlight_fragments=2, fragment_mode="cover")
+    b = sharded.search(q, 8, highlight_fragments=2, fragment_mode="cover")
+    assert a.headlines == b.headlines and a.headlines
+
+    fresh = SearchService(merged_served["fresh"])
+    live = MergedSearchService(merged_served["idx"])
+    c = fresh.search(q, 8, highlight_fragments=2, fragment_mode="cover")
+    d = live.search(q, 8, highlight_fragments=2, fragment_mode="cover")
+    assert c.headlines == d.headlines and c.headlines
