@@ -54,19 +54,29 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles_col(text_col: str = "text", n: int = 3):
-    """Word n-gram shingles as an array column (native expressions)."""
-    toks = tokens_col(text_col)
-    return F.array_distinct(
-        F.filter(
-            F.transform(
-                toks,
-                lambda _x, i: F.when(
-                    i + n <= F.size(toks),
-                    F.array_join(F.slice(toks, i + 1, n), " "),
+    """Word n-gram shingles as an array column (native expressions).
+
+    The token array MUST be let-bound (evaluated once per row): referencing
+    the tokenize expression directly inside the transform lambda makes
+    Catalyst re-evaluate the full regexp tokenize per ELEMENT — O(len²)
+    tokenizes per document (measured: the sf0.25 pipeline decontaminate
+    stage dropped 404 s → see BENCH/BASELINE.md round 5 after this bind)."""
+    from discogsography_spark.query.dataframe_bm25 import _let
+
+    return _let(
+        tokens_col(text_col),
+        lambda toks: F.array_distinct(
+            F.filter(
+                F.transform(
+                    toks,
+                    lambda _x, i: F.when(
+                        i + n <= F.size(toks),
+                        F.array_join(F.slice(toks, i + 1, n), " "),
+                    ),
                 ),
-            ),
-            lambda s: s.isNotNull(),
-        )
+                lambda s: s.isNotNull(),
+            )
+        ),
     )
 
 
