@@ -240,6 +240,42 @@ class DeltaIndexWriter:
         )
 
 
+def _exact_and_scores(
+    terms: list[str],
+    lists: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+    idfs: dict[str, float],
+    p,
+    avgdl: float,
+    k: int,
+) -> list[tuple[int, float]]:
+    """Exact conjunctive BM25 over per-term (docs, tf, dl) arrays:
+    rarest-list-driven intersection, fixed summation order over `terms` —
+    the float-identical core shared by MergedSearcher.topk_exact and the
+    delta-side leg of the fast topk."""
+    by_df = sorted(terms, key=lambda t: (lists[t][0].size, t))
+    cand, tf0, dl0 = lists[by_df[0]]
+    tf_by_term = {by_df[0]: tf0}
+    for t in by_df[1:]:
+        d, tf, _dl = lists[t]
+        pos = np.searchsorted(d, cand)
+        ok = pos < d.size
+        hit = np.zeros(cand.shape, dtype=bool)
+        hit[ok] = d[pos[ok]] == cand[ok]
+        cand, dl0 = cand[hit], dl0[hit]
+        for tt in tf_by_term:
+            tf_by_term[tt] = tf_by_term[tt][hit]
+        tf_by_term[t] = tf[pos[hit]]
+        if cand.size == 0:
+            return []
+    norm = p.k1 * (1.0 - p.b + p.b * (dl0.astype(np.float64) / avgdl))
+    score = np.zeros(cand.shape, dtype=np.float64)
+    for t in terms:  # fixed order — oracle-identical summation
+        tf = tf_by_term[t].astype(np.float64)
+        score = score + idfs[t] * (tf / (tf + norm))
+    order = np.lexsort((cand, -score))[:k]
+    return [(int(cand[i]), float(score[i])) for i in order]
+
+
 class MergedSearcher:
     """Exact BM25 top-k over base + deltas with combined corpus stats."""
 
@@ -255,6 +291,11 @@ class MergedSearcher:
         # term → merged (docs, tf, dl) arrays; deltas are immutable for this
         # searcher's lifetime, so merged decodes cache like base decodes
         self._merged_cache: dict[str, tuple] = {}
+        # term → concatenated DELTA-side (docs, tf, dl) (None if absent in
+        # every delta) — lets repeat queries skip the per-delta parquet
+        # row lookups entirely (the fast topk's p50 was 4.2 ms re-reading
+        # them per query vs 0.6 ms cached)
+        self._delta_list_cache: dict[str, tuple | None] = {}
         self._trigram_index = None  # built lazily by suggest_terms
 
     def _delta_rows(self, delta: str, terms: list[str]) -> dict[str, dict]:
@@ -303,7 +344,7 @@ class MergedSearcher:
         ranges by construction."""
         todo = [t for t in terms if t not in self._merged_cache]
         base_rows = self.base.lookup_terms(todo)
-        delta_rows = [self._delta_rows(d, todo) for d in self._delta_dirs]
+        dlists = self._delta_lists(todo)
 
         for t in todo:
             parts_docs, parts_tf, parts_dl = [], [], []
@@ -312,14 +353,11 @@ class MergedSearcher:
                 parts_docs.append(d)
                 parts_tf.append(tf)
                 parts_dl.append(dl)
-            for dr in delta_rows:  # deltas in batch order → ascending doc ranges
-                if t in dr:
-                    row = dr[t]
-                    d, tf = decode_postings(row["doc_blob"], row["tf_blob"])
-                    dl = varbyte_decode(row["dl_blob"]).astype(np.int64)
-                    parts_docs.append(d)
-                    parts_tf.append(tf)
-                    parts_dl.append(dl)
+            if dlists[t] is not None:
+                d, tf, dl = dlists[t]
+                parts_docs.append(d)
+                parts_tf.append(tf)
+                parts_dl.append(dl)
             if not parts_docs:
                 self._merged_cache[t] = None  # absent everywhere (negative)
                 continue
@@ -330,7 +368,84 @@ class MergedSearcher:
             )
         return {t: self._merged_cache[t] for t in terms}
 
+    def _delta_lists(
+        self, terms: list[str]
+    ) -> dict[str, tuple[np.ndarray, np.ndarray, np.ndarray] | None]:
+        """term → concatenated delta-side (docs, tf, dl) (batch order →
+        ascending doc ranges; None if the term appears in no delta),
+        memoized — deltas are immutable for this searcher's lifetime."""
+        todo = [t for t in terms if t not in self._delta_list_cache]
+        if todo:
+            delta_rows = [self._delta_rows(d, todo) for d in self._delta_dirs]
+            for t in todo:
+                parts_d, parts_tf, parts_dl = [], [], []
+                for dr in delta_rows:
+                    if t in dr:
+                        row = dr[t]
+                        d, tf = decode_postings(row["doc_blob"], row["tf_blob"])
+                        dl = varbyte_decode(row["dl_blob"]).astype(np.int64)
+                        parts_d.append(d)
+                        parts_tf.append(tf)
+                        parts_dl.append(dl)
+                self._delta_list_cache[t] = (
+                    (
+                        np.concatenate(parts_d),
+                        np.concatenate(parts_tf),
+                        np.concatenate(parts_dl),
+                    )
+                    if parts_d
+                    else None
+                )
+        return {t: self._delta_list_cache[t] for t in terms}
+
     def topk(self, query_text: str, k: int) -> list[tuple[int, float]]:
+        """Exact BM25 conjunctive top-k over the live base+delta view.
+
+        Fast path (r5): the base index evaluates through LocalSearcher's
+        block-max/champion-pruned `_topk_and` with the COMBINED corpus
+        stats injected (df = base+delta document frequency; the view's
+        avgdl) — the sharded-searcher recipe, sound under foreign stats
+        per the champion re-sort / tfnorm bound scaling; each delta is
+        small and scores exactly. Delta doc ranges are disjoint from the
+        base, so a conjunctive match lies wholly on one side and the union
+        of the two top-k's contains the true top-k — the same argument
+        (and the same bit-identity test net) as sharded fan-out.
+        `topk_exact` keeps the single-pass reference implementation;
+        equality is regression-tested across head/tail/delta-only terms."""
+        from discogsography_spark.analysis import get_analyzer
+
+        terms = get_analyzer(self.base.meta.analyzer).analyze_query(query_text)
+        if not terms or k <= 0:
+            return []
+        uniq = sorted(set(terms))
+        base_rows = self.base.lookup_terms(uniq)
+        dlists = self._delta_lists(uniq)
+        p = self.params
+        idfs: dict[str, float] = {}
+        for t in uniq:
+            df = int(base_rows[t].df) if t in base_rows else 0
+            if dlists[t] is not None:
+                df += int(dlists[t][0].size)
+            if df == 0:
+                return []  # conjunctive AND: term absent everywhere
+            idfs[t] = p.idf(self.n_docs, df)
+        hits: list[tuple[int, float]] = []
+        if len(base_rows) == len(uniq):  # base can host a full AND match
+            hits.extend(
+                self.base._topk_and(terms, k, idfs=idfs, avgdl=self.avgdl)
+            )
+        if all(dlists[t] is not None for t in uniq):  # so can the deltas
+            lists = {t: dlists[t] for t in uniq}
+            hits.extend(
+                _exact_and_scores(terms, lists, idfs, p, self.avgdl, k)
+            )
+        hits.sort(key=lambda h: (-h[1], h[0]))
+        return hits[:k]
+
+    def topk_exact(self, query_text: str, k: int) -> list[tuple[int, float]]:
+        """Reference implementation: single exact pass over the merged
+        base+delta lists (no pruning). topk() must match this bit-for-bit;
+        tests assert it."""
         from discogsography_spark.analysis import get_analyzer
 
         terms = get_analyzer(self.base.meta.analyzer).analyze_query(query_text)
@@ -343,33 +458,9 @@ class MergedSearcher:
             if ent is None:
                 return []  # conjunctive AND: term absent everywhere
             merged[t] = ent
-
-        # conjunctive intersection driven by the rarest merged list
-        by_df = sorted(terms, key=lambda t: (merged[t][0].size, t))
-        cand, tf0, dl0 = merged[by_df[0]]
-        tf_by_term = {by_df[0]: tf0}
-        for t in by_df[1:]:
-            d, tf, _dl = merged[t]
-            pos = np.searchsorted(d, cand)
-            ok = pos < d.size
-            hit = np.zeros(cand.shape, dtype=bool)
-            hit[ok] = d[pos[ok]] == cand[ok]
-            cand, dl0 = cand[hit], dl0[hit]
-            for tt in tf_by_term:
-                tf_by_term[tt] = tf_by_term[tt][hit]
-            tf_by_term[t] = tf[pos[hit]]
-            if cand.size == 0:
-                return []
-
         p = self.params
         idfs = {t: p.idf(self.n_docs, int(merged[t][0].size)) for t in terms}
-        norm = p.k1 * (1.0 - p.b + p.b * (dl0.astype(np.float64) / self.avgdl))
-        score = np.zeros(cand.shape, dtype=np.float64)
-        for t in terms:  # sorted order — oracle-identical summation
-            tf = tf_by_term[t].astype(np.float64)
-            score = score + idfs[t] * (tf / (tf + norm))
-        order = np.lexsort((cand, -score))[:k]
-        return [(int(cand[i]), float(score[i])) for i in order]
+        return _exact_and_scores(terms, merged, idfs, p, self.avgdl, k)
 
     def suggest_terms(
         self, word: str, k: int = 10, min_sim: float = 0.3

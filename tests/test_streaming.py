@@ -138,3 +138,48 @@ def test_compact_then_identical_results(spark, streamed_index, split_corpus):
     # docmap covers the whole corpus
     docs = spark.read.parquet(os.path.join(streamed_index, "docs"))
     assert docs.count() == len(tdf)
+
+
+def test_merged_fast_topk_equals_exact_reference(streamed_index, split_corpus):
+    """topk() (pruned base leg + exact delta leg, merged) must equal
+    topk_exact() (single exact pass over merged lists) bit-for-bit —
+    including terms that live ONLY in the base, ONLY in a delta, head
+    terms, absent terms, and k larger than the match count."""
+    from discogsography_spark.analysis import get_analyzer
+
+    searcher = MergedSearcher(streamed_index)
+    tdf = split_corpus["all"]
+    an = get_analyzer("simple")
+
+    all_rows = split_corpus["all"]
+    base_convs = set(
+        pd.read_parquet(split_corpus["base_path"])["conv_id"].unique()
+    )
+    base_rows = all_rows[all_rows["conv_id"].isin(base_convs)]
+    stream_rows = all_rows[~all_rows["conv_id"].isin(base_convs)]
+    base_terms = {
+        t for text in base_rows["text"] for t in an.tokenize_py(text)
+    }
+    delta_terms = {
+        t for text in stream_rows["text"] for t in an.tokenize_py(text)
+    }
+    only_base = sorted(base_terms - delta_terms)
+    only_delta = sorted(delta_terms - base_terms)
+    both = sorted(base_terms & delta_terms)
+
+    queries = [both[0], f"{both[0]} {both[len(both) // 2]}", " ".join(both[:3])]
+    if only_base:
+        queries += [only_base[0], f"{only_base[0]} {both[0]}"]
+    if only_delta:
+        queries += [only_delta[0], f"{only_delta[0]} {both[0]}"]
+    if only_base and only_delta:
+        # conjunction satisfiable on NEITHER side alone → empty (disjoint
+        # doc ranges can't host both terms)
+        queries.append(f"{only_base[0]} {only_delta[0]}")
+    queries += ["zzqqxxnotaterm", f"zzqqxxnotaterm {both[0]}"]
+
+    for q in queries:
+        for k in (1, 5, 10**6):
+            fast = searcher.topk(q, k)
+            ref = searcher.topk_exact(q, k)
+            assert fast == ref, (q, k, fast[:3], ref[:3])
