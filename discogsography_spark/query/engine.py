@@ -117,6 +117,66 @@ def _chain_fold_keys(
     return np.unique(alive >> SHIFT)
 
 
+_FIRST_TIER = 4096
+
+
+def _lazy_verified_topk(
+    cand: np.ndarray,
+    scores: np.ndarray,
+    verify,
+    k: int,
+) -> list[tuple[int, float]]:
+    """Top-k of a positional predicate evaluated lazily in score order.
+
+    `cand` is the sorted conjunctive candidate docID array with `scores`
+    aligned (already rounded to the 5dp contract); `verify(docs_sorted)`
+    returns the sorted subset actually satisfying the positional predicate
+    (phrase adjacency / proximity window). Candidates are verified in
+    score-TIER order via argpartition (each tier selects the top-T
+    unverified candidates in O(C)); verification — the O(sum tf)
+    searchsorted work over cached position streams — touches only tier
+    docs. Exact stop rule: once ≥ k verified matches score STRICTLY above
+    the best unverified candidate, nothing outside the verified set can
+    reach the top-k (ties included — equal scores stay in play until
+    verified). Verification only REMOVES candidates, never changes a
+    score, so the rule is exact. Shared by topk_phrase and topk_within.
+
+    The first tier size is module state (`_FIRST_TIER`) so tests can force
+    the multi-tier path on small fixtures (it only fires at ≥ 4096
+    candidates otherwise)."""
+    C = cand.size
+    verified = np.zeros(C, dtype=bool)
+    m_docs: list[np.ndarray] = []
+    m_scores: list[np.ndarray] = []
+    T = _FIRST_TIER
+    while True:
+        if T >= C:
+            sel = np.flatnonzero(~verified)
+            bound = -np.inf
+        else:
+            part = np.argpartition(-scores, T)
+            pool = part[:T]
+            sel = pool[~verified[pool]]
+            bound = float(scores[part[T:]].max())
+        if sel.size:
+            verified[sel] = True
+            matched = verify(np.sort(cand[sel]))
+            if matched.size:
+                at = np.searchsorted(cand, matched)
+                m_docs.append(matched)
+                m_scores.append(scores[at])
+        n_above = sum(int((s > bound).sum()) for s in m_scores)
+        if n_above >= k or T >= C:
+            break
+        T *= 8
+    if not m_docs:
+        return []
+    d_all = np.concatenate(m_docs)
+    s_all = np.concatenate(m_scores)
+    top = np.lexsort((d_all, -s_all))[:k]
+    return [(int(d_all[i]), float(s_all[i])) for i in top]
+
+
 @dataclass
 class TermPostings:
     term: str
@@ -1058,15 +1118,20 @@ class LocalSearcher:
         if idfs is None:
             idfs = {t: p.idf(m.n_docs, rows[t].df) for t in terms}
 
-        matched = self._within_doc_set_analyzed((t1, t2), (window,), rows)
-        if matched.size == 0:
+        # Score ALL conjunctive candidates (O(C) flops — proximity ⊆ AND,
+        # scores are window-independent), then verify the position windows
+        # lazily in score-tier order (_lazy_verified_topk) — the same
+        # recipe that took phrase head-pairs from ~550 ms to ~25 ms. The
+        # full-candidate fold remains as _within_doc_set_analyzed for the
+        # boolean within-node resolver, which needs the whole matched set.
+        cand = self._within_candidates((t1, t2), rows)
+        if cand.size == 0:
             return []
-
         by_df = sorted(terms, key=lambda t: (rows[t].df, t))
-        sd, ss = self._and_score(matched, terms, by_df, rows, idfs, avgdl=avgdl)
+        sd, ss = self._and_score(cand, terms, by_df, rows, idfs, avgdl=avgdl)
         ss = np.round(ss, 5)
-        top = np.lexsort((sd, -ss))[:k]
-        return [(int(sd[i]), float(ss[i])) for i in top]
+        verify = self._within_verifier((t1, t2), (window,), rows)
+        return _lazy_verified_topk(sd, ss, verify, k)
 
     def _within_doc_set(
         self, chain: tuple[str, ...], windows: tuple[int, ...]
@@ -1095,11 +1160,18 @@ class LocalSearcher:
         alive chain[i] occurrence within windows[i]. Constraints form a
         path, so arc consistency is global consistency: any surviving
         final-slot occurrence certifies a full chain."""
-        terms = sorted(set(chain))
-        m = self.meta
-        empty = np.empty(0, dtype=np.int64)
+        cand = self._within_candidates(chain, rows)
+        if cand.size == 0:
+            return np.empty(0, dtype=np.int64)
+        return self._within_verifier(chain, windows, rows)(cand)
 
-        # candidate set: conjunctive; adjacent-equal links need ≥ 2 occs
+    def _within_candidates(
+        self, chain: tuple[str, ...], rows: dict[str, TermPostings]
+    ) -> np.ndarray:
+        """Sorted conjunctive candidate docIDs for a proximity chain:
+        every chain term present; terms with an adjacent equal repeat need
+        tf ≥ 2 (a link requires a DISTINCT neighboring occurrence)."""
+        terms = sorted(set(chain))
         need2 = {
             chain[i] for i in range(len(chain) - 1) if chain[i] == chain[i + 1]
         }
@@ -1112,9 +1184,20 @@ class LocalSearcher:
             cand = cand[mask]
             if t in need2:
                 cand = cand[tfh >= 2]
-        if cand.size == 0:
-            return empty
+        return np.sort(cand)
 
+    def _within_verifier(
+        self,
+        chain: tuple[str, ...],
+        windows: tuple[int, ...],
+        rows: dict[str, TermPostings],
+    ):
+        """Returns verify(docs_sorted) -> sorted subset admitting the chain
+        (position-key fold restricted to docs_sorted) — the lazy-verify
+        callback for _lazy_verified_topk. Key shift/span are computed once
+        per query from the terms' max doc length."""
+        terms = sorted(set(chain))
+        m = self.meta
         dls = np.concatenate(
             [self._decoded(rows[t])[2] for t in terms]
         )
@@ -1128,9 +1211,14 @@ class LocalSearcher:
         SHIFT = np.int64(shift)
         span = np.int64(1 << shift)
 
-        cand = np.sort(cand)
-        keys = {t: self._term_position_keys(rows[t], cand, SHIFT) for t in terms}
-        return _chain_fold_keys(chain, windows, keys, SHIFT, span)
+        def verify(docs_sorted: np.ndarray) -> np.ndarray:
+            keys = {
+                t: self._term_position_keys(rows[t], docs_sorted, SHIFT)
+                for t in terms
+            }
+            return _chain_fold_keys(chain, windows, keys, SHIFT, span)
+
+        return verify
 
     def _positions(self, tp: TermPostings) -> tuple[np.ndarray, np.ndarray]:
         """(flat positions, per-posting offset array) for one term, cached
@@ -1261,54 +1349,17 @@ class LocalSearcher:
             return np.unique(survivors >> SHIFT)
 
         # Scores are phrase-independent BM25 of the terms: score ALL
-        # candidates (O(C) flops — cheap), then verify adjacency in
-        # SCORE-TIER order via argpartition, NOT a full lexsort. Each tier
-        # selects the top-T unverified candidates in O(C); verification
-        # (the O(sum tf) searchsorted chain over cached position streams)
-        # touches only tier docs. Exact stop rule: once ≥ k matches score
-        # STRICTLY above the best unverified candidate, nothing outside the
-        # verified set can reach the top-k (ties included — equal scores
-        # stay in play until verified). Head-pair phrases stop in the first
-        # tier: ~25 ms where score-everything + lexsort + chunked verify
-        # took 97-138 ms and verify-everything took ~550 ms.
+        # candidates (O(C) flops — cheap), then verify adjacency lazily in
+        # score-tier order (_lazy_verified_topk). Head-pair phrases stop in
+        # the first tier: ~25 ms where score-everything + lexsort + chunked
+        # verify took 97-138 ms and verify-everything took ~550 ms.
         norm = p.k1 * (1.0 - p.b + p.b * (dl0.astype(np.float64) / avgdl))
         scores = np.zeros(cand.size, dtype=np.float64)
         for t in terms:  # sorted order — DataFrame-mirror summation
             tf = tf_by[t].astype(np.float64)
             scores = scores + idfs[t] * (tf / (tf + norm))
         scores = np.round(scores, 5)
-
-        C = cand.size
-        verified = np.zeros(C, dtype=bool)
-        m_docs: list[np.ndarray] = []
-        m_scores: list[np.ndarray] = []
-        T = 4096
-        while True:
-            if T >= C:
-                sel = np.flatnonzero(~verified)
-                bound = -np.inf
-            else:
-                part = np.argpartition(-scores, T)
-                pool = part[:T]
-                sel = pool[~verified[pool]]
-                bound = float(scores[part[T:]].max())
-            if sel.size:
-                verified[sel] = True
-                matched = phrase_docs(np.sort(cand[sel]))
-                if matched.size:
-                    at = np.searchsorted(cand, matched)
-                    m_docs.append(matched)
-                    m_scores.append(scores[at])
-            n_above = sum(int((s > bound).sum()) for s in m_scores)
-            if n_above >= k or T >= C:
-                break
-            T *= 8
-        if not m_docs:
-            return []
-        d_all = np.concatenate(m_docs)
-        s_all = np.concatenate(m_scores)
-        top = np.lexsort((d_all, -s_all))[:k]
-        return [(int(d_all[i]), float(s_all[i])) for i in top]
+        return _lazy_verified_topk(cand, scores, phrase_docs, k)
 
     def topk_prefix(
         self, query_text: str, k: int, max_expansions: int = 64

@@ -349,3 +349,31 @@ def test_topk_fuzzy_bool_mode(spark, pos_setup):
     res2, rw2 = s.topk_fuzzy("sparkz <3> index", 8, mode="bool")
     # within operands are exact-match: no rewrite, empty result
     assert rw2 == {} and res2 == []
+
+
+def test_lazy_verify_multi_tier_identity(spark, pos_setup, monkeypatch):
+    """The score-tier lazy verifier (_lazy_verified_topk) normally starts
+    at T=4096, so small fixtures finish in one tier. Force T=1/2/3 so the
+    loop takes MANY tiers (argpartition pools, bound updates, the strict
+    stop rule with ties) and assert results identical to the single-tier
+    answer for both topk_phrase and topk_within — including k=1, k mid,
+    and k larger than the match count."""
+    import discogsography_spark.query.engine as eng
+
+    s = LocalSearcher(pos_setup["idx"])
+    phrase_cases = [("spark index", None), ("turn turn", None), ("merge", None)]
+    within_cases = [
+        ("spark", "index", 3),
+        ("turn", "turn", 2),
+        ("merge", "query", 5),
+    ]
+    for k in (1, 4, 10**6):
+        base_p = {ph: s.topk_phrase(ph, k) for ph, _ in phrase_cases}
+        base_w = {c: s.topk_within(*c, k) for c in within_cases}
+        for tier in (1, 2, 3):
+            monkeypatch.setattr(eng, "_FIRST_TIER", tier)
+            for ph, _ in phrase_cases:
+                assert s.topk_phrase(ph, k) == base_p[ph], (ph, k, tier)
+            for c in within_cases:
+                assert s.topk_within(*c, k) == base_w[c], (c, k, tier)
+            monkeypatch.setattr(eng, "_FIRST_TIER", 4096)
