@@ -117,6 +117,28 @@ def _chain_fold_keys(
     return np.unique(alive >> SHIFT)
 
 
+def _position_keys(
+    d_full: np.ndarray,
+    tf_full: np.ndarray,
+    pos_flat: np.ndarray,
+    off: np.ndarray,
+    docs_sorted: np.ndarray,
+    shift: np.int64,
+) -> np.ndarray:
+    """Sorted (doc << shift | pos) keys restricted to a sorted candidate-doc
+    subset, from one term's decoded (docs, tf) arrays and flat position
+    stream with per-posting offsets."""
+    pi = np.searchsorted(d_full, docs_sorted)  # exact hits guaranteed
+    lens = tf_full[pi]
+    total = int(lens.sum())
+    intra = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+    )
+    flat_idx = np.repeat(off[pi], lens) + intra
+    flat_doc = np.repeat(docs_sorted, lens)
+    return (flat_doc << shift) | pos_flat[flat_idx]
+
+
 _FIRST_TIER = 4096
 
 
@@ -1075,15 +1097,29 @@ class LocalSearcher:
         adjacency and proximity verification."""
         d_full, tf_full, _ = self._decoded(tp)
         pos_flat, off = self._positions(tp)
-        pi = np.searchsorted(d_full, docs_sorted)  # exact hits guaranteed
-        lens = tf_full[pi]
-        total = int(lens.sum())
-        intra = np.arange(total, dtype=np.int64) - np.repeat(
-            np.concatenate(([0], np.cumsum(lens)[:-1])), lens
-        )
-        flat_idx = np.repeat(off[pi], lens) + intra
-        flat_doc = np.repeat(docs_sorted, lens)
-        return (flat_doc << shift) | pos_flat[flat_idx]
+        return _position_keys(d_full, tf_full, pos_flat, off, docs_sorted, shift)
+
+    def _position_key_fn(
+        self, rows: dict[str, TermPostings], terms: list[str]
+    ):
+        """keys(term, docs_sorted) with each term's decoded postings AND
+        position arrays captured in the closure ONCE per query. The lazy
+        score-tier verifier calls keys() per TIER; going through the LRU
+        caches instead would re-decode multi-MB position blobs on every
+        tier whenever head-pair arrays exceed the cache byte budget (the
+        exact 2.3× worst-case regression lazy verification first shipped
+        with)."""
+        dec = {t: self._decoded(rows[t]) for t in terms}
+        pos = {t: self._positions(rows[t]) for t in terms}
+
+        def keys(t: str, docs_sorted: np.ndarray, shift: np.int64) -> np.ndarray:
+            d_full, tf_full, _ = dec[t]
+            pos_flat, off = pos[t]
+            return _position_keys(
+                d_full, tf_full, pos_flat, off, docs_sorted, shift
+            )
+
+        return keys
 
     def topk_within(
         self,
@@ -1210,12 +1246,10 @@ class LocalSearcher:
             )
         SHIFT = np.int64(shift)
         span = np.int64(1 << shift)
+        key_fn = self._position_key_fn(rows, terms)
 
         def verify(docs_sorted: np.ndarray) -> np.ndarray:
-            keys = {
-                t: self._term_position_keys(rows[t], docs_sorted, SHIFT)
-                for t in terms
-            }
+            keys = {t: key_fn(t, docs_sorted, SHIFT) for t in terms}
             return _chain_fold_keys(chain, windows, keys, SHIFT, span)
 
         return verify
@@ -1328,8 +1362,10 @@ class LocalSearcher:
             )
         SHIFT = np.int64(shift)
 
+        key_fn = self._position_key_fn(rows, terms)
+
         def term_keys(t: str, docs_sorted: np.ndarray) -> np.ndarray:
-            return self._term_position_keys(rows[t], docs_sorted, SHIFT)
+            return key_fn(t, docs_sorted, SHIFT)
 
         def phrase_docs(docs_sorted: np.ndarray) -> np.ndarray:
             """Subset of docs_sorted containing the phrase (sorted)."""
