@@ -85,6 +85,45 @@ _K1, _B = 1.2, 0.75
 # served-path SearchService cache (one tiny documents-table index per sf_dir)
 _SERVED: dict[str, object] = {}
 
+# live merged-view index (base + upsert delta + delete tombstones) per sf_dir
+_LIVE_VIEW: dict[str, str] = {}
+
+
+def _live_view_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once live-view fixture for fts_live_upsert_topk: base index
+    over the whole documents table, one upsert delta replacing
+    doc_id % 10 == 0 with `text || ' livepatch'`, one delete batch for
+    doc_id % 7 == 3 (docs hit by both are replaced THEN deleted — both
+    versions tombstoned). conv_id is the zero-padded doc_id so internal
+    docID order matches numeric doc_id order (the oracle's tiebreak)."""
+    cached = _LIVE_VIEW.get(sf_dir)
+    if cached is not None:
+        return cached
+    import tempfile
+
+    from discogsography_spark.index.builder import IndexBuilder
+    from discogsography_spark.streaming.incremental import DeltaIndexWriter
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("doc_id").alias("src_doc_id"),
+        "text",
+    )
+    idx = os.path.join(tempfile.mkdtemp(prefix="live_view_"), "idx")
+    IndexBuilder(idx, num_segments=2).build(docs)
+    w = DeltaIndexWriter(idx)
+    patched = docs.where(F.col("src_doc_id") % 10 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" livepatch"))
+    )
+    w.write_batch(patched, 0, upsert=True)
+    w.write_deletes(
+        docs.where(F.col("src_doc_id") % 7 == 3).select("conv_id", "turn_idx"),
+        1,
+    )
+    _LIVE_VIEW[sf_dir] = idx
+    return idx
+
 # materialized partitionBy(ivf_cell) embedding tables, one per sf_dir
 _IVF_STORE: dict[str, str] = {}
 
@@ -681,6 +720,44 @@ array_sort(
         ).orderBy(F.desc("score"), F.asc("doc_id"))
 
     q["fts_bm25_page"] = fts_bm25_page
+
+    def fts_live_upsert_topk(spark, sf_dir):
+        # LIVE merged view with upserts + deletes (tombstone layer): base
+        # index over every document, then one upsert delta REPLACING
+        # doc_id % 10 == 0 with edited text, then a delete batch killing
+        # doc_id % 7 == 3 — the reference's PG conditional-upsert +
+        # stale-row-purge semantics (tableinator/batch_processor.py
+        # upsert-by-key; SURVEY §2.1 rows 5-8) served from the index
+        # without a rebuild. Full conjunctive ranking over the ALIVE
+        # latest-version corpus; scores equal a fresh rebuild (combined
+        # alive stats), verified by the oracle's latest-version CTE.
+        from discogsography_spark.streaming.incremental import (
+            MergedSearcher,
+            list_deltas,
+        )
+
+        import pandas as pd
+
+        idx = _live_view_index(spark, sf_dir)
+        ms = MergedSearcher(idx)
+        hits = ms.topk("table value", 100000)
+        parts = [os.path.join(idx, "docs")] + [
+            os.path.join(d, "docs")
+            for d in list_deltas(idx)
+            if os.path.isdir(os.path.join(d, "docs"))
+        ]
+        src = (
+            pd.concat(
+                [pd.read_parquet(p, columns=["doc_id", "src_doc_id"]) for p in parts]
+            )
+            .set_index("doc_id")["src_doc_id"]
+        )
+        rows = [(int(src[d]), round(float(s), 5)) for d, s in hits]
+        return spark.createDataFrame(
+            rows, "doc_id long, score double"
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+    q["fts_live_upsert_topk"] = fts_live_upsert_topk
 
     # ---- text analysis family (documents) ----
     def doc_token_count(spark, sf_dir):
@@ -1576,6 +1653,41 @@ def oracle_sql() -> dict[str, str]:
     o["fts_bm25_topk"] = _bm25_oracle(analyze_query("table value"), 20)
     o["fts_bm25_topk_head"] = _bm25_oracle(analyze_query("table"), 50)
     o["fts_bm25_page"] = _bm25_oracle(analyze_query("table value"), 15, offset=10)
+
+    # live upsert/delete view: BM25 over the latest-version ALIVE corpus —
+    # doc_id % 10 == 0 carries the upserted text, doc_id % 7 == 3 is deleted
+    _lv_terms = sorted(set(analyze_query("table value")))
+    _lv_tl = ", ".join(f"'{t}'" for t in _lv_terms)
+    o["fts_live_upsert_topk"] = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' livepatch' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 3
+),
+toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM corpus
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM corpus)::DOUBLE AS n_docs,
+         (SELECT count(*) FROM toks)::DOUBLE AS total_tokens
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ({_lv_tl}) GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         count(*) AS nt,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * (tf.tf / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * (dl.dl / (s.total_tokens / s.n_docs))))) ) AS raw
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw, 5) AS score FROM scored WHERE nt = {len(_lv_terms)}
+ORDER BY score DESC, doc_id ASC LIMIT 100000
+"""
 
     qvals = ", ".join(
         f"('{qid}', '{t}')"

@@ -875,7 +875,10 @@ class MergedSearchService:
         self.searcher = MergedSearcher(index_dir)
         base_meta = self.searcher.base.meta
         self._an = get_analyzer(base_meta.analyzer)
-        self.n_docs = self.searcher.n_docs
+        # facet/text arrays are indexed by docID, so they size to the full
+        # ID SPACE (tombstoned ids keep their slot until compact); dead ids
+        # never appear in matched sets, so they are never counted or shown
+        self.n_docs = self.searcher.id_space
         self._text_lookup = text_lookup
         self._texts: np.ndarray | None = None
         self._facet_codes: dict[str, np.ndarray] = {}

@@ -75,6 +75,15 @@ def list_deltas(index_dir: str) -> list[str]:
     return out
 
 
+def _parquet_nrows(path: str) -> int:
+    """Row count of a Spark-written parquet directory, tolerant of the
+    zero-part-file shape an empty result can produce."""
+    import glob as _glob
+
+    files = _glob.glob(os.path.join(path, "*.parquet"))
+    return sum(len(pd.read_parquet(f)) for f in files) if files else 0
+
+
 def _combined_offsets(index_dir: str) -> tuple[int, int]:
     """(next_doc_id, combined_total_tokens) across base + committed deltas."""
     meta = IndexMeta(index_dir)
@@ -100,7 +109,86 @@ class DeltaIndexWriter:
     def _delta_dir(self, batch_id: int) -> str:
         return os.path.join(_deltas_root(self.index_dir), f"delta-{batch_id:06d}")
 
-    def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+    def _prior_versions(self, keys_df: DataFrame) -> DataFrame:
+        """(doc_id, dl) of every already-indexed document version whose key
+        matches a row of `keys_df` — base docmap + committed delta docmaps.
+        Keys join on the intersection of (conv_id, turn_idx) with
+        `keys_df`'s columns, so a conv_id-only frame deletes whole
+        conversations. The batch-key side broadcasts (micro-batch-sized);
+        the docmap side is a column-pruned parquet scan — the columnar
+        analog of the reference's per-row PG key lookup
+        (tableinator/batch_processor.py upsert SELECT-by-id). At 10^12
+        docs you would bucket the docmap by conv_id hash so the scan
+        prunes to matching buckets; the join shape is unchanged."""
+        cols = [c for c in ("conv_id", "turn_idx") if c in keys_df.columns]
+        if not cols:
+            raise ValueError(
+                "keys_df must carry conv_id (and optionally turn_idx)"
+            )
+        spark = keys_df.sparkSession
+        paths = [os.path.join(self.index_dir, "docs")] + [
+            os.path.join(d, "docs")
+            for d in list_deltas(self.index_dir)
+            if os.path.isdir(os.path.join(d, "docs"))
+        ]
+        from functools import reduce
+
+        # select the key columns per docmap BEFORE unioning: payload
+        # columns may differ across base and deltas (schema AND type —
+        # e.g. ts TIMESTAMP vs TIMESTAMP_NTZ), and only the key/slot
+        # columns are needed here anyway
+        frames = [
+            spark.read.parquet(p)
+            .select("conv_id", "turn_idx", "doc_id", "dl")
+            .where(F.col("doc_id").isNotNull())  # quarantined rows hold no slot
+            for p in paths
+        ]
+        existing = reduce(DataFrame.unionByName, frames)
+        keys = keys_df.select(*cols).distinct()
+        return existing.join(F.broadcast(keys), cols).select("doc_id", "dl")
+
+    def write_deletes(self, keys_df: DataFrame, batch_id: int) -> int:
+        """Delete documents by key — a tombstone-only delta. `keys_df`
+        carries (conv_id, turn_idx) for turn-level deletes or just conv_id
+        for whole-conversation deletes. Returns the number of document
+        versions tombstoned. Idempotent per batch_id (the delta commit
+        contract); dead docIDs keep their dense slot until compact()
+        physically drops them and reassigns the id space — the reference's
+        stale-row purge (SURVEY §2.1 row 8) in LSM form."""
+        final = self._delta_dir(batch_id)
+        if os.path.exists(os.path.join(final, "stats.json")):
+            return 0  # idempotent re-delivery
+        doc_offset, _tt = _combined_offsets(self.index_dir)
+        tomb = self._prior_versions(keys_df)
+        tmp = final + "__tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp, exist_ok=True)
+        tomb.write.mode("overwrite").parquet(
+            os.path.join(tmp, "tombstones.parquet")
+        )
+        n_dead = _parquet_nrows(os.path.join(tmp, "tombstones.parquet"))
+        if n_dead == 0:
+            shutil.rmtree(os.path.join(tmp, "tombstones.parquet"))
+        os.makedirs(_deltas_root(self.index_dir), exist_ok=True)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        _atomic_write_json(
+            os.path.join(final, "stats.json"),
+            {
+                "n_docs": 0,
+                "total_tokens": 0,
+                "doc_offset": doc_offset,
+                "batch_id": batch_id,
+                "n_tombstoned": n_dead,
+            },
+        )
+        return n_dead
+
+    def write_batch(
+        self, batch_df: DataFrame, batch_id: int, upsert: bool = False
+    ) -> None:
         final = self._delta_dir(batch_id)
         if os.path.exists(os.path.join(final, "stats.json")):
             return  # idempotent re-delivery (exactly-once via batch_id)
@@ -222,6 +310,19 @@ class DeltaIndexWriter:
         docs.drop("tokens").write.mode("overwrite").parquet(
             os.path.join(tmp, "docs")
         )
+        n_tombstoned = 0
+        if upsert:
+            # tombstone every prior version of this batch's keys (upsert
+            # semantics: latest write wins, like the reference's PG
+            # conditional upsert). Rides the delta's atomic tmp+rename
+            # commit, so batch_id idempotence covers the tombstones too.
+            tomb_path = os.path.join(tmp, "tombstones.parquet")
+            self._prior_versions(clean).write.mode("overwrite").parquet(
+                tomb_path
+            )
+            n_tombstoned = _parquet_nrows(tomb_path)
+            if n_tombstoned == 0:
+                shutil.rmtree(tomb_path)  # pure-insert batch: no marker
         docs.unpersist()
         os.makedirs(_deltas_root(self.index_dir), exist_ok=True)
         if os.path.isdir(final):
@@ -236,6 +337,7 @@ class DeltaIndexWriter:
                 "doc_offset": doc_offset,
                 "batch_id": batch_id,
                 "n_quarantined_null_key": n_dropped,
+                "n_tombstoned": n_tombstoned,
             },
         )
 
@@ -277,20 +379,44 @@ def _exact_and_scores(
 
 
 class MergedSearcher:
-    """Exact BM25 top-k over base + deltas with combined corpus stats."""
+    """Exact BM25 top-k over base + deltas with combined corpus stats.
+
+    Tombstones (deletes/upserts): any delta may carry a
+    `tombstones.parquet` of (doc_id, dl) rows naming PRIOR document
+    versions killed by that batch (written by DeltaIndexWriter upsert /
+    write_deletes). Dead docIDs keep their slot in the dense ID space
+    (holes until compact() reassigns), but are invisible to every query
+    path — corpus stats (n_docs, avgdl), per-term df, matched sets,
+    positions and scores all reflect the ALIVE corpus only, matching a
+    fresh rebuild on the latest live documents (the reference's
+    PostgreSQL upsert/stale-purge semantics, extractors/*/
+    postgres_writer upsert + api stale-row views, re-expressed as an
+    LSM-style tombstone layer)."""
 
     def __init__(self, index_dir: str):
         recover_compact(index_dir)  # reader-side repair of a crashed swap
         self.index_dir = index_dir
         self.base = LocalSearcher(index_dir)
         self.params: BM25Params = self.base.meta.params
-        self.n_docs, self.total_tokens = _combined_offsets(index_dir)
-        self.avgdl = self.total_tokens / self.n_docs if self.n_docs else 1.0
         self._delta_dirs = list_deltas(index_dir)
+        # id_space = next unassigned docID (dead docs keep their slots
+        # until compact) — array sizing and key packing use THIS; scoring
+        # stats below use the alive counts
+        self.id_space, raw_tt = _combined_offsets(index_dir)
+        self._dead, dead_dl = self._load_tombstones()
+        self.n_docs = self.id_space - int(self._dead.size)
+        self.total_tokens = raw_tt - dead_dl
+        self.avgdl = self.total_tokens / self.n_docs if self.n_docs else 1.0
         self._delta_readers: dict[tuple, object] = {}
-        # term → merged (docs, tf, dl) arrays; deltas are immutable for this
-        # searcher's lifetime, so merged decodes cache like base decodes
+        # term → RAW merged (docs, tf, dl) arrays (dead postings included —
+        # _merged_positions aligns position streams against these); deltas
+        # are immutable for this searcher's lifetime, so merged decodes
+        # cache like base decodes
         self._merged_cache: dict[str, tuple] = {}
+        # term → alive-only merged arrays (only populated when tombstones
+        # exist; _merged_rows returns these so every query path sees the
+        # alive corpus)
+        self._merged_alive_cache: dict[str, tuple] = {}
         # term → concatenated DELTA-side (docs, tf, dl) (None if absent in
         # every delta) — lets repeat queries skip the per-delta parquet
         # row lookups entirely (the fast topk's p50 was 4.2 ms re-reading
@@ -366,7 +492,58 @@ class MergedSearcher:
                 np.concatenate(parts_tf),
                 np.concatenate(parts_dl),
             )
-        return {t: self._merged_cache[t] for t in terms}
+        if not self._dead.size:
+            return {t: self._merged_cache[t] for t in terms}
+        # tombstones present: serve alive-only arrays (df = filtered size,
+        # so idf/scoring/matched sets all reflect the live corpus)
+        out: dict[str, tuple | None] = {}
+        for t in terms:
+            if t in self._merged_alive_cache:
+                out[t] = self._merged_alive_cache[t]
+                continue
+            raw = self._merged_cache[t]
+            if raw is None:
+                alive = None
+            else:
+                d, tf, dl = raw
+                mask = self._alive_posting_mask(d)
+                alive = (
+                    raw if mask.all() else (d[mask], tf[mask], dl[mask])
+                )
+                if alive[0].size == 0:
+                    alive = None  # every posting was a dead doc
+            self._merged_alive_cache[t] = alive
+            out[t] = alive
+        return out
+
+    def _alive_posting_mask(self, docs: np.ndarray) -> np.ndarray:
+        """Boolean mask over a sorted docID array: True where the doc is
+        NOT tombstoned (searchsorted membership against the sorted dead
+        set — O(n log |dead|))."""
+        pos = np.searchsorted(self._dead, docs)
+        ok = pos < self._dead.size
+        dead = np.zeros(docs.size, dtype=bool)
+        dead[ok] = self._dead[pos[ok]] == docs[ok]
+        return ~dead
+
+    def _load_tombstones(self) -> tuple[np.ndarray, int]:
+        """(sorted unique dead docIDs, their summed dl) across all
+        committed deltas' tombstones.parquet. Re-tombstoning an id (two
+        upserts of the same key tombstone the original twice) is deduped
+        here; dl is per-doc so any copy carries the same value."""
+        ids_l, dl_l = [], []
+        for d in self._delta_dirs:
+            p = os.path.join(d, "tombstones.parquet")
+            if os.path.exists(p):
+                pdf = pd.read_parquet(p, columns=["doc_id", "dl"])
+                ids_l.append(pdf["doc_id"].to_numpy(dtype=np.int64))
+                dl_l.append(pdf["dl"].to_numpy(dtype=np.int64))
+        if not ids_l:
+            return np.empty(0, dtype=np.int64), 0
+        ids = np.concatenate(ids_l)
+        dls = np.concatenate(dl_l)
+        uniq, first = np.unique(ids, return_index=True)
+        return uniq, int(dls[first].sum())
 
     def _delta_lists(
         self, terms: list[str]
@@ -417,6 +594,12 @@ class MergedSearcher:
         terms = get_analyzer(self.base.meta.analyzer).analyze_query(query_text)
         if not terms or k <= 0:
             return []
+        if self._dead.size:
+            # tombstones: the base leg's pruned evaluation would surface
+            # dead docs (base posting lists are immutable), so evaluate
+            # exactly over the alive-filtered merged lists. Deletes are a
+            # between-compaction state; compact() restores the fast path.
+            return self.topk_exact(query_text, k)
         uniq = sorted(set(terms))
         base_rows = self.base.lookup_terms(uniq)
         dlists = self._delta_lists(uniq)
@@ -724,7 +907,7 @@ class MergedSearcher:
         # same sizing rule as the engine's topk_within: window offsets are
         # clamped to the doc's key space, so no +16 slack is needed
         shift = max(21, max_dl.bit_length())
-        if self.n_docs >= (1 << (63 - shift)):
+        if self.id_space >= (1 << (63 - shift)):  # dead ids still occupy slots
             raise ValueError("proximity key packing overflow on merged view")
         SHIFT = np.int64(shift)
         span = np.int64(1 << shift)
@@ -776,13 +959,21 @@ class MergedSearcher:
             flat = (
                 np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
             )
-            ent = self._merged_cache.get(t)
+            ent = self._merged_cache.get(t)  # RAW merged arrays — the
+            # positional stream covers every posting incl. tombstoned docs
             tf = ent[1] if ent is not None else np.empty(0, dtype=np.int64)
             if flat.size != int(tf.sum()):
                 raise ValueError(
                     f"positional stream length {flat.size} != merged cf "
                     f"{int(tf.sum())} for {t!r}"
                 )
+            if self._dead.size and ent is not None:
+                # drop dead postings' position runs so the stream aligns
+                # with the alive arrays _merged_rows serves
+                mask = self._alive_posting_mask(ent[0])
+                if not mask.all():
+                    flat = flat[np.repeat(mask, tf)]
+                    tf = tf[mask]
             out[t] = (flat, np.concatenate(([0], np.cumsum(tf))))
         return out
 
@@ -816,7 +1007,7 @@ class MergedSearcher:
         # +16 slack: survivors + j must not wrap into the next doc's key
         # space (the engine paths' sizing rule — engine.py topk_phrase)
         shift = max(21, (max_dl + 16).bit_length())
-        if self.n_docs >= (1 << (63 - shift)):
+        if self.id_space >= (1 << (63 - shift)):  # dead ids still occupy slots
             raise ValueError("phrase key packing overflow on merged view")
         SHIFT = np.int64(shift)
 
@@ -994,11 +1185,38 @@ def compact(spark: SparkSession, index_dir: str) -> int:
         .drop("old_doc_id", "_quarantine_reason", "tokens")
         .withColumnRenamed("doc_id", "old_doc_id")
     )
+    # tombstoned docs (deletes/upsert-replaced versions) are physically
+    # dropped here: anti-join them out of the union docmap BEFORE the dense
+    # reassignment — the postings remap below inner-joins on the
+    # (old→new) map, so dead postings vanish without touching the blobs.
+    # AQE broadcasts the dead side when small (the common case: deletes
+    # accumulated since the last compact).
+    tomb_paths = [
+        os.path.join(d, "tombstones.parquet")
+        for d in deltas
+        if os.path.exists(os.path.join(d, "tombstones.parquet"))
+    ]
+    if tomb_paths:
+        dead = (
+            spark.read.parquet(*tomb_paths)
+            .select(F.col("doc_id").alias("old_doc_id"))
+            .distinct()
+        )
+        union_docs = union_docs.join(dead, "old_doc_id", "left_anti")
     from discogsography_spark.index.docids import assign_doc_ids
 
     new_docs = assign_doc_ids(union_docs)
     new_docs.write.mode("overwrite").parquet(docs_tmp)
     map_df = spark.read.parquet(docs_tmp).select("old_doc_id", "doc_id")
+    if tomb_paths:
+        # stats must describe the ALIVE corpus the new base serves — and
+        # avgdl feeds the re-encoded block-max hints below
+        alive = spark.read.parquet(docs_tmp).agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("tt"),
+        ).collect()[0]
+        n_docs, total_tokens = int(alive["n"]), int(alive["tt"])
+        avgdl = total_tokens / n_docs if n_docs else 1.0
 
     # ---- stage 2: distributed remap + per-term re-encode ----
     seg_dirs = [meta.seg_dir(s) for s in range(num_segments)]
