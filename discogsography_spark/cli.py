@@ -91,6 +91,25 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="fold streaming deltas into the base index")
     c.add_argument("index_dir")
 
+    u = sub.add_parser(
+        "upsert",
+        help="ingest a batch as a delta, replacing prior versions of its "
+        "(conv_id, turn_idx) keys (tombstones; latest write wins)",
+    )
+    u.add_argument("index_dir")
+    u.add_argument("batch", help="transcript rows (same formats as build)")
+    u.add_argument("--batch-id", type=int, required=True)
+    u.add_argument("--format", default="parquet")
+
+    dl = sub.add_parser(
+        "delete",
+        help="delete documents by key — keys parquet with (conv_id, "
+        "turn_idx), or conv_id only for whole conversations",
+    )
+    dl.add_argument("index_dir")
+    dl.add_argument("keys", help="parquet of keys to delete")
+    dl.add_argument("--batch-id", type=int, required=True)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "build":
@@ -250,6 +269,37 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("cli-compact")
         n = compact(spark, args.index_dir)
         print(json.dumps({"deltas_folded": n}))
+        return 0
+
+    if args.cmd == "upsert":
+        from discogsography_spark.session import get_spark
+        from discogsography_spark.sources import load_transcripts
+        from discogsography_spark.streaming.incremental import DeltaIndexWriter
+
+        spark = get_spark("cli-upsert")
+        w = DeltaIndexWriter(args.index_dir)
+        # the SAME schema contract as build: a raw spark.read would infer
+        # ts as TIMESTAMP_NTZ from pandas-written parquet while the base
+        # docmap stores TIMESTAMP, and compact()'s docmap union would fail
+        w.write_batch(
+            load_transcripts(spark, args.batch, format=args.format),
+            args.batch_id,
+            upsert=True,
+        )
+        with open(
+            f"{w._delta_dir(args.batch_id)}/stats.json"
+        ) as f:
+            print(json.dumps(json.load(f)))
+        return 0
+
+    if args.cmd == "delete":
+        from discogsography_spark.session import get_spark
+        from discogsography_spark.streaming.incremental import DeltaIndexWriter
+
+        spark = get_spark("cli-delete")
+        w = DeltaIndexWriter(args.index_dir)
+        n = w.write_deletes(spark.read.parquet(args.keys), args.batch_id)
+        print(json.dumps({"n_tombstoned": n}))
         return 0
 
     return 2

@@ -100,3 +100,45 @@ def test_cli_search_subcommand(built_index):
          "--k", "5", "--mode", "bool"]
     ))
     assert bl["results"]
+
+
+def test_cli_upsert_delete_roundtrip(spark, tmp_path):
+    """upsert replaces prior versions (tombstones), delete kills keys;
+    the merged CLI query sees only the latest alive corpus, and compact
+    folds it all back to a plain index with the same answers."""
+    import pandas as pd
+
+    from discogsography_spark.corpus import make_transcripts
+
+    tdf = make_transcripts(n_conversations=40, mean_turns=4, vocab_size=200)
+    convs = sorted(tdf["conv_id"].unique())
+    src = str(tmp_path / "t.parquet")
+    tdf.to_parquet(src, index=False)
+    idx = str(tmp_path / "idx")
+    _run(["build", src, idx, "--segments", "2"])
+
+    # upsert: rewrite conv[0] with a marker token
+    patch = tdf[tdf["conv_id"] == convs[0]].copy()
+    patch["text"] = patch["text"] + " climarker"
+    pp = str(tmp_path / "patch.parquet")
+    patch.to_parquet(pp, index=False)
+    out = json.loads(_run(["upsert", idx, pp, "--batch-id", "0"]))
+    assert out["n_tombstoned"] == len(patch)
+
+    # delete conv[1] wholesale (conv_id-only keys)
+    kp = str(tmp_path / "keys.parquet")
+    pd.DataFrame({"conv_id": [convs[1]]}).to_parquet(kp, index=False)
+    out = json.loads(_run(["delete", idx, kp, "--batch-id", "1"]))
+    assert out["n_tombstoned"] == int((tdf["conv_id"] == convs[1]).sum())
+
+    from discogsography_spark.streaming.incremental import MergedSearcher
+
+    ms = MergedSearcher(idx)
+    alive = len(tdf) - out["n_tombstoned"]
+    assert ms.n_docs == alive
+    hits = ms.topk("climarker", 10**6)
+    assert len(hits) == len(patch)
+
+    _run(["compact", idx])
+    stats = json.loads(_run(["stats", idx]))
+    assert int(stats["docs"]["n_docs"]) == alive
