@@ -582,6 +582,13 @@ class LocalSearcher:
             self._readers[seg] = _SegmentReader(files) if files else None
         return self._readers[seg]
 
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """term → document frequency (absent terms omitted) — the uniform
+        coordinator stats RPC shared with MergedSearcher.term_dfs, so a
+        sharded tier derives GLOBAL idfs the same way over static and live
+        shards."""
+        return {t: tp.df for t, tp in self.lookup_terms(terms).items()}
+
     def lookup_terms(self, terms: list[str]) -> dict[str, TermPostings]:
         """Segment-pruned, dictionary-indexed term row fetch, memoized per
         term (positive and negative) — repeated head-term queries skip the

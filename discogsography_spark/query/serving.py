@@ -644,12 +644,19 @@ class ShardedSearchService:
         facet_defs: dict[str, str | Callable[[pd.DataFrame], pd.Series]] | None = None,
         text_lookup: Callable[[int], str] | None = None,
         parallel: bool = True,
+        live: bool | None = None,
     ):
+        """`live` (None = auto-detect committed deltas) serves the LIVE
+        sharded tier: per-shard MergedSearchService over base + delta tail
+        + tombstones, ShardedSearcher live fan-out with global ALIVE stats
+        — a streaming deployment's full response at sharded scale, no
+        compaction pause. Static shards keep the SearchService fast path."""
         from discogsography_spark.query.sharded import ShardedSearcher
 
-        self.sharded = ShardedSearcher(index_dirs, parallel=parallel)
+        self.sharded = ShardedSearcher(index_dirs, parallel=parallel, live=live)
+        svc_cls = MergedSearchService if self.sharded.live else SearchService
         self.services = [
-            SearchService(d, facet_defs=facet_defs, text_lookup=text_lookup)
+            svc_cls(d, facet_defs=facet_defs, text_lookup=text_lookup)
             for d in index_dirs
         ]
         self.offsets = self.sharded.offsets
@@ -691,7 +698,7 @@ class ShardedSearchService:
             # into a query string would re-stem suggested terms.
             terms = an.analyze_query(query_text)
             per_shard_rows = self.sharded._fanout(
-                lambda s: s.searcher.lookup_terms(terms), self.services
+                lambda s: s.searcher.term_dfs(terms), self.services
             )
             fixed = []
             for t in terms:
@@ -942,6 +949,7 @@ class MergedSearchService:
         mode: str = "and",
         terms: list[str] | None = None,
         ast_override=None,
+        prefix_expansions: dict[str, list[str]] | None = None,
     ) -> np.ndarray:
         s = self.searcher
         if mode == "bool":
@@ -962,9 +970,14 @@ class MergedSearchService:
                 )
             )
             if ast is not None and has_prefix_nodes(ast):
-                ast = expand_prefix_nodes(
-                    ast, lambda p: s.expand_prefix(p, 64)
-                )
+                if prefix_expansions is not None:
+                    ast = expand_prefix_nodes(
+                        ast, lambda p: prefix_expansions.get(p, [])
+                    )
+                else:
+                    ast = expand_prefix_nodes(
+                        ast, lambda p: s.expand_prefix(p, 64)
+                    )
                 if ast == ("true",):
                     raise BoolQueryError(
                         "prefix expansion produced a match-all query"
@@ -1018,7 +1031,11 @@ class MergedSearchService:
         return out
 
     def _highlight_terms(
-        self, query_text: str, mode: str, ast_override=None
+        self,
+        query_text: str,
+        mode: str,
+        ast_override=None,
+        prefix_expansions: dict[str, list[str]] | None = None,
     ) -> list[str]:
         if mode != "bool":
             return self._an.analyze_query(query_text)
@@ -1037,9 +1054,15 @@ class MergedSearchService:
             )
         )
         if ast is not None and has_prefix_nodes(ast):
-            ast = expand_prefix_nodes(
-                ast, lambda p: self.searcher.expand_prefix(p, 64)
-            )
+            # a live sharded coordinator injects its ONE global rewrite
+            if prefix_expansions is not None:
+                ast = expand_prefix_nodes(
+                    ast, lambda p: prefix_expansions.get(p, [])
+                )
+            else:
+                ast = expand_prefix_nodes(
+                    ast, lambda p: self.searcher.expand_prefix(p, 64)
+                )
         return polarity_terms(ast)[0] if ast is not None else []
 
     def _text_of(self, doc_id: int) -> str:
@@ -1083,17 +1106,27 @@ class MergedSearchService:
         k: int,
         terms: list[str] | None = None,
         ast_override=None,
+        idfs: dict[str, float] | None = None,
+        avgdl: float | None = None,
+        prefix_expansions: dict[str, list[str]] | None = None,
     ) -> list[tuple[int, float]]:
         """Exact BM25 over a pre-filtered matched set, combined base+delta
         stats, sorted-term accumulation — the drill-down ranking contract
-        of SearchService._rank_matched on the live view."""
+        of SearchService._rank_matched on the live view. `idfs`/`avgdl`/
+        `prefix_expansions` inject a live sharded coordinator's GLOBAL
+        stats and its one global prefix rewrite."""
         if matched.size == 0 or k <= 0:
             return []
         s = self.searcher
         p = s.params
+        if avgdl is None:
+            avgdl = s.avgdl
         if terms is None:
             terms = (
-                self._highlight_terms(query_text, mode, ast_override=ast_override)
+                self._highlight_terms(
+                    query_text, mode, ast_override=ast_override,
+                    prefix_expansions=prefix_expansions,
+                )
                 if mode == "bool"
                 else self._an.analyze_query(query_text)
             )
@@ -1109,10 +1142,13 @@ class MergedSearchService:
             mask = np.zeros(matched.size, dtype=bool)
             mask[ok] = d[pos[ok]] == matched[ok]
             sel = pos[mask]
-            idf = p.idf(s.n_docs, int(d.size))
+            idf = (
+                idfs[t] if idfs is not None
+                else p.idf(s.n_docs, int(d.size))
+            )
             tfv = tf[sel].astype(np.float64)
             norm = p.k1 * (
-                1.0 - p.b + p.b * (dl[sel].astype(np.float64) / s.avgdl)
+                1.0 - p.b + p.b * (dl[sel].astype(np.float64) / avgdl)
             )
             scores[mask] = scores[mask] + idf * (tfv / (tfv + norm))
         if matched.size > 4 * k:
@@ -1129,9 +1165,11 @@ class MergedSearchService:
         filter: dict[str, str],
         terms: list[str] | None = None,
         ast_override=None,
+        prefix_expansions: dict[str, list[str]] | None = None,
     ) -> np.ndarray:
         matched = self.matched_docs(
-            query_text, mode=mode, terms=terms, ast_override=ast_override
+            query_text, mode=mode, terms=terms, ast_override=ast_override,
+            prefix_expansions=prefix_expansions,
         )
         keep = np.ones(matched.size, dtype=bool)
         for fname, fval in filter.items():

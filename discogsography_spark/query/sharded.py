@@ -52,10 +52,46 @@ _R = TypeVar("_R")
 
 
 class ShardedSearcher:
-    def __init__(self, index_dirs: list[str], parallel: bool | str = True):
+    def __init__(
+        self,
+        index_dirs: list[str],
+        parallel: bool | str = True,
+        live: bool | None = None,
+    ):
+        """`live` opens each shard as a MergedSearcher over its own
+        base + streaming deltas + tombstones — the LIVE sharded tier (every
+        serving node carries its LSM delta tail between compactions; the
+        reference's continuously-upserted tables, sharded). None
+        auto-detects: live iff any shard directory has committed deltas.
+        Global stats are the ALIVE sums, so live sharded rankings equal a
+        fresh single rebuild over the latest-version alive corpus (tested);
+        global docIDs offset by each shard's id_space (dead ids keep their
+        slots until compact), so they stay unique across shards."""
         if not index_dirs:
             raise ValueError("at least one shard required")
-        self.shards = [LocalSearcher(d) for d in index_dirs]
+        from discogsography_spark.streaming.incremental import list_deltas
+
+        if live is None:
+            live = any(list_deltas(d) for d in index_dirs)
+        self.live = bool(live)
+        if self.live:
+            from discogsography_spark.streaming.incremental import (
+                MergedSearcher,
+            )
+
+            self.shards = [MergedSearcher(d) for d in index_dirs]
+            metas = [s.base.meta for s in self.shards]
+            counts = [s.id_space for s in self.shards]
+            self.n_docs = int(sum(s.n_docs for s in self.shards))
+            self.total_tokens = int(
+                sum(s.total_tokens for s in self.shards)
+            )
+        else:
+            self.shards = [LocalSearcher(d) for d in index_dirs]
+            metas = [s.meta for s in self.shards]
+            counts = [m.n_docs for m in metas]
+            self.n_docs = int(sum(counts))
+            self.total_tokens = int(sum(m.total_tokens for m in metas))
         self._procs = None
         self._pool: ThreadPoolExecutor | None = None
         if len(index_dirs) > 1 and parallel == "thread":
@@ -66,19 +102,16 @@ class ShardedSearcher:
         elif len(index_dirs) > 1 and parallel:
             from discogsography_spark.query.shardpool import ShardWorkerPool
 
-            self._procs = ShardWorkerPool(index_dirs)
-        analyzers = {s.meta.analyzer for s in self.shards}
+            self._procs = ShardWorkerPool(index_dirs, live=self.live)
+        analyzers = {m.analyzer for m in metas}
         if len(analyzers) != 1:
             raise ValueError(f"shards disagree on analyzer: {analyzers}")
         self.analyzer = analyzers.pop()
-        params = {(s.meta.params.k1, s.meta.params.b) for s in self.shards}
+        params = {(m.params.k1, m.params.b) for m in metas}
         if len(params) != 1:
             raise ValueError(f"shards disagree on BM25 params: {params}")
-        self.params = self.shards[0].meta.params
-        counts = [s.meta.n_docs for s in self.shards]
+        self.params = metas[0].params
         self.offsets = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)
-        self.n_docs = int(sum(counts))
-        self.total_tokens = int(sum(s.meta.total_tokens for s in self.shards))
         self.avgdl = self.total_tokens / self.n_docs if self.n_docs else 1.0
 
     def close(self) -> None:
@@ -120,8 +153,7 @@ class ShardedSearcher:
             )
         else:
             per_shard_dfs = self._fanout(
-                lambda s: {t: tp.df for t, tp in s.lookup_terms(terms).items()},
-                self.shards,
+                lambda s: s.term_dfs(terms), self.shards
             )
         gdf = {t: sum(r[t] for r in per_shard_dfs if t in r) for t in terms}
         idfs = {

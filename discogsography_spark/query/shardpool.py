@@ -30,14 +30,19 @@ import multiprocessing as mp
 import os
 
 
-def _worker_main(conn, shard_dir: str) -> None:
+def _worker_main(conn, shard_dir: str, live: bool = False) -> None:
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))))
-    from discogsography_spark.query.engine import LocalSearcher
+    if live:
+        from discogsography_spark.streaming.incremental import MergedSearcher
 
-    searcher = LocalSearcher(shard_dir)
+        searcher = MergedSearcher(shard_dir)
+    else:
+        from discogsography_spark.query.engine import LocalSearcher
+
+        searcher = LocalSearcher(shard_dir)
     while True:
         try:
             msg = conn.recv()
@@ -48,8 +53,7 @@ def _worker_main(conn, shard_dir: str) -> None:
         method, kwargs = msg
         try:
             if method == "term_stats":
-                rows = searcher.lookup_terms(kwargs["terms"])
-                out = {t: tp.df for t, tp in rows.items()}
+                out = searcher.term_dfs(kwargs["terms"])
             else:
                 out = getattr(searcher, method)(**kwargs)
             conn.send((True, out))
@@ -121,8 +125,14 @@ class ShardWorkerPool:
     """One forked worker per shard; requests fan out, responses gather in
     shard order. Single-coordinator use (calls are not thread-safe)."""
 
-    def __init__(self, shard_dirs: list[str], start_method: str | None = None):
+    def __init__(
+        self,
+        shard_dirs: list[str],
+        start_method: str | None = None,
+        live: bool = False,
+    ):
         self._dirs = list(shard_dirs)
+        self._live = live  # workers open MergedSearcher (base+deltas+tombs)
         self._ctx = mp.get_context(start_method or _pick_start_method())
         self._conns = []
         self._procs = []
@@ -134,7 +144,9 @@ class ShardWorkerPool:
     def _spawn(self, i: int) -> None:
         parent, child = self._ctx.Pipe()
         p = self._ctx.Process(
-            target=_worker_main, args=(child, self._dirs[i]), daemon=True
+            target=_worker_main,
+            args=(child, self._dirs[i], self._live),
+            daemon=True,
         )
         p.start()
         child.close()

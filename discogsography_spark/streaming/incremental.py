@@ -378,6 +378,40 @@ def _exact_and_scores(
     return [(int(cand[i]), float(score[i])) for i in order]
 
 
+def _exact_or_scores(
+    terms: list[str],
+    lists: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray] | None],
+    idfs: dict[str, float],
+    p,
+    avgdl: float,
+    k: int,
+) -> list[tuple[int, float]]:
+    """Exact disjunctive BM25 over per-term (docs, tf, dl) arrays: union
+    candidates, sorted-term probe/accumulate (absent term contributes
+    nothing) — the OR counterpart of _exact_and_scores, shared by
+    MergedSearcher._topk_or's delta leg and its tombstone fallback."""
+    present = sorted(t for t in set(terms) if lists.get(t) is not None)
+    if not present:
+        return []
+    arrs = [lists[t][0] for t in present]
+    cand = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for t in present:  # sorted order — fixed float64 summation order
+        d, tf, dl = lists[t]
+        pos = np.searchsorted(d, cand)
+        ok = pos < d.size
+        mask = np.zeros(cand.size, dtype=bool)
+        mask[ok] = d[pos[ok]] == cand[ok]
+        sel = pos[mask]
+        tfv = tf[sel].astype(np.float64)
+        norm = p.k1 * (
+            1.0 - p.b + p.b * (dl[sel].astype(np.float64) / avgdl)
+        )
+        scores[mask] = scores[mask] + idfs[t] * (tfv / (tfv + norm))
+    order = np.lexsort((cand, -scores))[:k]
+    return [(int(cand[i]), float(scores[i])) for i in order]
+
+
 class MergedSearcher:
     """Exact BM25 top-k over base + deltas with combined corpus stats.
 
@@ -575,6 +609,17 @@ class MergedSearcher:
                 )
         return {t: self._delta_list_cache[t] for t in terms}
 
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """term → ALIVE document frequency over the live view (absent
+        terms omitted) — the coordinator stats RPC of the sharded live
+        tier (ShardedSearcher live mode derives GLOBAL idfs from these
+        without moving posting data)."""
+        return {
+            t: int(ent[0].size)
+            for t, ent in self._merged_rows(sorted(set(terms))).items()
+            if ent is not None
+        }
+
     def topk(self, query_text: str, k: int) -> list[tuple[int, float]]:
         """Exact BM25 conjunctive top-k over the live base+delta view.
 
@@ -594,34 +639,108 @@ class MergedSearcher:
         terms = get_analyzer(self.base.meta.analyzer).analyze_query(query_text)
         if not terms or k <= 0:
             return []
+        return self._topk_and(terms, k)
+
+    def _topk_and(
+        self,
+        terms: list[str],
+        k: int,
+        idfs: dict[str, float] | None = None,
+        avgdl: float | None = None,
+    ) -> list[tuple[int, float]]:
+        """Conjunctive evaluator with optional injected GLOBAL stats — the
+        method a live sharded coordinator fans out to (the LocalSearcher
+        `_topk_and` contract on the merged view). Local stats when None."""
         if self._dead.size:
             # tombstones: the base leg's pruned evaluation would surface
             # dead docs (base posting lists are immutable), so evaluate
             # exactly over the alive-filtered merged lists. Deletes are a
             # between-compaction state; compact() restores the fast path.
-            return self.topk_exact(query_text, k)
+            return self._exact_and(terms, k, idfs=idfs, avgdl=avgdl)
         uniq = sorted(set(terms))
         base_rows = self.base.lookup_terms(uniq)
         dlists = self._delta_lists(uniq)
         p = self.params
-        idfs: dict[str, float] = {}
-        for t in uniq:
-            df = int(base_rows[t].df) if t in base_rows else 0
-            if dlists[t] is not None:
-                df += int(dlists[t][0].size)
-            if df == 0:
-                return []  # conjunctive AND: term absent everywhere
-            idfs[t] = p.idf(self.n_docs, df)
+        if avgdl is None:
+            avgdl = self.avgdl
+        if idfs is None:
+            idfs = {}
+            for t in uniq:
+                df = int(base_rows[t].df) if t in base_rows else 0
+                if dlists[t] is not None:
+                    df += int(dlists[t][0].size)
+                if df == 0:
+                    return []  # conjunctive AND: term absent everywhere
+                idfs[t] = p.idf(self.n_docs, df)
+        elif any(
+            t not in base_rows and dlists[t] is None for t in uniq
+        ):
+            return []  # conjunctive AND: term absent from this view
         hits: list[tuple[int, float]] = []
         if len(base_rows) == len(uniq):  # base can host a full AND match
             hits.extend(
-                self.base._topk_and(terms, k, idfs=idfs, avgdl=self.avgdl)
+                self.base._topk_and(terms, k, idfs=idfs, avgdl=avgdl)
             )
         if all(dlists[t] is not None for t in uniq):  # so can the deltas
             lists = {t: dlists[t] for t in uniq}
             hits.extend(
-                _exact_and_scores(terms, lists, idfs, p, self.avgdl, k)
+                _exact_and_scores(terms, lists, idfs, p, avgdl, k)
             )
+        hits.sort(key=lambda h: (-h[1], h[0]))
+        return hits[:k]
+
+    def _topk_or(
+        self,
+        terms: list[str],
+        k: int,
+        idfs: dict[str, float] | None = None,
+        avgdl: float | None = None,
+    ) -> list[tuple[int, float]]:
+        """Disjunctive evaluator with optional injected GLOBAL stats (the
+        sharded live coordinator's OR fan-out). No tombstones: two pruned
+        legs — LocalSearcher's WAND-family `_topk_or` on the base with the
+        view's stats injected, exact OR over the concatenated delta lists
+        (doc ranges disjoint, so each doc's whole OR score lives on one
+        side and the union of the legs' top-k contains the true top-k).
+        Tombstones present: exact OR over the alive-filtered merged lists
+        (the between-compaction state)."""
+        uniq = sorted(set(terms))
+        if not uniq or k <= 0:
+            return []
+        p = self.params
+        if avgdl is None:
+            avgdl = self.avgdl
+        if self._dead.size:
+            merged = self._merged_rows(uniq)
+            if idfs is None:
+                idfs = {
+                    t: p.idf(self.n_docs, int(ent[0].size))
+                    for t, ent in merged.items()
+                    if ent is not None
+                }
+            return _exact_or_scores(uniq, merged, idfs, p, avgdl, k)
+        base_rows = self.base.lookup_terms(uniq)
+        dlists = self._delta_lists(uniq)
+        if idfs is None:
+            idfs = {}
+            for t in uniq:
+                df = int(base_rows[t].df) if t in base_rows else 0
+                if dlists[t] is not None:
+                    df += int(dlists[t][0].size)
+                if df > 0:
+                    idfs[t] = p.idf(self.n_docs, df)
+        hits: list[tuple[int, float]] = []
+        if base_rows:
+            hits.extend(
+                self.base._topk_or(
+                    [t for t in uniq if t in base_rows],
+                    k,
+                    idfs=idfs,
+                    avgdl=avgdl,
+                )
+            )
+        if any(dlists[t] is not None for t in uniq):
+            hits.extend(_exact_or_scores(uniq, dlists, idfs, p, avgdl, k))
         hits.sort(key=lambda h: (-h[1], h[0]))
         return hits[:k]
 
@@ -632,18 +751,32 @@ class MergedSearcher:
         from discogsography_spark.analysis import get_analyzer
 
         terms = get_analyzer(self.base.meta.analyzer).analyze_query(query_text)
-        if not terms:
+        if not terms or k <= 0:
             return []
-        merged_all = self._merged_rows(terms)
+        return self._exact_and(terms, k)
+
+    def _exact_and(
+        self,
+        terms: list[str],
+        k: int,
+        idfs: dict[str, float] | None = None,
+        avgdl: float | None = None,
+    ) -> list[tuple[int, float]]:
+        merged_all = self._merged_rows(sorted(set(terms)))
         merged: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-        for t in terms:
+        for t in set(terms):
             ent = merged_all[t]
             if ent is None:
                 return []  # conjunctive AND: term absent everywhere
             merged[t] = ent
         p = self.params
-        idfs = {t: p.idf(self.n_docs, int(merged[t][0].size)) for t in terms}
-        return _exact_and_scores(terms, merged, idfs, p, self.avgdl, k)
+        if avgdl is None:
+            avgdl = self.avgdl
+        if idfs is None:
+            idfs = {
+                t: p.idf(self.n_docs, int(merged[t][0].size)) for t in merged
+            }
+        return _exact_and_scores(terms, merged, idfs, p, avgdl, k)
 
     def suggest_terms(
         self, word: str, k: int = 10, min_sim: float = 0.3
@@ -727,14 +860,22 @@ class MergedSearcher:
         return self.topk_bool(query_text, k, ast_override=node), rewrites
 
     def topk_bool(
-        self, query_text: str, k: int, ast_override=None
+        self,
+        query_text: str,
+        k: int,
+        ast_override=None,
+        idfs: dict[str, float] | None = None,
+        avgdl: float | None = None,
+        prefix_expansions: dict[str, list[str]] | None = None,
     ) -> list[tuple[int, float]]:
         """Boolean AND/OR/NOT BM25 over the live base+delta view — the same
         grammar/scoring contract as LocalSearcher.topk_bool (boolquery.py),
         with df/avgdl from the COMBINED corpus so scores equal a fresh
         whole-corpus rebuild. This is also the merged view's disjunctive
         path (`a OR b`). `ast_override` supplies a pre-parsed (possibly
-        fuzzy-rewritten) AST."""
+        fuzzy-rewritten) AST; `idfs`/`avgdl`/`prefix_expansions` inject a
+        live sharded coordinator's GLOBAL stats and its one global prefix
+        rewrite (every shard must evaluate the identical expansion)."""
         from discogsography_spark.analysis import get_analyzer
         from discogsography_spark.query.boolquery import (
             eval_docsets,
@@ -762,8 +903,16 @@ class MergedSearcher:
             # dictionaries are sorted in memory by _SegmentReader, so each
             # contributes a binary-searched range — same rule as the base),
             # keeping the capped term-ASC rewrite identical to a fresh
-            # whole-corpus rebuild's
-            ast = expand_prefix_nodes(ast, lambda p: self.expand_prefix(p, 64))
+            # whole-corpus rebuild's; a sharded coordinator injects its
+            # one GLOBAL rewrite instead
+            if prefix_expansions is not None:
+                ast = expand_prefix_nodes(
+                    ast, lambda p: prefix_expansions.get(p, [])
+                )
+            else:
+                ast = expand_prefix_nodes(
+                    ast, lambda p: self.expand_prefix(p, 64)
+                )
             if ast is None:
                 return []
             if ast == ("true",):  # defensive: parser rejects vacuous forms
@@ -784,6 +933,8 @@ class MergedSearcher:
             return []
 
         p = self.params
+        if avgdl is None:
+            avgdl = self.avgdl
         present = [t for t in pos_terms if merged[t] is not None]
         scores = np.zeros(cand.size, dtype=np.float64)
         for t in present:  # sorted order — fixed float64 summation order
@@ -793,10 +944,13 @@ class MergedSearcher:
             mask = np.zeros(cand.size, dtype=bool)
             mask[ok] = d[pos[ok]] == cand[ok]
             sel = pos[mask]
-            idf = p.idf(self.n_docs, int(d.size))
+            idf = (
+                idfs[t] if idfs is not None
+                else p.idf(self.n_docs, int(d.size))
+            )
             tfv = tf[sel].astype(np.float64)
             norm = p.k1 * (
-                1.0 - p.b + p.b * (dl[sel].astype(np.float64) / self.avgdl)
+                1.0 - p.b + p.b * (dl[sel].astype(np.float64) / avgdl)
             )
             scores[mask] = scores[mask] + idf * (tfv / (tfv + norm))
         order = np.lexsort((cand, -scores))[:k]
@@ -822,13 +976,98 @@ class MergedSearcher:
                         found.update(terms[lo:hi].tolist())
         return sorted(found)[:max_expansions]
 
+    def expand_prefixes(
+        self, prefixes: list[str], max_expansions: int = 64
+    ) -> dict[str, list[str]]:
+        """Batched expand_prefix — one coordinator RPC per query instead of
+        one per prefix (LocalSearcher.expand_prefixes's contract on the
+        live view)."""
+        return {p: self.expand_prefix(p, max_expansions) for p in prefixes}
+
+    def _topk_prefix_uncached(
+        self,
+        prefixes: list[str],
+        k: int,
+        max_expansions: int,
+        exp: dict[str, list[str]] | None = None,
+        idfs: dict[str, float] | None = None,
+        avgdl: float | None = None,
+    ) -> list[tuple[int, float]]:
+        """Autocomplete-prefix top-k over the live view — LocalSearcher's
+        evaluator contract (conjunctive across prefixes, distinct-union-term
+        scoring, 5dp, (score DESC, doc ASC)) on the alive merged lists, with
+        optional injected GLOBAL expansion map + stats from a live sharded
+        coordinator."""
+        if exp is None:
+            exp = self.expand_prefixes(prefixes, max_expansions)
+        if any(not ts for ts in exp.values()):
+            return []  # conjunctive across prefixes: an empty expansion fails
+        union_terms = sorted({t for ts in exp.values() for t in ts})
+        merged = self._merged_rows(union_terms)
+        p = self.params
+        if avgdl is None:
+            avgdl = self.avgdl
+
+        # candidates: docs matching at least one expansion of EVERY prefix
+        pres: np.ndarray | None = None
+        for pre in prefixes:
+            arrs = [
+                merged[t][0]
+                for t in exp[pre]
+                if merged.get(t) is not None
+            ]
+            if not arrs:
+                return []
+            pu = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+            pres = (
+                pu
+                if pres is None
+                else np.intersect1d(pres, pu, assume_unique=True)
+            )
+            if pres.size == 0:
+                return []
+
+        # distinct-union-term scoring, term-sorted accumulation per doc
+        scores = np.zeros(pres.size, dtype=np.float64)
+        for t in union_terms:
+            ent = merged.get(t)
+            if ent is None:
+                continue
+            d, tf, dl = ent
+            pos = np.searchsorted(d, pres)
+            ok = pos < d.size
+            mask = np.zeros(pres.size, dtype=bool)
+            mask[ok] = d[pos[ok]] == pres[ok]
+            if not mask.any():
+                continue
+            sel = pos[mask]
+            idf = (
+                idfs[t] if idfs is not None
+                else p.idf(self.n_docs, int(d.size))
+            )
+            tfv = tf[sel].astype(np.float64)
+            norm = p.k1 * (
+                1.0 - p.b + p.b * (dl[sel].astype(np.float64) / avgdl)
+            )
+            scores[mask] = scores[mask] + idf * (tfv / (tfv + norm))
+        scores = np.round(scores, 5)
+        order = np.lexsort((pres, -scores))[:k]
+        return [(int(pres[i]), float(scores[i])) for i in order]
+
     def topk_within(
-        self, word1: str, word2: str, window: int, k: int
+        self,
+        word1: str,
+        word2: str,
+        window: int,
+        k: int,
+        idfs: dict[str, float] | None = None,
+        avgdl: float | None = None,
     ) -> list[tuple[int, float]]:
         """Proximity top-k (`a <N> b`, either order) over the LIVE merged
         view — LocalSearcher.topk_within semantics (conjunctive BM25 of the
         two terms, combined corpus stats, 5dp rounding) without pausing
-        between compactions. Simple verify-all shape, like merged phrase."""
+        between compactions. Simple verify-all shape, like merged phrase.
+        `idfs`/`avgdl` inject GLOBAL stats from a live sharded coordinator."""
         from discogsography_spark.analysis import get_analyzer
 
         an = get_analyzer(self.base.meta.analyzer)
@@ -848,7 +1087,12 @@ class MergedSearcher:
         # exact conjunctive BM25 over the matched set, combined stats,
         # sorted-term accumulation (the repo-wide float contract), 5dp
         p = self.params
-        idfs = {t: p.idf(self.n_docs, int(merged[t][0].size)) for t in terms}
+        if avgdl is None:
+            avgdl = self.avgdl
+        if idfs is None:
+            idfs = {
+                t: p.idf(self.n_docs, int(merged[t][0].size)) for t in terms
+            }
         scores = np.zeros(matched.size, dtype=np.float64)
         norm: np.ndarray | None = None
         for t in terms:
@@ -856,7 +1100,7 @@ class MergedSearcher:
             pos = np.searchsorted(d, matched)  # exact hits (matched ⊆ d)
             if norm is None:
                 norm = p.k1 * (
-                    1.0 - p.b + p.b * (dl[pos].astype(np.float64) / self.avgdl)
+                    1.0 - p.b + p.b * (dl[pos].astype(np.float64) / avgdl)
                 )
             tfv = tf[pos].astype(np.float64)
             scores = scores + idfs[t] * (tfv / (tfv + norm))
@@ -1046,12 +1290,19 @@ class MergedSearcher:
             st[0] if st is not None else np.empty(0, dtype=np.int64)
         )
 
-    def topk_phrase(self, phrase: str, k: int) -> list[tuple[int, float]]:
+    def topk_phrase(
+        self,
+        phrase: str,
+        k: int,
+        idfs: dict[str, float] | None = None,
+        avgdl: float | None = None,
+    ) -> list[tuple[int, float]]:
         """Exact-phrase BM25 top-k over the LIVE merged view (base + deltas,
         combined corpus stats) — phrase capability does not pause between
         compactions. Simple verify-all shape (merged deltas are the
         between-compaction state; the latency-tiered evaluator lives on the
-        compacted LocalSearcher path)."""
+        compacted LocalSearcher path). `idfs`/`avgdl` inject GLOBAL stats
+        from a live sharded coordinator."""
         from discogsography_spark.analysis import get_analyzer
 
         an = get_analyzer(self.base.meta.analyzer)
@@ -1065,9 +1316,14 @@ class MergedSearcher:
         matched, cand, tf_by, dl0, merged = st
         sel = np.searchsorted(cand, matched)
         p = self.params
-        idfs = {t: p.idf(self.n_docs, int(merged[t][0].size)) for t in terms}
+        if avgdl is None:
+            avgdl = self.avgdl
+        if idfs is None:
+            idfs = {
+                t: p.idf(self.n_docs, int(merged[t][0].size)) for t in terms
+            }
         norm = p.k1 * (
-            1.0 - p.b + p.b * (dl0[sel].astype(np.float64) / self.avgdl)
+            1.0 - p.b + p.b * (dl0[sel].astype(np.float64) / avgdl)
         )
         score = np.zeros(matched.shape, dtype=np.float64)
         for t in terms:

@@ -1,0 +1,280 @@
+"""LIVE sharded serving: ShardedSearcher over per-shard MergedSearchers.
+
+The 10^12 architecture meets the LSM mutation layer: each doc-range shard
+carries its own streaming delta tail (upserts tombstoning prior versions,
+deletes) and the coordinator fans out with GLOBAL ALIVE stats — n_docs /
+total_tokens summed over per-shard alive counts, per-term df from the
+merged alive lists. Contract: every query mode over the live sharded view
+answers EXACTLY like a fresh single-index rebuild over the global
+latest-version alive corpus (full (key, score) relations — docID spaces
+differ), across sequential, worker-process, and thread fan-out.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from discogsography_spark.analysis import get_analyzer
+from discogsography_spark.corpus import make_transcripts
+from discogsography_spark.index.builder import IndexBuilder
+from discogsography_spark.query.engine import LocalSearcher
+from discogsography_spark.query.sharded import ShardedSearcher
+from discogsography_spark.streaming.incremental import (
+    DeltaIndexWriter,
+    list_deltas,
+)
+
+BIGK = 10**6
+
+
+def _build(spark, path: str, pdf: pd.DataFrame) -> None:
+    p = path + ".parquet"
+    pdf.to_parquet(p, index=False)
+    IndexBuilder(
+        path,
+        num_segments=4,
+        head_df_threshold=10**9,
+        with_positions=True,
+        store_text=True,
+    ).build(spark.read.parquet(p))
+
+
+@pytest.fixture(scope="module")
+def live_shards(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("live_shards"))
+    tdf = make_transcripts(n_conversations=150, mean_turns=5, vocab_size=300)
+    convs = sorted(tdf["conv_id"].unique())
+    # three doc-range shards; the third stays static (no deltas) — a live
+    # deployment mid-rollout has mixed shards and must still answer exactly
+    ranges = [convs[:45], convs[45:90], convs[90:120]]
+    extra_convs = convs[120:]
+
+    latest: dict[str, pd.DataFrame] = {}
+    shard_dirs: list[str] = []
+    for i, cs in enumerate(ranges):
+        base = tdf[tdf["conv_id"].isin(cs)].reset_index(drop=True)
+        sd = os.path.join(d, f"shard{i}")
+        _build(spark, sd, base)
+        for c in cs:
+            latest[c] = tdf[tdf["conv_id"] == c]
+        if i < 2:  # shards 0/1 mutate; shard 2 is static
+            w = DeltaIndexWriter(sd)
+            repl = base[base["conv_id"].isin(cs[:5])].copy()
+            repl["text"] = repl["text"] + " editz"
+            newc = extra_convs[i * 10 : (i + 1) * 10]
+            b0 = pd.concat(
+                [tdf[tdf["conv_id"].isin(newc)], repl], ignore_index=True
+            )
+            p0 = os.path.join(d, f"b0_{i}.parquet")
+            b0.to_parquet(p0, index=False)
+            w.write_batch(spark.read.parquet(p0), 0, upsert=True)
+            w.write_deletes(
+                spark.createDataFrame(pd.DataFrame({"conv_id": cs[5:8]})), 1
+            )
+            for c in cs[:5]:
+                t = tdf[tdf["conv_id"] == c].copy()
+                t["text"] = t["text"] + " editz"
+                latest[c] = t
+            for c in newc:
+                latest[c] = tdf[tdf["conv_id"] == c]
+            for c in cs[5:8]:
+                del latest[c]
+        shard_dirs.append(sd)
+
+    alive = pd.concat(latest.values(), ignore_index=True)
+    ref_dir = os.path.join(d, "ref")
+    _build(spark, ref_dir, alive)
+    return {
+        "shard_dirs": shard_dirs,
+        "ref_dir": ref_dir,
+        "alive": alive,
+        "dir": d,
+    }
+
+
+def _ref_keymap(ref_dir: str) -> dict:
+    dm = pd.read_parquet(
+        os.path.join(ref_dir, "docs"), columns=["doc_id", "conv_id", "turn_idx"]
+    )
+    return {
+        int(r.doc_id): (r.conv_id, int(r.turn_idx)) for r in dm.itertuples()
+    }
+
+
+def _shard_keymap(sh: ShardedSearcher, shard_dirs: list[str]) -> dict:
+    km = {}
+    for i, sd in enumerate(shard_dirs):
+        parts = [os.path.join(sd, "docs")] + [
+            os.path.join(dd, "docs")
+            for dd in list_deltas(sd)
+            if os.path.isdir(os.path.join(dd, "docs"))
+        ]
+        dm = pd.concat(
+            [
+                pd.read_parquet(p, columns=["doc_id", "conv_id", "turn_idx"])
+                for p in parts
+            ],
+            ignore_index=True,
+        )
+        off = int(sh.offsets[i])
+        for r in dm.itertuples():
+            if pd.notna(r.doc_id):
+                km[off + int(r.doc_id)] = (r.conv_id, int(r.turn_idx))
+    return km
+
+
+def _rel(results, keymap):
+    return sorted((keymap[d], round(s, 5)) for d, s in results)
+
+
+def _probe_terms(alive: pd.DataFrame) -> tuple[str, str]:
+    an = get_analyzer("simple")
+    toks = [t for text in alive["text"].head(40) for t in an.tokenize_py(text)]
+    return toks[0], toks[len(toks) // 2]
+
+
+@pytest.mark.parametrize("par", [False, True, "thread"])
+def test_live_sharded_matches_alive_rebuild_all_modes(live_shards, par):
+    sh = ShardedSearcher(live_shards["shard_dirs"], parallel=par)
+    try:
+        assert sh.live  # auto-detected from committed deltas
+        ref = LocalSearcher(live_shards["ref_dir"])
+        alive = live_shards["alive"]
+        assert sh.n_docs == len(alive)
+        assert abs(sh.avgdl - ref.meta.avgdl) < 1e-9
+        skeys = _shard_keymap(sh, live_shards["shard_dirs"])
+        rkeys = _ref_keymap(live_shards["ref_dir"])
+        th, tm = _probe_terms(alive)
+
+        for q in [th, f"{th} {tm}", "editz", f"editz {th}"]:
+            got = _rel(sh.topk(q, BIGK), skeys)
+            want = _rel(ref.topk(q, BIGK, use_result_cache=False), rkeys)
+            assert got == want, ("and", q)
+            got = _rel(sh.topk(q, BIGK, mode="or"), skeys)
+            want = _rel(
+                ref.topk(q, BIGK, mode="or", use_result_cache=False), rkeys
+            )
+            assert got == want, ("or", q)
+
+        got = _rel(sh.topk_phrase(f"{th} {tm}", BIGK), skeys)
+        assert got == _rel(ref.topk_phrase(f"{th} {tm}", BIGK), rkeys)
+        got = _rel(sh.topk_within(th, tm, 3, BIGK), skeys)
+        assert got == _rel(ref.topk_within(th, tm, 3, BIGK), rkeys)
+
+        for q in [
+            f"{th} OR editz",
+            f"editz AND NOT {tm}",
+            f'"{th} {tm}" OR editz',
+            f"edi* AND {th}",
+            f"{th} <3> {tm}",
+        ]:
+            got = _rel(sh.topk_bool(q, BIGK), skeys)
+            want = _rel(ref.topk_bool(q, BIGK, use_result_cache=False), rkeys)
+            assert got == want, ("bool", q)
+
+        got = _rel(sh.topk_prefix("edi", BIGK), skeys)
+        assert got == _rel(
+            ref._topk_prefix_uncached(["edi"], BIGK, 64), rkeys
+        )
+        # fuzzy suggestions over the combined live vocabulary
+        assert sh.suggest_terms("editx", k=3) == ref.suggest_terms(
+            "editx", k=3
+        )
+    finally:
+        sh.close()
+
+
+def test_live_false_override_serves_stale_base(live_shards):
+    """live=False pins the static view: edits/deletes invisible (the
+    pre-r5 behavior, still the right mode for compacted-only layouts)."""
+    sh = ShardedSearcher(
+        live_shards["shard_dirs"], parallel=False, live=False
+    )
+    try:
+        assert not sh.live
+        assert sh.topk("editz", 10) == []  # delta-only term unseen
+    finally:
+        sh.close()
+
+
+def test_static_shards_autodetect_stays_nonlive(spark, tmp_path):
+    tdf = make_transcripts(n_conversations=20, mean_turns=4, vocab_size=200)
+    convs = sorted(tdf["conv_id"].unique())
+    dirs = []
+    for i, cs in enumerate([convs[:10], convs[10:]]):
+        sd = str(tmp_path / f"s{i}")
+        _build(spark, sd, tdf[tdf["conv_id"].isin(cs)].reset_index(drop=True))
+        dirs.append(sd)
+    sh = ShardedSearcher(dirs, parallel=False)
+    try:
+        assert not sh.live  # no deltas anywhere → static LocalSearcher path
+        an = get_analyzer("simple")
+        t = an.tokenize_py(tdf["text"].iloc[0])[0]
+        assert sh.topk(t, 5)
+    finally:
+        sh.close()
+
+
+def test_live_sharded_service_full_response(live_shards):
+    """ShardedSearchService auto-detects live shards and serves the full
+    response (results + total_matched + facets + headlines + pagination +
+    drill-down) exactly like a single SearchService over the alive
+    rebuild — keyed compare, since docID spaces differ."""
+    from discogsography_spark.query.serving import (
+        SearchService,
+        ShardedSearchService,
+    )
+
+    facet_defs = {"role": "role", "tool": "tool"}
+    svc = ShardedSearchService(
+        live_shards["shard_dirs"], facet_defs=facet_defs, parallel=False
+    )
+    ref = SearchService(live_shards["ref_dir"], facet_defs=facet_defs)
+    try:
+        assert svc.sharded.live
+        skeys = _shard_keymap(svc.sharded, live_shards["shard_dirs"])
+        rkeys = _ref_keymap(live_shards["ref_dir"])
+        th, tm = _probe_terms(live_shards["alive"])
+
+        for q, mode in [
+            (f"{th} {tm}", "and"),
+            ("editz", "and"),
+            (f"{th} OR editz", "bool"),
+            (f"edi* AND {th}", "bool"),
+        ]:
+            got = svc.search(q, BIGK, mode=mode, facets=["role", "tool"],
+                             highlight=True)
+            want = ref.search(q, BIGK, mode=mode, facets=["role", "tool"],
+                              highlight=True)
+            assert _rel(got.results, skeys) == _rel(want.results, rkeys), (
+                q, mode)
+            assert got.total_matched == want.total_matched, (q, mode)
+            assert got.facets == want.facets, (q, mode)
+            gh = {skeys[d]: h for d, h in got.headlines.items()}
+            wh = {rkeys[d]: h for d, h in want.headlines.items()}
+            assert gh == wh, (q, mode)
+
+        # pagination: page == deep ranking slice, keyed-identical to single
+        deep = svc.search(th, 30, mode="and").results
+        page = svc.search(th, 10, mode="and", offset=10).results
+        assert _rel(page, skeys) == _rel(deep[10:20], skeys)
+        rp = ref.search(th, 10, mode="and", offset=10).results
+        assert _rel(page, skeys) == _rel(rp, rkeys)
+
+        # drill-down filter re-ranks with global alive stats
+        got = svc.search("editz", BIGK, mode="and", filter={"role": "user"})
+        want = ref.search("editz", BIGK, mode="and", filter={"role": "user"})
+        assert _rel(got.results, skeys) == _rel(want.results, rkeys)
+        assert got.total_matched == want.total_matched
+
+        # did-you-mean over the combined live vocabulary
+        got = svc.search(f"editzz {th}", 10, mode="and", fuzzy=True)
+        want = ref.search(f"editzz {th}", 10, mode="and", fuzzy=True)
+        assert got.rewrites == want.rewrites
+        assert _rel(got.results, skeys) == _rel(want.results, rkeys)
+    finally:
+        svc.close()
