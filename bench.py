@@ -154,6 +154,25 @@ def main() -> None:
     extra["delta_write_sec"] = round(time.time() - t0, 3)
     extra["delta_turns"] = int(2 * n_delta_conv * 10)
 
+    # batch 2: a tombstone-only delta deleting ~0.5% of base conversations
+    # plus a slice of delta-0's — the merged tier below therefore measures
+    # the LIVE MUTATED view (alive-masked stats, postings, and fast-path
+    # pruning), not the append-only happy path. Corpus conv ids are
+    # deterministic (conv-%08d), so the key set needs no corpus scan.
+    import pandas as pd
+
+    n_conv = max(100, int(CONVS_PER_SF * sf))
+    del_keys = [f"conv-{i:08d}" for i in range(0, n_conv, 200)] + [
+        f"zdelta0-conv-{i:08d}" for i in range(0, n_delta_conv, 25)
+    ]
+    t0 = time.time()
+    extra["n_tombstoned"] = int(
+        writer.write_deletes(
+            spark.createDataFrame(pd.DataFrame({"conv_id": del_keys})), 2
+        )
+    )
+    extra["tombstone_write_sec"] = round(time.time() - t0, 3)
+
     # ---- 3. BM25 query latency over the reference query set ----
     # Measured in a FRESH serving process with the builder's Spark session
     # STOPPED, like the reference's architecture (the API server is its own
