@@ -456,6 +456,11 @@ class MergedSearcher:
         # row lookups entirely (the fast topk's p50 was 4.2 ms re-reading
         # them per query vs 0.6 ms cached)
         self._delta_list_cache: dict[str, tuple | None] = {}
+        # tombstone fast-path memos: term → #dead postings in the BASE
+        # list (alive df = raw df − this, no full-list masking), and
+        # term → alive-masked delta arrays
+        self._dead_df_cache: dict[str, int] = {}
+        self._delta_alive_cache2: dict[str, tuple | None] = {}
         self._trigram_index = None  # built lazily by suggest_terms
 
     def _delta_rows(self, delta: str, terms: list[str]) -> dict[str, dict]:
@@ -549,6 +554,88 @@ class MergedSearcher:
             self._merged_alive_cache[t] = alive
             out[t] = alive
         return out
+
+    def _alive_term_stats(
+        self, uniq: list[str]
+    ) -> tuple[dict, dict[str, tuple | None], dict[str, int]]:
+        """(base term rows, alive-masked delta lists, ALIVE df per term)
+        without masking any BASE posting list: alive base df = raw df −
+        |dead ∩ base postings|, an O(|dead| log n) searchsorted over the
+        (cached) decoded docID array — the stats step of the tombstone
+        fast path, which must not pay the exact path's full-list work."""
+        base_rows = self.base.lookup_terms(uniq)
+        dlists = self._delta_lists(uniq)
+        alive_d: dict[str, tuple | None] = {}
+        dfs: dict[str, int] = {}
+        for t in uniq:
+            df = 0
+            if t in base_rows:
+                if t not in self._dead_df_cache:
+                    docs = self.base._decoded(base_rows[t])[0]
+                    pos = np.searchsorted(docs, self._dead)
+                    ok = pos < docs.size
+                    self._dead_df_cache[t] = int(
+                        (docs[pos[ok]] == self._dead[ok]).sum()
+                    )
+                df += int(base_rows[t].df) - self._dead_df_cache[t]
+            ent = dlists[t]
+            if ent is not None:
+                if t not in self._delta_alive_cache2:
+                    mask = self._alive_posting_mask(ent[0])
+                    self._delta_alive_cache2[t] = (
+                        ent
+                        if mask.all()
+                        else (
+                            (ent[0][mask], ent[1][mask], ent[2][mask])
+                            if mask.any()
+                            else None
+                        )
+                    )
+                ent = self._delta_alive_cache2[t]
+            alive_d[t] = ent
+            if ent is not None:
+                df += int(ent[0].size)
+            dfs[t] = df
+        return base_rows, alive_d, dfs
+
+    def _drop_dead(
+        self, hits: list[tuple[int, float]]
+    ) -> list[tuple[int, float]]:
+        if not hits:
+            return hits
+        docs = np.fromiter((d for d, _ in hits), dtype=np.int64, count=len(hits))
+        pos = np.searchsorted(self._dead, docs)
+        ok = pos < self._dead.size
+        dead = np.zeros(docs.size, dtype=bool)
+        dead[ok] = self._dead[pos[ok]] == docs[ok]
+        return [h for h, dd in zip(hits, dead) if not dd]
+
+    def _base_leg_alive(
+        self,
+        method: str,
+        terms: list[str],
+        k: int,
+        idfs: dict[str, float],
+        avgdl: float,
+    ) -> list[tuple[int, float]]:
+        """Pruned base-leg top-k that survives tombstones: oversample the
+        immutable base index's exact pruned ranking (its top-m is the true
+        top-m, dead included), drop dead docs, and retry ONCE at the
+        guaranteed depth k + |dead| iff the filtered page is short AND the
+        base actually had m matches — at most |dead| dead docs can occupy
+        any prefix, so the retry always covers the alive top-k."""
+        fn = getattr(self.base, method)
+        pad = min(int(self._dead.size), max(64, k))
+        got = fn(terms, k + pad, idfs=idfs, avgdl=avgdl)
+        alive = self._drop_dead(got)
+        if (
+            len(alive) < k
+            and len(got) == k + pad
+            and pad < self._dead.size
+        ):
+            got = fn(terms, k + int(self._dead.size), idfs=idfs, avgdl=avgdl)
+            alive = self._drop_dead(got)
+        return alive[:k]
 
     def _alive_posting_mask(self, docs: np.ndarray) -> np.ndarray:
         """Boolean mask over a sorted docID array: True where the doc is
@@ -652,11 +739,12 @@ class MergedSearcher:
         method a live sharded coordinator fans out to (the LocalSearcher
         `_topk_and` contract on the merged view). Local stats when None."""
         if self._dead.size:
-            # tombstones: the base leg's pruned evaluation would surface
-            # dead docs (base posting lists are immutable), so evaluate
-            # exactly over the alive-filtered merged lists. Deletes are a
-            # between-compaction state; compact() restores the fast path.
-            return self._exact_and(terms, k, idfs=idfs, avgdl=avgdl)
+            # tombstone fast path: the base leg's pruned ranking is exact
+            # (dead included), so oversample-filter-retry keeps the
+            # champion/block-max machinery; alive stats come from
+            # O(|dead| log n) searchsorted counts, never full-list masks.
+            # _exact_and stays the reference; equality is tested.
+            return self._tomb_fast_and(terms, k, idfs=idfs, avgdl=avgdl)
         uniq = sorted(set(terms))
         base_rows = self.base.lookup_terms(uniq)
         dlists = self._delta_lists(uniq)
@@ -697,13 +785,13 @@ class MergedSearcher:
         avgdl: float | None = None,
     ) -> list[tuple[int, float]]:
         """Disjunctive evaluator with optional injected GLOBAL stats (the
-        sharded live coordinator's OR fan-out). No tombstones: two pruned
-        legs — LocalSearcher's WAND-family `_topk_or` on the base with the
-        view's stats injected, exact OR over the concatenated delta lists
-        (doc ranges disjoint, so each doc's whole OR score lives on one
-        side and the union of the legs' top-k contains the true top-k).
-        Tombstones present: exact OR over the alive-filtered merged lists
-        (the between-compaction state)."""
+        sharded live coordinator's OR fan-out). Two pruned legs —
+        LocalSearcher's WAND-family `_topk_or` on the base with the view's
+        stats injected, exact OR over the concatenated delta lists (doc
+        ranges disjoint, so each doc's whole OR score lives on one side
+        and the union of the legs' top-k contains the true top-k); under
+        tombstones the base leg oversample-filter-retries (_base_leg_alive)
+        and the delta lists are alive-masked."""
         uniq = sorted(set(terms))
         if not uniq or k <= 0:
             return []
@@ -711,14 +799,27 @@ class MergedSearcher:
         if avgdl is None:
             avgdl = self.avgdl
         if self._dead.size:
-            merged = self._merged_rows(uniq)
+            base_rows, adl, dfs = self._alive_term_stats(uniq)
             if idfs is None:
                 idfs = {
-                    t: p.idf(self.n_docs, int(ent[0].size))
-                    for t, ent in merged.items()
-                    if ent is not None
+                    t: p.idf(self.n_docs, dfs[t])
+                    for t in uniq
+                    if dfs[t] > 0
                 }
-            return _exact_or_scores(uniq, merged, idfs, p, avgdl, k)
+            base_present = [
+                t for t in uniq if t in base_rows and t in idfs
+            ]
+            hits: list[tuple[int, float]] = []
+            if base_present:
+                hits.extend(
+                    self._base_leg_alive(
+                        "_topk_or", base_present, k, idfs, avgdl
+                    )
+                )
+            if any(adl[t] is not None for t in uniq):
+                hits.extend(_exact_or_scores(uniq, adl, idfs, p, avgdl, k))
+            hits.sort(key=lambda h: (-h[1], h[0]))
+            return hits[:k]
         base_rows = self.base.lookup_terms(uniq)
         dlists = self._delta_lists(uniq)
         if idfs is None:
@@ -754,6 +855,41 @@ class MergedSearcher:
         if not terms or k <= 0:
             return []
         return self._exact_and(terms, k)
+
+    def _tomb_fast_and(
+        self,
+        terms: list[str],
+        k: int,
+        idfs: dict[str, float] | None = None,
+        avgdl: float | None = None,
+    ) -> list[tuple[int, float]]:
+        """Conjunctive fast path UNDER tombstones: alive stats from
+        searchsorted dead-counts, pruned base leg via oversample-filter-
+        retry (_base_leg_alive — the base's pruned top-m is exact, dead
+        included, and at most |dead| dead docs occupy any prefix), exact
+        AND over alive-masked delta lists. Bit-identical to _exact_and
+        (tested)."""
+        uniq = sorted(set(terms))
+        if not uniq or k <= 0:
+            return []
+        p = self.params
+        if avgdl is None:
+            avgdl = self.avgdl
+        base_rows, adl, dfs = self._alive_term_stats(uniq)
+        if any(dfs[t] == 0 for t in uniq):
+            return []  # conjunctive AND: term alive nowhere in this view
+        if idfs is None:
+            idfs = {t: p.idf(self.n_docs, dfs[t]) for t in uniq}
+        hits: list[tuple[int, float]] = []
+        if len(base_rows) == len(uniq):  # base can host a full AND match
+            hits.extend(
+                self._base_leg_alive("_topk_and", terms, k, idfs, avgdl)
+            )
+        if all(adl[t] is not None for t in uniq):  # so can the deltas
+            lists = {t: adl[t] for t in uniq}
+            hits.extend(_exact_and_scores(terms, lists, idfs, p, avgdl, k))
+        hits.sort(key=lambda h: (-h[1], h[0]))
+        return hits[:k]
 
     def _exact_and(
         self,

@@ -334,3 +334,66 @@ def test_second_upsert_of_same_key(spark, tomb_setup):
     assert hits_edit == set(tomb_setup["replaced_convs"][3:])
     # alive count: same as before (replacement is 1:1)
     assert ms.n_docs == len(tomb_setup["alive"])
+
+
+def test_tomb_fast_path_retry_when_top_ranks_are_dead(spark, tmp_path):
+    """Force the tombstone fast path's guaranteed-depth retry: 220 docs
+    carry the probe term with descending tf, the 150 best-ranked are
+    deleted, so the first oversampled base page (k + 64) is mostly dead
+    and the alive page must come from the retry at k + |dead|. Fast AND /
+    OR legs must equal the exact evaluators and a fresh alive rebuild."""
+    rows = []
+    for i in range(220):
+        tf = 220 - i  # rank order = doc order
+        rows.append(
+            {
+                "conv_id": f"conv-{i:04d}",
+                "turn_idx": 0,
+                "role": "user",
+                "tool": None,
+                "ts": pd.Timestamp("2026-01-01"),
+                "text": "zzprobe " * tf + "yyfill",
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    base_p = str(tmp_path / "base.parquet")
+    pdf.to_parquet(base_p, index=False)
+    idx = str(tmp_path / "idx")
+    IndexBuilder(idx, num_segments=2, head_df_threshold=10**9).build(
+        spark.read.parquet(base_p)
+    )
+    w = DeltaIndexWriter(idx)
+    dead_convs = [f"conv-{i:04d}" for i in range(150)]
+    n = w.write_deletes(
+        spark.createDataFrame(pd.DataFrame({"conv_id": dead_convs})), 0
+    )
+    assert n == 150
+
+    alive_pdf = pdf.iloc[150:].reset_index(drop=True)
+    ref_p = str(tmp_path / "alive.parquet")
+    alive_pdf.to_parquet(ref_p, index=False)
+    ref_idx = str(tmp_path / "ref")
+    IndexBuilder(ref_idx, num_segments=2, head_df_threshold=10**9).build(
+        spark.read.parquet(ref_p)
+    )
+
+    ms = MergedSearcher(idx)
+    ref = LocalSearcher(ref_idx)
+    live_keys = _keyed(ms, _docmap(idx))
+    ref_keys = _keyed(ref, _docmap(ref_idx))
+    assert ms._dead.size == 150  # pad = max(64, k) < |dead| → retry armed
+
+    for k in (5, 10, 80):
+        fast = ms.topk("zzprobe", k)
+        assert fast == ms.topk_exact("zzprobe", k), k
+        assert _as_keyset(fast, live_keys) == _as_keyset(
+            ref.topk("zzprobe", k, use_result_cache=False), ref_keys
+        ), k
+        got_or = ms._topk_or(["zzprobe", "absentterm"], k)
+        want_or = ref.topk(
+            "zzprobe absentterm", k, mode="or", use_result_cache=False
+        )
+        assert _as_keyset(got_or, live_keys) == _as_keyset(
+            want_or, ref_keys
+        ), k
