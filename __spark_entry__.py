@@ -124,6 +124,52 @@ def _live_view_index(spark: SparkSession, sf_dir: str) -> str:
     _LIVE_VIEW[sf_dir] = idx
     return idx
 
+
+# live SHARDED view: two doc-disjoint shards, each with its own upsert
+# delta + delete tombstones, per sf_dir
+_LIVE_SHARDS: dict[str, list[str]] = {}
+
+
+def _live_sharded_dirs(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Build-once live-sharded fixture for fts_live_sharded_topk: the SAME
+    corpus mutation as _live_view_index (doc_id % 10 == 0 replaced with
+    ' livepatch', doc_id % 7 == 3 deleted) applied per shard over a
+    doc_id % 2 split — each shard carries its own LSM delta tail and the
+    coordinator must still rank with global ALIVE stats."""
+    cached = _LIVE_SHARDS.get(sf_dir)
+    if cached is not None:
+        return cached
+    import tempfile
+
+    from discogsography_spark.index.builder import IndexBuilder
+    from discogsography_spark.streaming.incremental import DeltaIndexWriter
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("doc_id").alias("src_doc_id"),
+        "text",
+    )
+    dirs: list[str] = []
+    for i in range(2):
+        part = docs.where(F.col("src_doc_id") % 2 == i)
+        idx = os.path.join(tempfile.mkdtemp(prefix=f"live_shard{i}_"), "idx")
+        IndexBuilder(idx, num_segments=2).build(part)
+        w = DeltaIndexWriter(idx)
+        patched = part.where(F.col("src_doc_id") % 10 == 0).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" livepatch"))
+        )
+        w.write_batch(patched, 0, upsert=True)
+        w.write_deletes(
+            part.where(F.col("src_doc_id") % 7 == 3).select(
+                "conv_id", "turn_idx"
+            ),
+            1,
+        )
+        dirs.append(idx)
+    _LIVE_SHARDS[sf_dir] = dirs
+    return dirs
+
 # materialized partitionBy(ivf_cell) embedding tables, one per sf_dir
 _IVF_STORE: dict[str, str] = {}
 
@@ -758,6 +804,48 @@ array_sort(
         ).orderBy(F.desc("score"), F.asc("doc_id"))
 
     q["fts_live_upsert_topk"] = fts_live_upsert_topk
+
+    def fts_live_sharded_topk(spark, sf_dir):
+        # LIVE SHARDED tier: the same upsert+delete mutation as
+        # fts_live_upsert_topk, split over two doc-disjoint shards that
+        # each carry their own delta tail + tombstones; ShardedSearcher
+        # auto-detects live shards, opens a MergedSearcher per shard, and
+        # ranks with GLOBAL ALIVE stats — the 10^12-doc deployment shape
+        # (per-node LSM upserts, no compaction pause). Same oracle SQL as
+        # the single live view: the ranking must be shard-invariant.
+        import pandas as pd
+
+        from discogsography_spark.query.sharded import ShardedSearcher
+        from discogsography_spark.streaming.incremental import list_deltas
+
+        dirs = _live_sharded_dirs(spark, sf_dir)
+        # sequential fan-out: no worker forks next to the live JVM
+        sh = ShardedSearcher(dirs, parallel=False)
+        try:
+            assert sh.live
+            hits = sh.topk("table value", 100000)
+            src: dict[int, int] = {}
+            for i, sd in enumerate(dirs):
+                parts = [os.path.join(sd, "docs")] + [
+                    os.path.join(dd, "docs")
+                    for dd in list_deltas(sd)
+                    if os.path.isdir(os.path.join(dd, "docs"))
+                ]
+                off = int(sh.offsets[i])
+                for p in parts:
+                    pdf = pd.read_parquet(
+                        p, columns=["doc_id", "src_doc_id"]
+                    ).dropna(subset=["doc_id"])
+                    for d, s in zip(pdf["doc_id"], pdf["src_doc_id"]):
+                        src[off + int(d)] = int(s)
+            rows = [(src[d], round(float(s), 5)) for d, s in hits]
+        finally:
+            sh.close()
+        return spark.createDataFrame(
+            rows, "doc_id long, score double"
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+    q["fts_live_sharded_topk"] = fts_live_sharded_topk
 
     # ---- text analysis family (documents) ----
     def doc_token_count(spark, sf_dir):
@@ -1688,6 +1776,10 @@ scored AS (
 SELECT doc_id, round(raw, 5) AS score FROM scored WHERE nt = {len(_lv_terms)}
 ORDER BY score DESC, doc_id ASC LIMIT 100000
 """
+
+    # identical mutation, identical ranking contract — the sharded live
+    # view must be shard-invariant, so it shares the single view's oracle
+    o["fts_live_sharded_topk"] = o["fts_live_upsert_topk"]
 
     qvals = ", ".join(
         f"('{qid}', '{t}')"
