@@ -278,3 +278,152 @@ def test_live_sharded_service_full_response(live_shards):
         assert _rel(got.results, skeys) == _rel(want.results, rkeys)
     finally:
         svc.close()
+
+
+def test_streamed_router_and_rolling_compaction(spark, tmp_path):
+    """Ingestion half + lifecycle: Structured Streaming micro-batches run
+    through ShardedDeltaRouter (one delta per TOUCHED shard only), deletes
+    route to the owning shard, the live sharded view equals a rebuild over
+    the alive latest corpus, and shards compact one at a time — the mixed
+    mid-roll layout answers exactly at every step (rolling compaction,
+    never a global pause)."""
+    import time as _time
+
+    from discogsography_spark.query.serving import SearchService
+    from discogsography_spark.streaming.incremental import (
+        ShardedDeltaRouter,
+        compact,
+    )
+
+    d = str(tmp_path)
+    tdf = make_transcripts(n_conversations=90, mean_turns=4, vocab_size=250)
+    convs = sorted(tdf["conv_id"].unique())
+    bounds = [
+        (None, convs[30]),
+        (convs[30], convs[60]),
+        (convs[60], None),
+    ]
+    shard_dirs = []
+    for i, (lo, hi) in enumerate(bounds):
+        part = tdf[
+            ((lo is None) | (tdf["conv_id"] >= (lo or "")))
+            & ((hi is None) | (tdf["conv_id"] < (hi or "￿")))
+        ].reset_index(drop=True)
+        sd = os.path.join(d, f"shard{i}")
+        _build(spark, sd, part)
+        shard_dirs.append(sd)
+
+    fresh = make_transcripts(n_conversations=6, mean_turns=4, vocab_size=250,
+                             seed=99)
+    fresh["conv_id"] = "zzz-" + fresh["conv_id"]  # sorts into shard 2
+
+    def _edit(cs, marker):
+        t = tdf[tdf["conv_id"].isin(cs)].copy()
+        t["text"] = t["text"] + f" {marker}"
+        return t
+
+    f0 = pd.concat(
+        [_edit(convs[0:3], "rvtwo"), _edit(convs[31:33], "rvtwo")],
+        ignore_index=True,
+    )  # touches shards 0 and 1 ONLY
+    f1 = fresh  # shard 2 only
+    f2 = _edit(convs[61:64], "rvthree")  # shard 2 only
+
+    stream_dir = os.path.join(d, "stream_in")
+    os.makedirs(stream_dir)
+    for i, f in enumerate((f0, f1, f2)):
+        p = os.path.join(stream_dir, f"part-{i}.parquet")
+        f.to_parquet(p, index=False)
+        t = _time.time() - 300 + i * 60
+        os.utime(p, (t, t))
+
+    router = ShardedDeltaRouter(shard_dirs, bounds)
+    schema = spark.read.parquet(
+        os.path.join(d, "shard0.parquet")
+    ).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .writeStream.foreachBatch(
+            lambda df, bid: router.write_batch(df, bid, upsert=True)
+        )
+        .option("checkpointLocation", os.path.join(d, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # untouched shards got NO delta for batches that skipped them
+    assert not os.path.isdir(
+        os.path.join(shard_dirs[2], "deltas", "delta-000000")
+    )
+    assert not os.path.isdir(
+        os.path.join(shard_dirs[0], "deltas", "delta-000001")
+    )
+    assert os.path.isdir(
+        os.path.join(shard_dirs[2], "deltas", "delta-000002")
+    )
+
+    # routed deletes: one conv in shard 0, one streamed-in conv in shard 2
+    del_keys = pd.DataFrame(
+        {"conv_id": [convs[4], fresh["conv_id"].iloc[0]]}
+    )
+    n = router.write_deletes(spark.createDataFrame(del_keys), 3)
+    assert n == int(
+        (tdf["conv_id"] == convs[4]).sum()
+        + (fresh["conv_id"] == fresh["conv_id"].iloc[0]).sum()
+    )
+    assert not os.path.isdir(
+        os.path.join(shard_dirs[1], "deltas", "delta-000003")
+    )
+
+    # alive latest-version corpus
+    latest = {c: tdf[tdf["conv_id"] == c] for c in convs}
+    for cs, m in [(convs[0:3], "rvtwo"), (convs[31:33], "rvtwo"),
+                  (convs[61:64], "rvthree")]:
+        for c in cs:
+            latest[c] = _edit([c], m)
+    for c in fresh["conv_id"].unique():
+        latest[c] = fresh[fresh["conv_id"] == c]
+    for c in del_keys["conv_id"]:
+        del latest[c]
+    alive = pd.concat(latest.values(), ignore_index=True)
+    ref_dir = os.path.join(d, "ref")
+    _build(spark, ref_dir, alive)
+    ref = LocalSearcher(ref_dir)
+    rkeys = _ref_keymap(ref_dir)
+    th, tm = _probe_terms(alive)
+    probes_and = [th, f"{th} {tm}", "rvtwo", "rvthree"]
+    probes_bool = [f"rvtwo OR rvthree", f"{th} AND NOT rvtwo"]
+
+    def check():
+        sh = ShardedSearcher(shard_dirs, parallel=False)
+        try:
+            assert sh.n_docs == len(alive)
+            skeys = _shard_keymap(sh, shard_dirs)
+            for qq in probes_and:
+                assert _rel(sh.topk(qq, BIGK), skeys) == _rel(
+                    ref.topk(qq, BIGK, use_result_cache=False), rkeys
+                ), qq
+            for qq in probes_bool:
+                assert _rel(sh.topk_bool(qq, BIGK), skeys) == _rel(
+                    ref.topk_bool(qq, BIGK, use_result_cache=False), rkeys
+                ), qq
+            assert _rel(sh.topk_phrase(f"{th} {tm}", BIGK), skeys) == _rel(
+                ref.topk_phrase(f"{th} {tm}", BIGK), rkeys
+            )
+            return sh.live
+        finally:
+            sh.close()
+
+    assert check() is True  # live view before any compaction
+    # rolling compaction: one shard at a time, exact at every mid-step
+    for sd in shard_dirs:
+        compact(spark, sd)
+        check()
+    sh_final = ShardedSearcher(shard_dirs, parallel=False)
+    try:
+        assert sh_final.live is False  # fully compacted → static fast path
+    finally:
+        sh_final.close()
