@@ -1013,7 +1013,22 @@ class MergedSearcher:
                         for terms in rd._terms:
                             vocab.update(terms.tolist())
             self._trigram_index = TrigramVocabIndex(sorted(vocab))
-        return self._trigram_index.suggest(word, k=k, min_sim=min_sim)
+        if not self._dead.size:
+            return self._trigram_index.suggest(word, k=k, min_sim=min_sim)
+        # tombstones: a term surviving ONLY in dead docs must not be
+        # suggested (a fresh alive rebuild has no such vocabulary entry —
+        # and a did-you-mean rewrite to it would rank zero hits).
+        # Over-fetch candidates, drop alive-df-0 ones (alive df via the
+        # searchsorted dead-counts, no full-list masks), double until the
+        # page fills or the trigram index runs out of candidates.
+        want = max(4 * k, k + 8)
+        while True:
+            cands = self._trigram_index.suggest(word, k=want, min_sim=min_sim)
+            dfs = self._alive_term_stats([t for t, _ in cands])[2]
+            alive = [(t, s) for t, s in cands if dfs.get(t, 0) > 0]
+            if len(alive) >= k or len(cands) < want:
+                return alive[:k]
+            want *= 2
 
     def topk_fuzzy(
         self, query_text: str, k: int, min_sim: float = 0.3, mode: str = "and"

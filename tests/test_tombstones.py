@@ -397,3 +397,39 @@ def test_tomb_fast_path_retry_when_top_ranks_are_dead(spark, tmp_path):
         assert _as_keyset(got_or, live_keys) == _as_keyset(
             want_or, ref_keys
         ), k
+
+
+def test_suggest_never_returns_dead_only_vocabulary(spark, tmp_path):
+    """A term whose every occurrence is tombstoned must vanish from
+    did-you-mean: a fresh alive rebuild has no such vocabulary entry, and
+    a rewrite to it would rank zero hits."""
+    tdf = make_transcripts(n_conversations=30, mean_turns=3, vocab_size=200)
+    special = tdf.iloc[[0]].copy()
+    special["conv_id"] = "zzspecial-0001"
+    special["turn_idx"] = 0
+    special["text"] = "qqzebra marker text"
+    pdf = pd.concat([tdf, special], ignore_index=True)
+    base_p = str(tmp_path / "base.parquet")
+    pdf.to_parquet(base_p, index=False)
+    idx = str(tmp_path / "idx")
+    IndexBuilder(idx, num_segments=2, head_df_threshold=10**9).build(
+        spark.read.parquet(base_p)
+    )
+
+    ms0 = MergedSearcher(idx)
+    assert any(
+        t == "qqzebra" for t, _ in ms0.suggest_terms("qqzebrb", k=5)
+    )
+
+    w = DeltaIndexWriter(idx)
+    n = w.write_deletes(
+        spark.createDataFrame(pd.DataFrame({"conv_id": ["zzspecial-0001"]})),
+        0,
+    )
+    assert n == 1
+    ms = MergedSearcher(idx)
+    got = ms.suggest_terms("qqzebrb", k=5)
+    assert all(t != "qqzebra" for t, _ in got), got
+    # fuzzy rewrite no longer resurrects the dead term
+    hits, rewrites = ms.topk_fuzzy("qqzebrb", 5)
+    assert rewrites.get("qqzebrb") != "qqzebra"
