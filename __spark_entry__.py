@@ -847,6 +847,28 @@ array_sort(
 
     q["fts_live_sharded_topk"] = fts_live_sharded_topk
 
+    def fts_live_corpus_stats(spark, sf_dir):
+        # DataFrame bridge to the mutating corpus: live_docs_df exposes
+        # the ALIVE latest-version docmap (base + deltas, tombstones
+        # anti-joined, quarantine dropped) for plain DataFrame analytics
+        # — the reference's API reading the same continuously-upserted
+        # tables its pipeline writes. Aggregates must match SQL over the
+        # patched corpus exactly (dl comes from the index analyzer, whose
+        # tokenization mirrors the oracle's regexp).
+        from discogsography_spark.streaming.incremental import live_docs_df
+
+        idx = _live_view_index(spark, sf_dir)
+        df = live_docs_df(spark, idx, columns=["src_doc_id", "dl"])
+        return df.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").alias("total_tokens"),
+            F.sum("src_doc_id").alias("sum_doc_id"),
+            F.min("src_doc_id").alias("min_doc_id"),
+            F.max("src_doc_id").alias("max_doc_id"),
+        )
+
+    q["fts_live_corpus_stats"] = fts_live_corpus_stats
+
     # ---- text analysis family (documents) ----
     def doc_token_count(spark, sf_dir):
         docs = _read(spark, sf_dir, "documents")
@@ -1780,6 +1802,20 @@ ORDER BY score DESC, doc_id ASC LIMIT 100000
     # identical mutation, identical ranking contract — the sharded live
     # view must be shard-invariant, so it shares the single view's oracle
     o["fts_live_sharded_topk"] = o["fts_live_upsert_topk"]
+
+    o["fts_live_corpus_stats"] = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' livepatch' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 3
+)
+SELECT count(*)::BIGINT AS n_docs,
+       sum(len({_TOKS_SQL}))::BIGINT AS total_tokens,
+       sum(doc_id)::BIGINT AS sum_doc_id,
+       min(doc_id)::BIGINT AS min_doc_id,
+       max(doc_id)::BIGINT AS max_doc_id
+FROM corpus
+"""
 
     qvals = ", ".join(
         f"('{qid}', '{t}')"

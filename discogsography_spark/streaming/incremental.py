@@ -342,6 +342,57 @@ class DeltaIndexWriter:
         )
 
 
+def live_docs_df(
+    spark: SparkSession, index_dir: str, columns: list[str] | None = None
+) -> DataFrame:
+    """The ALIVE latest-version corpus as a DataFrame — the bridge from
+    the serving index back to DataFrame analytics over a mutating corpus
+    (the reference's API reads the same continuously-upserted tables its
+    batch pipeline writes).
+
+    base docmap + every committed delta docmap (delta docIDs are already
+    globally offset), minus tombstoned doc_ids via a broadcast anti-join
+    (the tombstone set is small relative to the corpus and bounded by
+    compaction cadence) and minus quarantined rows. Delta columns coerce
+    to the base docmap's types (micro-batches written straight from
+    createDataFrame(pandas) carry TIMESTAMP_NTZ where the base stores
+    TIMESTAMP). At 100 TB this is a multi-directory parquet scan with
+    column pruning — select only what the analytics plan needs via
+    `columns`."""
+    base = spark.read.parquet(os.path.join(index_dir, "docs"))
+    want = columns if columns is not None else [
+        c for c in base.columns if c != "_quarantine_reason"
+    ]
+    if "doc_id" not in want:
+        want = ["doc_id", *want]
+    types = {f.name: f.dataType for f in base.schema.fields}
+    frames = [base.select(*want)]
+    tombs = []
+    for d in list_deltas(index_dir):
+        p = os.path.join(d, "docs")
+        if os.path.isdir(p):
+            df = spark.read.parquet(p)
+            frames.append(
+                df.select(
+                    *[F.col(c).cast(types[c]).alias(c) for c in want]
+                )
+            )
+        tp = os.path.join(d, "tombstones.parquet")
+        if os.path.exists(tp):
+            tombs.append(
+                spark.read.parquet(tp).select("doc_id")
+            )
+    from functools import reduce
+
+    out = reduce(DataFrame.unionByName, frames).where(
+        F.col("doc_id").isNotNull()
+    )
+    if tombs:
+        dead = reduce(DataFrame.unionByName, tombs).distinct()
+        out = out.join(F.broadcast(dead), "doc_id", "left_anti")
+    return out
+
+
 class ShardedDeltaRouter:
     """Ingestion half of the LIVE sharded tier: route each micro-batch's
     rows to the shard owning their conv_id range and commit one delta per

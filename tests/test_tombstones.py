@@ -433,3 +433,16 @@ def test_suggest_never_returns_dead_only_vocabulary(spark, tmp_path):
     # fuzzy rewrite no longer resurrects the dead term
     hits, rewrites = ms.topk_fuzzy("qqzebrb", 5)
     assert rewrites.get("qqzebrb") != "qqzebra"
+
+
+def test_live_docs_df_matches_alive_corpus(spark, tomb_setup):
+    """live_docs_df — the DataFrame bridge to the mutating corpus — must
+    return exactly the alive latest-version rows (replaced versions and
+    deleted keys invisible, delta payload columns present)."""
+    from discogsography_spark.streaming.incremental import live_docs_df
+
+    df = live_docs_df(spark, tomb_setup["idx"], columns=["conv_id", "turn_idx"])
+    got = sorted((r["conv_id"], int(r["turn_idx"])) for r in df.collect())
+    alive = tomb_setup["alive"]
+    want = sorted(zip(alive["conv_id"], alive["turn_idx"].astype(int)))
+    assert got == want
