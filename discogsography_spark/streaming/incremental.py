@@ -1239,8 +1239,8 @@ class MergedSearcher:
         over the COMBINED vocabulary. Delta dictionaries are the same
         sorted in-memory arrays _SegmentReader keeps for the base, so each
         (delta, segment, file) contributes one binary-searched range."""
-        found: set[str] = set(self.base.expand_prefix(prefix, max_expansions))
         hi_key = prefix + "{"
+        delta_found: set[str] = set()
         for delta in self._delta_dirs:
             for seg in range(self.base.meta.num_segments):
                 rd = self._delta_reader(delta, seg)
@@ -1250,8 +1250,33 @@ class MergedSearcher:
                     lo = int(np.searchsorted(terms, prefix, side="left"))
                     hi = int(np.searchsorted(terms, hi_key, side="left"))
                     if hi > lo:
-                        found.update(terms[lo:hi].tolist())
-        return sorted(found)[:max_expansions]
+                        delta_found.update(terms[lo:hi].tolist())
+        if not self._dead.size:
+            found = set(self.base.expand_prefix(prefix, max_expansions))
+            return sorted(found | delta_found)[:max_expansions]
+        # tombstones: vocabulary alive NOWHERE must not occupy expansion
+        # slots — at the cap boundary a dead-only term would displace a
+        # real term the fresh alive rebuild expands to. The base seed must
+        # over-fetch (its own cap could hide the replacement term), so
+        # double the base window until the alive page fills or the base
+        # vocabulary for the prefix is exhausted; alive-filter in sorted
+        # windows so the term-ASC cap rule matches the rebuild's exactly
+        # (the survivors' decodes are reused by the evaluation that
+        # follows every expansion).
+        want = max_expansions
+        while True:
+            base_terms = self.base.expand_prefix(prefix, want)
+            cand = sorted(set(base_terms) | delta_found)
+            out: list[str] = []
+            i = 0
+            while len(out) < max_expansions and i < len(cand):
+                window = cand[i : i + max_expansions]
+                dfs = self._alive_term_stats(window)[2]
+                out.extend(t for t in window if dfs.get(t, 0) > 0)
+                i += max_expansions
+            if len(out) >= max_expansions or len(base_terms) < want:
+                return out[:max_expansions]
+            want *= 2
 
     def expand_prefixes(
         self, prefixes: list[str], max_expansions: int = 64

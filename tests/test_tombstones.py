@@ -446,3 +446,50 @@ def test_live_docs_df_matches_alive_corpus(spark, tomb_setup):
     alive = tomb_setup["alive"]
     want = sorted(zip(alive["conv_id"], alive["turn_idx"].astype(int)))
     assert got == want
+
+
+def test_prefix_expansion_cap_ignores_dead_only_vocabulary(spark, tmp_path):
+    """A dead-only term sorting inside the first max_expansions must not
+    displace a real term at the cap boundary — the fresh alive rebuild
+    expands to the real term, and the live view must match its rewrite."""
+    rows = []
+    # 5 shared-prefix terms, one per doc: ppaaa (to be killed), ppbbb..ppeee
+    terms = ["ppaaa", "ppbbb", "ppccc", "ppddd", "ppeee"]
+    for i, t in enumerate(terms):
+        rows.append(
+            {
+                "conv_id": f"conv-{i:04d}",
+                "turn_idx": 0,
+                "role": "user",
+                "tool": None,
+                "ts": pd.Timestamp("2026-01-01"),
+                "text": f"{t} filler common",
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    base_p = str(tmp_path / "base.parquet")
+    pdf.to_parquet(base_p, index=False)
+    idx = str(tmp_path / "idx")
+    IndexBuilder(idx, num_segments=2, head_df_threshold=10**9).build(
+        spark.read.parquet(base_p)
+    )
+    w = DeltaIndexWriter(idx)
+    assert (
+        w.write_deletes(
+            spark.createDataFrame(pd.DataFrame({"conv_id": ["conv-0000"]})), 0
+        )
+        == 1
+    )
+    ms = MergedSearcher(idx)
+    # cap = 4: the rebuild's expansion is the 4 alive terms; a naive
+    # combined-vocab expansion would be [ppaaa..ppddd] and lose ppeee
+    assert ms.expand_prefix("pp", max_expansions=4) == [
+        "ppbbb", "ppccc", "ppddd", "ppeee",
+    ]
+    # bool prefix rewrite ranks the alive docs (ppeee included)
+    hits = ms.topk_bool("pp* AND common", 10)
+    live_keys = _keyed(ms, _docmap(idx))
+    assert {live_keys[d][0] for d, _ in hits} == {
+        f"conv-{i:04d}" for i in range(1, 5)
+    }
