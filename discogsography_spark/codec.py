@@ -23,6 +23,47 @@ from __future__ import annotations
 import numpy as np
 
 
+def varbyte_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value: the number of 7-bit groups (>=1).
+    bit_length(v) via log2-float is unsafe for large ints, so use a
+    comparison ladder against powers of 128 (few passes, early exit).
+    This is the exact length rule varbyte_encode emits, exposed so callers
+    can compute byte offsets into a stream WITHOUT encoding it twice."""
+    vals = np.asarray(values, dtype=np.uint64)
+    nbytes = np.ones(vals.shape, dtype=np.int64)
+    bound = np.uint64(128)
+    while True:
+        mask = vals >= bound
+        if not mask.any():
+            break
+        nbytes[mask] += 1
+        if int(bound) > (1 << 57):  # next shift would overflow uint64
+            break
+        bound = np.uint64(int(bound) << 7)
+    return nbytes
+
+
+def pos_block_byte_offsets(
+    positions: np.ndarray, tfs: np.ndarray, block_size: int
+) -> np.ndarray:
+    """Byte offsets into the positional varbyte stream at every posting-block
+    boundary (len = nblocks + 1; final entry = total bytes). Positions are
+    encoded standalone (no cross-value delta chaining, unlike doc gaps), so
+    blob[off[k] : off[k+1]] decodes block k's positions INDEPENDENTLY — the
+    positional analog of block_doc_off, enabling block-skip decode of the
+    flat position stream (phrase/proximity verification touches only the
+    blocks containing candidate docs instead of the whole head-term
+    stream)."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    byte_cum = np.concatenate(
+        ([0], np.cumsum(varbyte_lengths(np.asarray(positions, dtype=np.uint64))))
+    )
+    voff = np.concatenate(([0], np.cumsum(tfs)))  # flat value idx per posting
+    starts = np.arange(0, tfs.size, block_size, dtype=np.int64)
+    vidx = np.concatenate((voff[starts], [voff[-1]]))
+    return byte_cum[vidx].astype(np.int64)
+
+
 def varbyte_encode(values: np.ndarray) -> bytes:
     """Encode a uint64 array to a varbyte stream.
 
@@ -34,19 +75,7 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     vals = np.asarray(values, dtype=np.uint64)
     if vals.size == 0:
         return b""
-    # byte length per value: number of 7-bit groups (>=1).
-    # bit_length(v) via log2-float is unsafe for large ints, so use a
-    # comparison ladder against powers of 128 (few passes, early exit).
-    nbytes = np.ones(vals.shape, dtype=np.int64)
-    bound = np.uint64(128)
-    while True:
-        mask = vals >= bound
-        if not mask.any():
-            break
-        nbytes[mask] += 1
-        if int(bound) > (1 << 57):  # next shift would overflow uint64
-            break
-        bound = np.uint64(int(bound) << 7)
+    nbytes = varbyte_lengths(vals)
     maxlen = int(nbytes.max())
     if maxlen == 1:  # all < 128: stream is the values themselves
         return vals.astype(np.uint8).tobytes()

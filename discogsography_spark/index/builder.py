@@ -43,7 +43,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from discogsography_spark.analysis import TOKEN_PATTERN
-from discogsography_spark.codec import encode_term_postings, varbyte_encode
+from discogsography_spark.codec import (
+    encode_term_postings,
+    pos_block_byte_offsets,
+    varbyte_encode,
+)
 from discogsography_spark.index.docids import assign_doc_ids
 from discogsography_spark.index.manifest import Manifest, SegmentRecord
 from discogsography_spark.params import (
@@ -81,6 +85,13 @@ SEGMENT_SCHEMA = T.StructType(
         # posting slice boundaries are the cumulative tf (positions per
         # posting == tf). Empty for indexes built without positions.
         T.StructField("pos_blob", T.BinaryType(), True),
+        # byte offsets into pos_blob at each posting-block boundary
+        # (nblocks + 1 entries, final = len(pos_blob)): positions are
+        # varbyte-encoded standalone, so any block slice decodes
+        # independently — block-skip for the positional stream. Empty for
+        # indexes without positions; absent in pre-directory indexes
+        # (readers fall back to full-stream decode).
+        T.StructField("block_pos_off", T.ArrayType(T.LongType()), True),
     ]
 )
 
@@ -153,6 +164,11 @@ def _encode_arrays(
                 varbyte_encode(positions.astype(np.uint64))
                 if positions is not None and positions.size
                 else b""
+            ),
+            "block_pos_off": (
+                pos_block_byte_offsets(positions, tfs, block_size).tolist()
+                if positions is not None and positions.size
+                else []
             ),
         }
     )

@@ -128,6 +128,8 @@ def _position_keys(
     """Sorted (doc << shift | pos) keys restricted to a sorted candidate-doc
     subset, from one term's decoded (docs, tf) arrays and flat position
     stream with per-posting offsets."""
+    if docs_sorted.size == 0:
+        return np.empty(0, dtype=np.int64)
     pi = np.searchsorted(d_full, docs_sorted)  # exact hits guaranteed
     lens = tf_full[pi]
     total = int(lens.sum())
@@ -215,6 +217,9 @@ class TermPostings:
     champ_tf: np.ndarray | None = None
     champ_dl: np.ndarray | None = None
     pos_blob: bytes | None = None
+    # byte offsets into pos_blob at posting-block boundaries (nblocks + 1
+    # entries) — None for pre-directory indexes (full-stream decode fallback)
+    block_pos_off: np.ndarray | None = None
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         doc_ids, tfs = decode_postings(self.doc_blob, self.tf_blob)
@@ -319,6 +324,7 @@ _TP_COLS = [
     "champ_tf",
     "champ_dl",
     "pos_blob",
+    "block_pos_off",
 ]
 
 
@@ -435,6 +441,16 @@ class LocalSearcher:
         # term → flat decoded positions (phrase path); postings-count budget
         self._pos_cache: OrderedDict[str, np.ndarray] = OrderedDict()
         self._pos_cache_n = 0
+        # (term, block) → decoded position slice: block-skip path for
+        # indexes carrying the positional block directory. A head-term
+        # verification touches O(candidates) blocks instead of the whole
+        # multi-10M-value stream, so entries are small and budget churn
+        # mid-query re-decodes one block, not the term.
+        self._pos_block_cache: OrderedDict[tuple, np.ndarray] = OrderedDict()
+        self._pos_block_cache_n = 0
+        # term → flat value index per posting (cumsum tf) for the block path
+        self._tfoff_cache: OrderedDict[str, np.ndarray] = OrderedDict()
+        self._tfoff_cache_n = 0
 
     # ---- decoded-postings cache ----
 
@@ -646,6 +662,11 @@ class LocalSearcher:
                     champ_tf=np.asarray(row.get("champ_tf") or [], dtype=np.int64),
                     champ_dl=np.asarray(row.get("champ_dl") or [], dtype=np.int64),
                     pos_blob=row.get("pos_blob"),
+                    block_pos_off=(
+                        np.asarray(row["block_pos_off"], dtype=np.int64)
+                        if row.get("block_pos_off")
+                        else None
+                    ),
                 )
         return out
 
@@ -1101,30 +1122,143 @@ class LocalSearcher:
     ) -> np.ndarray:
         """Sorted (doc << shift | pos) keys for one term restricted to a
         sorted candidate-doc subset — the shared primitive of phrase
-        adjacency and proximity verification."""
+        adjacency and proximity verification.
+
+        Indexes carrying the positional block directory (block_pos_off)
+        decode ONLY the posting blocks containing candidate docs — a
+        head-term verification touches O(candidates) blocks instead of the
+        term's whole multi-10M-value stream. Pre-directory indexes (and
+        terms whose full stream is already cached, or candidate sets dense
+        enough that most blocks are needed anyway) take the full-stream
+        path."""
         d_full, tf_full, _ = self._decoded(tp)
-        pos_flat, off = self._positions(tp)
-        return _position_keys(d_full, tf_full, pos_flat, off, docs_sorted, shift)
+        pi = need = None
+        use_full = tp.block_pos_off is None or tp.term in self._pos_cache
+        if not use_full:
+            if docs_sorted.size == 0:
+                return np.empty(0, dtype=np.int64)
+            bs = self.meta.block_size
+            pi = np.searchsorted(d_full, docs_sorted)
+            need = np.unique(pi // bs)
+            # dense coverage: decoding most blocks costs what the full
+            # stream does — pay it once and let the pos-cache own it
+            use_full = 2 * need.size >= tp.block_pos_off.size - 1
+        if use_full:
+            pos_flat, off = self._positions(tp)
+            return _position_keys(
+                d_full, tf_full, pos_flat, off, docs_sorted, shift
+            )
+        voff = self._tf_offsets(tp)
+        segs = self._pos_blocks(tp, need, voff, bs)
+        sizes = np.fromiter((s.size for s in segs), dtype=np.int64, count=len(segs))
+        bounds = np.concatenate(([0], np.cumsum(sizes)))
+        cat = np.concatenate(segs)
+        # candidate posting → (needed-block ordinal, local offset in cat)
+        bpos = np.searchsorted(need, pi // bs)
+        local_start = voff[pi] - voff[need * bs][bpos] + bounds[:-1][bpos]
+        lens = tf_full[pi]
+        total = int(lens.sum())
+        intra = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+        )
+        flat_idx = np.repeat(local_start, lens) + intra
+        flat_doc = np.repeat(docs_sorted, lens)
+        return (flat_doc << shift) | cat[flat_idx]
+
+    def _tf_offsets(self, tp: TermPostings) -> np.ndarray:
+        """Per-posting flat value-index array (concatenate(([0], cumsum(tf))))
+        — positions of posting i live at flat indices voff[i] : voff[i+1] in
+        the term's positional stream. Cached: recomputing cost ~5 ms on head
+        terms and every block-granular call needs it."""
+        ent = self._tfoff_cache.get(tp.term)
+        if ent is None:
+            _, tf_full, _ = self._decoded(tp)
+            ent = np.concatenate(([0], np.cumsum(tf_full)))
+            self._tfoff_cache[tp.term] = ent
+            self._tfoff_cache_n += ent.size
+            while self._tfoff_cache_n > self._dec_budget and len(self._tfoff_cache) > 1:
+                _, old = self._tfoff_cache.popitem(last=False)
+                self._tfoff_cache_n -= old.size
+        else:
+            self._tfoff_cache.move_to_end(tp.term)
+        return ent
+
+    def _pos_blocks(
+        self, tp: TermPostings, need: np.ndarray, voff: np.ndarray, bs: int
+    ) -> list[np.ndarray]:
+        """Decoded position arrays for the given sorted block indices,
+        aligned with `need`. Cache misses are decoded in consecutive-block
+        RUNS (positions are varbyte-encoded standalone, so any contiguous
+        byte span decodes in one vectorized call) and split into per-block
+        cache entries by value count."""
+        out: list[np.ndarray | None] = [None] * need.size
+        missing: list[int] = []
+        for i, b in enumerate(need.tolist()):
+            ent = self._pos_block_cache.get((tp.term, b))
+            if ent is None:
+                missing.append(i)
+            else:
+                self._pos_block_cache.move_to_end((tp.term, b))
+                out[i] = ent
+        if missing:
+            mb = need[missing]
+            off = tp.block_pos_off
+            n = voff.size - 1  # posting count
+            run_starts = np.flatnonzero(
+                np.concatenate(([True], np.diff(mb) != 1))
+            )
+            run_ends = np.concatenate((run_starts[1:], [mb.size]))
+            for rs, re_ in zip(run_starts, run_ends):
+                b0, b1 = int(mb[rs]), int(mb[re_ - 1])
+                vals = varbyte_decode(
+                    tp.pos_blob[int(off[b0]) : int(off[b1 + 1])]
+                ).astype(np.int64)
+                # per-block value counts within the run → split points
+                vstart = voff[np.minimum(np.arange(b0, b1 + 2) * bs, n)]
+                for j, piece in enumerate(
+                    np.split(vals, vstart[1:-1] - vstart[0])
+                ):
+                    out[missing[rs + j]] = piece
+                    self._pos_block_cache[(tp.term, b0 + j)] = piece
+                    self._pos_block_cache_n += piece.size
+            while (
+                self._pos_block_cache_n > self._dec_budget
+                and len(self._pos_block_cache) > 1
+            ):
+                _, old = self._pos_block_cache.popitem(last=False)
+                self._pos_block_cache_n -= old.size
+        return out
 
     def _position_key_fn(
         self, rows: dict[str, TermPostings], terms: list[str]
     ):
-        """keys(term, docs_sorted) with each term's decoded postings AND
-        position arrays captured in the closure ONCE per query. The lazy
-        score-tier verifier calls keys() per TIER; going through the LRU
-        caches instead would re-decode multi-MB position blobs on every
-        tier whenever head-pair arrays exceed the cache byte budget (the
-        exact 2.3× worst-case regression lazy verification first shipped
-        with)."""
+        """keys(term, docs_sorted) for the lazy score-tier verifier.
+
+        Terms WITHOUT the positional block directory have their decoded
+        postings AND full position arrays captured in the closure ONCE per
+        query: the verifier calls keys() per TIER, and going through the LRU
+        caches would re-decode multi-MB position blobs on every tier
+        whenever head-pair arrays exceed the cache byte budget (the exact
+        2.3× worst-case regression lazy verification first shipped with).
+        Directory-bearing terms skip the eager full decode entirely —
+        per-tier work decodes only the blocks containing that tier's docs
+        (_term_position_keys), so the churn risk the capture guards against
+        does not arise."""
         dec = {t: self._decoded(rows[t]) for t in terms}
-        pos = {t: self._positions(rows[t]) for t in terms}
+        full = {
+            t: self._positions(rows[t])
+            for t in terms
+            if rows[t].block_pos_off is None or t in self._pos_cache
+        }
 
         def keys(t: str, docs_sorted: np.ndarray, shift: np.int64) -> np.ndarray:
-            d_full, tf_full, _ = dec[t]
-            pos_flat, off = pos[t]
-            return _position_keys(
-                d_full, tf_full, pos_flat, off, docs_sorted, shift
-            )
+            ent = full.get(t)
+            if ent is not None:
+                d_full, tf_full, _ = dec[t]
+                return _position_keys(
+                    d_full, tf_full, ent[0], ent[1], docs_sorted, shift
+                )
+            return self._term_position_keys(rows[t], docs_sorted, shift)
 
         return keys
 
@@ -1274,11 +1408,9 @@ class LocalSearcher:
         ent = self._pos_cache.get(tp.term)
         if ent is None:
             flat = varbyte_decode(tp.pos_blob).astype(np.int64)
-            _, tf_full, _ = self._decoded(tp)
-            off = np.concatenate(([0], np.cumsum(tf_full)))
-            ent = (flat, off)
+            ent = (flat, self._tf_offsets(tp))
             self._pos_cache[tp.term] = ent
-            self._pos_cache_n += flat.size + off.size
+            self._pos_cache_n += ent[0].size + ent[1].size
             while self._pos_cache_n > self._dec_budget and len(self._pos_cache) > 1:
                 _, old = self._pos_cache.popitem(last=False)
                 self._pos_cache_n -= old[0].size + old[1].size
