@@ -568,11 +568,14 @@ class MergedSearcher:
         self.total_tokens = raw_tt - dead_dl
         self.avgdl = self.total_tokens / self.n_docs if self.n_docs else 1.0
         self._delta_readers: dict[tuple, object] = {}
-        # term → RAW merged (docs, tf, dl) arrays (dead postings included —
-        # _merged_positions aligns position streams against these); deltas
-        # are immutable for this searcher's lifetime, so merged decodes
-        # cache like base decodes
+        # term → RAW merged (docs, tf, dl) arrays (dead postings included);
+        # deltas are immutable for this searcher's lifetime, so merged
+        # decodes cache like base decodes
         self._merged_cache: dict[str, tuple] = {}
+        # term → RAW delta-side (docs, tf, flat positions, offsets) for
+        # positional gathers (_merged_term_key_fn); base position streams
+        # are never concatenated in — they decode block-granular on demand
+        self._delta_pos_cache: dict[str, tuple | None] = {}
         # term → alive-only merged arrays (only populated when tombstones
         # exist; _merged_rows returns these so every query path sees the
         # alive corpus)
@@ -1368,9 +1371,13 @@ class MergedSearcher:
         """Proximity top-k (`a <N> b`, either order) over the LIVE merged
         view — LocalSearcher.topk_within semantics (conjunctive BM25 of the
         two terms, combined corpus stats, 5dp rounding) without pausing
-        between compactions. Simple verify-all shape, like merged phrase.
+        between compactions. Proximity scores are window-independent, so
+        verification runs lazily in score-tier order (the engine's
+        _lazy_verified_topk kernel) over block-granular positional gathers
+        — head pairs verify only the top tiers instead of every candidate.
         `idfs`/`avgdl` inject GLOBAL stats from a live sharded coordinator."""
         from discogsography_spark.analysis import get_analyzer
+        from discogsography_spark.query.engine import _lazy_verified_topk
 
         an = get_analyzer(self.base.meta.analyzer)
         ts1 = an.analyze_query(word1)
@@ -1381,13 +1388,16 @@ class MergedSearcher:
             raise ValueError(f"window must be ≥ 1, got {window}")
         t1, t2 = ts1[0], ts2[0]
         terms = sorted({t1, t2})
-        matched = self._merged_within_doc_set((t1, t2), (window,))
-        if matched.size == 0:
+        st = self._merged_chain_state((t1, t2), (window,))
+        if st is None:
             return []
+        cand, verify = st
         merged = self._merged_rows(terms)  # cache hits from the resolver
 
-        # exact conjunctive BM25 over the matched set, combined stats,
-        # sorted-term accumulation (the repo-wide float contract), 5dp
+        # exact conjunctive BM25 over ALL candidates, combined stats,
+        # sorted-term accumulation (the repo-wide float contract), 5dp —
+        # verification only removes docs, never rescores, so tiering is
+        # exact (the kernel's strict-bound stop rule)
         p = self.params
         if avgdl is None:
             avgdl = self.avgdl
@@ -1395,11 +1405,11 @@ class MergedSearcher:
             idfs = {
                 t: p.idf(self.n_docs, int(merged[t][0].size)) for t in terms
             }
-        scores = np.zeros(matched.size, dtype=np.float64)
+        scores = np.zeros(cand.size, dtype=np.float64)
         norm: np.ndarray | None = None
         for t in terms:
             d, tf, dl = merged[t]
-            pos = np.searchsorted(d, matched)  # exact hits (matched ⊆ d)
+            pos = np.searchsorted(d, cand)  # exact hits (cand ⊆ d)
             if norm is None:
                 norm = p.k1 * (
                     1.0 - p.b + p.b * (dl[pos].astype(np.float64) / avgdl)
@@ -1407,25 +1417,35 @@ class MergedSearcher:
             tfv = tf[pos].astype(np.float64)
             scores = scores + idfs[t] * (tfv / (tfv + norm))
         scores = np.round(scores, 5)
-        top = np.lexsort((matched, -scores))[:k]
-        return [(int(matched[i]), float(scores[i])) for i in top]
+        return _lazy_verified_topk(cand, scores, verify, k)
 
     def _merged_within_doc_set(
         self, chain: tuple[str, ...], windows: tuple[int, ...]
     ) -> np.ndarray:
         """Sorted docIDs of the merged view admitting a proximity chain —
-        occurrences p1..pn with |p_{i+1} − p_i| ≤ windows[i] per link
-        (either direction; adjacent equal terms need distinct occurrences)
-        — shared by topk_within and boolean within(-chain) nodes. Same
-        left-fold kernel as the engine (_chain_fold_keys)."""
+        used by boolean within(-chain) nodes, which need the FULL matching
+        doc relation (no score order to tier by)."""
+        st = self._merged_chain_state(chain, windows)
+        if st is None:
+            return np.empty(0, dtype=np.int64)
+        cand, verify = st
+        return verify(cand)
+
+    def _merged_chain_state(self, chain: tuple[str, ...], windows: tuple[int, ...]):
+        """(cand, verify) for a proximity chain over the live merged view:
+        sorted conjunctive candidate docIDs, and verify(docs_sorted) → the
+        sorted subset with occurrences p1..pn, |p_{i+1} − p_i| ≤ windows[i]
+        per link (either direction; adjacent equal terms need distinct
+        occurrences) — the engine's left-fold kernel (_chain_fold_keys)
+        over block-granular positional gathers (_merged_term_key_fn).
+        None when any term is absent or no candidate holds all terms."""
         chain = tuple(chain)
         windows = tuple(windows)
         terms = sorted(set(chain))
-        empty = np.empty(0, dtype=np.int64)
         merged_all = self._merged_rows(terms)
         merged = {t: merged_all.get(t) for t in terms}
         if any(m is None for m in merged.values()):
-            return empty
+            return None
 
         # candidate set: conjunctive; adjacent-equal links need ≥ 2 occs
         need2 = {
@@ -1446,9 +1466,8 @@ class MergedSearcher:
                 pos2 = np.searchsorted(d, cand)
                 cand = cand[tf[pos2] >= 2]
         if cand.size == 0:
-            return empty
+            return None
 
-        positions = self._merged_positions(terms)
         max_dl = max(int(merged[t][2].max()) for t in terms)
         # same sizing rule as the engine's topk_within: window offsets are
         # clamped to the doc's key space, so no +16 slack is needed
@@ -1458,39 +1477,33 @@ class MergedSearcher:
         SHIFT = np.int64(shift)
         span = np.int64(1 << shift)
 
-        def term_keys(t: str, docs_sorted: np.ndarray) -> np.ndarray:
-            d_full, tf_full, _ = merged[t]
-            flat, off = positions[t]
-            pi = np.searchsorted(d_full, docs_sorted)
-            lens = tf_full[pi]
-            total = int(lens.sum())
-            intra = np.arange(total, dtype=np.int64) - np.repeat(
-                np.concatenate(([0], np.cumsum(lens)[:-1])), lens
-            )
-            flat_idx = np.repeat(off[pi], lens) + intra
-            return (np.repeat(docs_sorted, lens) << SHIFT) | flat[flat_idx]
-
         from discogsography_spark.query.engine import _chain_fold_keys
 
-        cand = np.sort(cand)
-        keys = {t: term_keys(t, cand) for t in terms}
-        return _chain_fold_keys(chain, windows, keys, SHIFT, span)
+        term_keys = self._merged_term_key_fn(terms, SHIFT)
 
-    def _merged_positions(self, terms: list[str]) -> dict[str, tuple]:
-        """term → (flat positions, per-posting offsets) over base + deltas,
-        aligned with the merged posting order (base first, deltas in batch
-        order — the same concatenation _merged_cache uses). Requires a
-        positional base AND positional deltas (DeltaIndexWriter writes them
-        whenever the base manifest says with_positions)."""
-        out: dict[str, tuple] = {}
-        base_rows = self.base.lookup_terms(terms)
-        delta_rows = [self._delta_rows(d, terms) for d in self._delta_dirs]
-        for t in terms:
-            parts = []
-            if t in base_rows:
-                parts.append(self.base._positions(base_rows[t])[0])
-            for dr in delta_rows:
-                if t in dr:
+        def verify(docs_sorted: np.ndarray) -> np.ndarray:
+            keys = {t: term_keys(t, docs_sorted) for t in terms}
+            return _chain_fold_keys(chain, windows, keys, SHIFT, span)
+
+        return np.sort(cand), verify
+
+    def _delta_positions(
+        self, terms: list[str]
+    ) -> dict[str, tuple | None]:
+        """term → concatenated DELTA-side (docs, tf, flat positions,
+        per-posting offsets), RAW (dead postings keep their runs — callers
+        gather by alive docID, never by stream scan; None if the term
+        appears in no delta). Memoized: deltas are immutable for this
+        searcher's lifetime. Requires positional deltas (DeltaIndexWriter
+        writes them whenever the base manifest says with_positions)."""
+        todo = [t for t in terms if t not in self._delta_pos_cache]
+        if todo:
+            delta_rows = [self._delta_rows(d, todo) for d in self._delta_dirs]
+            for t in todo:
+                parts_d, parts_tf, parts_pos = [], [], []
+                for dr in delta_rows:
+                    if t not in dr:
+                        continue
                     row = dr[t]
                     if not row.get("pos_blob"):
                         raise ValueError(
@@ -1499,34 +1512,74 @@ class MergedSearcher:
                             "positional deltas (base built with_positions "
                             "and deltas written by this version)"
                         )
-                    parts.append(
+                    dd, dtf = decode_postings(row["doc_blob"], row["tf_blob"])
+                    parts_d.append(dd)
+                    parts_tf.append(dtf)
+                    parts_pos.append(
                         varbyte_decode(row["pos_blob"]).astype(np.int64)
                     )
-            flat = (
-                np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
-            )
-            ent = self._merged_cache.get(t)  # RAW merged arrays — the
-            # positional stream covers every posting incl. tombstoned docs
-            tf = ent[1] if ent is not None else np.empty(0, dtype=np.int64)
-            if flat.size != int(tf.sum()):
-                raise ValueError(
-                    f"positional stream length {flat.size} != merged cf "
-                    f"{int(tf.sum())} for {t!r}"
+                if not parts_d:
+                    self._delta_pos_cache[t] = None
+                    continue
+                tf = np.concatenate(parts_tf)
+                self._delta_pos_cache[t] = (
+                    np.concatenate(parts_d),
+                    tf,
+                    np.concatenate(parts_pos),
+                    np.concatenate(([0], np.cumsum(tf))),
                 )
-            if self._dead.size and ent is not None:
-                # drop dead postings' position runs so the stream aligns
-                # with the alive arrays _merged_rows serves
-                mask = self._alive_posting_mask(ent[0])
-                if not mask.all():
-                    flat = flat[np.repeat(mask, tf)]
-                    tf = tf[mask]
-            out[t] = (flat, np.concatenate(([0], np.cumsum(tf))))
-        return out
+        return {t: self._delta_pos_cache[t] for t in terms}
+
+    def _merged_term_key_fn(self, terms: list[str], SHIFT: np.int64):
+        """keys(term, docs_sorted) → sorted (doc << SHIFT | pos) keys over
+        the live merged view WITHOUT materializing base position streams:
+        base-id candidates route through LocalSearcher._term_position_keys
+        (block-skip on directory-bearing indexes — only the posting blocks
+        holding candidates decode), delta-id candidates gather from the
+        memoized per-term delta streams (deltas are small and immutable).
+        Base ids precede every delta range, so concatenating the two parts
+        preserves key order. Tombstones need no masking here: callers pass
+        alive candidate docs and keys are gathered by docID, never by
+        stream position."""
+        base_rows = self.base.lookup_terms(terms)
+        dpos = self._delta_positions(terms)
+        base_space = self.base.meta.n_docs  # delta doc ranges start here
+
+        def keys(t: str, docs_sorted: np.ndarray) -> np.ndarray:
+            split = int(np.searchsorted(docs_sorted, base_space))
+            parts = []
+            bd = docs_sorted[:split]
+            tp = base_rows.get(t)
+            if bd.size:
+                # a base-id candidate containing t has its posting in the
+                # base segment (upserts mint NEW delta ids) — tp exists
+                parts.append(self.base._term_position_keys(tp, bd, SHIFT))
+            dd = docs_sorted[split:]
+            if dd.size:
+                ddocs, dtf, dflat, doff = dpos[t]
+                pi = np.searchsorted(ddocs, dd)  # exact hits guaranteed
+                lens = dtf[pi]
+                total = int(lens.sum())
+                intra = np.arange(total, dtype=np.int64) - np.repeat(
+                    np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+                )
+                flat_idx = np.repeat(doff[pi], lens) + intra
+                parts.append(
+                    (np.repeat(dd, lens) << SHIFT) | dflat[flat_idx]
+                )
+            if not parts:
+                return np.empty(0, dtype=np.int64)
+            return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+        return keys
 
     def _merged_phrase_state(self, ordered: list[str]):
         """(matched_docs, cand, tf_by, dl0, merged) for a phrase over the
         live merged view — shared by topk_phrase and boolean phrase nodes.
-        Returns None when any term is absent or nothing matches."""
+        Returns (cand, tf_by, dl0, merged, verify) where verify(docs_sorted)
+        folds phrase adjacency over just those docs (block-granular
+        positional gathers via _merged_term_key_fn); None when any term is
+        absent or no candidate holds all terms."""
         terms = sorted(set(ordered))
         merged_all = self._merged_rows(terms)
         merged = {t: merged_all.get(t) for t in terms}
@@ -1548,7 +1601,6 @@ class MergedSearcher:
             if cand.size == 0:
                 return None
 
-        positions = self._merged_positions(terms)
         max_dl = int(dl0.max()) if dl0.size else 1
         # +16 slack: survivors + j must not wrap into the next doc's key
         # space (the engine paths' sizing rule — engine.py topk_phrase)
@@ -1557,40 +1609,31 @@ class MergedSearcher:
             raise ValueError("phrase key packing overflow on merged view")
         SHIFT = np.int64(shift)
 
-        def term_keys(t: str, docs_sorted: np.ndarray) -> np.ndarray:
-            d_full, tf_full, _ = merged[t]
-            flat, off = positions[t]
-            pi = np.searchsorted(d_full, docs_sorted)
-            lens = tf_full[pi]
-            total = int(lens.sum())
-            intra = np.arange(total, dtype=np.int64) - np.repeat(
-                np.concatenate(([0], np.cumsum(lens)[:-1])), lens
-            )
-            flat_idx = np.repeat(off[pi], lens) + intra
-            return (np.repeat(docs_sorted, lens) << SHIFT) | flat[flat_idx]
+        term_keys = self._merged_term_key_fn(terms, SHIFT)
 
-        survivors = term_keys(ordered[0], cand)
-        for j, t in enumerate(ordered[1:], start=1):
-            if survivors.size == 0:
-                return None
-            alive = np.unique(survivors >> SHIFT)
-            kj = term_keys(t, alive)
-            target = survivors + np.int64(j)
-            pos = np.searchsorted(kj, target)
-            ok = pos < kj.size
-            hit = np.zeros(survivors.size, dtype=bool)
-            hit[ok] = kj[pos[ok]] == target[ok]
-            survivors = survivors[hit]
-        matched = np.unique(survivors >> SHIFT)
-        if matched.size == 0:
-            return None
-        return matched, cand, tf_by, dl0, merged
+        def verify(docs_sorted: np.ndarray) -> np.ndarray:
+            survivors = term_keys(ordered[0], docs_sorted)
+            for j, t in enumerate(ordered[1:], start=1):
+                if survivors.size == 0:
+                    break
+                alive = np.unique(survivors >> SHIFT)
+                kj = term_keys(t, alive)
+                target = survivors + np.int64(j)
+                pos = np.searchsorted(kj, target)
+                ok = pos < kj.size
+                hit = np.zeros(survivors.size, dtype=bool)
+                hit[ok] = kj[pos[ok]] == target[ok]
+                survivors = survivors[hit]
+            return np.unique(survivors >> SHIFT)
+
+        return cand, tf_by, dl0, merged, verify
 
     def _merged_phrase_doc_set(self, ordered: list[str]):
         st = self._merged_phrase_state(ordered)
-        return (
-            st[0] if st is not None else np.empty(0, dtype=np.int64)
-        )
+        if st is None:
+            return np.empty(0, dtype=np.int64)
+        cand, _tf_by, _dl0, _merged, verify = st
+        return verify(cand)
 
     def topk_phrase(
         self,
@@ -1601,11 +1644,14 @@ class MergedSearcher:
     ) -> list[tuple[int, float]]:
         """Exact-phrase BM25 top-k over the LIVE merged view (base + deltas,
         combined corpus stats) — phrase capability does not pause between
-        compactions. Simple verify-all shape (merged deltas are the
-        between-compaction state; the latency-tiered evaluator lives on the
-        compacted LocalSearcher path). `idfs`/`avgdl` inject GLOBAL stats
-        from a live sharded coordinator."""
+        compactions. Phrase scores are adjacency-independent (BM25 of the
+        phrase terms), so adjacency verifies lazily in score-tier order
+        (the engine's _lazy_verified_topk kernel) over block-granular
+        positional gathers — head-pair phrases stop after the top tiers.
+        `idfs`/`avgdl` inject GLOBAL stats from a live sharded
+        coordinator."""
         from discogsography_spark.analysis import get_analyzer
+        from discogsography_spark.query.engine import _lazy_verified_topk
 
         an = get_analyzer(self.base.meta.analyzer)
         ordered = an.tokenize_py(phrase)
@@ -1615,8 +1661,7 @@ class MergedSearcher:
         st = self._merged_phrase_state(ordered)
         if st is None:
             return []
-        matched, cand, tf_by, dl0, merged = st
-        sel = np.searchsorted(cand, matched)
+        cand, tf_by, dl0, merged, verify = st
         p = self.params
         if avgdl is None:
             avgdl = self.avgdl
@@ -1624,16 +1669,13 @@ class MergedSearcher:
             idfs = {
                 t: p.idf(self.n_docs, int(merged[t][0].size)) for t in terms
             }
-        norm = p.k1 * (
-            1.0 - p.b + p.b * (dl0[sel].astype(np.float64) / avgdl)
-        )
-        score = np.zeros(matched.shape, dtype=np.float64)
+        norm = p.k1 * (1.0 - p.b + p.b * (dl0.astype(np.float64) / avgdl))
+        score = np.zeros(cand.shape, dtype=np.float64)
         for t in terms:
-            tf = tf_by[t][sel].astype(np.float64)
+            tf = tf_by[t].astype(np.float64)
             score = score + idfs[t] * (tf / (tf + norm))
         score = np.round(score, 5)
-        order = np.lexsort((matched, -score))[:k]
-        return [(int(matched[i]), float(score[i])) for i in order]
+        return _lazy_verified_topk(cand, score, verify, k)
 
 
 def _compact_marker_path(index_dir: str) -> str:

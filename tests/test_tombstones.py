@@ -493,3 +493,37 @@ def test_prefix_expansion_cap_ignores_dead_only_vocabulary(spark, tmp_path):
     assert {live_keys[d][0] for d, _ in hits} == {
         f"conv-{i:04d}" for i in range(1, 5)
     }
+
+
+def test_merged_lazy_tier_verification_identity(tomb_setup):
+    """Merged phrase/within verify positions lazily in score-tier order
+    (the engine's _lazy_verified_topk kernel). Forcing tiny tiers must
+    answer identically to verify-all (huge first tier) — scores included —
+    over the tombstone-bearing live view, for two-term and chained bool
+    shapes."""
+    import discogsography_spark.query.engine as eng
+    from discogsography_spark.analysis import get_analyzer
+
+    alive = tomb_setup["alive"]
+    an = get_analyzer("simple")
+    toks = [t for text in alive["text"].head(50) for t in an.tokenize_py(text)]
+    t_head, t_mid = toks[0], toks[len(toks) // 2]
+
+    old = eng._FIRST_TIER
+    try:
+        eng._FIRST_TIER = 10**9  # verify-all reference
+        ms_all = MergedSearcher(tomb_setup["idx"])
+        want_p = ms_all.topk_phrase(f"{t_head} {t_mid}", 25)
+        want_w = ms_all.topk_within(t_head, t_mid, 3, 25)
+        want_b = ms_all.topk_bool(f"{t_head} <4> {t_mid} OR editmarker", 25)
+
+        eng._FIRST_TIER = 2  # force many tiers
+        ms = MergedSearcher(tomb_setup["idx"])
+        assert ms.topk_phrase(f"{t_head} {t_mid}", 25) == want_p
+        assert ms.topk_within(t_head, t_mid, 3, 25) == want_w
+        assert ms.topk_bool(f"{t_head} <4> {t_mid} OR editmarker", 25) == want_b
+        # absent term / empty candidate edges
+        assert ms.topk_phrase(f"{t_head} zzqqxx", 5) == []
+        assert ms.topk_within("zzqqxx", t_mid, 2, 5) == []
+    finally:
+        eng._FIRST_TIER = old
