@@ -966,6 +966,47 @@ class LocalSearcher:
         per prefix node)."""
         return {p: self.expand_prefix(p, max_expansions) for p in prefixes}
 
+    def expand_wildcard(
+        self, pattern: str, max_expansions: int = 64
+    ) -> list[str]:
+        """Vocabulary terms matching a wildcard pattern (`*` = any run,
+        `?` = one char), term-ASC, capped — Lucene's WildcardQuery
+        deterministic rewrite cap; the reference stack's analog is
+        pg_trgm-accelerated LIKE. The literal run before the first
+        wildcard narrows each segment dictionary to one binary-searched
+        range (a prefix pattern `lit*` degenerates to exactly
+        expand_prefix's range); leading-wildcard patterns filter the whole
+        dictionary — bounded by vocabulary size (Heaps' law), not corpus
+        size, and per-shard at scale. No posting blob is touched."""
+        from discogsography_spark.analysis import (
+            wildcard_literal_prefix,
+            wildcard_regex,
+        )
+
+        rx = wildcard_regex(pattern)
+        lit = wildcard_literal_prefix(pattern)
+        hi_key = lit + "{"
+        found: set[str] = set()
+        for seg in range(self.meta.num_segments):
+            rd = self._reader(seg)
+            if rd is None:
+                continue
+            for terms in rd._terms:
+                if lit:
+                    lo = int(np.searchsorted(terms, lit, side="left"))
+                    hi = int(np.searchsorted(terms, hi_key, side="left"))
+                    cand = terms[lo:hi]
+                else:
+                    cand = terms
+                found.update(t for t in cand.tolist() if rx.fullmatch(t))
+        return sorted(found)[:max_expansions]
+
+    def expand_wildcards(
+        self, patterns: list[str], max_expansions: int = 64
+    ) -> dict[str, list[str]]:
+        """Batched expand_wildcard (one sharded-coordinator RPC round)."""
+        return {p: self.expand_wildcard(p, max_expansions) for p in patterns}
+
     def suggest_terms(
         self, word: str, k: int = 10, min_sim: float = 0.3
     ) -> list[tuple[str, float]]:
@@ -1134,6 +1175,16 @@ class LocalSearcher:
         d_full, tf_full, _ = self._decoded(tp)
         pi = need = None
         use_full = tp.block_pos_off is None or tp.term in self._pos_cache
+        if not use_full:
+            voff = self._tf_offsets(tp)
+            # a stream that fits comfortably in the cache budget decodes
+            # ONCE into the pos-cache — every later call is an O(cand)
+            # gather against it. The block path only wins when the full
+            # stream would churn the budgeted LRU (sf1.0 head pairs:
+            # ~30M-value streams vs the 32M budget). Controlled 8-shard
+            # sweeps showed repeated block gathers LOSING 3-4x to
+            # decode-once-then-cache at per-shard stream sizes (~4M).
+            use_full = 4 * int(voff[-1]) <= self._dec_budget
         if not use_full:
             if docs_sorted.size == 0:
                 return np.empty(0, dtype=np.int64)
@@ -1559,6 +1610,32 @@ class LocalSearcher:
             self._result_cache.move_to_end(key)
             return list(hit)
         res = self._topk_prefix_uncached(prefixes, k, max_expansions)
+        self._result_cache[key] = tuple(res)
+        if len(self._result_cache) > self._result_cache_size:
+            self._result_cache.popitem(last=False)
+        return res
+
+    def topk_wildcard(
+        self, query_text: str, k: int, max_expansions: int = 64
+    ) -> list[tuple[int, float]]:
+        """Wildcard term-match BM25 top-k (`te*m`, `ind?x`, `*fix`) — the
+        Lucene WildcardQuery / pg_trgm LIKE surface. Every pattern expands
+        against the stored vocabulary (expand_wildcard's term-ASC cap); a
+        doc must match EVERY pattern; scoring is the distinct-union-term
+        evaluator shared verbatim with topk_prefix (a prefix is the special
+        case `lit*`) and the DuckDB oracle. Memoized like topk_prefix."""
+        from discogsography_spark.analysis import parse_wildcard_query
+
+        patterns = parse_wildcard_query(query_text)
+        if not patterns or k <= 0:
+            return []
+        key = ("wild", tuple(patterns), k, max_expansions)
+        hit = self._result_cache.get(key)
+        if hit is not None:
+            self._result_cache.move_to_end(key)
+            return list(hit)
+        exp = self.expand_wildcards(patterns, max_expansions)
+        res = self._topk_prefix_uncached(patterns, k, max_expansions, exp=exp)
         self._result_cache[key] = tuple(res)
         if len(self._result_cache) > self._result_cache_size:
             self._result_cache.popitem(last=False)

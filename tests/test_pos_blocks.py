@@ -68,7 +68,10 @@ def tiny_block_setup(spark, tmp_path_factory):
 
 
 def test_block_keys_match_full_stream(tiny_block_setup):
-    s = LocalSearcher(tiny_block_setup["idx"])
+    # tiny budget: the decode-once guard (4*cf <= budget) must NOT route
+    # these fixture-sized streams to the full path — this test pins the
+    # block-granular path itself
+    s = LocalSearcher(tiny_block_setup["idx"], postings_cache_budget=8)
     rng = np.random.default_rng(3)
     checked = 0
     for t in ["spark", "index", "merge", "turn", "query"]:
@@ -110,7 +113,8 @@ def test_positional_queries_identical_across_block_sizes(
     old = eng._FIRST_TIER
     eng._FIRST_TIER = 4  # force multi-tier lazy verification
     try:
-        s = LocalSearcher(tiny_block_setup["idx"])
+        # tiny budget forces the block path under the decode-once guard
+        s = LocalSearcher(tiny_block_setup["idx"], postings_cache_budget=8)
         for q, k in [("spark index", 10), ("turn turn", 8), ("the spark index", 10)]:
             assert s.topk_phrase(q, k) == s2.topk_phrase(q, k), q
         for w1, w2, win, k in [
