@@ -265,6 +265,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_autocomplete_prefix"] = fts_autocomplete_prefix
 
+    def fts_wildcard_topk(spark, sf_dir):
+        # wildcard term match (Lucene WildcardQuery / pg_trgm LIKE): per-
+        # pattern vocabulary expansion (`*` any run, `?` one char) +
+        # conjunctive match — the prefix surface generalized beyond `lit*`
+        from discogsography_spark.query.dataframe_bm25 import (
+            bm25_wildcard_topk_dataframe,
+        )
+
+        return bm25_wildcard_topk_dataframe(
+            _read(spark, sf_dir, "documents"), "ta*e v?l*", k=15,
+            max_expansions=64,
+        )
+
+    q["fts_wildcard_topk"] = fts_wildcard_topk
+
     def fts_bm25_or_topk(spark, sf_dir):
         # disjunctive (websearch OR) BM25 — mirrors LocalSearcher mode='or'
         from discogsography_spark.query.dataframe_bm25 import bm25_or_topk_dataframe
@@ -1878,6 +1893,42 @@ dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
 presence AS (
   SELECT t.doc_id FROM tf t JOIN expc e USING (term)
   GROUP BY t.doc_id HAVING count(DISTINCT e.prefix) = 2
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * (tf.tf / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * (dl.dl / (s.total_tokens / s.n_docs))))) ) AS raw
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, round(raw, 5) AS score
+FROM scored s JOIN presence USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 15
+"""
+
+    o["fts_wildcard_topk"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT count(*) FROM toks)::DOUBLE AS total_tokens
+),
+vocab AS (SELECT DISTINCT term FROM toks),
+expn AS (
+  SELECT p.pat, v.term,
+         row_number() OVER (PARTITION BY p.pat ORDER BY v.term) AS rn
+  FROM (VALUES ('ta%e'), ('v_l%')) p(pat)
+  JOIN vocab v ON v.term LIKE p.pat
+),
+expc AS (SELECT pat, term FROM expn WHERE rn <= 64),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM expc) GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+presence AS (
+  SELECT t.doc_id FROM tf t JOIN expc e USING (term)
+  GROUP BY t.doc_id HAVING count(DISTINCT e.pat) = 2
 ),
 scored AS (
   SELECT tf.doc_id,

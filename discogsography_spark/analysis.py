@@ -53,6 +53,56 @@ def analyze_query(query_text: str) -> list[str]:
     return sorted(set(tokenize_py(query_text)))
 
 
+WILD_TOKEN_RE = re.compile(r"[a-z0-9*?]+")
+
+
+def parse_wildcard_query(query_text: str) -> list[str]:
+    """Wildcard-query analysis: lowercase, extract `[a-z0-9*?]+` tokens,
+    dedupe, SORT (the analyze_query contract). `*` matches any run, `?`
+    exactly one character — Lucene WildcardQuery / SQL LIKE `%`/`_`
+    (pg_trgm-accelerated LIKE is the reference-stack analog). Patterns are
+    NOT stemmed: like prefixes, they are partial words matched against the
+    stored dictionary. A pattern with no literal character (`*`, `??`) is
+    rejected — its expansion is the entire vocabulary."""
+    pats = sorted(set(WILD_TOKEN_RE.findall((query_text or "").lower())))
+    for p in pats:
+        if all(c in "*?" for c in p):
+            raise ValueError(
+                f"wildcard pattern {p!r} has no literal characters"
+            )
+    return pats
+
+
+def wildcard_to_like(pattern: str) -> str:
+    """SQL LIKE form of a wildcard pattern: `*` → `%`, `?` → `_` (the
+    vocabulary alphabet is [a-z0-9], so nothing needs escaping)."""
+    return pattern.replace("*", "%").replace("?", "_")
+
+
+def wildcard_regex(pattern: str) -> "re.Pattern[str]":
+    """Compiled regex fullmatching a wildcard pattern over the [a-z0-9]
+    vocabulary alphabet."""
+    parts = []
+    for c in pattern:
+        if c == "*":
+            parts.append("[a-z0-9]*")
+        elif c == "?":
+            parts.append("[a-z0-9]")
+        else:
+            parts.append(re.escape(c))
+    return re.compile("".join(parts))
+
+
+def wildcard_literal_prefix(pattern: str) -> str:
+    """Literal run before the first wildcard character — the dictionary
+    range [lit, lit+'{') every match must fall in (empty for leading
+    wildcards: the whole dictionary is the range)."""
+    i = min(
+        (pattern.index(c) for c in "*?" if c in pattern), default=len(pattern)
+    )
+    return pattern[:i]
+
+
 def spark_tokens_expr(col: str = "text") -> str:
     """Spark SQL expression string producing the token array for a column.
 

@@ -4,7 +4,7 @@ to the same query functions, SURVEY.md §3.3). This CLI, the pytest suite,
 and bench.py all consume the same library surface.
 
     python -m discogsography_spark.cli build  <transcripts.parquet> <index_dir> [--segments N]
-    python -m discogsography_spark.cli query  <index_dir> "<query text>" [--k K] [--mode and|or|prefix|phrase|bool|suggest|near] [--show-text <transcripts>]
+    python -m discogsography_spark.cli query  <index_dir> "<query text>" [--k K] [--mode and|or|prefix|wildcard|phrase|bool|suggest|near] [--show-text <transcripts>]
     python -m discogsography_spark.cli stats  <index_dir>
     python -m discogsography_spark.cli compact <index_dir>
 """
@@ -39,7 +39,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--window", type=int, default=3, help="proximity window for --mode near")
     q.add_argument("--fuzzy", action="store_true", help="did-you-mean rewrite of vocabulary-absent terms (and/or/bool modes)")
-    q.add_argument("--mode", choices=("and", "or", "prefix", "phrase", "bool", "suggest", "near"), default="and")
+    q.add_argument("--mode", choices=("and", "or", "prefix", "wildcard", "phrase", "bool", "suggest", "near"), default="and")
     q.add_argument("--show-text", metavar="TRANSCRIPTS", default=None)
 
     sr = sub.add_parser(
@@ -144,6 +144,8 @@ def main(argv: list[str] | None = None) -> int:
         searcher = LocalSearcher(args.index_dir)
         if args.mode == "prefix":
             hits = searcher.topk_prefix(args.query_text, args.k)
+        elif args.mode == "wildcard":
+            hits = searcher.topk_wildcard(args.query_text, args.k)
         elif args.mode == "phrase":
             hits = searcher.topk_phrase(args.query_text, args.k)
         elif args.mode == "bool":

@@ -300,6 +300,116 @@ def bm25_prefix_topk_dataframe(
         .limit(k)
     )
 
+def bm25_wildcard_topk_dataframe(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 10,
+    max_expansions: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    params: BM25Params | None = None,
+    round_dp: int = 5,
+) -> DataFrame:
+    """Wildcard term-match BM25 top-k — Lucene WildcardQuery / pg_trgm
+    LIKE over the vocabulary, the generalization of the autocomplete
+    prefix surface (a prefix is the special case `lit*`).
+
+    Semantics (shared verbatim by LocalSearcher.topk_wildcard and the
+    DuckDB oracle): every `[a-z0-9*?]+` token of the query is a pattern
+    (`*` = any run, `?` = one char); each pattern expands to the first
+    `max_expansions` matching vocabulary terms in term-ASC order; a doc
+    qualifies iff EVERY pattern matched at least one of its terms; score
+    = sum of idf*tfnorm over the DISTINCT matched expanded terms, rounded
+    to `round_dp`. The vocabulary join uses native LIKE (term-side column
+    vs the broadcast pattern relation), so expansion stays inside
+    whole-stage codegen.
+    """
+    from discogsography_spark.analysis import (
+        parse_wildcard_query,
+        wildcard_to_like,
+    )
+
+    p = params or BM25Params()
+    patterns = parse_wildcard_query(query_text)
+    prefixes = patterns  # scoring tail shared verbatim with the prefix impl
+    spark = docs.sparkSession
+    if not patterns:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("_dl"), F.lit(0)).alias("total_tokens"),
+    )
+    exploded = toks.select("_id", "_dl", F.explode("_toks").alias("term"))
+
+    # pattern -> expanded vocabulary terms (capped, term-ASC deterministic)
+    from pyspark.sql import Window as W
+
+    pdf = spark.createDataFrame(
+        [(x, wildcard_to_like(x)) for x in patterns],
+        "prefix string, like_pat string",
+    )
+    vocab = exploded.select("term").distinct()
+    wexp = W.partitionBy("prefix").orderBy(F.asc("term"))
+    exp = (
+        vocab.join(F.broadcast(pdf), F.expr("term LIKE like_pat"))
+        .withColumn("rn", F.row_number().over(wexp))
+        .filter(F.col("rn") <= max_expansions)
+        .select("prefix", "term")
+    )
+    terms_u = exp.select("term").distinct()
+
+    tf = (
+        exploded.join(F.broadcast(terms_u), "term")
+        .groupBy("_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("_dl").alias("dl"))
+    )
+    df_per_term = tf.groupBy("term").agg(F.count("*").alias("df"))
+    presence = (
+        tf.join(F.broadcast(exp), "term")
+        .groupBy("_id")
+        .agg(F.countDistinct("prefix").alias("n_p"))
+        .filter(F.col("n_p") == F.lit(len(prefixes)))
+    )
+
+    partial = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    ) * (
+        F.col("tf").cast("double")
+        / (
+            F.col("tf").cast("double")
+            + F.lit(p.k1)
+            * (
+                F.lit(1.0 - p.b)
+                + F.lit(p.b)
+                * (F.col("dl").cast("double") / (F.col("total_tokens") / F.col("n_docs")))
+            )
+        )
+    )
+    return (
+        tf.join(F.broadcast(df_per_term), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("partial", partial)
+        .groupBy("_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "partial"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["partial"],
+            ).alias("raw_score")
+        )
+        .join(presence, "_id")
+        .select(
+            F.col("_id").alias(id_col), F.round("raw_score", round_dp).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
 def bm25_or_topk_dataframe(
     docs: DataFrame,
     query_text: str,

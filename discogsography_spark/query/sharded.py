@@ -261,6 +261,48 @@ class ShardedSearcher:
         )
         return self._merge(hits, k)
 
+    def topk_wildcard(
+        self, query_text: str, k: int, max_expansions: int = 64
+    ) -> list[tuple[int, float]]:
+        """Wildcard term-match top-k across shards — topk_prefix's shape
+        with expand_wildcards as the expansion RPC. The same cap argument
+        holds: per-shard expansions are term-ASC capped, so any term inside
+        the GLOBAL first-max_expansions is within its own shard's
+        first-max_expansions; per-term df sums across shards; every shard
+        evaluates the SAME expansion with the global constants."""
+        from discogsography_spark.analysis import parse_wildcard_query
+
+        patterns = parse_wildcard_query(query_text)
+        if not patterns or k <= 0:
+            return []
+        per_shard = self._call_shards(
+            "expand_wildcards",
+            [{"patterns": patterns, "max_expansions": max_expansions}]
+            * len(self.shards),
+        )
+        exp: dict[str, list[str]] = {}
+        for pat in patterns:
+            union: set[str] = set()
+            for maps in per_shard:
+                union.update((maps or {}).get(pat, []))
+            exp[pat] = sorted(union)[:max_expansions]
+            if not exp[pat]:
+                return []
+        union_terms = sorted({t for ts in exp.values() for t in ts})
+        _, idfs = self._global_idfs(union_terms)
+        kw = {
+            "prefixes": patterns,
+            "k": k,
+            "max_expansions": max_expansions,
+            "exp": exp,
+            "idfs": idfs,
+            "avgdl": self.avgdl,
+        }
+        hits = self._call_shards(
+            "_topk_prefix_uncached", [kw] * len(self.shards)
+        )
+        return self._merge(hits, k)
+
     def global_prefix_expansions(self, ast) -> dict[str, list[str]] | None:
         """GLOBAL prefix expansion map for a boolean AST: per prefix node,
         the term-ASC-capped union of per-shard expansions (every term inside

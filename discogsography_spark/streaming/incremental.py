@@ -1242,33 +1242,90 @@ class MergedSearcher:
         over the COMBINED vocabulary. Delta dictionaries are the same
         sorted in-memory arrays _SegmentReader keeps for the base, so each
         (delta, segment, file) contributes one binary-searched range."""
-        hi_key = prefix + "{"
-        delta_found: set[str] = set()
+        delta_found = self._delta_dict_terms(prefix, None)
+        return self._alive_capped_expansion(
+            lambda want: self.base.expand_prefix(prefix, want),
+            delta_found,
+            max_expansions,
+        )
+
+    def expand_wildcard(
+        self, pattern: str, max_expansions: int = 64
+    ) -> list[str]:
+        """Vocabulary terms matching a wildcard pattern across base +
+        deltas, term-ASC, capped, dead-only vocabulary excluded —
+        LocalSearcher.expand_wildcard's deterministic rule on the live
+        view (same alive-filtering contract as expand_prefix)."""
+        from discogsography_spark.analysis import (
+            wildcard_literal_prefix,
+            wildcard_regex,
+        )
+
+        rx = wildcard_regex(pattern)
+        lit = wildcard_literal_prefix(pattern)
+        delta_found = self._delta_dict_terms(lit, rx)
+        return self._alive_capped_expansion(
+            lambda want: self.base.expand_wildcard(pattern, want),
+            delta_found,
+            max_expansions,
+        )
+
+    def expand_wildcards(
+        self, patterns: list[str], max_expansions: int = 64
+    ) -> dict[str, list[str]]:
+        """Batched expand_wildcard (one coordinator RPC per query)."""
+        return {p: self.expand_wildcard(p, max_expansions) for p in patterns}
+
+    def _delta_dict_terms(self, lit: str, rx) -> set[str]:
+        """Delta-dictionary terms in the range [lit, lit+'{') (whole
+        dictionary when lit is empty), regex-filtered when rx is given.
+        Delta dictionaries are the same sorted in-memory arrays
+        _SegmentReader keeps for the base, so each (delta, segment, file)
+        contributes one binary-searched range."""
+        hi_key = lit + "{"
+        found: set[str] = set()
         for delta in self._delta_dirs:
             for seg in range(self.base.meta.num_segments):
                 rd = self._delta_reader(delta, seg)
                 if rd is None:
                     continue
                 for terms in rd._terms:
-                    lo = int(np.searchsorted(terms, prefix, side="left"))
-                    hi = int(np.searchsorted(terms, hi_key, side="left"))
-                    if hi > lo:
-                        delta_found.update(terms[lo:hi].tolist())
+                    if lit:
+                        lo = int(np.searchsorted(terms, lit, side="left"))
+                        hi = int(np.searchsorted(terms, hi_key, side="left"))
+                        cand = terms[lo:hi]
+                    else:
+                        cand = terms
+                    if rx is None:
+                        found.update(cand.tolist())
+                    else:
+                        found.update(
+                            t for t in cand.tolist() if rx.fullmatch(t)
+                        )
+        return found
+
+    def _alive_capped_expansion(
+        self, base_seed, delta_found: set[str], max_expansions: int
+    ) -> list[str]:
+        """Term-ASC-capped union of a base expansion and delta-dictionary
+        matches, excluding dead-only vocabulary. base_seed(want) must
+        return the base expansion capped at `want`, term-ASC.
+
+        Tombstones: vocabulary alive NOWHERE must not occupy expansion
+        slots — at the cap boundary a dead-only term would displace a
+        real term the fresh alive rebuild expands to. The base seed must
+        over-fetch (its own cap could hide the replacement term), so
+        double the base window until the alive page fills or the base
+        vocabulary for the range is exhausted; alive-filter in sorted
+        windows so the term-ASC cap rule matches the rebuild's exactly
+        (the survivors' decodes are reused by the evaluation that
+        follows every expansion)."""
         if not self._dead.size:
-            found = set(self.base.expand_prefix(prefix, max_expansions))
+            found = set(base_seed(max_expansions))
             return sorted(found | delta_found)[:max_expansions]
-        # tombstones: vocabulary alive NOWHERE must not occupy expansion
-        # slots — at the cap boundary a dead-only term would displace a
-        # real term the fresh alive rebuild expands to. The base seed must
-        # over-fetch (its own cap could hide the replacement term), so
-        # double the base window until the alive page fills or the base
-        # vocabulary for the prefix is exhausted; alive-filter in sorted
-        # windows so the term-ASC cap rule matches the rebuild's exactly
-        # (the survivors' decodes are reused by the evaluation that
-        # follows every expansion).
         want = max_expansions
         while True:
-            base_terms = self.base.expand_prefix(prefix, want)
+            base_terms = base_seed(want)
             cand = sorted(set(base_terms) | delta_found)
             out: list[str] = []
             i = 0
@@ -1288,6 +1345,34 @@ class MergedSearcher:
         one per prefix (LocalSearcher.expand_prefixes's contract on the
         live view)."""
         return {p: self.expand_prefix(p, max_expansions) for p in prefixes}
+
+    def topk_prefix(
+        self, query_text: str, k: int, max_expansions: int = 64
+    ) -> list[tuple[int, float]]:
+        """Autocomplete prefix top-k over the live merged view —
+        LocalSearcher.topk_prefix's contract on the alive corpus."""
+        from discogsography_spark.analysis import analyze_query
+
+        prefixes = analyze_query(query_text)
+        if not prefixes or k <= 0:
+            return []
+        return self._topk_prefix_uncached(prefixes, k, max_expansions)
+
+    def topk_wildcard(
+        self, query_text: str, k: int, max_expansions: int = 64
+    ) -> list[tuple[int, float]]:
+        """Wildcard term-match top-k over the live merged view —
+        LocalSearcher.topk_wildcard's contract on the alive corpus
+        (alive-filtered expansions, combined stats)."""
+        from discogsography_spark.analysis import parse_wildcard_query
+
+        patterns = parse_wildcard_query(query_text)
+        if not patterns or k <= 0:
+            return []
+        exp = self.expand_wildcards(patterns, max_expansions)
+        return self._topk_prefix_uncached(
+            patterns, k, max_expansions, exp=exp
+        )
 
     def _topk_prefix_uncached(
         self,

@@ -1,0 +1,182 @@
+"""Wildcard term-match queries (`te*m`, `ind?x`, `*fix`) — the Lucene
+WildcardQuery / pg_trgm-accelerated LIKE surface, generalizing the
+autocomplete prefix expansion beyond `lit*`.
+
+Contract: every `[a-z0-9*?]+` query token is a pattern; each expands to
+the first 64 matching vocabulary terms term-ASC; a doc must match EVERY
+pattern; score = distinct-union-term BM25 (the shared prefix evaluator);
+identical answers on the index path, the DataFrame path, the sharded
+fan-out (global expansion + stats), and the live merged view
+(alive-filtered expansion).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from discogsography_spark.analysis import (
+    parse_wildcard_query,
+    wildcard_literal_prefix,
+    wildcard_regex,
+    wildcard_to_like,
+)
+from discogsography_spark.corpus import make_transcripts
+from discogsography_spark.index.builder import IndexBuilder
+from discogsography_spark.index.docids import assign_doc_ids
+from discogsography_spark.query.engine import LocalSearcher
+
+
+def test_parse_and_translate():
+    assert parse_wildcard_query("Spa*k IND?X spa*k") == ["ind?x", "spa*k"]
+    assert wildcard_to_like("spa*k?") == "spa%k_"
+    assert wildcard_literal_prefix("spa*k") == "spa"
+    assert wildcard_literal_prefix("*fix") == ""
+    assert wildcard_literal_prefix("plain") == "plain"
+    rx = wildcard_regex("t?b*")
+    assert rx.fullmatch("table") and rx.fullmatch("tab")
+    assert not rx.fullmatch("tb") and not rx.fullmatch("atab")
+    with pytest.raises(ValueError):
+        parse_wildcard_query("spark **")
+
+
+@pytest.fixture(scope="module")
+def wild_setup(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("wild")
+    tdf = make_transcripts(n_conversations=220, mean_turns=6, vocab_size=500)
+    p = str(d / "t.parquet")
+    tdf.to_parquet(p, index=False)
+    idx = str(d / "idx")
+    IndexBuilder(idx, num_segments=4, head_df_threshold=100).build(
+        spark.read.parquet(p)
+    )
+    docs = assign_doc_ids(spark.read.parquet(p)).select("doc_id", "text")
+    return {"idx": idx, "docs": docs, "tdf": tdf, "dir": str(d)}
+
+
+PATTERNS = ["sp*k", "t?e", "*ndex", "in*", "spark", "me*e *rge"]
+
+
+def test_index_matches_dataframe(wild_setup):
+    from discogsography_spark.query.dataframe_bm25 import (
+        bm25_wildcard_topk_dataframe,
+    )
+
+    s = LocalSearcher(wild_setup["idx"])
+    checked = 0
+    for q in PATTERNS + ["sp*k t?e", "zz*qq"]:
+        got = s.topk_wildcard(q, 12)
+        want = [
+            (r["doc_id"], r["score"])
+            for r in bm25_wildcard_topk_dataframe(
+                wild_setup["docs"], q, k=12
+            ).collect()
+        ]
+        assert got == want, q
+        checked += len(got)
+    assert checked > 20
+
+
+def test_prefix_pattern_equals_topk_prefix(wild_setup):
+    s = LocalSearcher(wild_setup["idx"])
+    # `lit*` is exactly the prefix surface
+    assert s.topk_wildcard("sp* in*", 10) == s.topk_prefix("sp in", 10)
+    # exact pattern (no wildcard) expands to just itself
+    assert s.expand_wildcard("spark") in ([], ["spark"])
+
+
+def test_expansion_cap_is_term_asc(wild_setup):
+    s = LocalSearcher(wild_setup["idx"])
+    exp_all = s.expand_wildcard("*e", max_expansions=10**9)
+    exp_cap = s.expand_wildcard("*e", max_expansions=5)
+    assert exp_cap == sorted(exp_all)[:5]
+    assert all(t.endswith("e") for t in exp_all)
+
+
+def test_sharded_matches_single(spark, wild_setup, tmp_path):
+    from discogsography_spark.query.sharded import ShardedSearcher
+
+    tdf = wild_setup["tdf"]
+    convs = sorted(tdf["conv_id"].unique())
+    mid = convs[len(convs) // 2]
+    dirs = []
+    for i, part in enumerate(
+        [tdf[tdf["conv_id"] < mid], tdf[tdf["conv_id"] >= mid]]
+    ):
+        p = str(tmp_path / f"part{i}.parquet")
+        part.reset_index(drop=True).to_parquet(p, index=False)
+        idx = str(tmp_path / f"shard{i}")
+        IndexBuilder(idx, num_segments=4, head_df_threshold=100).build(
+            spark.read.parquet(p)
+        )
+        dirs.append(idx)
+    sh = ShardedSearcher(dirs, parallel=False)
+    s = LocalSearcher(wild_setup["idx"])
+    try:
+        for q in PATTERNS + ["sp*k t?e"]:
+            assert sh.topk_wildcard(q, 12) == s.topk_wildcard(q, 12), q
+    finally:
+        sh.close()
+
+
+def test_merged_live_view_matches_alive_rebuild(spark, tmp_path):
+    from discogsography_spark.streaming.incremental import (
+        DeltaIndexWriter,
+        MergedSearcher,
+    )
+
+    tdf = make_transcripts(n_conversations=120, mean_turns=5, vocab_size=300)
+    convs = sorted(tdf["conv_id"].unique())
+    base = tdf[tdf["conv_id"].isin(convs[:90])].reset_index(drop=True)
+    extra = tdf[tdf["conv_id"].isin(convs[90:])].reset_index(drop=True)
+    bp = str(tmp_path / "base.parquet")
+    base.to_parquet(bp, index=False)
+    idx = str(tmp_path / "idx")
+    IndexBuilder(idx, num_segments=4, head_df_threshold=100).build(
+        spark.read.parquet(bp)
+    )
+    w = DeltaIndexWriter(idx)
+    ep = str(tmp_path / "extra.parquet")
+    extra.to_parquet(ep, index=False)
+    w.write_batch(spark.read.parquet(ep), 0)
+    dead = convs[:5]
+    w.write_deletes(
+        spark.createDataFrame(pd.DataFrame({"conv_id": dead})), 1
+    )
+
+    alive = tdf[~tdf["conv_id"].isin(dead)].reset_index(drop=True)
+    ap = str(tmp_path / "alive.parquet")
+    alive.to_parquet(ap, index=False)
+    ref_idx = str(tmp_path / "ref")
+    IndexBuilder(ref_idx, num_segments=4, head_df_threshold=100).build(
+        spark.read.parquet(ap)
+    )
+
+    def keyed(res, index_dir):
+        import os
+
+        from discogsography_spark.streaming.incremental import list_deltas
+
+        parts = [os.path.join(index_dir, "docs")]
+        for dd in list_deltas(index_dir):
+            p = os.path.join(dd, "docs")
+            if os.path.isdir(p):
+                parts.append(p)
+        dm = pd.concat(
+            [pd.read_parquet(p, columns=["doc_id", "conv_id", "turn_idx"])
+             for p in parts],
+            ignore_index=True,
+        )
+        m = dict(zip(dm["doc_id"], zip(dm["conv_id"], dm["turn_idx"])))
+        return [(m[d], round(s, 5)) for d, s in res]
+
+    ms = MergedSearcher(idx)
+    ref = LocalSearcher(ref_idx)
+    for q in PATTERNS + ["sp*k t?e"]:
+        got = keyed(ms.topk_wildcard(q, 15), idx)
+        want = keyed(ref.topk_wildcard(q, 15), ref_idx)
+        assert got == want, q
+    # alive-filtered expansion: dead-only vocabulary must not occupy slots
+    for pat in ["sp*k", "*e"]:
+        assert ms.expand_wildcard(pat, 8) == ref.expand_wildcard(pat, 8), pat
