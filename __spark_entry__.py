@@ -351,6 +351,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_bool_prefix_topk"] = fts_bool_prefix_topk
 
+    def fts_bool_wildcard_topk(spark, sf_dir):
+        # wildcard term inside a boolean query (Lucene WildcardQuery-in-
+        # BooleanQuery): mid-pattern vocabulary expansion (LIKE, term-ASC,
+        # cap 64) → OR, composed with AND NOT
+        from discogsography_spark.query.dataframe_bm25 import bm25_bool_topk_dataframe
+
+        return bm25_bool_topk_dataframe(
+            _read(spark, sf_dir, "documents"), "b*ch AND NOT window", k=20
+        )
+
+    q["fts_bool_wildcard_topk"] = fts_bool_wildcard_topk
+
     def fts_bool_within_topk(spark, sf_dir):
         # proximity operator inside the boolean language: `a <N> b`
         # (tsquery <->/<N> family, this engine's either-order semantics)
@@ -2210,6 +2222,35 @@ stats AS (
          (SELECT count(*) FROM toks)::DOUBLE AS total_tokens
 ),
 exp AS (SELECT DISTINCT term FROM toks WHERE term LIKE 's%' ORDER BY term LIMIT 64),
+tl AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+hasexp AS (SELECT DISTINCT doc_id FROM toks JOIN exp USING (term)),
+matched AS (
+  SELECT doc_id FROM tl
+  WHERE doc_id IN (SELECT doc_id FROM hasexp)
+    AND NOT list_contains(tk, 'window')
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN (SELECT term FROM exp) GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       round(sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+            * (tf.tf / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * (dl.dl / (s.total_tokens / s.n_docs)))))), 5) AS score
+FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+WHERE tf.doc_id IN (SELECT doc_id FROM matched)
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+    o["fts_bool_wildcard_topk"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT count(*) FROM toks)::DOUBLE AS total_tokens
+),
+exp AS (SELECT DISTINCT term FROM toks WHERE term LIKE 'b%ch' ORDER BY term LIMIT 64),
 tl AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
 hasexp AS (SELECT DISTINCT doc_id FROM toks JOIN exp USING (term)),
 matched AS (

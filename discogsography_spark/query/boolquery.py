@@ -51,6 +51,7 @@ Operands must be single analyzed terms; all score as ordinary
 positive-polarity terms when the doc matches, exactly like phrase terms.
 
 AST nodes are plain tuples — ('term', str) | ('prefix', str) |
+('wild', pattern) |
 ('phrase', (str, …)) | ('within', (str, …), (int, …)) | ('and',
 (nodes…)) | ('or', (nodes…)) | ('not', node) — hashable, so result
 caches can key on them directly. A within node's windows tuple always
@@ -200,12 +201,34 @@ def parse_bool_query(
                 return ("term", ph[0])
             return ("phrase", tuple(ph))
         word = take()
-        if word.endswith("*") and len(word) > 1:
-            pre = word[:-1].lower()
+        wl = word.lower()
+        if (
+            word.endswith("*")
+            and len(word) > 1
+            and not any(c in "*?" for c in wl[:-1])
+        ):
             # prefix text is the raw lowercased string (expand_prefix
             # semantics — expansion happens against the vocabulary, the
             # analyzer is not applied to an incomplete word)
-            return ("prefix", pre)
+            return ("prefix", wl[:-1])
+        if "*" in wl or "?" in wl:
+            # wildcard pattern (mid/leading `*`, any `?`): an expansion
+            # node like prefix — expand_wildcard semantics, analyzer not
+            # applied. Runs without wildcard chars inside the same token
+            # (`foo*bar.baz` → `foo*bar`, `baz`) conjoin like the
+            # multi-term analyze case below.
+            from discogsography_spark.analysis import WILD_TOKEN_RE
+
+            runs = WILD_TOKEN_RE.findall(wl)
+            if not runs or any(all(c in "*?" for c in r) for r in runs):
+                raise BoolQueryError(
+                    f"wildcard token {word!r} has no literal characters"
+                )
+            nodes = tuple(
+                ("wild", r) if ("*" in r or "?" in r) else ("term", r)
+                for r in sorted(runs)
+            )
+            return nodes[0] if len(nodes) == 1 else ("and", nodes)
         terms = analyze(word)
         if not terms:
             return None
@@ -227,7 +250,7 @@ def parse_bool_query(
 def _satisfiable_empty(ast: Node) -> bool:
     """Would a document containing NO query term match?"""
     kind = ast[0]
-    if kind in ("term", "phrase", "prefix", "within"):
+    if kind in ("term", "phrase", "prefix", "wild", "within"):
         return False
     if kind == "not":
         return not _satisfiable_empty(ast[1])
@@ -246,8 +269,8 @@ def polarity_terms(ast: Node) -> tuple[list[str], list[str]]:
         kind = n[0]
         if kind == "term":
             (neg if negated else pos).add(n[1])
-        elif kind == "prefix":
-            pass  # expansion-dependent; callers resolve via expand_prefixes
+        elif kind in ("prefix", "wild"):
+            pass  # expansion-dependent; callers resolve via expand_patterns
         elif kind in ("phrase", "within"):
             (neg if negated else pos).update(n[1])
         elif kind == "not":
@@ -286,9 +309,9 @@ def eval_predicate(
         if has_within is None:
             raise BoolQueryError("within node needs a has_within resolver")
         return has_within(ast[1], ast[2])
-    if kind == "prefix":
+    if kind in ("prefix", "wild"):
         raise BoolQueryError(
-            "prefix node must be expanded before evaluation "
+            "prefix/wild node must be expanded before evaluation "
             "(expand_prefix_nodes)"
         )
     if kind == "not":
@@ -319,9 +342,10 @@ def fold_predicate(
         if within_leaf is None:
             raise BoolQueryError("within node needs a within_leaf resolver")
         return within_leaf(ast[1], ast[2])
-    if kind == "prefix":
+    if kind in ("prefix", "wild"):
         raise BoolQueryError(
-            "prefix node must be expanded before folding (expand_prefix_nodes)"
+            "prefix/wild node must be expanded before folding "
+            "(expand_prefix_nodes)"
         )
     if kind == "not":
         return not_(
@@ -342,7 +366,7 @@ def fold_predicate(
 
 def has_phrase_nodes(ast: Node) -> bool:
     kind = ast[0]
-    if kind in ("term", "prefix", "within"):
+    if kind in ("term", "prefix", "wild", "within"):
         return False
     if kind == "phrase":
         return True
@@ -353,7 +377,7 @@ def has_phrase_nodes(ast: Node) -> bool:
 
 def has_within_nodes(ast: Node) -> bool:
     kind = ast[0]
-    if kind in ("term", "prefix", "phrase"):
+    if kind in ("term", "prefix", "wild", "phrase"):
         return False
     if kind == "within":
         return True
@@ -369,10 +393,12 @@ def has_positional_nodes(ast: Node) -> bool:
 
 
 def has_prefix_nodes(ast: Node) -> bool:
+    """True when the AST has expansion leaves (prefix OR wild nodes) —
+    the gate for the expand_prefix_nodes rewrite."""
     kind = ast[0]
     if kind in ("term", "phrase", "within"):
         return False
-    if kind == "prefix":
+    if kind in ("prefix", "wild"):
         return True
     if kind == "not":
         return has_prefix_nodes(ast[1])
@@ -389,7 +415,7 @@ def expand_prefix_nodes(ast: Node, expand: Callable[[str], list[str]]) -> Node |
     kind = ast[0]
     if kind in ("term", "phrase", "within"):
         return ast
-    if kind == "prefix":
+    if kind in ("prefix", "wild"):
         terms = expand(ast[1])
         if not terms:
             return None  # matches nothing
@@ -501,7 +527,7 @@ def simplify_absent(ast: Node, present: Callable[[str], bool]) -> Node | None:
         # the positive-polarity scoring set (the boolquery scoring
         # contract), so the node must survive for score parity
         return ast if any(present(t) for t in ast[1]) else None
-    if kind == "prefix":
+    if kind in ("prefix", "wild"):
         return ast  # resolved by expand_prefix_nodes, not vocabulary lookup
     if kind == "not":
         c = simplify_absent(ast[1], present)
@@ -574,7 +600,7 @@ def rewrite_fuzzy_terms(
             if s is None:
                 return n
             return ("term", s)
-        if kind in ("phrase", "prefix", "within"):
+        if kind in ("phrase", "prefix", "wild", "within"):
             return n
         if kind == "not":
             return ("not", walk(n[1]))

@@ -695,12 +695,15 @@ def bm25_bool_topk_dataframe(
         ).distinct()
 
         def expand(pre: str) -> list[str]:
-            rows_ = (
-                vocab.filter(F.col("t").startswith(pre))
-                .orderBy("t")
-                .limit(64)
-                .collect()
-            )
+            # wild leaves carry the raw pattern (always contains * or ?),
+            # prefix leaves the bare string — native LIKE vs startswith
+            if "*" in pre or "?" in pre:
+                from discogsography_spark.analysis import wildcard_to_like
+
+                cond = F.col("t").like(wildcard_to_like(pre))
+            else:
+                cond = F.col("t").startswith(pre)
+            rows_ = vocab.filter(cond).orderBy("t").limit(64).collect()
             return [r["t"] for r in rows_]
 
         ast = expand_prefix_nodes(ast, expand)

@@ -1007,6 +1007,22 @@ class LocalSearcher:
         """Batched expand_wildcard (one sharded-coordinator RPC round)."""
         return {p: self.expand_wildcard(p, max_expansions) for p in patterns}
 
+    def expand_patterns(
+        self, strings: list[str], max_expansions: int = 64
+    ) -> dict[str, list[str]]:
+        """Batched expansion for boolean expansion leaves of BOTH kinds:
+        strings containing a wildcard char route to expand_wildcard, the
+        rest to expand_prefix (prefix leaves store the bare string, wild
+        leaves the pattern — disjoint key spaces, one map serves both)."""
+        return {
+            s: (
+                self.expand_wildcard(s, max_expansions)
+                if ("*" in s or "?" in s)
+                else self.expand_prefix(s, max_expansions)
+            )
+            for s in strings
+        }
+
     def suggest_terms(
         self, word: str, k: int = 10, min_sim: float = 0.3
     ) -> list[tuple[str, float]]:
@@ -1098,7 +1114,14 @@ class LocalSearcher:
         if prefix_expansions is not None:
             expand = lambda p: prefix_expansions.get(p, [])  # noqa: E731
         else:
-            expand = lambda p: self.expand_prefix(p, 64)  # noqa: E731
+            # prefix leaves store the bare string, wild leaves the pattern
+            # (always contains * or ?) — disjoint, so one resolver serves
+            # both node kinds
+            expand = lambda p: (  # noqa: E731
+                self.expand_wildcard(p, 64)
+                if ("*" in p or "?" in p)
+                else self.expand_prefix(p, 64)
+            )
         out = expand_prefix_nodes(ast, expand)
         if out == ("true",):  # defensive: vacuous forms are parse-rejected
             raise BoolQueryError("prefix expansion produced a match-all query")

@@ -317,13 +317,14 @@ class ShardedSearcher:
 
         if ast is None or not has_prefix_nodes(ast):
             return None
-        # collect every prefix string first, then ONE batched fan-out round
+        # collect every expansion-leaf string (prefix AND wild — disjoint
+        # key spaces) first, then ONE batched fan-out round
         wanted: list[str] = []
         expand_prefix_nodes(ast, lambda p: (wanted.append(p), [])[1])
         prefixes = sorted(set(wanted))
         per_shard = self._call_shards(
-            "expand_prefixes",
-            [{"prefixes": prefixes, "max_expansions": 64}] * len(self.shards),
+            "expand_patterns",
+            [{"strings": prefixes, "max_expansions": 64}] * len(self.shards),
         )
         expansions: dict[str, list[str]] = {}
         for p in prefixes:

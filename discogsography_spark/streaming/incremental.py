@@ -1191,7 +1191,12 @@ class MergedSearcher:
                 )
             else:
                 ast = expand_prefix_nodes(
-                    ast, lambda p: self.expand_prefix(p, 64)
+                    ast,
+                    lambda p: (
+                        self.expand_wildcard(p, 64)
+                        if ("*" in p or "?" in p)
+                        else self.expand_prefix(p, 64)
+                    ),
                 )
             if ast is None:
                 return []
@@ -1275,6 +1280,20 @@ class MergedSearcher:
     ) -> dict[str, list[str]]:
         """Batched expand_wildcard (one coordinator RPC per query)."""
         return {p: self.expand_wildcard(p, max_expansions) for p in patterns}
+
+    def expand_patterns(
+        self, strings: list[str], max_expansions: int = 64
+    ) -> dict[str, list[str]]:
+        """Batched mixed prefix/wildcard expansion on the live view —
+        LocalSearcher.expand_patterns's dispatch rule."""
+        return {
+            s: (
+                self.expand_wildcard(s, max_expansions)
+                if ("*" in s or "?" in s)
+                else self.expand_prefix(s, max_expansions)
+            )
+            for s in strings
+        }
 
     def _delta_dict_terms(self, lit: str, rx) -> set[str]:
         """Delta-dictionary terms in the range [lit, lit+'{') (whole

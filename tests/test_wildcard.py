@@ -48,9 +48,9 @@ def wild_setup(spark, tmp_path_factory):
     p = str(d / "t.parquet")
     tdf.to_parquet(p, index=False)
     idx = str(d / "idx")
-    IndexBuilder(idx, num_segments=4, head_df_threshold=100).build(
-        spark.read.parquet(p)
-    )
+    IndexBuilder(
+        idx, num_segments=4, head_df_threshold=100, with_positions=True
+    ).build(spark.read.parquet(p))
     docs = assign_doc_ids(spark.read.parquet(p)).select("doc_id", "text")
     return {"idx": idx, "docs": docs, "tdf": tdf, "dir": str(d)}
 
@@ -180,3 +180,63 @@ def test_merged_live_view_matches_alive_rebuild(spark, tmp_path):
     # alive-filtered expansion: dead-only vocabulary must not occupy slots
     for pat in ["sp*k", "*e"]:
         assert ms.expand_wildcard(pat, 8) == ref.expand_wildcard(pat, 8), pat
+
+
+BOOL_WILD = [
+    "sp*k AND NOT t?e",
+    '"spark index" OR *rge',
+    "sp*k AND (in* OR me*e)",
+    "ind?x",
+    "t*e <2> t*e OR spark",  # parser must reject wild proximity operands
+]
+
+
+def test_bool_wild_nodes_all_paths(spark, wild_setup, tmp_path):
+    from discogsography_spark.query.boolquery import BoolQueryError
+    from discogsography_spark.query.dataframe_bm25 import (
+        bm25_bool_topk_dataframe,
+    )
+    from discogsography_spark.query.sharded import ShardedSearcher
+
+    s = LocalSearcher(wild_setup["idx"])
+    tdf = wild_setup["tdf"]
+    convs = sorted(tdf["conv_id"].unique())
+    mid = convs[len(convs) // 2]
+    dirs = []
+    for i, part in enumerate(
+        [tdf[tdf["conv_id"] < mid], tdf[tdf["conv_id"] >= mid]]
+    ):
+        p = str(tmp_path / f"bp{i}.parquet")
+        part.reset_index(drop=True).to_parquet(p, index=False)
+        idx = str(tmp_path / f"bshard{i}")
+        IndexBuilder(
+            idx, num_segments=4, head_df_threshold=100, with_positions=True
+        ).build(spark.read.parquet(p))
+        dirs.append(idx)
+    sh = ShardedSearcher(dirs, parallel=False)
+    try:
+        for q in BOOL_WILD[:4]:
+            got = s.topk_bool(q, 15)
+            want = [
+                (r["doc_id"], round(r["score"], 5))
+                for r in bm25_bool_topk_dataframe(
+                    wild_setup["docs"], q, k=15
+                ).collect()
+            ]
+            assert [(d, round(x, 5)) for d, x in got] == want, q
+            assert sh.topk_bool(q, 15) == got, q
+        with pytest.raises(BoolQueryError):
+            s.topk_bool(BOOL_WILD[4], 5)
+        with pytest.raises(BoolQueryError):
+            s.topk_bool("** AND spark", 5)
+    finally:
+        sh.close()
+
+
+def test_bool_wild_fuzzy_leaves_patterns_alone(wild_setup):
+    # wild nodes are exact-expansion requests: the did-you-mean rewrite
+    # must not touch them even when no vocabulary term matches
+    s = LocalSearcher(wild_setup["idx"])
+    res, rewrites = s.topk_fuzzy("zzq*x AND spark", 5, mode="bool")
+    assert res == []
+    assert "zzq*x" not in rewrites
