@@ -170,6 +170,7 @@ def test_live_sharded_matches_alive_rebuild_all_modes(live_shards, par):
             f"editz AND NOT {tm}",
             f'"{th} {tm}" OR editz',
             f"edi* AND {th}",
+            f"ed?t* AND {th}",  # wild node: live-sharded global expansion
             f"{th} <3> {tm}",
         ]:
             got = _rel(sh.topk_bool(q, BIGK), skeys)
@@ -180,6 +181,8 @@ def test_live_sharded_matches_alive_rebuild_all_modes(live_shards, par):
         assert got == _rel(
             ref._topk_prefix_uncached(["edi"], BIGK, 64), rkeys
         )
+        got = _rel(sh.topk_wildcard("ed*t", BIGK), skeys)
+        assert got == _rel(ref.topk_wildcard("ed*t", BIGK), rkeys)
         # fuzzy suggestions over the combined live vocabulary
         assert sh.suggest_terms("editx", k=3) == ref.suggest_terms(
             "editx", k=3
