@@ -144,6 +144,33 @@ def _position_keys(
 _FIRST_TIER = 4096
 
 
+def _rounded_and_topk(topk_and_fn, terms, k, idfs, avgdl):
+    """Top-k under the PREFIX scoring contract (round to 5dp, THEN rank
+    (score DESC, doc ASC)) computed through a raw-score conjunctive
+    evaluator (`topk_and_fn` — block-max WAND, no full posting decode).
+
+    Rounding is monotone on the raw-desc ranking, so the result is exact
+    once every doc that could round into (or tie) the k-th rounded score
+    is fetched: oversample until the LAST fetched raw score rounds
+    strictly below the k-th rounded score, or the candidate set is
+    exhausted (fewer hits than asked). Returns None when the 5dp tie
+    plateau outgrows the oversampling bound — the caller's general path
+    is exact there."""
+    need = k + 64
+    while True:
+        hits = topk_and_fn(terms, need, idfs=idfs, avgdl=avgdl)
+        if not hits:
+            return []
+        kth_round = round(hits[min(k, len(hits)) - 1][1], 5)
+        if len(hits) < need or round(hits[-1][1], 5) < kth_round:
+            rounded = [(d, round(s, 5)) for d, s in hits]
+            rounded.sort(key=lambda ds: (-ds[1], ds[0]))
+            return rounded[:k]
+        if need >= 16 * (k + 64):
+            return None
+        need *= 4
+
+
 def _lazy_verified_topk(
     cand: np.ndarray,
     scores: np.ndarray,
@@ -1678,6 +1705,16 @@ class LocalSearcher:
         if any(not ts for ts in exp.values()):
             return []  # conjunctive across prefixes: an empty expansion fails
         union_terms = sorted({t for ts in exp.values() for t in ts})
+        if all(len(ts) == 1 for ts in exp.values()):
+            # every pattern resolved to ONE vocabulary term: distinct-union
+            # scoring degenerates to plain conjunctive BM25 — delegate to
+            # the block-max WAND evaluator instead of full posting decode
+            # (a 2-head-term wildcard at 12M docs: 13.0 s of head-list
+            # decode -> the plain AND cost)
+            hits = _rounded_and_topk(self._topk_and, union_terms, k, idfs, avgdl)
+            if hits is not None:
+                return hits
+            # giant 5dp tie plateau: exact general path below
         rows = self.lookup_terms(union_terms)
         m, p = self.meta, self.meta.params
         if avgdl is None:

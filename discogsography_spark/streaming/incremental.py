@@ -1412,6 +1412,18 @@ class MergedSearcher:
         if any(not ts for ts in exp.values()):
             return []  # conjunctive across prefixes: an empty expansion fails
         union_terms = sorted({t for ts in exp.values() for t in ts})
+        if all(len(ts) == 1 for ts in exp.values()):
+            # singleton expansions: distinct-union scoring degenerates to
+            # plain conjunctive BM25 — the pruned merged evaluator under
+            # the prefix contract's round-then-rank (engine._rounded_and_topk)
+            from discogsography_spark.query.engine import _rounded_and_topk
+
+            hits = _rounded_and_topk(
+                self._topk_and, union_terms, k, idfs, avgdl
+            )
+            if hits is not None:
+                return hits
+            # giant 5dp tie plateau: exact general path below
         merged = self._merged_rows(union_terms)
         p = self.params
         if avgdl is None:

@@ -240,3 +240,59 @@ def test_bool_wild_fuzzy_leaves_patterns_alone(wild_setup):
     res, rewrites = s.topk_fuzzy("zzq*x AND spark", 5, mode="bool")
     assert res == []
     assert "zzq*x" not in rewrites
+
+
+def test_wildcard_regex_matches_fnmatch_property():
+    """Property: wildcard_regex's match set over any [a-z0-9] vocabulary
+    equals fnmatch's (the * / ? rule is the public fnmatch contract
+    restricted to the analyzer alphabet)."""
+    import fnmatch
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alpha = "abc01"
+    word = st.text(alphabet=alpha, min_size=0, max_size=6)
+    pat = st.text(alphabet=alpha + "*?", min_size=1, max_size=6).filter(
+        lambda p: any(c not in "*?" for c in p)
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(pat, st.lists(word, min_size=0, max_size=30))
+    def check(p, vocab):
+        rx = wildcard_regex(p)
+        got = sorted({w for w in vocab if rx.fullmatch(w)})
+        want = sorted(set(fnmatch.filter(vocab, p)))
+        assert got == want, (p, vocab)
+
+    check()
+
+
+def test_rounded_and_topk_tie_boundaries():
+    """The singleton-expansion delegation must reproduce round-then-rank
+    exactly: docs whose raw scores differ only below 5dp tie and resolve
+    doc-ASC, including docs the raw ranking puts beyond k."""
+    from discogsography_spark.query.engine import _rounded_and_topk
+
+    # raw ranking: doc 9 (highest raw) .. then a 5dp-tie plateau where
+    # LOWER doc ids carry (barely) lower raw scores — raw rank order is
+    # the reverse of the rounded contract's doc-ASC order
+    raws = [(9, 0.500004), (8, 0.500003), (7, 0.500002), (3, 0.500001),
+            (1, 0.5000005), (2, 0.4)]
+
+    def fake_and(terms, k, idfs=None, avgdl=None):
+        return raws[:k]
+
+    got = _rounded_and_topk(fake_and, ["t"], 3, None, None)
+    assert got == [(1, 0.5), (3, 0.5), (7, 0.5)]
+    got = _rounded_and_topk(fake_and, ["t"], 5, None, None)
+    assert got == [(1, 0.5), (3, 0.5), (7, 0.5), (8, 0.5), (9, 0.5)]
+    got = _rounded_and_topk(fake_and, ["t"], 6, None, None)
+    assert got == [(1, 0.5), (3, 0.5), (7, 0.5), (8, 0.5), (9, 0.5), (2, 0.4)]
+    # plateau larger than the oversampling bound → None (general path)
+    big = [(i, 0.5 + 1e-9 * (10_000 - i)) for i in range(10_000)]
+
+    def fake_big(terms, k, idfs=None, avgdl=None):
+        return big[:k]
+
+    assert _rounded_and_topk(fake_big, ["t"], 4, None, None) is None
