@@ -1010,10 +1010,27 @@ class LocalSearcher:
             wildcard_regex,
         )
 
+        from discogsography_spark.query.fuzzy import like_trigrams
+
         rx = wildcard_regex(pattern)
         lit = wildcard_literal_prefix(pattern)
+        if not lit:
+            # leading wildcard: no dictionary range to narrow — probe the
+            # trigram map instead of scanning the vocabulary (pg_trgm's
+            # gin_trgm_ops LIKE strategy: every match must contain all
+            # trigrams extractable from the pattern's literal runs), then
+            # verify the candidates with the regex
+            req = like_trigrams(pattern)
+            if req:
+                tgx = self._vocab_trigram_index()
+                found = {
+                    tgx.terms[i]
+                    for i in tgx.probe_all(req).tolist()
+                    if rx.fullmatch(tgx.terms[i])
+                }
+                return sorted(found)[:max_expansions]
         hi_key = lit + "{"
-        found: set[str] = set()
+        found = set()
         for seg in range(self.meta.num_segments):
             rd = self._reader(seg)
             if rd is None:
@@ -1058,6 +1075,12 @@ class LocalSearcher:
         GIN-style trigram map over the term dictionaries is built once per
         searcher and probes only terms sharing a trigram with the query —
         see query/fuzzy.py."""
+        return self._vocab_trigram_index().suggest(word, k=k, min_sim=min_sim)
+
+    def _vocab_trigram_index(self):
+        """Lazily-built GIN-style trigram map over the term dictionaries —
+        shared by suggest_terms (pg_trgm `%`) and leading-wildcard
+        expansion (pg_trgm-accelerated LIKE)."""
         if self._trigram_index is None:
             from discogsography_spark.query.fuzzy import TrigramVocabIndex
 
@@ -1069,7 +1092,7 @@ class LocalSearcher:
                 for terms in rd._terms:
                     vocab.update(terms.tolist())
             self._trigram_index = TrigramVocabIndex(sorted(vocab))
-        return self._trigram_index.suggest(word, k=k, min_sim=min_sim)
+        return self._trigram_index
 
     def topk_fuzzy(
         self, query_text: str, k: int, min_sim: float = 0.3, mode: str = "and"

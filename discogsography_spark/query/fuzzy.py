@@ -80,6 +80,51 @@ class TrigramVocabIndex:
         scored.sort(key=lambda ts: (-ts[1], ts[0]))
         return scored[:k]
 
+    def probe_all(self, trigrams: set[str]) -> np.ndarray:
+        """Sorted term ids containing EVERY given trigram — the pg_trgm
+        GIN LIKE probe (gin_trgm_ops supports LIKE by requiring all
+        extracted trigrams): posting-list intersection, rarest first."""
+        lists = []
+        for g in trigrams:
+            post = self._post.get(g)
+            if not post:
+                return np.empty(0, dtype=np.int64)
+            lists.append(np.asarray(post, dtype=np.int64))
+        lists.sort(key=len)
+        cand = lists[0]
+        for arr in lists[1:]:
+            cand = np.intersect1d(cand, arr, assume_unique=True)
+            if cand.size == 0:
+                break
+        return cand
+
+
+def like_trigrams(pattern: str) -> set[str]:
+    """Trigrams every wildcard/LIKE match must contain — pg_trgm's
+    query-extraction strategy for LIKE: 3-char windows fully inside a
+    literal run, plus the padded boundary windows when the run is
+    anchored at the word start ('  x', ' xy') or end ('yz '). `?` (one
+    unknown char) breaks runs like `*` does. An empty set means the
+    pattern has no probeable window — callers fall back to a dictionary
+    scan."""
+    req: set[str] = set()
+    runs: list[tuple[str, bool, bool]] = []
+    cur: list[str] = []
+    for i, c in enumerate(pattern):
+        if c in "*?":
+            if cur:
+                runs.append(("".join(cur), i - len(cur) == 0, False))
+                cur = []
+        else:
+            cur.append(c)
+    if cur:
+        runs.append(("".join(cur), len(pattern) - len(cur) == 0, True))
+    for run, at_start, at_end in runs:
+        s = ("  " if at_start else "") + run + (" " if at_end else "")
+        if len(s) >= 3:
+            req.update(s[i : i + 3] for i in range(len(s) - 2))
+    return req
+
 
 def fuzzy_term_matches(
     docs,

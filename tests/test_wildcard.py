@@ -296,3 +296,69 @@ def test_rounded_and_topk_tie_boundaries():
         return big[:k]
 
     assert _rounded_and_topk(fake_big, ["t"], 4, None, None) is None
+
+
+def test_like_trigrams_and_probe():
+    from discogsography_spark.query.fuzzy import (
+        TrigramVocabIndex,
+        like_trigrams,
+    )
+
+    assert like_trigrams("*tion") == {"tio", "ion", "on "}
+    assert like_trigrams("ab?cd*") == {"  a", " ab"}
+    assert like_trigrams("*ab*") == set()          # no 3-window
+    assert like_trigrams("qu*") == {"  q", " qu"}  # anchored start
+    vocab = ["action", "motion", "quark", "quabc", "nation", "ab", "onion"]
+    tgx = TrigramVocabIndex(vocab)
+    got = sorted(tgx.terms[i] for i in tgx.probe_all(like_trigrams("*tion")))
+    assert got == ["action", "motion", "nation"]
+    assert tgx.probe_all({"zzz"}).size == 0
+
+
+def test_leading_wildcard_probe_equals_scan_property():
+    """pg_trgm-probe candidates, regex-verified, must equal the brute
+    dictionary scan for any leading-wildcard pattern with a probeable
+    literal run — random vocab, random patterns."""
+    import fnmatch
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from discogsography_spark.query.fuzzy import (
+        TrigramVocabIndex,
+        like_trigrams,
+    )
+
+    alpha = "abco1"
+    word = st.text(alphabet=alpha, min_size=1, max_size=8)
+    run = st.text(alphabet=alpha, min_size=3, max_size=5)
+
+    @settings(max_examples=120, deadline=None)
+    @given(run, st.lists(word, min_size=0, max_size=40), st.booleans())
+    def check(r, vocab, trailing):
+        pattern = "*" + r + ("*" if trailing else "")
+        tgx = TrigramVocabIndex(vocab)
+        rx = wildcard_regex(pattern)
+        req = like_trigrams(pattern)
+        assert req
+        got = sorted(
+            {tgx.terms[i] for i in tgx.probe_all(req).tolist()
+             if rx.fullmatch(tgx.terms[i])}
+        )
+        want = sorted(set(fnmatch.filter(set(vocab), pattern)))
+        assert got == want, (pattern, vocab)
+
+    check()
+
+
+def test_engine_leading_wildcard_uses_probe(wild_setup):
+    s = LocalSearcher(wild_setup["idx"])
+    # probeable leading pattern: result must equal the brute filter of the
+    # full vocabulary (computed via the unprobeable path on a huge cap)
+    got = s.expand_wildcard("*ndex", 64)
+    brute = [t for t in s.expand_wildcard("*e", 10**9)
+             if t.endswith("ndex")]  # '*e' falls back to the full scan
+    want = sorted({t for t in s._vocab_trigram_index().terms
+                   if t.endswith("ndex")})[:64]
+    assert got == want
+    assert s._trigram_index is not None  # the probe built the map
