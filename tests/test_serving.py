@@ -816,3 +816,29 @@ def test_cover_fragment_headlines_all_services(
     c = fresh.search(q, 8, highlight_fragments=2, fragment_mode="cover")
     d = live.search(q, 8, highlight_fragments=2, fragment_mode="cover")
     assert c.headlines == d.headlines and c.headlines
+
+
+def test_sharded_wildcard_bool_response_equals_single_index(sharded_served):
+    """Wild nodes (mid/leading wildcards) through the FULL served response:
+    the sharded service must compute ONE global expansion (prefix + wild
+    leaves in the same expand_patterns round) and answer byte-identically
+    to the single-index service — results, counts, facets, headlines."""
+    from discogsography_spark.query.serving import ShardedSearchService
+
+    full_idx, shard_dirs = sharded_served
+    defs = {"role": "role", "tool": "tool"}
+    single = SearchService(full_idx, facet_defs=defs)
+    sharded = ShardedSearchService(shard_dirs, facet_defs=defs)
+    for q in ["sp*k AND NOT m?rge", "*ndex OR sh*le", "w*dow AND s*ff*"]:
+        a = single.search(q, k=10, mode="bool", facets=["role", "tool"],
+                          highlight=True)
+        b = sharded.search(q, k=10, mode="bool", facets=["role", "tool"],
+                           highlight=True)
+        assert a.results == b.results, q
+        assert a.total_matched == b.total_matched, q
+        assert a.facets == b.facets, q
+        assert a.headlines == b.headlines, q
+    # expanded positive terms get highlighted, not the raw pattern
+    resp = single.search("sp*k", k=5, mode="bool", highlight=True)
+    assert resp.results == single.searcher.topk_bool("sp*k", 5)
+    assert any("<<spark>>" in t for t in resp.headlines.values())
