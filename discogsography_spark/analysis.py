@@ -73,6 +73,14 @@ def parse_wildcard_query(query_text: str) -> list[str]:
     return pats
 
 
+def is_wild_pattern(s: str) -> bool:
+    """True for wildcard patterns (contain `*` or `?`) — THE dispatch rule
+    between prefix leaves (bare strings) and wild leaves (patterns) in
+    every expansion resolver. Single definition so the wildcard character
+    set can never drift between call sites."""
+    return "*" in s or "?" in s
+
+
 def wildcard_to_like(pattern: str) -> str:
     """SQL LIKE form of a wildcard pattern: `*` → `%`, `?` → `_` (the
     vocabulary alphabet is [a-z0-9], so nothing needs escaping)."""

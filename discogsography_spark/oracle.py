@@ -147,11 +147,18 @@ def bm25_topk_bool(
     ast = parse_bool_query(
         query_text, analyzer.analyze_query, tokenize=analyzer.tokenize_py
     )
+    def _expand_leaf(p: str) -> list[str]:
+        # wild leaves carry the raw pattern, prefix leaves the bare string
+        # (engine expand_patterns' dispatch rule)
+        from discogsography_spark.analysis import is_wild_pattern, wildcard_regex
+
+        if is_wild_pattern(p):
+            rx = wildcard_regex(p)
+            return sorted(t for t in idx.postings if rx.fullmatch(t))[:64]
+        return sorted(t for t in idx.postings if t.startswith(p))[:64]
+
     if ast is not None:
-        ast = expand_prefix_nodes(
-            ast,
-            lambda p: sorted(t for t in idx.postings if t.startswith(p))[:64],
-        )
+        ast = expand_prefix_nodes(ast, _expand_leaf)
     if ast is None:
         return []
 

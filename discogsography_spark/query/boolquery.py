@@ -224,11 +224,18 @@ def parse_bool_query(
                 raise BoolQueryError(
                     f"wildcard token {word!r} has no literal characters"
                 )
-            nodes = tuple(
-                ("wild", r) if ("*" in r or "?" in r) else ("term", r)
-                for r in sorted(runs)
-            )
-            return nodes[0] if len(nodes) == 1 else ("and", nodes)
+            nodes: list[Node] = []
+            for r in sorted(runs):
+                if "*" in r or "?" in r:
+                    nodes.append(("wild", r))
+                else:
+                    # a wildcard-free run is an ordinary word: it goes
+                    # through the analyzer like the plain-token path
+                    # (stemming + stopword removal), not a raw term leaf
+                    nodes.extend(("term", t) for t in analyze(r))
+            if not nodes:
+                return None  # every literal run was a stopword
+            return nodes[0] if len(nodes) == 1 else ("and", tuple(nodes))
         terms = analyze(word)
         if not terms:
             return None

@@ -695,11 +695,14 @@ def bm25_bool_topk_dataframe(
         ).distinct()
 
         def expand(pre: str) -> list[str]:
-            # wild leaves carry the raw pattern (always contains * or ?),
-            # prefix leaves the bare string — native LIKE vs startswith
-            if "*" in pre or "?" in pre:
-                from discogsography_spark.analysis import wildcard_to_like
+            # wild leaves carry the raw pattern, prefix leaves the bare
+            # string — native LIKE vs startswith
+            from discogsography_spark.analysis import (
+                is_wild_pattern,
+                wildcard_to_like,
+            )
 
+            if is_wild_pattern(pre):
                 cond = F.col("t").like(wildcard_to_like(pre))
             else:
                 cond = F.col("t").startswith(pre)

@@ -1058,14 +1058,19 @@ class LocalSearcher:
         strings containing a wildcard char route to expand_wildcard, the
         rest to expand_prefix (prefix leaves store the bare string, wild
         leaves the pattern — disjoint key spaces, one map serves both)."""
-        return {
-            s: (
-                self.expand_wildcard(s, max_expansions)
-                if ("*" in s or "?" in s)
-                else self.expand_prefix(s, max_expansions)
-            )
-            for s in strings
-        }
+        return {s: self.expand_pattern(s, max_expansions) for s in strings}
+
+    def expand_pattern(self, s: str, max_expansions: int = 64) -> list[str]:
+        """Single-string expansion dispatch: wildcard patterns route to
+        expand_wildcard, bare strings to expand_prefix (is_wild_pattern is
+        THE shared rule)."""
+        from discogsography_spark.analysis import is_wild_pattern
+
+        return (
+            self.expand_wildcard(s, max_expansions)
+            if is_wild_pattern(s)
+            else self.expand_prefix(s, max_expansions)
+        )
 
     def suggest_terms(
         self, word: str, k: int = 10, min_sim: float = 0.3
@@ -1164,14 +1169,9 @@ class LocalSearcher:
         if prefix_expansions is not None:
             expand = lambda p: prefix_expansions.get(p, [])  # noqa: E731
         else:
-            # prefix leaves store the bare string, wild leaves the pattern
-            # (always contains * or ?) — disjoint, so one resolver serves
-            # both node kinds
-            expand = lambda p: (  # noqa: E731
-                self.expand_wildcard(p, 64)
-                if ("*" in p or "?" in p)
-                else self.expand_prefix(p, 64)
-            )
+            # prefix leaves store the bare string, wild leaves the
+            # pattern — disjoint, so one resolver serves both node kinds
+            expand = lambda p: self.expand_pattern(p, 64)  # noqa: E731
         out = expand_prefix_nodes(ast, expand)
         if out == ("true",):  # defensive: vacuous forms are parse-rejected
             raise BoolQueryError("prefix expansion produced a match-all query")

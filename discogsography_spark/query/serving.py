@@ -976,12 +976,7 @@ class MergedSearchService:
                     )
                 else:
                     ast = expand_prefix_nodes(
-                        ast,
-                        lambda p: (
-                            s.expand_wildcard(p, 64)
-                            if ("*" in p or "?" in p)
-                            else s.expand_prefix(p, 64)
-                        ),
+                        ast, lambda p: s.expand_pattern(p, 64)
                     )
                 if ast == ("true",):
                     raise BoolQueryError(
@@ -1066,12 +1061,7 @@ class MergedSearchService:
                 )
             else:
                 ast = expand_prefix_nodes(
-                    ast,
-                    lambda p: (
-                        self.searcher.expand_wildcard(p, 64)
-                        if ("*" in p or "?" in p)
-                        else self.searcher.expand_prefix(p, 64)
-                    ),
+                    ast, lambda p: self.searcher.expand_pattern(p, 64)
                 )
         return polarity_terms(ast)[0] if ast is not None else []
 

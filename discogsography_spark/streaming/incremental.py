@@ -1191,12 +1191,7 @@ class MergedSearcher:
                 )
             else:
                 ast = expand_prefix_nodes(
-                    ast,
-                    lambda p: (
-                        self.expand_wildcard(p, 64)
-                        if ("*" in p or "?" in p)
-                        else self.expand_prefix(p, 64)
-                    ),
+                    ast, lambda p: self.expand_pattern(p, 64)
                 )
             if ast is None:
                 return []
@@ -1286,14 +1281,18 @@ class MergedSearcher:
     ) -> dict[str, list[str]]:
         """Batched mixed prefix/wildcard expansion on the live view —
         LocalSearcher.expand_patterns's dispatch rule."""
-        return {
-            s: (
-                self.expand_wildcard(s, max_expansions)
-                if ("*" in s or "?" in s)
-                else self.expand_prefix(s, max_expansions)
-            )
-            for s in strings
-        }
+        return {s: self.expand_pattern(s, max_expansions) for s in strings}
+
+    def expand_pattern(self, s: str, max_expansions: int = 64) -> list[str]:
+        """Single-string expansion dispatch on the live view
+        (LocalSearcher.expand_pattern's rule)."""
+        from discogsography_spark.analysis import is_wild_pattern
+
+        return (
+            self.expand_wildcard(s, max_expansions)
+            if is_wild_pattern(s)
+            else self.expand_prefix(s, max_expansions)
+        )
 
     def _delta_dict_terms(self, lit: str, rx) -> set[str]:
         """Delta-dictionary terms in the range [lit, lit+'{') (whole
@@ -1638,10 +1637,18 @@ class MergedSearcher:
                     self._delta_pos_cache[t] = None
                     continue
                 tf = np.concatenate(parts_tf)
+                flat = np.concatenate(parts_pos)
+                if flat.size != int(tf.sum()):
+                    # fail fast on a truncated / inconsistent delta stream
+                    # instead of gathering wrong (doc, pos) keys
+                    raise ValueError(
+                        f"positional stream length {flat.size} != delta cf "
+                        f"{int(tf.sum())} for {t!r}"
+                    )
                 self._delta_pos_cache[t] = (
                     np.concatenate(parts_d),
                     tf,
-                    np.concatenate(parts_pos),
+                    flat,
                     np.concatenate(([0], np.cumsum(tf))),
                 )
         return {t: self._delta_pos_cache[t] for t in terms}
@@ -1672,16 +1679,11 @@ class MergedSearcher:
                 parts.append(self.base._term_position_keys(tp, bd, SHIFT))
             dd = docs_sorted[split:]
             if dd.size:
+                from discogsography_spark.query.engine import _position_keys
+
                 ddocs, dtf, dflat, doff = dpos[t]
-                pi = np.searchsorted(ddocs, dd)  # exact hits guaranteed
-                lens = dtf[pi]
-                total = int(lens.sum())
-                intra = np.arange(total, dtype=np.int64) - np.repeat(
-                    np.concatenate(([0], np.cumsum(lens)[:-1])), lens
-                )
-                flat_idx = np.repeat(doff[pi], lens) + intra
                 parts.append(
-                    (np.repeat(dd, lens) << SHIFT) | dflat[flat_idx]
+                    _position_keys(ddocs, dtf, dflat, doff, dd, SHIFT)
                 )
             if not parts:
                 return np.empty(0, dtype=np.int64)
@@ -1690,8 +1692,8 @@ class MergedSearcher:
         return keys
 
     def _merged_phrase_state(self, ordered: list[str]):
-        """(matched_docs, cand, tf_by, dl0, merged) for a phrase over the
-        live merged view — shared by topk_phrase and boolean phrase nodes.
+        """Phrase-evaluation state over the live merged view — shared by
+        topk_phrase and boolean phrase nodes.
         Returns (cand, tf_by, dl0, merged, verify) where verify(docs_sorted)
         folds phrase adjacency over just those docs (block-granular
         positional gathers via _merged_term_key_fn); None when any term is

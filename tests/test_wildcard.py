@@ -362,3 +362,37 @@ def test_engine_leading_wildcard_uses_probe(wild_setup):
                    if t.endswith("ndex")})[:64]
     assert got == want
     assert s._trigram_index is not None  # the probe built the map
+
+
+def test_wild_token_literal_runs_are_analyzed():
+    """Wildcard-free runs inside a wildcard token go through the analyzer
+    like plain tokens (stemming + stopword removal), not raw term leaves;
+    the python oracle expands wild leaves with the wildcard rule."""
+    from discogsography_spark.analysis import get_analyzer
+    from discogsography_spark.query.boolquery import parse_bool_query
+
+    en = get_analyzer("english")
+    ast = parse_bool_query("running.sp*k", en.analyze_query,
+                           tokenize=en.tokenize_py)
+    assert ast == ("and", (("term", "run"), ("wild", "sp*k")))
+    # a stopword literal run vanishes instead of becoming a dead term
+    ast = parse_bool_query("the.sp*k", en.analyze_query,
+                           tokenize=en.tokenize_py)
+    assert ast == ("wild", "sp*k")
+
+
+def test_python_oracle_expands_wild_leaves(wild_setup, tmp_path):
+    from discogsography_spark.oracle import bm25_topk_bool, build_oracle_index
+
+    tdf = wild_setup["tdf"]
+    oidx = build_oracle_index(
+        list(zip(tdf["conv_id"], tdf["turn_idx"], tdf["text"]))
+    )
+    s = LocalSearcher(wild_setup["idx"])
+    for q in ["sp*k AND NOT t?e", "ind?x", "sp*k AND (in* OR me*e)"]:
+        got = s.topk_bool(q, 15)
+        want = bm25_topk_bool(oidx, q, 15)
+        assert [(d, round(x, 5)) for d, x in got] == [
+            (d, round(x, 5)) for d, x in want
+        ], q
+    assert bm25_topk_bool(oidx, "sp*k", 5)  # non-empty
