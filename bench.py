@@ -113,6 +113,7 @@ def main() -> None:
     for name in [
         "fts_bm25_topk",
         "fts_autocomplete_prefix",
+        "fts_wildcard_topk",
         "fts_phrase_topk",
         "fts_term_stats",
         "fts_bool_topk",
