@@ -527,3 +527,40 @@ def test_merged_lazy_tier_verification_identity(tomb_setup):
         assert ms.topk_within("zzqqxx", t_mid, 2, 5) == []
     finally:
         eng._FIRST_TIER = old
+
+
+def test_merged_service_wildcard_bool_under_tombstones(spark, tomb_setup):
+    """Wild nodes through the MERGED served bool path (alive-filtered
+    expansions, counts, facets) must answer like the alive-rebuild
+    service — the tombstone analog of the sharded wild parity test."""
+    from discogsography_spark.query.serving import (
+        MergedSearchService,
+        SearchService,
+    )
+
+    texts = dict(
+        zip(
+            zip(tomb_setup["alive"]["conv_id"], tomb_setup["alive"]["turn_idx"]),
+            tomb_setup["alive"]["text"],
+        )
+    )
+    live_keys = _keyed(None, _docmap(tomb_setup["idx"]))
+    ref_keys = _keyed(None, _docmap(tomb_setup["ref_idx"]))
+    svc = MergedSearchService(
+        tomb_setup["idx"],
+        facet_defs={"role": "role"},
+        text_lookup=lambda d: texts[live_keys[d]],
+    )
+    ref = SearchService(
+        tomb_setup["ref_idx"],
+        facet_defs={"role": "role"},
+        text_lookup=lambda d: texts[ref_keys[d]],
+    )
+    for q in ["edit*rker OR zzq", "e?itmarker", "*marker AND NOT zzq"]:
+        got = svc.search(q, 8, mode="bool", facets=["role"])
+        want = ref.search(q, 8, mode="bool", facets=["role"])
+        assert got.total_matched == want.total_matched, q
+        assert got.facets == want.facets, q
+        assert sorted(
+            (live_keys[d], round(s, 5)) for d, s in got.results
+        ) == sorted((ref_keys[d], round(s, 5)) for d, s in want.results), q
