@@ -88,6 +88,13 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("stats", help="print index manifest stats")
     s.add_argument("index_dir")
 
+    fk = sub.add_parser(
+        "fsck", help="validate every stored index invariant (and deltas)"
+    )
+    fk.add_argument("index_dir")
+    fk.add_argument("--no-deltas", action="store_true",
+                    help="check only the base index")
+
     c = sub.add_parser("compact", help="fold streaming deltas into the base index")
     c.add_argument("index_dir")
 
@@ -263,6 +270,13 @@ def main(argv: list[str] | None = None) -> int:
             out["segments"][seg] = man.segment(seg)
         print(json.dumps(out, indent=2))
         return 0
+
+    if args.cmd == "fsck":
+        from discogsography_spark.index.fsck import fsck_index
+
+        report = fsck_index(args.index_dir, check_deltas=not args.no_deltas)
+        print(json.dumps(report, indent=2))
+        return 0 if not report["errors"] else 1
 
     if args.cmd == "compact":
         from discogsography_spark.session import get_spark
