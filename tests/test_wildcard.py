@@ -396,3 +396,58 @@ def test_python_oracle_expands_wild_leaves(wild_setup, tmp_path):
             (d, round(x, 5)) for d, x in want
         ], q
     assert bm25_topk_bool(oidx, "sp*k", 5)  # non-empty
+
+
+def test_random_wildcard_bool_queries_match_python_oracle(wild_setup):
+    """Randomized end-to-end pin: 200 random boolean queries mixing plain
+    terms, prefixes (`lit*`), wildcard patterns (`l*t`, `l?t`, `*lit`),
+    AND/OR/NOT and grouping — the engine and the brute-force python
+    oracle must agree on ranked (doc, score) lists. The analog of the
+    simplify property suite, over the full wildcard surface."""
+    import random
+
+    from discogsography_spark.oracle import bm25_topk_bool, build_oracle_index
+
+    tdf = wild_setup["tdf"]
+    oidx = build_oracle_index(
+        list(zip(tdf["conv_id"], tdf["turn_idx"], tdf["text"]))
+    )
+    vocab = sorted(oidx.postings)
+    rng = random.Random(99)
+
+    def leaf():
+        w = rng.choice(vocab)
+        r = rng.random()
+        if r < 0.3:
+            return w  # plain term
+        if r < 0.5 and len(w) >= 2:
+            return w[: rng.randint(1, len(w) - 1)] + "*"  # prefix
+        if r < 0.7 and len(w) >= 3:
+            i = rng.randint(1, len(w) - 2)
+            return w[:i] + "*" + w[i + 1 :]  # mid-star
+        if r < 0.85 and len(w) >= 3:
+            i = rng.randint(0, len(w) - 1)
+            return w[:i] + "?" + w[i + 1 :]  # one-char hole
+        return "*" + w[rng.randint(1, max(1, len(w) // 2)) :]  # leading star
+
+    def gen(depth: int) -> str:
+        if depth <= 0 or rng.random() < 0.4:
+            t = leaf()
+            return f"NOT {t}" if rng.random() < 0.15 else t
+        op = rng.choice([" AND ", " OR "])
+        return "(" + op.join(gen(depth - 1) for _ in range(rng.randint(2, 3))) + ")"
+
+    s = LocalSearcher(wild_setup["idx"])
+    checked = 0
+    for _ in range(200):
+        q = gen(2)
+        try:
+            want = bm25_topk_bool(oidx, q, 15)
+        except Exception:
+            continue  # parser-rejected shape (pure negation etc.)
+        got = s.topk_bool(q, 15)
+        assert [(d, round(x, 5)) for d, x in got] == [
+            (d, round(x, 5)) for d, x in want
+        ], q
+        checked += 1
+    assert checked > 120
