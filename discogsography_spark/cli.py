@@ -94,6 +94,8 @@ def main(argv: list[str] | None = None) -> int:
     fk.add_argument("index_dir")
     fk.add_argument("--no-deltas", action="store_true",
                     help="check only the base index")
+    fk.add_argument("--sample", type=int, default=1,
+                    help="check every Nth term row (10^12-scale spot mode)")
 
     c = sub.add_parser("compact", help="fold streaming deltas into the base index")
     c.add_argument("index_dir")
@@ -274,7 +276,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "fsck":
         from discogsography_spark.index.fsck import fsck_index
 
-        report = fsck_index(args.index_dir, check_deltas=not args.no_deltas)
+        report = fsck_index(args.index_dir, check_deltas=not args.no_deltas,
+                            sample=args.sample)
         print(json.dumps(report, indent=2))
         return 0 if not report["errors"] else 1
 

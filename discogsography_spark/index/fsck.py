@@ -159,15 +159,20 @@ def _check_dir(
     id_lo: int,
     id_hi: int | None,
     errors: list[str],
+    sample: int = 1,
 ) -> dict:
     terms_checked = 0
     files = 0
+    seq = 0
     for seg_dir in sorted(glob.glob(os.path.join(seg_root, "seg=*"))):
         seg = int(seg_dir.rsplit("=", 1)[1])
         for f in sorted(glob.glob(os.path.join(seg_dir, "*.parquet"))):
             files += 1
             tbl = pq.read_table(f)
             for row in tbl.to_pylist():
+                seq += 1
+                if sample > 1 and seq % sample:
+                    continue
                 _check_term_row(
                     row, seg, num_segments, block_size, with_positions,
                     id_lo, id_hi, errors,
@@ -195,9 +200,14 @@ def _check_dir(
     return {"terms": terms_checked, "segment_files": files, "docmap_rows": n_docmap}
 
 
-def fsck_index(index_dir: str, check_deltas: bool = True) -> dict:
+def fsck_index(
+    index_dir: str, check_deltas: bool = True, sample: int = 1
+) -> dict:
     """Validate an index directory (and, by default, its committed delta
-    tails). Returns a report dict; report['errors'] empty == clean."""
+    tails). `sample=N` checks every Nth term row (deterministic) — the
+    10^12-scale mode, where a full decode of every posting list per fsck
+    run is not the plan; docmap counts stay exact either way. Returns a
+    report dict; report['errors'] empty == clean."""
     from discogsography_spark.query.engine import IndexMeta
     from discogsography_spark.streaming.incremental import list_deltas
 
@@ -205,6 +215,7 @@ def fsck_index(index_dir: str, check_deltas: bool = True) -> dict:
     with_positions = bool(meta.stats.get("with_positions", False))
     errors: list[str] = []
     report: dict = {"index_dir": index_dir, "with_positions": with_positions}
+    report["sample"] = sample
     report["base"] = _check_dir(
         os.path.join(index_dir, "segments"),
         os.path.join(index_dir, "docs"),
@@ -215,6 +226,7 @@ def fsck_index(index_dir: str, check_deltas: bool = True) -> dict:
         0,
         meta.n_docs,
         errors,
+        sample=sample,
     )
     if check_deltas:
         lo = meta.n_docs
@@ -236,6 +248,7 @@ def fsck_index(index_dir: str, check_deltas: bool = True) -> dict:
                         lo,
                         lo + n,
                         errors,
+                        sample=sample,
                     ),
                 }
             )
