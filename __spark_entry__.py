@@ -760,6 +760,39 @@ array_sort(
 
     q["fts_facets_served"] = fts_facets_served
 
+    def fts_collapse_topk(spark, sf_dir):
+        # field-collapsed search (Lucene/Solr FieldCollapsing, ES collapse;
+        # the reference's per-entity-type rank-capped subqueries UNION
+        # ALL'd, search_queries.py:105-197): best-scoring match per source,
+        # top-10 sources, with each group's total matched count
+        from discogsography_spark.query.dataframe_bm25 import (
+            bm25_collapse_topk_dataframe,
+        )
+
+        return bm25_collapse_topk_dataframe(
+            _read(spark, sf_dir, "documents"), "table value", "source", k=10
+        )
+
+    q["fts_collapse_topk"] = fts_collapse_topk
+
+    def fts_collapse_served(spark, sf_dir):
+        # same collapsed relation answered from the INDEX path
+        # (SearchService.collapse — iterative-deepening over the exact
+        # block-max evaluator, query/collapse.py) — must hash-match the
+        # identical SQL oracle the DataFrame entry uses
+        svc = _served_service(spark, sf_dir)
+        rows = svc.collapse("table value", "source", k=10)
+        src = svc._docs_pdf(svc._index_dir, ["src_doc_id"])
+        src_of = src.set_index("doc_id")["src_doc_id"]
+        out = [
+            (g, int(src_of[d]), round(s, 5), c) for g, d, s, c in rows
+        ]
+        return spark.createDataFrame(
+            out, "source string, doc_id long, score double, group_matched long"
+        )
+
+    q["fts_collapse_served"] = fts_collapse_served
+
     def fts_highlight_served(spark, sf_dir):
         import pyarrow.dataset as ds
 
@@ -2390,6 +2423,49 @@ FROM documents
 WHERE list_contains(list_distinct({toks}), 'spark')
 ORDER BY doc_id LIMIT 10
 """
+
+    _co_terms = sorted(set(analyze_query("table value")))
+    _co_tl = ", ".join(f"'{t}'" for t in _co_terms)
+    o["fts_collapse_topk"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT count(*) FROM toks)::DOUBLE AS total_tokens
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ({_co_tl}) GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         count(*) AS nt,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * (tf.tf / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * (dl.dl / (s.total_tokens / s.n_docs))))) ) AS raw
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+m AS (
+  SELECT d.source, s.doc_id, round(s.raw, 5) AS score
+  FROM scored s JOIN documents d USING (doc_id) WHERE s.nt = {len(_co_terms)}
+),
+cnt AS (SELECT source, count(*)::BIGINT AS group_matched FROM m GROUP BY source),
+best AS (
+  SELECT source, doc_id, score,
+         row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rn
+  FROM m
+)
+SELECT b.source, b.doc_id, b.score, c.group_matched
+FROM best b JOIN cnt c USING (source)
+WHERE b.rn = 1
+ORDER BY b.score DESC, b.doc_id ASC LIMIT 10
+"""
+
+    # index path answers the IDENTICAL collapsed relation — shared oracle
+    o["fts_collapse_served"] = o["fts_collapse_topk"]
 
     o["agg_cube_orders"] = """
 SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n,

@@ -84,6 +84,13 @@ def main(argv: list[str] | None = None) -> int:
         "--merged", action="store_true",
         help="serve the LIVE base+delta view (MergedSearchService)",
     )
+    sr.add_argument(
+        "--collapse", default=None, metavar="FIELD",
+        help="field-collapsed results: best hit per FIELD value (e.g. "
+        "--collapse conv_id returns top-k CONVERSATIONS, each "
+        "represented by its best-scoring turn, with the group's total "
+        "matched count)",
+    )
 
     s = sub.add_parser("stats", help="print index manifest stats")
     s.add_argument("index_dir")
@@ -233,19 +240,41 @@ def main(argv: list[str] | None = None) -> int:
             from discogsography_spark.query.serving import MergedSearchService
 
             svc = MergedSearchService(args.index_dir, facet_defs=facet_defs)
-            resp = svc.search(args.query_text, args.k, fuzzy=args.fuzzy, **kwargs)
         elif args.shards:
             from discogsography_spark.query.serving import ShardedSearchService
 
             svc = ShardedSearchService(
                 args.index_dir.split(","), facet_defs=facet_defs
             )
-            resp = svc.search(args.query_text, args.k, fuzzy=args.fuzzy, **kwargs)
         else:
             from discogsography_spark.query.serving import SearchService
 
             svc = SearchService(args.index_dir, facet_defs=facet_defs)
-            resp = svc.search(args.query_text, args.k, fuzzy=args.fuzzy, **kwargs)
+        if args.collapse:
+            rows = svc.collapse(
+                args.query_text, args.collapse, args.k, mode=args.mode
+            )
+            print(
+                json.dumps(
+                    {
+                        "collapse": args.collapse,
+                        "groups": [
+                            {
+                                "group": g,
+                                "doc_id": d,
+                                "score": round(s, 6),
+                                "group_matched": c,
+                            }
+                            for g, d, s, c in rows
+                        ],
+                    },
+                    indent=2,
+                )
+            )
+            if hasattr(svc, "close"):
+                svc.close()
+            return 0
+        resp = svc.search(args.query_text, args.k, fuzzy=args.fuzzy, **kwargs)
         print(
             json.dumps(
                 {

@@ -975,6 +975,106 @@ def bm25_filtered_topk_dataframe(
     )
 
 
+def bm25_collapse_topk_dataframe(
+    docs: DataFrame,
+    query_text: str,
+    group_col: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    params: BM25Params | None = None,
+    round_dp: int = 5,
+) -> DataFrame:
+    """Field-collapsed search — the DataFrame mirror of
+    SearchService.collapse (query/collapse.py): the best-scoring matching
+    document per `group_col` value, top-k groups ordered by that best
+    document's (score DESC, id ASC), each row carrying the group's total
+    matched-document count. Search turns, return conversations — the
+    reference's per-entity-type rank-capped subqueries UNION ALL'd
+    (api/queries/search_queries.py:105-197) with entity type as the group.
+
+    Plan shape at scale: the window partitions by group over the MATCHED
+    set only (conjunctive matches, not the corpus), so the collapse
+    shuffle is proportional to result cardinality; group counts reuse the
+    same shuffled partitioning (same key) in one groupBy."""
+    p = params or BM25Params()
+    terms = analyze_query(query_text)
+    spark = docs.sparkSession
+    if not terms:
+        return spark.createDataFrame(
+            [], f"{group_col} string, {id_col} long, score double, group_matched long"
+        )
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_gv"),
+        tokens_col(text_col).alias("_toks"),
+    ).withColumn("_dl", F.size("_toks"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("_dl"), F.lit(0)).alias("total_tokens"),
+    )
+    tf = (
+        toks.select("_id", "_gv", "_dl", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("_id", "term")
+        .agg(
+            F.count("*").alias("tf"),
+            F.first("_dl").alias("dl"),
+            F.first("_gv").alias("_gv"),
+        )
+    )
+    df_per_term = tf.groupBy("term").agg(F.count("*").alias("df"))
+    partial = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    ) * (
+        F.col("tf").cast("double")
+        / (
+            F.col("tf").cast("double")
+            + F.lit(p.k1)
+            * (
+                F.lit(1.0 - p.b)
+                + F.lit(p.b)
+                * (F.col("dl").cast("double") / (F.col("total_tokens") / F.col("n_docs")))
+            )
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_per_term), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("partial", partial)
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("nt"),
+            F.first("_gv").alias("_gv"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "partial"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["partial"],
+            ).alias("raw_score"),
+        )
+        .filter(F.col("nt") == F.lit(len(terms)))  # conjunctive
+        .select("_id", "_gv", F.round("raw_score", round_dp).alias("score"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("_gv").orderBy(F.desc("score"), F.asc("_id"))
+    counts = scored.groupBy("_gv").agg(F.count("*").alias("group_matched"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .join(counts, "_gv")
+        .select(
+            F.col("_gv").alias(group_col),
+            F.col("_id").alias(id_col),
+            "score",
+            "group_matched",
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def bm25_fuzzy_bool_topk_dataframe(
     docs: DataFrame,
     query_text: str,

@@ -204,10 +204,12 @@ class SearchService:
         self.searcher = LocalSearcher(index_dir)
         self.meta = self.searcher.meta
         self._an = get_analyzer(self.meta.analyzer)
+        self._index_dir = index_dir
         self._text_lookup = text_lookup
         self._texts: np.ndarray | None = None
         self._facet_codes: dict[str, np.ndarray] = {}
         self._facet_cats: dict[str, list[str]] = {}
+        self._collapse_cache: dict[str, tuple[np.ndarray, list[str]]] = {}
         if facet_defs:
             self._load_facets(index_dir, facet_defs)
         if text_lookup is None and bool(self.meta.stats.get("store_text")):
@@ -338,6 +340,47 @@ class SearchService:
                 if counts[i] > 0
             ]
         return out
+
+    def _collapse_codes(self, field: str) -> tuple[np.ndarray, list[str]]:
+        """Dense per-docID group codes + labels for a docmap column —
+        reuses a registered facet's arrays, else loads and caches the
+        column once (the facet-array factorization, so a high-cardinality
+        collapse key like conv_id costs one int32 array + label list)."""
+        if field in self._facet_codes:
+            return self._facet_codes[field], self._facet_cats[field]
+        hit = self._collapse_cache.get(field)
+        if hit is not None:
+            return hit
+        pdf = self._docs_pdf(self._index_dir, [field])
+        codes, cats = _facet_arrays(pdf, {field: field}, self.meta.n_docs)
+        self._collapse_cache[field] = (codes[field], cats[field])
+        return self._collapse_cache[field]
+
+    def _collapse_eval(self, query_text: str, mode: str):
+        if mode == "bool":
+            return lambda kp: self.searcher.topk_bool(query_text, kp)
+        return lambda kp: self.searcher.topk(query_text, kp, mode=mode)
+
+    def collapse(
+        self,
+        query_text: str,
+        field: str,
+        k: int,
+        mode: str = "and",
+        counts: bool = True,
+        probe_k: int | None = None,
+    ) -> list[tuple]:
+        """Field-collapsed search: top-k `field` groups, each represented
+        by its best-scoring document — search turns, return conversations
+        (query/collapse.py; the reference's per-entity-type rank-capped
+        subqueries UNION ALL'd, search_queries.py:105-197). Rows are
+        (group_label, doc_id, score, group_matched) with group_matched the
+        group's exact total matched count."""
+        from discogsography_spark.query.collapse import service_collapse
+
+        return service_collapse(
+            self, query_text, field, k, mode=mode, counts=counts, probe_k=probe_k
+        )
 
     def _text_of(self, doc_id: int) -> str:
         if self._texts is not None:
@@ -858,6 +901,71 @@ class ShardedSearchService:
                 )
         return resp
 
+    def collapse(
+        self,
+        query_text: str,
+        field: str,
+        k: int,
+        mode: str = "and",
+        counts: bool = True,
+        probe_k: int | None = None,
+    ) -> list[tuple]:
+        """Field-collapsed search across shards — bit-identical to the
+        single-index service. Grouping happens at the COORDINATOR on the
+        globally-exact fan-out ranking (ShardedSearcher injects global
+        stats), with group labels resolved through each owning shard's
+        docmap — exact for ANY group field, shard-spanning groups
+        included, because the deepening loop (query/collapse.py) only ever
+        consumes the global ranked order. group_matched sums per-shard
+        bincounts by label (the facet-count recipe)."""
+        from discogsography_spark.query.collapse import collapse_topk
+
+        per = [svc._collapse_codes(field) for svc in self.services]
+        offsets = self.offsets
+
+        def group_of(gd: int) -> str:
+            si = int(np.searchsorted(offsets, gd, side="right")) - 1
+            codes, cats = per[si]
+            return cats[codes[gd - int(offsets[si])]]
+
+        expansions: dict[str, list[str]] | None = None
+        if mode == "bool":
+            from discogsography_spark.query.boolquery import parse_bool_query
+
+            an = self.services[0]._an
+            ast = parse_bool_query(
+                query_text, an.analyze_query, tokenize=an.tokenize_py
+            )
+            # ONE global prefix/wildcard rewrite shared between ranking
+            # and counting, the ShardedSearchService.search contract
+            expansions = self.sharded.global_prefix_expansions(ast)
+            fn = lambda kp: self.sharded.topk_bool(  # noqa: E731
+                query_text, kp, expansions=expansions
+            )
+        else:
+            fn = lambda kp: self.sharded.topk(  # noqa: E731
+                query_text, kp, mode=mode
+            )
+        rows = collapse_topk(fn, group_of, k, probe_k=probe_k)
+        if not counts:
+            return rows
+
+        def _count_shard(svc):
+            m = svc.matched_docs(
+                query_text, mode=mode, prefix_expansions=expansions
+            )
+            codes, cats = svc._collapse_codes(field)
+            c = np.bincount(codes[m], minlength=len(cats)) if m.size else None
+            return cats, c
+
+        label_counts: dict[str, int] = {}
+        for cats, c in self.sharded._fanout(_count_shard, self.services):
+            if c is None:
+                continue
+            for i in np.flatnonzero(c):
+                label_counts[cats[i]] = label_counts.get(cats[i], 0) + int(c[i])
+        return [(g, d, s, label_counts.get(g, 0)) for g, d, s in rows]
+
 
 class MergedSearchService:
     """Full search response (results + facets + total_matched + headlines +
@@ -890,6 +998,7 @@ class MergedSearchService:
         self._texts: np.ndarray | None = None
         self._facet_codes: dict[str, np.ndarray] = {}
         self._facet_cats: dict[str, list[str]] = {}
+        self._collapse_cache: dict[str, tuple[np.ndarray, list[str]]] = {}
         if facet_defs:
             cols: set[str] = {
                 s for s in facet_defs.values() if isinstance(s, str)
@@ -1064,6 +1173,56 @@ class MergedSearchService:
                     ast, lambda p: self.searcher.expand_pattern(p, 64)
                 )
         return polarity_terms(ast)[0] if ast is not None else []
+
+    def _collapse_codes(self, field: str) -> tuple[np.ndarray, list[str]]:
+        """Dense per-docID group codes + labels for a docmap column —
+        reuses a registered facet's arrays, else loads and caches the
+        column once (the facet-array factorization, so a high-cardinality
+        collapse key like conv_id costs one int32 array + label list)."""
+        if field in self._facet_codes:
+            return self._facet_codes[field], self._facet_cats[field]
+        hit = self._collapse_cache.get(field)
+        if hit is not None:
+            return hit
+        pdf = self._docs_pdf([field])
+        codes, cats = _facet_arrays(pdf, {field: field}, self.n_docs)
+        self._collapse_cache[field] = (codes[field], cats[field])
+        return self._collapse_cache[field]
+
+    def _collapse_eval(self, query_text: str, mode: str):
+        if mode == "bool":
+            return lambda kp: self.searcher.topk_bool(query_text, kp)
+        if mode == "or":
+            # merged OR rides the bool evaluator on a flat OR node (the
+            # same dispatch as MergedSearchService.search)
+            terms = sorted(set(self._an.analyze_query(query_text)))
+            node = ("or", tuple(("term", t) for t in terms)) if terms else None
+            return lambda kp: (
+                self.searcher.topk_bool(query_text, kp, ast_override=node)
+                if node is not None
+                else []
+            )
+        return lambda kp: self.searcher.topk(query_text, kp)
+
+    def collapse(
+        self,
+        query_text: str,
+        field: str,
+        k: int,
+        mode: str = "and",
+        counts: bool = True,
+        probe_k: int | None = None,
+    ) -> list[tuple]:
+        """Field-collapsed search over the live merged view — identical
+        contract to SearchService.collapse, evaluated on the ALIVE corpus
+        (upserts collapse to their latest version, deleted turns never
+        represent or count toward a group). Group codes load over the
+        base+delta docmap; tombstoned slots are never read."""
+        from discogsography_spark.query.collapse import service_collapse
+
+        return service_collapse(
+            self, query_text, field, k, mode=mode, counts=counts, probe_k=probe_k
+        )
 
     def _text_of(self, doc_id: int) -> str:
         if self._texts is not None:

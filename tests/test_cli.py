@@ -101,6 +101,16 @@ def test_cli_search_subcommand(built_index):
     ))
     assert bl["results"]
 
+    col = json.loads(_run(
+        ["search", built_index, "spark index", "--k", "5",
+         "--collapse", "conv_id"]
+    ))
+    groups = [g["group"] for g in col["groups"]]
+    assert len(groups) == 5 and len(set(groups)) == 5  # one row per conv
+    assert all(g["group_matched"] >= 1 for g in col["groups"])
+    scores = [g["score"] for g in col["groups"]]
+    assert scores == sorted(scores, reverse=True)
+
 
 def test_cli_upsert_delete_roundtrip(spark, tmp_path):
     """upsert replaces prior versions (tombstones), delete kills keys;
