@@ -793,6 +793,27 @@ array_sort(
 
     q["fts_collapse_served"] = fts_collapse_served
 
+    def fts_context_window(spark, sf_dir):
+        # conversation-context retrieval (SearchService.context /
+        # query/context.py): the turns surrounding each top-5 hit, by TURN
+        # distance within the hit's conversation — documents get a derived
+        # conversation structure (8 turns per conv) shared with the oracle
+        from discogsography_spark.query.dataframe_bm25 import (
+            context_windows_dataframe,
+        )
+
+        docs = _read(spark, sf_dir, "documents")
+        structured = docs.select(
+            "doc_id",
+            "text",
+            F.expr("doc_id div 8").alias("conv_id"),
+            (F.col("doc_id") % 8).alias("turn_idx"),
+        )
+        hits = bm25_topk_dataframe(docs, "table value", k=5).select("doc_id")
+        return context_windows_dataframe(structured, hits, window=2)
+
+    q["fts_context_window"] = fts_context_window
+
     def fts_highlight_served(spark, sf_dir):
         import pyarrow.dataset as ds
 
@@ -2466,6 +2487,46 @@ ORDER BY b.score DESC, b.doc_id ASC LIMIT 10
 
     # index path answers the IDENTICAL collapsed relation — shared oracle
     o["fts_collapse_served"] = o["fts_collapse_topk"]
+
+    o["fts_context_window"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT count(*) FROM toks)::DOUBLE AS total_tokens
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ({_co_tl}) GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         count(*) AS nt,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * (tf.tf / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * (dl.dl / (s.total_tokens / s.n_docs))))) ) AS raw
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+top5 AS (
+  SELECT doc_id FROM scored WHERE nt = {len(_co_terms)}
+  ORDER BY round(raw, 5) DESC, doc_id ASC LIMIT 5
+),
+d AS (
+  SELECT doc_id, (doc_id // 8)::BIGINT AS conv_id, (doc_id % 8)::BIGINT AS turn_idx
+  FROM documents
+),
+h AS (
+  SELECT t.doc_id AS hit_doc_id, d.conv_id, d.turn_idx
+  FROM top5 t JOIN d ON d.doc_id = t.doc_id
+)
+SELECT h.hit_doc_id, d.doc_id, d.conv_id, d.turn_idx
+FROM h JOIN d ON d.conv_id = h.conv_id
+               AND abs(d.turn_idx - h.turn_idx) <= 2
+ORDER BY h.hit_doc_id, d.turn_idx, d.doc_id
+"""
 
     o["agg_cube_orders"] = """
 SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n,

@@ -85,6 +85,11 @@ def main(argv: list[str] | None = None) -> int:
         help="serve the LIVE base+delta view (MergedSearchService)",
     )
     sr.add_argument(
+        "--context", type=int, default=None, metavar="W",
+        help="attach conversation context to each hit: every alive turn "
+        "of the hit's conversation within W turn indexes",
+    )
+    sr.add_argument(
         "--collapse", default=None, metavar="FIELD",
         help="field-collapsed results: best hit per FIELD value (e.g. "
         "--collapse conv_id returns top-k CONVERSATIONS, each "
@@ -275,21 +280,25 @@ def main(argv: list[str] | None = None) -> int:
                 svc.close()
             return 0
         resp = svc.search(args.query_text, args.k, fuzzy=args.fuzzy, **kwargs)
-        print(
-            json.dumps(
-                {
-                    "results": [
-                        {"doc_id": d, "score": round(x, 6)}
-                        for d, x in resp.results
-                    ],
-                    "total_matched": resp.total_matched,
-                    "facets": resp.facets,
-                    "rewrites": resp.rewrites,
-                    "headlines": {str(d): h for d, h in resp.headlines.items()},
-                },
-                indent=2,
-            )
-        )
+        payload = {
+            "results": [
+                {"doc_id": d, "score": round(x, 6)}
+                for d, x in resp.results
+            ],
+            "total_matched": resp.total_matched,
+            "facets": resp.facets,
+            "rewrites": resp.rewrites,
+            "headlines": {str(d): h for d, h in resp.headlines.items()},
+        }
+        if args.context is not None:
+            payload["context"] = {
+                str(d): [
+                    {"doc_id": cd, "conv_id": cc, "turn_idx": ct}
+                    for cd, cc, ct in svc.context(d, args.context)
+                ]
+                for d, _ in resp.results
+            }
+        print(json.dumps(payload, indent=2))
         return 0
 
     if args.cmd == "stats":

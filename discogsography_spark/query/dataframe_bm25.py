@@ -1075,6 +1075,45 @@ def bm25_collapse_topk_dataframe(
     )
 
 
+def context_windows_dataframe(
+    docs: DataFrame,
+    hits: DataFrame,
+    window: int = 2,
+    id_col: str = "doc_id",
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+) -> DataFrame:
+    """Conversation-context retrieval, DataFrame mirror of
+    SearchService.context (query/context.py): for each hit, every turn of
+    the hit's conversation within `window` turn indexes (turn DISTANCE,
+    not row adjacency). `hits` carries id_col (a top-k result frame).
+
+    Plan shape: the hit set is top-k-small, so the conv-equality join
+    broadcasts it — one broadcast-hash join + a range filter, no shuffle
+    of the corpus."""
+    d = docs.select(id_col, conv_col, turn_col)
+    h = (
+        hits.select(F.col(id_col).alias("hit_doc_id"))
+        .join(
+            d.select(
+                F.col(id_col).alias("hit_doc_id"),
+                F.col(conv_col).alias("_hc"),
+                F.col(turn_col).alias("_ht"),
+            ),
+            "hit_doc_id",
+        )
+    )
+    return (
+        d.join(
+            F.broadcast(h),
+            (F.col(conv_col) == F.col("_hc"))
+            & (F.abs(F.col(turn_col) - F.col("_ht")) <= F.lit(window)),
+        )
+        .select("hit_doc_id", id_col, conv_col, turn_col)
+        .orderBy("hit_doc_id", turn_col, id_col)
+    )
+
+
 def bm25_fuzzy_bool_topk_dataframe(
     docs: DataFrame,
     query_text: str,

@@ -210,6 +210,7 @@ class SearchService:
         self._facet_codes: dict[str, np.ndarray] = {}
         self._facet_cats: dict[str, list[str]] = {}
         self._collapse_cache: dict[str, tuple[np.ndarray, list[str]]] = {}
+        self._ctx_index = None
         if facet_defs:
             self._load_facets(index_dir, facet_defs)
         if text_lookup is None and bool(self.meta.stats.get("store_text")):
@@ -381,6 +382,22 @@ class SearchService:
         return service_collapse(
             self, query_text, field, k, mode=mode, counts=counts, probe_k=probe_k
         )
+
+    def context(
+        self, doc_id: int, window: int = 2, text: bool = False
+    ) -> list[tuple]:
+        """Conversation-context retrieval (query/context.py): every turn of
+        the hit's conversation within `window` turn indexes, turn-ASC —
+        (doc_id, conv_id, turn_idx[, text]) rows, the hit included."""
+        if self._ctx_index is None:
+            from discogsography_spark.query.context import ContextIndex
+
+            pdf = self._docs_pdf(self._index_dir, ["conv_id", "turn_idx"])
+            self._ctx_index = ContextIndex(pdf, self.meta.n_docs)
+        rows = self._ctx_index.window(doc_id, window)
+        if text:
+            return [(d, c, t, self._text_of(d)) for d, c, t in rows]
+        return rows
 
     def _text_of(self, doc_id: int) -> str:
         if self._texts is not None:
@@ -966,6 +983,17 @@ class ShardedSearchService:
                 label_counts[cats[i]] = label_counts.get(cats[i], 0) + int(c[i])
         return [(g, d, s, label_counts.get(g, 0)) for g, d, s in rows]
 
+    def context(
+        self, doc_id: int, window: int = 2, text: bool = False
+    ) -> list[tuple]:
+        """Conversation context through the owning shard (conversations
+        never span shards — the router/sharding layout is conv-range
+        disjoint), docIDs re-offset to the global space."""
+        si = int(np.searchsorted(self.offsets, doc_id, side="right")) - 1
+        off = int(self.offsets[si])
+        rows = self.services[si].context(doc_id - off, window, text=text)
+        return [(d + off, *rest) for d, *rest in rows]
+
 
 class MergedSearchService:
     """Full search response (results + facets + total_matched + headlines +
@@ -999,6 +1027,7 @@ class MergedSearchService:
         self._facet_codes: dict[str, np.ndarray] = {}
         self._facet_cats: dict[str, list[str]] = {}
         self._collapse_cache: dict[str, tuple[np.ndarray, list[str]]] = {}
+        self._ctx_index = None
         if facet_defs:
             cols: set[str] = {
                 s for s in facet_defs.values() if isinstance(s, str)
@@ -1223,6 +1252,32 @@ class MergedSearchService:
         return service_collapse(
             self, query_text, field, k, mode=mode, counts=counts, probe_k=probe_k
         )
+
+    def context(
+        self, doc_id: int, window: int = 2, text: bool = False
+    ) -> list[tuple]:
+        """Conversation context over the ALIVE live view: tombstoned turns
+        are dropped before the window is built, so a deleted or upserted-
+        away turn leaves a visible gap and the replacement version (which
+        lives in a delta, far from its base siblings' docIDs) is pulled in
+        by TURN distance, never by docID adjacency."""
+        if self._ctx_index is None:
+            from discogsography_spark.query.context import ContextIndex
+
+            pdf = self._docs_pdf(["conv_id", "turn_idx"])
+            dead = self.searcher._dead
+            if dead.size:
+                ids = pdf["doc_id"].to_numpy()
+                pos = np.searchsorted(dead, ids)
+                ok = pos < dead.size
+                is_dead = np.zeros(ids.size, dtype=bool)
+                is_dead[ok] = dead[pos[ok]] == ids[ok]
+                pdf = pdf[~is_dead]
+            self._ctx_index = ContextIndex(pdf, self.n_docs)
+        rows = self._ctx_index.window(doc_id, window)
+        if text:
+            return [(d, c, t, self._text_of(d)) for d, c, t in rows]
+        return rows
 
     def _text_of(self, doc_id: int) -> str:
         if self._texts is not None:

@@ -101,6 +101,16 @@ def test_cli_search_subcommand(built_index):
     ))
     assert bl["results"]
 
+    ctx = json.loads(_run(
+        ["search", built_index, "spark index", "--k", "3", "--context", "2"]
+    ))
+    for r in ctx["results"]:
+        rows = ctx["context"][str(r["doc_id"])]
+        assert any(c["doc_id"] == r["doc_id"] for c in rows)  # hit included
+        turns = [c["turn_idx"] for c in rows]
+        assert turns == sorted(turns)
+        assert len({c["conv_id"] for c in rows}) == 1
+
     col = json.loads(_run(
         ["search", built_index, "spark index", "--k", "5",
          "--collapse", "conv_id"]
