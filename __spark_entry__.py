@@ -814,6 +814,21 @@ array_sort(
 
     q["fts_context_window"] = fts_context_window
 
+    def fts_more_like_this(spark, sf_dir):
+        # Lucene MoreLikeThis (the engine behind "similar items": the
+        # reference's Neo4j fulltext indexes are Lucene BM25,
+        # neo4j_queries.py:120-129): doc 42's top tf-idf terms -> OR BM25
+        # top-10, source excluded — query/mlt.py on the served paths
+        from discogsography_spark.query.dataframe_bm25 import (
+            more_like_this_dataframe,
+        )
+
+        return more_like_this_dataframe(
+            _read(spark, sf_dir, "documents"), 42, k=10
+        )
+
+    q["fts_more_like_this"] = fts_more_like_this
+
     def fts_highlight_served(spark, sf_dir):
         import pyarrow.dataset as ds
 
@@ -2526,6 +2541,48 @@ SELECT h.hit_doc_id, d.doc_id, d.conv_id, d.turn_idx
 FROM h JOIN d ON d.conv_id = h.conv_id
                AND abs(d.turn_idx - h.turn_idx) <= 2
 ORDER BY h.hit_doc_id, d.turn_idx, d.doc_id
+"""
+
+    o["fts_more_like_this"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT count(*) FROM toks)::DOUBLE AS total_tokens
+),
+src AS (
+  SELECT term, count(*)::DOUBLE AS src_tf FROM toks
+  WHERE doc_id = 42 GROUP BY term
+),
+ctf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN (SELECT term FROM src) GROUP BY doc_id, term
+),
+dfa AS (SELECT term, count(*)::DOUBLE AS df FROM ctf GROUP BY term),
+sel AS (
+  SELECT s.term
+  FROM src s JOIN dfa USING (term) CROSS JOIN stats st
+  WHERE dfa.df >= 2
+  ORDER BY round(s.src_tf * ln(1.0 + (st.n_docs - dfa.df + 0.5) / (dfa.df + 0.5)), 5) DESC,
+           s.term ASC
+  LIMIT 8
+),
+scored AS (
+  SELECT ctf.doc_id,
+         sum( ln(1.0 + (s.n_docs - dfa.df + 0.5) / (dfa.df + 0.5))
+              * (ctf.tf / (ctf.tf + {_K1} * ({1.0 - _B} + {_B} * (dl.dl / (s.total_tokens / s.n_docs))))) ) AS raw
+  FROM ctf
+  JOIN sel USING (term)
+  JOIN dfa USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY ctf.doc_id
+)
+SELECT doc_id, round(raw, 5) AS score FROM scored
+WHERE doc_id <> 42
+ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
     o["agg_cube_orders"] = """

@@ -4,7 +4,7 @@ to the same query functions, SURVEY.md §3.3). This CLI, the pytest suite,
 and bench.py all consume the same library surface.
 
     python -m discogsography_spark.cli build  <transcripts.parquet> <index_dir> [--segments N]
-    python -m discogsography_spark.cli query  <index_dir> "<query text>" [--k K] [--mode and|or|prefix|wildcard|phrase|bool|suggest|near] [--show-text <transcripts>]
+    python -m discogsography_spark.cli query  <index_dir> "<query text>" [--k K] [--mode and|or|prefix|wildcard|phrase|bool|suggest|near|mlt] [--show-text <transcripts>]
     python -m discogsography_spark.cli stats  <index_dir>
     python -m discogsography_spark.cli compact <index_dir>
 """
@@ -39,7 +39,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--window", type=int, default=3, help="proximity window for --mode near")
     q.add_argument("--fuzzy", action="store_true", help="did-you-mean rewrite of vocabulary-absent terms (and/or/bool modes)")
-    q.add_argument("--mode", choices=("and", "or", "prefix", "wildcard", "phrase", "bool", "suggest", "near"), default="and")
+    q.add_argument("--mode", choices=("and", "or", "prefix", "wildcard", "phrase", "bool", "suggest", "near", "mlt"), default="and")
     q.add_argument("--show-text", metavar="TRANSCRIPTS", default=None)
 
     sr = sub.add_parser(
@@ -187,6 +187,15 @@ def main(argv: list[str] | None = None) -> int:
             for term, sim in searcher.suggest_terms(args.query_text, k=args.k):
                 print(f"{sim:8.4f}  {term}")
             return
+        elif args.mode == "mlt":
+            # more-like-this: query_text is the source docID
+            from discogsography_spark.query.serving import SearchService
+
+            try:
+                src = int(args.query_text)
+            except ValueError:
+                raise SystemExit("--mode mlt expects a source docID")
+            hits = SearchService(args.index_dir).more_like_this(src, args.k)
         elif args.fuzzy:
             hits, rewrites = searcher.topk_fuzzy(
                 args.query_text, args.k, mode=args.mode

@@ -1114,6 +1114,103 @@ def context_windows_dataframe(
     )
 
 
+def more_like_this_dataframe(
+    docs: DataFrame,
+    source_id: int,
+    k: int = 10,
+    max_terms: int = 8,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    params: BM25Params | None = None,
+    round_dp: int = 5,
+) -> DataFrame:
+    """More-like-this, DataFrame mirror of SearchService.more_like_this
+    (query/mlt.py; Lucene MoreLikeThisQuery): the source document's top
+    `max_terms` terms by round(tf·idf, dp) (ties term-ASC, corpus df >=
+    min_df), then disjunctive BM25 top-k over them, source excluded.
+
+    Fully declarative — term selection stays in the plan: the selection
+    window partitions over ONE document's distinct terms (bounded by a
+    single doc's vocabulary), and the corpus scan is pruned to the source
+    terms by a broadcast semi-join before any scoring."""
+    from pyspark.sql import Window as W
+
+    p = params or BM25Params()
+    toks = docs.select(
+        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("_dl"), F.lit(0)).alias("total_tokens"),
+    )
+    src_tf = (
+        toks.filter(F.col("_id") == F.lit(source_id))
+        .select(F.explode("_toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("src_tf"))
+    )
+    corpus_tf = (
+        toks.select("_id", "_dl", F.explode("_toks").alias("term"))
+        .join(F.broadcast(src_tf.select("term")), "term", "left_semi")
+        .groupBy("_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("_dl").alias("dl"))
+    )
+    dfa = corpus_tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    sel = (
+        src_tf.join(F.broadcast(dfa), "term")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("df") >= F.lit(min_df))
+        .withColumn(
+            "_mlt", F.round(F.col("src_tf").cast("double") * idf, round_dp)
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.orderBy(F.desc("_mlt"), F.asc("term"))
+            ),
+        )
+        .filter(F.col("_rn") <= F.lit(max_terms))
+        .select("term")
+    )
+    partial = idf * (
+        F.col("tf").cast("double")
+        / (
+            F.col("tf").cast("double")
+            + F.lit(p.k1)
+            * (
+                F.lit(1.0 - p.b)
+                + F.lit(p.b)
+                * (F.col("dl").cast("double") / (F.col("total_tokens") / F.col("n_docs")))
+            )
+        )
+    )
+    return (
+        corpus_tf.join(F.broadcast(sel), "term", "left_semi")
+        .join(F.broadcast(dfa), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("partial", partial)
+        .groupBy("_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "partial"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["partial"],
+            ).alias("raw_score")
+        )
+        .filter(F.col("_id") != F.lit(source_id))
+        .select(
+            F.col("_id").alias(id_col), F.round("raw_score", round_dp).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def bm25_fuzzy_bool_topk_dataframe(
     docs: DataFrame,
     query_text: str,

@@ -383,6 +383,38 @@ class SearchService:
             self, query_text, field, k, mode=mode, counts=counts, probe_k=probe_k
         )
 
+    def _mlt_source_tokens(self, doc_id: int) -> list[str]:
+        import pyarrow.dataset as ds
+
+        dset = ds.dataset(
+            os.path.join(self._index_dir, "docs"), format="parquet"
+        )
+        t = dset.to_table(
+            columns=["tokens"], filter=ds.field("doc_id") == doc_id
+        )
+        if t.num_rows == 0:
+            return []
+        return list(t.column("tokens")[0].as_py() or [])
+
+    def _mlt_stats(self, terms: list[str]):
+        return self.searcher.term_dfs(terms), self.meta.n_docs, self.meta.params
+
+    def _mlt_or_eval(self, terms: list[str]):
+        return lambda kp: self.searcher._topk_or(terms, kp)
+
+    def more_like_this(
+        self, doc_id: int, k: int, max_terms: int = 8, min_df: int = 2
+    ) -> list[tuple[int, float]]:
+        """Documents most similar to `doc_id` (Lucene MoreLikeThis,
+        query/mlt.py): top tf·idf terms of the source turn → disjunctive
+        BM25 top-k, source excluded. Source tokens come from the docmap's
+        analyzed token stream — no stored text required."""
+        from discogsography_spark.query.mlt import service_more_like_this
+
+        return service_more_like_this(
+            self, doc_id, k, max_terms=max_terms, min_df=min_df
+        )
+
     def context(
         self, doc_id: int, window: int = 2, text: bool = False
     ) -> list[tuple]:
@@ -994,6 +1026,39 @@ class ShardedSearchService:
         rows = self.services[si].context(doc_id - off, window, text=text)
         return [(d + off, *rest) for d, *rest in rows]
 
+    def _mlt_source_tokens(self, doc_id: int) -> list[str]:
+        si = int(np.searchsorted(self.offsets, doc_id, side="right")) - 1
+        return self.services[si]._mlt_source_tokens(
+            doc_id - int(self.offsets[si])
+        )
+
+    def _mlt_stats(self, terms: list[str]):
+        sh = self.sharded
+        per = sh._fanout(
+            lambda svc: svc.searcher.term_dfs(terms), self.services
+        )
+        dfs: dict[str, int] = {}
+        for r in per:
+            for t, n in r.items():
+                dfs[t] = dfs.get(t, 0) + int(n)
+        return dfs, sh.n_docs, sh.params
+
+    def _mlt_or_eval(self, terms: list[str]):
+        # global-stats OR fan-out — bit-identical to a whole-corpus index
+        return lambda kp: self.sharded.topk("", kp, mode="or", terms=terms)
+
+    def more_like_this(
+        self, doc_id: int, k: int, max_terms: int = 8, min_df: int = 2
+    ) -> list[tuple[int, float]]:
+        """More-like-this across shards: term selection over GLOBAL df
+        (summed per-shard stats RPC), neighbors from the global-stats OR
+        fan-out — bit-identical to the single-index service."""
+        from discogsography_spark.query.mlt import service_more_like_this
+
+        return service_more_like_this(
+            self, doc_id, k, max_terms=max_terms, min_df=min_df
+        )
+
 
 class MergedSearchService:
     """Full search response (results + facets + total_matched + headlines +
@@ -1251,6 +1316,49 @@ class MergedSearchService:
 
         return service_collapse(
             self, query_text, field, k, mode=mode, counts=counts, probe_k=probe_k
+        )
+
+    def _mlt_source_tokens(self, doc_id: int) -> list[str]:
+        import pyarrow.dataset as ds
+
+        from discogsography_spark.streaming.incremental import list_deltas
+
+        s = self.searcher
+        dead = s._dead
+        if dead.size:
+            pos = int(np.searchsorted(dead, doc_id))
+            if pos < dead.size and int(dead[pos]) == doc_id:
+                return []  # tombstoned source has no alive token stream
+        dirs = [os.path.join(s.index_dir, "docs")] + [
+            os.path.join(d, "docs")
+            for d in list_deltas(s.index_dir)
+            if os.path.isdir(os.path.join(d, "docs"))
+        ]
+        for d in dirs:
+            t = ds.dataset(d, format="parquet").to_table(
+                columns=["tokens"], filter=ds.field("doc_id") == doc_id
+            )
+            if t.num_rows:
+                return list(t.column("tokens")[0].as_py() or [])
+        return []
+
+    def _mlt_stats(self, terms: list[str]):
+        s = self.searcher
+        return s.term_dfs(terms), s.n_docs, s.params
+
+    def _mlt_or_eval(self, terms: list[str]):
+        return lambda kp: self.searcher._topk_or(terms, kp)
+
+    def more_like_this(
+        self, doc_id: int, k: int, max_terms: int = 8, min_df: int = 2
+    ) -> list[tuple[int, float]]:
+        """More-like-this over the ALIVE live view: term selection uses
+        alive df/n_docs, and neither a tombstoned source version nor any
+        deleted turn can appear in the neighbors."""
+        from discogsography_spark.query.mlt import service_more_like_this
+
+        return service_more_like_this(
+            self, doc_id, k, max_terms=max_terms, min_df=min_df
         )
 
     def context(

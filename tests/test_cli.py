@@ -35,6 +35,11 @@ def test_cli_query_and_stats(built_index):
     empty = [json.loads(x) for x in _run(["query", built_index, "zz-missing"]).splitlines()]
     assert empty == [{"matches": 0}]
 
+    mlt = [json.loads(x) for x in _run(
+        ["query", built_index, "0", "--mode", "mlt", "--k", "5"]
+    ).splitlines()]
+    assert len(mlt) == 5 and all(m["doc_id"] != 0 for m in mlt)
+
     stats = json.loads(_run(["stats", built_index]))
     assert stats["complete"] is True
     assert stats["docs"]["n_docs"] > 0
