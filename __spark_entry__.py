@@ -829,6 +829,20 @@ array_sort(
 
     q["fts_more_like_this"] = fts_more_like_this
 
+    def fts_mlt_served(spark, sf_dir):
+        # same MLT relation answered from the INDEX path (docmap token
+        # stream -> term_dfs -> pruned _topk_or) — the served index's
+        # internal docIDs equal the source doc_id order (zero-padded
+        # conv_id), so internal id 42 IS source doc 42
+        svc = _served_service(spark, sf_dir)
+        rows = svc.more_like_this(42, k=10)
+        src = svc._docs_pdf(svc._index_dir, ["src_doc_id"])
+        src_of = src.set_index("doc_id")["src_doc_id"]
+        out = [(int(src_of[d]), round(s, 5)) for d, s in rows]
+        return spark.createDataFrame(out, "doc_id long, score double")
+
+    q["fts_mlt_served"] = fts_mlt_served
+
     def fts_highlight_served(spark, sf_dir):
         import pyarrow.dataset as ds
 
@@ -2584,6 +2598,12 @@ SELECT doc_id, round(raw, 5) AS score FROM scored
 WHERE doc_id <> 42
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
+
+    # index path answers the IDENTICAL MLT relation — shared oracle.
+    # CAVEAT this depends on: internal ids == src doc_id order AND internal
+    # scores using the same corpus stats (identical corpus, stats differ
+    # only by representation) — both already load-bearing for fts_bm25_page
+    o["fts_mlt_served"] = o["fts_more_like_this"]
 
     o["agg_cube_orders"] = """
 SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n,

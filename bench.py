@@ -119,6 +119,9 @@ def main() -> None:
         "fts_bool_topk",
         "fts_bool_within_topk",
         "fts_bool_within_chain",
+        "fts_collapse_topk",
+        "fts_context_window",
+        "fts_more_like_this",
         "sample_mix_sources",
         "sample_pack_sequences",
         "dedup_minhash_lsh",
@@ -270,6 +273,23 @@ for _, row in qdf.iterrows():
     t0 = time.time()
     ms.topk(row["query_text"], int(row["k"]))
     merged_ms.append((time.time() - t0) * 1000.0)
+# collapse + more-like-this tier (round-5 surfaces): field-collapsed
+# top-k conversations over the same query set, and similar-turn
+# retrieval from a doc stride. Warm pass, then measured.
+collapse_ms, mlt_ms = [], []
+for _, row in qdf.iterrows():
+    svc.collapse(row["query_text"], "conv_id", int(row["k"]))
+for _, row in qdf.iterrows():
+    t0 = time.time()
+    svc.collapse(row["query_text"], "conv_id", int(row["k"]))
+    collapse_ms.append((time.time() - t0) * 1000.0)
+mlt_docs = list(range(0, s.meta.n_docs, max(1, s.meta.n_docs // 40)))[:40]
+for d in mlt_docs:
+    svc.more_like_this(d, 10)
+for d in mlt_docs:
+    t0 = time.time()
+    svc.more_like_this(d, 10)
+    mlt_ms.append((time.time() - t0) * 1000.0)
 # positional tier: phrase + proximity over the positional index (block
 # directory → candidate-block decode + lazy score-tier verification).
 # Head pairs from the same query set; warm pass, then measured.
@@ -295,6 +315,7 @@ print(json.dumps({{"cold": cold, "steady": steady, "memo": memo,
                    "faceted": faceted, "faceted_warm": faceted_warm,
                    "facet_init_ms": facet_init_ms,
                    "merged": merged_ms, "merged_init_ms": merged_init_ms,
+                   "collapse": collapse_ms, "mlt": mlt_ms,
                    "phrase": phrase_ms, "within": within_ms}}))
 """
     t0 = time.time()
@@ -324,6 +345,12 @@ print(json.dumps({{"cold": cold, "steady": steady, "memo": memo,
     extra["merged_view_p50_ms"] = round(float(np.percentile(mrg_ms, 50)), 2)
     extra["merged_view_p95_ms"] = round(float(np.percentile(mrg_ms, 95)), 2)
     extra["merged_view_init_ms"] = round(float(tiers["merged_init_ms"]), 1)
+    col_ms = np.array(tiers["collapse"])
+    extra["collapse_p50_ms"] = round(float(np.percentile(col_ms, 50)), 2)
+    extra["collapse_p95_ms"] = round(float(np.percentile(col_ms, 95)), 2)
+    mlt_ms = np.array(tiers["mlt"])
+    extra["mlt_p50_ms"] = round(float(np.percentile(mlt_ms, 50)), 2)
+    extra["mlt_p95_ms"] = round(float(np.percentile(mlt_ms, 95)), 2)
     ph_ms = np.array(tiers["phrase"])
     wi_ms = np.array(tiers["within"])
     extra["phrase_p50_ms"] = round(float(np.percentile(ph_ms, 50)), 2)

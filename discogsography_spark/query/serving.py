@@ -384,11 +384,22 @@ class SearchService:
         )
 
     def _mlt_source_tokens(self, doc_id: int) -> list[str]:
+        # fast path: re-analyze the in-memory stored text (bit-identical to
+        # the docmap token stream — the build tokenizes with the same
+        # analyzer; ~µs vs ~25 ms for the columnar point lookup below)
+        if self._texts is not None:
+            if not (0 <= doc_id < self._texts.size):
+                return []
+            t = self._texts[doc_id]
+            return self._an.tokenize_py("" if t is None else str(t))
         import pyarrow.dataset as ds
 
-        dset = ds.dataset(
-            os.path.join(self._index_dir, "docs"), format="parquet"
-        )
+        dset = getattr(self, "_mlt_dset", None)
+        if dset is None:
+            dset = ds.dataset(
+                os.path.join(self._index_dir, "docs"), format="parquet"
+            )
+            self._mlt_dset = dset
         t = dset.to_table(
             columns=["tokens"], filter=ds.field("doc_id") == doc_id
         )
@@ -1329,6 +1340,11 @@ class MergedSearchService:
             pos = int(np.searchsorted(dead, doc_id))
             if pos < dead.size and int(dead[pos]) == doc_id:
                 return []  # tombstoned source has no alive token stream
+        if self._texts is not None:
+            if not (0 <= doc_id < self._texts.size):
+                return []
+            t = self._texts[doc_id]
+            return self._an.tokenize_py("" if t is None else str(t))
         dirs = [os.path.join(s.index_dir, "docs")] + [
             os.path.join(d, "docs")
             for d in list_deltas(s.index_dir)
