@@ -823,8 +823,13 @@ array_sort(
             more_like_this_dataframe,
         )
 
+        # max_df_frac=1.0: the synthetic documents table's vocabulary is
+        # uniformly head (every doc-42 term sits in 75-83% of the corpus),
+        # so the Lucene maxDocFreq guard (default 0.25, exercised on the
+        # Zipf transcripts corpus in tests/test_mlt.py) is disabled HERE
+        # to keep the oracle relation non-trivial
         return more_like_this_dataframe(
-            _read(spark, sf_dir, "documents"), 42, k=10
+            _read(spark, sf_dir, "documents"), 42, k=10, max_df_frac=1.0
         )
 
     q["fts_more_like_this"] = fts_more_like_this
@@ -835,7 +840,7 @@ array_sort(
         # internal docIDs equal the source doc_id order (zero-padded
         # conv_id), so internal id 42 IS source doc 42
         svc = _served_service(spark, sf_dir)
-        rows = svc.more_like_this(42, k=10)
+        rows = svc.more_like_this(42, k=10, max_df_frac=1.0)
         src = svc._docs_pdf(svc._index_dir, ["src_doc_id"])
         src_of = src.set_index("doc_id")["src_doc_id"]
         out = [(int(src_of[d]), round(s, 5)) for d, s in rows]

@@ -1120,6 +1120,7 @@ def more_like_this_dataframe(
     k: int = 10,
     max_terms: int = 8,
     min_df: int = 2,
+    max_df_frac: float = 0.25,
     id_col: str = "doc_id",
     text_col: str = "text",
     params: BM25Params | None = None,
@@ -1164,7 +1165,13 @@ def more_like_this_dataframe(
     sel = (
         src_tf.join(F.broadcast(dfa), "term")
         .crossJoin(F.broadcast(stats))
-        .filter(F.col("df") >= F.lit(min_df))
+        # minDocFreq + maxDocFreq guards (Lucene MLT): rare-noise terms
+        # select nothing transferable; head terms are non-discriminative
+        # and turn the OR scan into a multi-million-posting sweep
+        .filter(
+            (F.col("df") >= F.lit(min_df))
+            & (F.col("df") <= F.lit(max_df_frac) * F.col("n_docs"))
+        )
         .withColumn(
             "_mlt", F.round(F.col("src_tf").cast("double") * idf, round_dp)
         )

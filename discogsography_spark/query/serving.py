@@ -52,6 +52,66 @@ class SearchResponse:
 
 _NULL_FACET = "(none)"
 
+# docmap point-lookup row cache budget (the Lucene stored-fields-cache
+# analog): decoded (doc_id, tokens) row groups kept per service instance
+_DOCMAP_CACHE_BUDGET = 256 * 1024 * 1024
+
+
+def _docmap_tokens_lookup(svc, docs_dir: str, doc_id: int) -> list[str]:
+    """Point-lookup of one doc's token stream from the columnar docmap,
+    through a byte-budgeted LRU of decoded row groups. Cold cost is one
+    row-group decode (~0.4 s at 12M docs); any doc in an already-decoded
+    group answers in ~1 ms — the doc-store row-cache pattern a serving
+    node runs next to its stored-fields file.
+
+    Column-aware: the base docmap stores `tokens`; DELTA docmaps drop
+    tokens but carry the batch's payload columns (incremental.py:310), so
+    a delta/compacted row with no token stream re-analyzes its `text`
+    with the index analyzer (bit-identical — the build tokenizes with the
+    same analyzer). A row with neither yields []."""
+    import pyarrow.dataset as ds
+
+    dsets = getattr(svc, "_mlt_dsets", None)
+    if dsets is None:
+        dsets = svc._mlt_dsets = {}
+        svc._mlt_rg_cache = {}
+        svc._mlt_rg_bytes = 0
+    dset = dsets.get(docs_dir)
+    if dset is None:
+        dset = dsets[docs_dir] = ds.dataset(docs_dir, format="parquet")
+    names = dset.schema.names
+    cols = ["doc_id"] + [c for c in ("tokens", "text") if c in names]
+    if len(cols) == 1:
+        return []
+    pred = ds.field("doc_id") == doc_id
+    cache = svc._mlt_rg_cache
+    for frag in dset.get_fragments(filter=pred):
+        for rg in frag.split_by_row_group(pred):
+            key = (rg.path, rg.row_groups[0].id)
+            hit = cache.get(key)
+            if hit is None:
+                tbl = rg.to_table(columns=cols)
+                hit = (tbl.column("doc_id").to_numpy(), tbl, tbl.nbytes)
+                cache[key] = hit
+                svc._mlt_rg_bytes += tbl.nbytes
+                while svc._mlt_rg_bytes > _DOCMAP_CACHE_BUDGET and len(cache) > 1:
+                    _k = next(iter(cache))
+                    svc._mlt_rg_bytes -= cache.pop(_k)[2]
+            ids, tbl, _nb = hit
+            at = np.flatnonzero(ids == doc_id)
+            if at.size:
+                i = int(at[0])
+                if "tokens" in cols[1:]:
+                    toks = tbl.column("tokens")[i].as_py()
+                    if toks is not None:
+                        return list(toks)
+                if "text" in cols[1:]:
+                    text = tbl.column("text")[i].as_py()
+                    if text is not None:
+                        return svc._an.tokenize_py(str(text))
+                return []
+    return []
+
 
 def fragment_headline(
     text: str,
@@ -392,20 +452,9 @@ class SearchService:
                 return []
             t = self._texts[doc_id]
             return self._an.tokenize_py("" if t is None else str(t))
-        import pyarrow.dataset as ds
-
-        dset = getattr(self, "_mlt_dset", None)
-        if dset is None:
-            dset = ds.dataset(
-                os.path.join(self._index_dir, "docs"), format="parquet"
-            )
-            self._mlt_dset = dset
-        t = dset.to_table(
-            columns=["tokens"], filter=ds.field("doc_id") == doc_id
+        return _docmap_tokens_lookup(
+            self, os.path.join(self._index_dir, "docs"), doc_id
         )
-        if t.num_rows == 0:
-            return []
-        return list(t.column("tokens")[0].as_py() or [])
 
     def _mlt_stats(self, terms: list[str]):
         return self.searcher.term_dfs(terms), self.meta.n_docs, self.meta.params
@@ -414,7 +463,8 @@ class SearchService:
         return lambda kp: self.searcher._topk_or(terms, kp)
 
     def more_like_this(
-        self, doc_id: int, k: int, max_terms: int = 8, min_df: int = 2
+        self, doc_id: int, k: int, max_terms: int = 8, min_df: int = 2,
+        max_df_frac: float = 0.25,
     ) -> list[tuple[int, float]]:
         """Documents most similar to `doc_id` (Lucene MoreLikeThis,
         query/mlt.py): top tf·idf terms of the source turn → disjunctive
@@ -423,7 +473,8 @@ class SearchService:
         from discogsography_spark.query.mlt import service_more_like_this
 
         return service_more_like_this(
-            self, doc_id, k, max_terms=max_terms, min_df=min_df
+            self, doc_id, k, max_terms=max_terms, min_df=min_df,
+            max_df_frac=max_df_frac,
         )
 
     def context(
@@ -1059,7 +1110,8 @@ class ShardedSearchService:
         return lambda kp: self.sharded.topk("", kp, mode="or", terms=terms)
 
     def more_like_this(
-        self, doc_id: int, k: int, max_terms: int = 8, min_df: int = 2
+        self, doc_id: int, k: int, max_terms: int = 8, min_df: int = 2,
+        max_df_frac: float = 0.25,
     ) -> list[tuple[int, float]]:
         """More-like-this across shards: term selection over GLOBAL df
         (summed per-shard stats RPC), neighbors from the global-stats OR
@@ -1067,7 +1119,8 @@ class ShardedSearchService:
         from discogsography_spark.query.mlt import service_more_like_this
 
         return service_more_like_this(
-            self, doc_id, k, max_terms=max_terms, min_df=min_df
+            self, doc_id, k, max_terms=max_terms, min_df=min_df,
+            max_df_frac=max_df_frac,
         )
 
 
@@ -1330,8 +1383,6 @@ class MergedSearchService:
         )
 
     def _mlt_source_tokens(self, doc_id: int) -> list[str]:
-        import pyarrow.dataset as ds
-
         from discogsography_spark.streaming.incremental import list_deltas
 
         s = self.searcher
@@ -1351,11 +1402,9 @@ class MergedSearchService:
             if os.path.isdir(os.path.join(d, "docs"))
         ]
         for d in dirs:
-            t = ds.dataset(d, format="parquet").to_table(
-                columns=["tokens"], filter=ds.field("doc_id") == doc_id
-            )
-            if t.num_rows:
-                return list(t.column("tokens")[0].as_py() or [])
+            got = _docmap_tokens_lookup(self, d, doc_id)
+            if got:
+                return got
         return []
 
     def _mlt_stats(self, terms: list[str]):
@@ -1366,7 +1415,8 @@ class MergedSearchService:
         return lambda kp: self.searcher._topk_or(terms, kp)
 
     def more_like_this(
-        self, doc_id: int, k: int, max_terms: int = 8, min_df: int = 2
+        self, doc_id: int, k: int, max_terms: int = 8, min_df: int = 2,
+        max_df_frac: float = 0.25,
     ) -> list[tuple[int, float]]:
         """More-like-this over the ALIVE live view: term selection uses
         alive df/n_docs, and neither a tombstoned source version nor any
@@ -1374,7 +1424,8 @@ class MergedSearchService:
         from discogsography_spark.query.mlt import service_more_like_this
 
         return service_more_like_this(
-            self, doc_id, k, max_terms=max_terms, min_df=min_df
+            self, doc_id, k, max_terms=max_terms, min_df=min_df,
+            max_df_frac=max_df_frac,
         )
 
     def context(

@@ -307,9 +307,9 @@ class DeltaIndexWriter:
         encoded.write.mode("overwrite").partitionBy("seg").parquet(
             os.path.join(tmp, "segments")
         )
-        docs.drop("tokens").write.mode("overwrite").parquet(
-            os.path.join(tmp, "docs")
-        )
+        docs.drop("tokens").write.mode("overwrite").option(
+            "parquet.block.size", str(1024 * 1024)
+        ).parquet(os.path.join(tmp, "docs"))
         n_tombstoned = 0
         if upsert:
             # tombstone every prior version of this batch's keys (upsert
@@ -1924,7 +1924,9 @@ def compact(spark: SparkSession, index_dir: str) -> int:
     from discogsography_spark.index.docids import assign_doc_ids
 
     new_docs = assign_doc_ids(union_docs)
-    new_docs.write.mode("overwrite").parquet(docs_tmp)
+    new_docs.write.mode("overwrite").option(
+        "parquet.block.size", str(1024 * 1024)
+    ).parquet(docs_tmp)
     map_df = spark.read.parquet(docs_tmp).select("old_doc_id", "doc_id")
     if tomb_paths:
         # stats must describe the ALIVE corpus the new base serves — and

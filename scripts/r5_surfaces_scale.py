@@ -28,7 +28,7 @@ def main() -> int:
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     nq = int(sys.argv[2]) if len(sys.argv) > 2 else 40
     root = f"/tmp/spark_graft_bench/scaleproof_sf{sf}"
-    idx = os.path.join(root, "idx")
+    idx = sys.argv[3] if len(sys.argv) > 3 else os.path.join(root, "idx")
     corpus = f"/tmp/spark_graft_bench/corpus_sf{sf}"
     if not os.path.isdir(idx):
         raise SystemExit(f"run scripts/scale_proof.py {sf} first ({idx} missing)")

@@ -24,18 +24,19 @@ def test_select_mlt_terms_unit():
     toks = ["a", "a", "b", "c", "rare"]
     dfs = {"a": 10, "b": 5, "c": 100, "rare": 1}
     got = select_mlt_terms(toks, dfs, 100, p, max_terms=2, min_df=2)
-    # rare drops (df < 2); a has tf=2 and mid idf, b tf=1 high idf,
-    # c tf=1 tiny idf — verify against the explicit formula ordering
+    # rare drops (minDocFreq: df < 2); c drops (maxDocFreq: df 100 > 25%
+    # of 100 docs) — verify the survivors against the explicit formula
     import math
 
     score = {
         t: round(tf * p.idf(100, dfs[t]), 5)
         for t, tf in Counter(toks).items()
-        if dfs[t] >= 2
+        if 2 <= dfs[t] <= 0.25 * 100
     }
     want = sorted(score, key=lambda t: (-score[t], t))[:2]
     assert got == want
-    assert "rare" not in select_mlt_terms(toks, dfs, 100, p, max_terms=4)
+    wide = select_mlt_terms(toks, dfs, 100, p, max_terms=4)
+    assert "rare" not in wide and "c" not in wide
     assert math.isfinite(score["a"])
 
 
@@ -58,14 +59,16 @@ def mlt_setup(spark, tmp_path_factory):
     return svc, tdf, oracle, str(d)
 
 
-def _brute_mlt(oracle, source_id: int, k: int, max_terms=8, min_df=2):
+def _brute_mlt(
+    oracle, source_id: int, k: int, max_terms=8, min_df=2, max_df_frac=0.25
+):
     """Independent python recomputation over the oracle index."""
     p = oracle.params
     toks = oracle.doc_tokens[source_id]
     score = {}
     for t, tf in Counter(toks).items():
         df = oracle.df(t)
-        if df >= min_df:
+        if min_df <= df <= max_df_frac * oracle.n_docs:
             score[t] = round(tf * p.idf(oracle.n_docs, df), 5)
     sel = sorted(score, key=lambda t: (-score[t], t))[:max_terms]
     cands = set()
@@ -95,6 +98,7 @@ def test_mlt_matches_brute(mlt_setup, source_id):
     svc, _tdf, oracle, _d = mlt_setup
     want = _brute_mlt(oracle, source_id, k=10)
     got = svc.more_like_this(source_id, k=10)
+    assert want, "fixture must select terms (guard should not empty it)"
     assert [d for d, _ in got] == [d for d, _ in want]
     for (gd, gs), (wd, ws) in zip(got, want):
         assert gs == pytest.approx(ws, abs=1e-12)
