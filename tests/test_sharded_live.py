@@ -279,6 +279,31 @@ def test_live_sharded_service_full_response(live_shards):
         want = ref.search(f"editzz {th}", 10, mode="and", fuzzy=True)
         assert got.rewrites == want.rewrites
         assert _rel(got.results, skeys) == _rel(want.results, rkeys)
+
+        # round-5 surfaces on the LIVE sharded tier, keyed-identical to
+        # the single alive rebuild:
+        # field-collapsed top-k (conv labels are global — compare rows)
+        gc = svc.collapse(f"{th} {tm}", "conv_id", 8)
+        wc = ref.collapse(f"{th} {tm}", "conv_id", 8)
+        assert [(g, round(s, 5), c) for g, _d, s, c in gc] == [
+            (g, round(s, 5), c) for g, _d, s, c in wc
+        ]
+        # conversation context around a live hit (alive-only windows)
+        ghit = svc.search("editz", 3, mode="and").results
+        whit = ref.search("editz", 3, mode="and").results
+        for (gd, _gs), (wd, _ws) in zip(ghit, whit):
+            grows = [(c, t) for _d, c, t in svc.context(gd, 2)]
+            wrows = [(c, t) for _d, c, t in ref.context(wd, 2)]
+            assert grows == wrows
+        # more-like-this from the same source turn (keyed compare)
+        inv_s = {v: k for k, v in skeys.items()}
+        inv_r = {v: k for k, v in rkeys.items()}
+        src_key = skeys[ghit[0][0]]
+        gm = svc.more_like_this(inv_s[src_key], 10)
+        wm = ref.more_like_this(inv_r[src_key], 10)
+        assert [(skeys[d], round(s, 5)) for d, s in gm] == [
+            (rkeys[d], round(s, 5)) for d, s in wm
+        ]
     finally:
         svc.close()
 
