@@ -39,6 +39,35 @@ def test_collapse_topk_deepening_exact():
     assert len(collapse_topk(fn, lambda d: d % 3, k=10, probe_k=1)) == 3
 
 
+def test_collapse_topk_property_random_rankings():
+    """Property: for ANY ranked list (score DESC, doc ASC), ANY group
+    assignment, ANY k, and ANY probe depth, collapse_topk equals the
+    brute-force collapse of the full ranking."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rows = st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 1000)),  # (doc, score)
+        min_size=0, max_size=60, unique_by=lambda t: t[0],
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(rows, st.integers(1, 8), st.integers(2, 7), st.integers(1, 5))
+    def check(pairs, k, n_groups, probe):
+        ranked = sorted(
+            [(d, float(s)) for d, s in pairs], key=lambda ds: (-ds[1], ds[0])
+        )
+        fn = lambda kp: ranked[:kp]  # noqa: E731
+        group_of = lambda d: d % n_groups  # noqa: E731
+        best: dict = {}
+        for d, s in ranked:
+            best.setdefault(group_of(d), (d, s))
+        want = [(g, d, s) for g, (d, s) in list(best.items())[:k]]
+        assert collapse_topk(fn, group_of, k, probe_k=probe) == want
+
+    check()
+
+
 # ---------------------------------------------------------------- fixtures
 
 @pytest.fixture(scope="module")
