@@ -112,6 +112,14 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="fold streaming deltas into the base index")
     c.add_argument("index_dir")
 
+    cd = sub.add_parser(
+        "consolidate",
+        help="MINOR compaction: fold the delta tail into ONE delta "
+        "(base untouched, docIDs unchanged — the LSM L0->L1 merge; "
+        "bounds the per-query tail cost between full compacts)",
+    )
+    cd.add_argument("index_dir")
+
     u = sub.add_parser(
         "upsert",
         help="ingest a batch as a delta, replacing prior versions of its "
@@ -335,6 +343,17 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("cli-compact")
         n = compact(spark, args.index_dir)
         print(json.dumps({"deltas_folded": n}))
+        return 0
+
+    if args.cmd == "consolidate":
+        from discogsography_spark.session import get_spark
+        from discogsography_spark.streaming.incremental import (
+            consolidate_deltas,
+        )
+
+        spark = get_spark("cli-consolidate")
+        n = consolidate_deltas(spark, args.index_dir)
+        print(json.dumps({"deltas_consolidated": n}))
         return 0
 
     if args.cmd == "upsert":

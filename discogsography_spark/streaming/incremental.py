@@ -43,7 +43,7 @@ from discogsography_spark.index.builder import (
     term_segment,
 )
 from discogsography_spark.index.manifest import Manifest, _atomic_write_json
-from discogsography_spark.params import BM25Params
+from discogsography_spark.params import BLOCK_SIZE, BM25Params
 from discogsography_spark.query.engine import IndexMeta, LocalSearcher
 
 
@@ -63,16 +63,38 @@ def list_deltas(index_dir: str) -> list[str]:
     if os.path.exists(marker):
         with open(marker) as f:
             folded = set(json.load(f)["folded"])
-    out = []
+    committed = []
+    replaced: set[str] = set()
     for name in sorted(os.listdir(root)):
         d = os.path.join(root, name)
+        sp = os.path.join(d, "stats.json")
         if (
             name.startswith("delta-")
             and name not in folded
-            and os.path.exists(os.path.join(d, "stats.json"))
+            and os.path.exists(sp)
         ):
-            out.append(d)
-    return out
+            committed.append((name, d))
+            # a committed CONSOLIDATED delta (consolidate_deltas) names the
+            # dirs it folded; readers must never count both — the same
+            # exclusion rule as the compact marker, carried in-band
+            with open(sp) as f:
+                replaced.update(json.load(f).get("replaces", []))
+    return [d for name, d in committed if name not in replaced]
+
+
+def _seen_batch_ids(index_dir: str) -> set[int]:
+    """Every batch_id already applied to this index — own delta dirs plus
+    the `folded_batch_ids` a consolidated delta carries for the dirs it
+    replaced (consolidate_deltas). The exactly-once contract must survive
+    minor compaction: a re-delivered folded batch is a no-op."""
+    seen: set[int] = set()
+    for d in list_deltas(index_dir):
+        with open(os.path.join(d, "stats.json")) as f:
+            s = json.load(f)
+        if s.get("batch_id") is not None:
+            seen.add(int(s["batch_id"]))
+        seen.update(int(x) for x in s.get("folded_batch_ids", []))
+    return seen
 
 
 def _parquet_nrows(path: str) -> int:
@@ -158,6 +180,8 @@ class DeltaIndexWriter:
         final = self._delta_dir(batch_id)
         if os.path.exists(os.path.join(final, "stats.json")):
             return 0  # idempotent re-delivery
+        if batch_id in _seen_batch_ids(self.index_dir):
+            return 0  # folded by consolidate_deltas — still delivered once
         doc_offset, _tt = _combined_offsets(self.index_dir)
         tomb = self._prior_versions(keys_df)
         tmp = final + "__tmp"
@@ -192,6 +216,8 @@ class DeltaIndexWriter:
         final = self._delta_dir(batch_id)
         if os.path.exists(os.path.join(final, "stats.json")):
             return  # idempotent re-delivery (exactly-once via batch_id)
+        if batch_id in _seen_batch_ids(self.index_dir):
+            return  # folded by consolidate_deltas — still delivered once
 
         doc_offset, base_tt = _combined_offsets(self.index_dir)
         k1, b = self.meta.params.k1, self.meta.params.b
@@ -1800,6 +1826,238 @@ def _compact_marker_path(index_dir: str) -> str:
     return os.path.join(index_dir, "compact_commit.json")
 
 
+def _segment_decode_schema(wp: bool, id_col: str = "old_doc_id"):
+    return T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("tf", T.LongType(), False),
+            T.StructField("dl", T.LongType(), False),
+        ]
+        # pos only exists in the stream when the index is positional — a
+        # 45M-row all-None object column costs real Arrow conversion time
+        + ([T.StructField("pos", T.ArrayType(T.LongType()), True)] if wp else [])
+    )
+
+
+def _segment_decode_rows(wp: bool, ctx: str, id_col: str = "old_doc_id"):
+    """mapInPandas generator decoding SEGMENT_SCHEMA rows back to the flat
+    (term, doc, tf, dl[, pos]) stream — shared by compact() (with an
+    old→new docID remap join downstream) and consolidate_deltas() (ids
+    stay absolute)."""
+
+    def decode_rows(batches):
+        # one output frame per ARROW BATCH (arrays concatenated once), not
+        # per term row — a per-row DataFrame + concat costs O(vocab) pandas
+        # framing and tripled compact wall-clock at sf0.25
+        for pdf in batches:
+            terms_l, ds, tfs_l, dls_l, pos_l = [], [], [], [], []
+            for r in pdf.itertuples(index=False):
+                d, tf = decode_postings(r.doc_blob, r.tf_blob)
+                if not d.size:
+                    continue
+                terms_l.append(np.full(d.size, r.term, dtype=object))
+                ds.append(d)
+                tfs_l.append(tf)
+                dls_l.append(varbyte_decode(r.dl_blob).astype(np.int64))
+                if wp:
+                    if not r.pos_blob:
+                        raise ValueError(
+                            f"{ctx}: term {r.term!r} has no positional "
+                            "payload but the manifest says with_positions — "
+                            "a delta written without positions would "
+                            "silently break phrase queries; rebuild it"
+                        )
+                    pos_flat = varbyte_decode(r.pos_blob).astype(np.int64)
+                    if pos_flat.size != int(tf.sum()):
+                        raise ValueError(
+                            f"{ctx}: term {r.term!r} positional stream "
+                            f"length {pos_flat.size} != cf {int(tf.sum())}"
+                        )
+                    pos_l.extend(np.split(pos_flat, np.cumsum(tf)[:-1]))
+            if not ds:
+                continue
+            frame = pd.DataFrame(
+                {
+                    "term": np.concatenate(terms_l),
+                    id_col: np.concatenate(ds),
+                    "tf": np.concatenate(tfs_l),
+                    "dl": np.concatenate(dls_l),
+                }
+            )
+            if wp:
+                frame["pos"] = pos_l
+            yield frame
+
+    return decode_rows
+
+
+def consolidate_deltas(spark: SparkSession, index_dir: str) -> int:
+    """MINOR compaction (the LSM L0→L1 merge; Lucene's segment merge of
+    the small tier): fold every committed delta into ONE consolidated
+    delta, leaving the base untouched. Bounds the per-query delta-tail
+    cost (scripts/delta_tail_sweep.py: merged AND p95 grows ~3.5× from
+    tail depth 1 to 16) at a fraction of full compact()'s price — only
+    the tail's postings are decoded/re-encoded, no base rewrite, no
+    docID reassignment (delta docIDs are already absolute and
+    delta-order == docID order, so per-term concatenation in delta order
+    IS the sorted posting order).
+
+    Semantics preserved exactly:
+    - tombstones union into the consolidated delta (they may reference
+      base OR delta ids; masking is positional-independent);
+    - batch idempotence survives: the consolidated stats.json carries
+      `folded_batch_ids`, and DeltaIndexWriter consults them, so a
+      re-delivered folded batch stays a no-op;
+    - crash-safe: the consolidated dir is invisible until its stats.json
+      lands (the delta commit rule); its `replaces` list makes
+      list_deltas drop the folded dirs the instant it commits, so a
+      crash between commit and cleanup double-counts nothing. Cleanup of
+      replaced dirs re-runs on the next consolidate/list.
+
+    Returns the number of deltas folded (0 = nothing to do)."""
+    deltas = list_deltas(index_dir)
+    # also finish any prior consolidation's interrupted cleanup
+    _cleanup_replaced_deltas(index_dir)
+    if len(deltas) <= 1:
+        return 0
+    meta = IndexMeta(index_dir)
+    wp = bool(meta.stats.get("with_positions", False))
+    k1, b = meta.params.k1, meta.params.b
+    block_size = int(meta.stats.get("block_size", BLOCK_SIZE))
+    num_segments = meta.num_segments
+
+    stats_l = []
+    for d in deltas:
+        with open(os.path.join(d, "stats.json")) as f:
+            stats_l.append(json.load(f))
+    n_docs = sum(int(s["n_docs"]) for s in stats_l)
+    total_tokens = sum(int(s["total_tokens"]) for s in stats_l)
+    folded_ids = sorted(
+        {
+            int(x)
+            for s in stats_l
+            for x in [s.get("batch_id"), *s.get("folded_batch_ids", [])]
+            if x is not None
+        }
+    )
+    names = [os.path.basename(d) for d in deltas]
+    base_name = names[0].split("-c")[0]
+    gen = 1 + max(
+        (int(n.rsplit("-c", 1)[1]) for n in names if "-c" in n), default=0
+    )
+    final = os.path.join(_deltas_root(index_dir), f"{base_name}-c{gen}")
+    tmp = final + "__tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(os.path.join(tmp, "segments"), exist_ok=True)
+
+    # the stored block_max_tfnorm is a pruning HINT (exact scoring
+    # re-derives tfnorm); use the current combined avgdl like write_batch
+    n_comb, tt_comb = _combined_offsets(index_dir)
+    avgdl_hint = tt_comb / n_comb if n_comb else 1.0
+
+    seg_sources = [
+        os.path.join(d, "segments", f"seg={s}")
+        for d in deltas
+        for s in range(num_segments)
+        if os.path.isdir(os.path.join(d, "segments", f"seg={s}"))
+    ]
+    if seg_sources:
+        cols = ["term", "doc_blob", "tf_blob", "dl_blob"] + (
+            ["pos_blob"] if wp else []
+        )
+        shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        merged = (
+            spark.read.parquet(*seg_sources)
+            .select(*cols)
+            .mapInPandas(
+                _segment_decode_rows(wp, "consolidate", id_col="doc_id"),
+                schema=_segment_decode_schema(wp, id_col="doc_id"),
+            )
+            .withColumn(
+                "seg",
+                (F.crc32(F.col("term")) % F.lit(num_segments)).cast("int"),
+            )
+            .repartition(shuffle_p, "term")
+            .sortWithinPartitions("term", "doc_id")
+            .mapInPandas(
+                lambda it: _encode_sorted_stream(
+                    it, k1, b, avgdl_hint, block_size,
+                    with_positions=wp, pre_aggregated=True,
+                ),
+                schema=SEGMENT_SCHEMA,
+            )
+        )
+        (
+            merged.repartition(num_segments, "seg")
+            .sortWithinPartitions("seg", "term")
+            .write.mode("overwrite")
+            .partitionBy("seg")
+            .option("parquet.block.size", str(256 * 1024))
+            .parquet(os.path.join(tmp, "segments"))
+        )
+
+    docs_srcs = [
+        os.path.join(d, "docs") for d in deltas
+        if os.path.isdir(os.path.join(d, "docs"))
+    ]
+    if docs_srcs:
+        (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*docs_srcs)
+            .write.mode("overwrite")
+            .option("parquet.block.size", str(1024 * 1024))
+            .parquet(os.path.join(tmp, "docs"))
+        )
+    tomb_srcs = [
+        os.path.join(d, "tombstones.parquet") for d in deltas
+        if os.path.exists(os.path.join(d, "tombstones.parquet"))
+    ]
+    n_tomb = 0
+    if tomb_srcs:
+        tp = os.path.join(tmp, "tombstones.parquet")
+        spark.read.parquet(*tomb_srcs).write.mode("overwrite").parquet(tp)
+        n_tomb = _parquet_nrows(tp)
+
+    if os.path.isdir(final):
+        shutil.rmtree(final)
+    os.replace(tmp, final)
+    # commit point: stats.json makes the consolidated delta visible AND
+    # (via `replaces`) hides the folded dirs in the same atomic write
+    _atomic_write_json(
+        os.path.join(final, "stats.json"),
+        {
+            "n_docs": n_docs,
+            "total_tokens": total_tokens,
+            "doc_offset": min(int(s["doc_offset"]) for s in stats_l),
+            "folded_batch_ids": folded_ids,
+            "replaces": names,
+            "n_tombstoned": n_tomb,
+        },
+    )
+    _cleanup_replaced_deltas(index_dir)
+    return len(deltas)
+
+
+def _cleanup_replaced_deltas(index_dir: str) -> None:
+    """Remove delta dirs named in any committed consolidated delta's
+    `replaces` — idempotent, re-run on every consolidate."""
+    root = _deltas_root(index_dir)
+    if not os.path.isdir(root):
+        return
+    replaced: set[str] = set()
+    for name in os.listdir(root):
+        sp = os.path.join(root, name, "stats.json")
+        if name.startswith("delta-") and os.path.exists(sp):
+            with open(sp) as f:
+                replaced.update(json.load(f).get("replaces", []))
+    for name in replaced:
+        d = os.path.join(root, name)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+
 def recover_compact(index_dir: str) -> bool:
     """Finish a crashed compact() swap. The commit marker is written only
     after the replacement segments/ and docs/ are FULLY staged, so every
@@ -1953,60 +2211,8 @@ def compact(spark: SparkSession, index_dir: str) -> int:
     )
     rows = spark.read.parquet(*sources).select(*cols)
 
-    decode_schema = T.StructType(
-        [
-            T.StructField("term", T.StringType(), False),
-            T.StructField("old_doc_id", T.LongType(), False),
-            T.StructField("tf", T.LongType(), False),
-            T.StructField("dl", T.LongType(), False),
-        ]
-        # pos only exists in the stream when the index is positional — a
-        # 45M-row all-None object column costs real Arrow conversion time
-        + ([T.StructField("pos", T.ArrayType(T.LongType()), True)] if wp else [])
-    )
-
-    def decode_rows(batches):
-        # one output frame per ARROW BATCH (arrays concatenated once), not
-        # per term row — a per-row DataFrame + concat costs O(vocab) pandas
-        # framing and tripled compact wall-clock at sf0.25
-        for pdf in batches:
-            terms_l, ds, tfs_l, dls_l, pos_l = [], [], [], [], []
-            for r in pdf.itertuples(index=False):
-                d, tf = decode_postings(r.doc_blob, r.tf_blob)
-                if not d.size:
-                    continue
-                terms_l.append(np.full(d.size, r.term, dtype=object))
-                ds.append(d)
-                tfs_l.append(tf)
-                dls_l.append(varbyte_decode(r.dl_blob).astype(np.int64))
-                if wp:
-                    if not r.pos_blob:
-                        raise ValueError(
-                            f"compact: term {r.term!r} has no positional "
-                            "payload but the manifest says with_positions — "
-                            "a delta written without positions would "
-                            "silently break phrase queries; rebuild it"
-                        )
-                    pos_flat = varbyte_decode(r.pos_blob).astype(np.int64)
-                    if pos_flat.size != int(tf.sum()):
-                        raise ValueError(
-                            f"compact: term {r.term!r} positional stream "
-                            f"length {pos_flat.size} != cf {int(tf.sum())}"
-                        )
-                    pos_l.extend(np.split(pos_flat, np.cumsum(tf)[:-1]))
-            if not ds:
-                continue
-            frame = pd.DataFrame(
-                {
-                    "term": np.concatenate(terms_l),
-                    "old_doc_id": np.concatenate(ds),
-                    "tf": np.concatenate(tfs_l),
-                    "dl": np.concatenate(dls_l),
-                }
-            )
-            if wp:
-                frame["pos"] = pos_l
-            yield frame
+    decode_schema = _segment_decode_schema(wp)
+    decode_rows = _segment_decode_rows(wp, "compact", id_col="old_doc_id")
 
     # remap join strategy: below ~16M docs the (old→new) map is ≲256 MB —
     # broadcast-hash join it (Spark's standard small-dim treatment; no full

@@ -149,6 +149,15 @@ def main() -> int:
             out["curve"].append(row)
     out["ingest_s"] = ingest_s
 
+    # MINOR compaction first: fold the 16-deep tail into one delta
+    # (base untouched), then the full compact on top
+    from discogsography_spark.streaming.incremental import consolidate_deltas
+
+    t0 = time.time()
+    out["consolidated"] = consolidate_deltas(spark, idx)
+    out["consolidate_s"] = round(time.time() - t0, 1)
+    out["post_consolidate"] = _tiers(idx, qpath)
+
     t0 = time.time()
     compact(spark, idx)
     out["compact_s"] = round(time.time() - t0, 1)
