@@ -80,6 +80,14 @@ def test_consolidate_bit_identity_and_idempotence(cons_setup, spark):
     assert os.path.basename(after_dirs[0]) == "delta-000000-c1"
     assert _probe(MergedSearcher(idx)) == before
 
+    # structural integrity of the re-encoded consolidated delta (blob
+    # decode, docID ascent, df agreement, positional stream == sum(tf))
+    from discogsography_spark.index.fsck import fsck_index
+
+    r = fsck_index(idx)
+    assert r["errors"] == [], r["errors"]
+    assert len(r["deltas"]) == 1 and r["deltas"][0]["terms"] > 0
+
     # folded batch idempotence: re-delivering batch 0 must be a no-op
     w = DeltaIndexWriter(idx)
     bid0, p0 = cons_setup["batches"][0]
