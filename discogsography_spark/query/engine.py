@@ -311,6 +311,13 @@ class IndexMeta:
         self.n_docs = int(stats["n_docs"])
         self.total_tokens = int(stats["total_tokens"])
         self.avgdl = self.total_tokens / self.n_docs if self.n_docs else 1.0
+        # docID address space: equals n_docs for a normal dense index; a
+        # PROMOTED consolidated delta (streaming/incremental.py
+        # consolidate_deltas) keeps its ABSOLUTE global docIDs, so its
+        # id space is doc_offset + n_docs — every dense array indexed by
+        # docID must size to this, and dense-path triggers compare df
+        # against it (bitmap cost is O(id_space))
+        self.id_space = int(stats.get("id_space", self.n_docs))
         self.num_segments = int(stats["num_segments"])
         self.block_size = int(stats.get("block_size", BLOCK_SIZE))
         self.analyzer = str(stats.get("analyzer_name", "simple"))
@@ -530,7 +537,7 @@ class LocalSearcher:
         else:
             self._dec_cache.move_to_end(tp.term)
         d, tfv, dlv = ent
-        if d.size * 64 >= self.meta.n_docs:
+        if d.size * 64 >= self.meta.id_space:
             member, rank = self._membership(tp.term, d)
             mask = member[cand]
             sel = rank[cand[mask]]
@@ -547,9 +554,9 @@ class LocalSearcher:
         if ent is not None:
             self._member_cache.move_to_end(term)
             return ent
-        member = np.zeros(self.meta.n_docs, dtype=bool)
+        member = np.zeros(self.meta.id_space, dtype=bool)
         member[docs] = True
-        rank = np.zeros(self.meta.n_docs, dtype=np.int64)
+        rank = np.zeros(self.meta.id_space, dtype=np.int64)
         rank[docs] = np.arange(docs.size, dtype=np.int64)
         self._member_cache[term] = (member, rank)
         self._member_cache_bytes += member.nbytes + rank.nbytes
@@ -793,7 +800,7 @@ class LocalSearcher:
         # 824k ∧ 640k docs). One vectorized bitmap AND + exact scoring of
         # the intersection replaces the whole block machinery. Exact by
         # construction: every matching doc is scored, sorted-term order.
-        if len(terms) >= 2 and all(rows[t].df * 64 >= m.n_docs for t in terms):
+        if len(terms) >= 2 and all(rows[t].df * 64 >= m.id_space for t in terms):
             mask: np.ndarray | None = None
             aligned: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
             for t in terms:
@@ -1190,7 +1197,7 @@ class LocalSearcher:
         if len(rows) != len(terms):
             return empty
         m = self.meta
-        if len(terms) >= 2 and all(rows[t].df * 64 >= m.n_docs for t in terms):
+        if len(terms) >= 2 and all(rows[t].df * 64 >= m.id_space for t in terms):
             mask = None
             for t in terms:
                 d, _tf, _dl = self._decoded(rows[t])
@@ -1211,7 +1218,7 @@ class LocalSearcher:
         # +16 slack: pos + phrase-offset must not wrap into the next doc's
         # key space (same sizing rule as topk_phrase)
         shift = max(21, (max_dl + 16).bit_length())
-        if m.n_docs >= (1 << (63 - shift)):
+        if m.id_space >= (1 << (63 - shift)):
             raise ValueError(
                 f"phrase key packing overflow: n_docs={m.n_docs} with "
                 f"{shift} position bits"
@@ -1504,7 +1511,7 @@ class LocalSearcher:
         )
         max_dl = int(dls.max()) if dls.size else 1
         shift = max(21, max_dl.bit_length())
-        if m.n_docs >= (1 << (63 - shift)):
+        if m.id_space >= (1 << (63 - shift)):
             raise ValueError(
                 f"proximity key packing overflow: n_docs={m.n_docs} with "
                 f"{shift} position bits"
@@ -1577,7 +1584,7 @@ class LocalSearcher:
         # phrases take the same dense bitmap intersection as _topk_and
         # (tf/dl realign through the dense rank arrays).
         by_df = sorted(terms, key=lambda t: (rows[t].df, t))
-        if len(terms) >= 2 and all(rows[t].df * 64 >= m.n_docs for t in terms):
+        if len(terms) >= 2 and all(rows[t].df * 64 >= m.id_space for t in terms):
             mask = None
             dense: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
             for t in terms:
@@ -1616,7 +1623,7 @@ class LocalSearcher:
         # +16 slack: a candidate start near the end of a max-length doc must
         # not wrap (doc<<shift|pos)+j into the next doc's key space
         shift = max(21, (max_dl + 16).bit_length())
-        if m.n_docs >= (1 << (63 - shift)):
+        if m.id_space >= (1 << (63 - shift)):
             raise ValueError(
                 f"phrase key packing overflow: n_docs={m.n_docs} needs more "
                 f"than {63 - shift} bits alongside {shift} position bits "
@@ -2004,11 +2011,11 @@ class LocalSearcher:
         # array set algebra to a handful of N-bit ops.
         present_all = [t for t in terms if t in rows]
         if not with_phrases and present_all and all(
-            rows[t].df * 64 >= self.meta.n_docs for t in present_all
+            rows[t].df * 64 >= self.meta.id_space for t in present_all
         ):
             from discogsography_spark.query.boolquery import fold_predicate
 
-            zeros = np.zeros(self.meta.n_docs, dtype=bool)
+            zeros = np.zeros(self.meta.id_space, dtype=bool)
 
             def bm_leaf(t):
                 if t not in rows:

@@ -617,6 +617,20 @@ class MergedSearcher:
         self._dead_df_cache: dict[str, int] = {}
         self._delta_alive_cache2: dict[str, tuple | None] = {}
         self._trigram_index = None  # built lazily by suggest_terms
+        # PROMOTED deltas (consolidate_deltas writes a mini-manifest):
+        # LocalSearcher legs with champion/block-max pruning over the
+        # re-encoded consolidated segments — evaluated like a second base
+        # in the no-tombstone fast paths instead of exact-scoring their
+        # whole mass. Small (unpromoted) deltas keep the exact leg.
+        self._leg_searchers: dict[str, LocalSearcher] = {}
+        self._promoted_dirs: list[str] = []
+        for d in self._delta_dirs:
+            if Manifest(d).docs() is not None:
+                self._promoted_dirs.append(d)
+        self._small_dirs = [
+            d for d in self._delta_dirs if d not in set(self._promoted_dirs)
+        ]
+        self._small_list_cache: dict[str, tuple | None] = {}
 
     def _delta_rows(self, delta: str, terms: list[str]) -> dict[str, dict]:
         """Term rows from one delta via the same dictionary-indexed
@@ -821,15 +835,25 @@ class MergedSearcher:
         uniq, first = np.unique(ids, return_index=True)
         return uniq, int(dls[first].sum())
 
+    def _leg(self, d: str) -> LocalSearcher:
+        ls = self._leg_searchers.get(d)
+        if ls is None:
+            ls = self._leg_searchers[d] = LocalSearcher(d)
+        return ls
+
     def _delta_lists(
-        self, terms: list[str]
+        self, terms: list[str], small_only: bool = False
     ) -> dict[str, tuple[np.ndarray, np.ndarray, np.ndarray] | None]:
         """term → concatenated delta-side (docs, tf, dl) (batch order →
         ascending doc ranges; None if the term appears in no delta),
-        memoized — deltas are immutable for this searcher's lifetime."""
-        todo = [t for t in terms if t not in self._delta_list_cache]
+        memoized — deltas are immutable for this searcher's lifetime.
+        `small_only` restricts to UNPROMOTED deltas (the pruned fast
+        paths evaluate promoted legs through their own block metadata)."""
+        cache = self._small_list_cache if small_only else self._delta_list_cache
+        dirs = self._small_dirs if small_only else self._delta_dirs
+        todo = [t for t in terms if t not in cache]
         if todo:
-            delta_rows = [self._delta_rows(d, todo) for d in self._delta_dirs]
+            delta_rows = [self._delta_rows(d, todo) for d in dirs]
             for t in todo:
                 parts_d, parts_tf, parts_dl = [], [], []
                 for dr in delta_rows:
@@ -840,7 +864,7 @@ class MergedSearcher:
                         parts_d.append(d)
                         parts_tf.append(tf)
                         parts_dl.append(dl)
-                self._delta_list_cache[t] = (
+                cache[t] = (
                     (
                         np.concatenate(parts_d),
                         np.concatenate(parts_tf),
@@ -849,7 +873,7 @@ class MergedSearcher:
                     if parts_d
                     else None
                 )
-        return {t: self._delta_list_cache[t] for t in terms}
+        return {t: cache[t] for t in terms}
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         """term → ALIVE document frequency over the live view (absent
@@ -902,7 +926,11 @@ class MergedSearcher:
             return self._tomb_fast_and(terms, k, idfs=idfs, avgdl=avgdl)
         uniq = sorted(set(terms))
         base_rows = self.base.lookup_terms(uniq)
-        dlists = self._delta_lists(uniq)
+        dlists = self._delta_lists(uniq, small_only=True)
+        leg_rows = [
+            (self._leg(d), self._leg(d).lookup_terms(uniq))
+            for d in self._promoted_dirs
+        ]
         p = self.params
         if avgdl is None:
             avgdl = self.avgdl
@@ -910,13 +938,19 @@ class MergedSearcher:
             idfs = {}
             for t in uniq:
                 df = int(base_rows[t].df) if t in base_rows else 0
+                for _ls, lr in leg_rows:
+                    if t in lr:
+                        df += int(lr[t].df)
                 if dlists[t] is not None:
                     df += int(dlists[t][0].size)
                 if df == 0:
                     return []  # conjunctive AND: term absent everywhere
                 idfs[t] = p.idf(self.n_docs, df)
         elif any(
-            t not in base_rows and dlists[t] is None for t in uniq
+            t not in base_rows
+            and dlists[t] is None
+            and all(t not in lr for _ls, lr in leg_rows)
+            for t in uniq
         ):
             return []  # conjunctive AND: term absent from this view
         hits: list[tuple[int, float]] = []
@@ -924,6 +958,9 @@ class MergedSearcher:
             hits.extend(
                 self.base._topk_and(terms, k, idfs=idfs, avgdl=avgdl)
             )
+        for ls, lr in leg_rows:  # each promoted leg prunes like a base
+            if len(lr) == len(uniq):
+                hits.extend(ls._topk_and(terms, k, idfs=idfs, avgdl=avgdl))
         if all(dlists[t] is not None for t in uniq):  # so can the deltas
             lists = {t: dlists[t] for t in uniq}
             hits.extend(
@@ -976,11 +1013,18 @@ class MergedSearcher:
             hits.sort(key=lambda h: (-h[1], h[0]))
             return hits[:k]
         base_rows = self.base.lookup_terms(uniq)
-        dlists = self._delta_lists(uniq)
+        dlists = self._delta_lists(uniq, small_only=True)
+        leg_rows = [
+            (self._leg(d), self._leg(d).lookup_terms(uniq))
+            for d in self._promoted_dirs
+        ]
         if idfs is None:
             idfs = {}
             for t in uniq:
                 df = int(base_rows[t].df) if t in base_rows else 0
+                for _ls, lr in leg_rows:
+                    if t in lr:
+                        df += int(lr[t].df)
                 if dlists[t] is not None:
                     df += int(dlists[t][0].size)
                 if df > 0:
@@ -995,6 +1039,14 @@ class MergedSearcher:
                     avgdl=avgdl,
                 )
             )
+        for ls, lr in leg_rows:  # each promoted leg prunes like a base
+            if lr:
+                hits.extend(
+                    ls._topk_or(
+                        [t for t in uniq if t in lr], k,
+                        idfs=idfs, avgdl=avgdl,
+                    )
+                )
         if any(dlists[t] is not None for t in uniq):
             hits.extend(_exact_or_scores(uniq, dlists, idfs, p, avgdl, k))
         hits.sort(key=lambda h: (-h[1], h[0]))
@@ -2020,6 +2072,25 @@ def consolidate_deltas(spark: SparkSession, index_dir: str) -> int:
         spark.read.parquet(*tomb_srcs).write.mode("overwrite").parquet(tp)
         n_tomb = _parquet_nrows(tp)
 
+    # mini-manifest PROMOTES the consolidated delta: LocalSearcher can open
+    # it as a pruned leg (champion/block-max machinery over its re-encoded
+    # segments) — MergedSearcher's fast paths then evaluate it like a
+    # second base instead of exact-scoring its whole mass. `id_space`
+    # tells dense docID-indexed structures the delta keeps ABSOLUTE ids.
+    doc_offset_min = min(int(s["doc_offset"]) for s in stats_l)
+    Manifest(tmp).commit_docs(
+        {
+            "n_docs": n_docs,
+            "total_tokens": total_tokens,
+            "num_segments": num_segments,
+            "block_size": block_size,
+            "k1": k1,
+            "b": b,
+            "analyzer_name": meta.analyzer,
+            "with_positions": wp,
+            "id_space": doc_offset_min + n_docs,
+        }
+    )
     if os.path.isdir(final):
         shutil.rmtree(final)
     os.replace(tmp, final)

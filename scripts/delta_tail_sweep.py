@@ -80,6 +80,7 @@ def _tiers(idx: str, qpath: str) -> dict:
 def main() -> int:
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.25
     n_deltas = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    append_only = len(sys.argv) > 3 and sys.argv[3] == "append"
     from bench import ensure_corpus
 
     corpus = ensure_corpus(sf)
@@ -117,6 +118,7 @@ def main() -> int:
         "n_deltas": n_deltas,
         "base_build_s": round(time.time() - t0, 1),
         "curve": [],
+        "append_only": append_only,
     }
 
     w = DeltaIndexWriter(idx)
@@ -128,7 +130,7 @@ def main() -> int:
         if not batch_convs:
             break
         b = tdf[tdf["conv_id"].isin(batch_convs)]
-        if i % 4 == 3:
+        if not append_only and i % 4 == 3:
             # live edits: re-deliver an earlier batch's convs with edited
             # text (tombstones prior versions) + delete a few base convs
             edit = tdf[tdf["conv_id"].isin(rest[(i - 1) * per : (i - 1) * per + 3])].copy()
@@ -139,7 +141,7 @@ def main() -> int:
         t0 = time.time()
         w.write_batch(spark.read.parquet(p), bid, upsert=True)
         bid += 1
-        if i % 4 == 3:
+        if not append_only and i % 4 == 3:
             dele = pd.DataFrame({"conv_id": base_convs[i * 2 : i * 2 + 2]})
             w.write_deletes(spark.createDataFrame(dele), bid)
             bid += 1

@@ -157,6 +157,47 @@ def test_consolidate_then_compact_preserves_relation(cons_setup, spark):
         assert _keyed(s.topk(q, 15), km) == want, q
 
 
+def test_promoted_leg_parity_append_only(spark, tmp_path):
+    """On a tombstone-free view, the consolidated delta serves as a
+    PROMOTED pruned leg (LocalSearcher over its mini-manifest). Every
+    mode must stay bit-identical to an unconsolidated twin of the same
+    corpus AND to the exact reference evaluator."""
+    d = str(tmp_path)
+    tdf = make_transcripts(n_conversations=140, mean_turns=5, vocab_size=300)
+    convs = sorted(tdf["conv_id"].unique())
+
+    def build(tag, consolidate):
+        idx = os.path.join(d, f"idx_{tag}")
+        base = tdf[tdf["conv_id"].isin(convs[:80])]
+        bp = os.path.join(d, f"b_{tag}.parquet")
+        base.to_parquet(bp, index=False)
+        IndexBuilder(idx, num_segments=4, with_positions=True).build(
+            spark.read.parquet(bp)
+        )
+        w = DeltaIndexWriter(idx)
+        for i in range(4):  # append-only: no tombstones anywhere
+            cs = convs[80 + i * 15 : 80 + (i + 1) * 15]
+            b = tdf[tdf["conv_id"].isin(cs)]
+            p = os.path.join(d, f"{tag}{i}.parquet")
+            b.to_parquet(p, index=False)
+            w.write_batch(spark.read.parquet(p), i)
+        if consolidate:
+            assert consolidate_deltas(spark, idx) == 4
+        return idx
+
+    ma = MergedSearcher(build("plain", False))
+    mb = MergedSearcher(build("cons", True))
+    assert not mb._dead.size
+    assert len(mb._promoted_dirs) == 1  # the leg actually engages
+    for q in ("spark index", "merge", "turn token"):
+        assert ma.topk(q, 20) == mb.topk(q, 20) == mb.topk_exact(q, 20), q
+        u = sorted(set(q.split()))
+        assert ma._topk_or(u, 20) == mb._topk_or(u, 20), ("or", q)
+        bq = f"{q.split()[0]} AND NOT zzq"
+        assert ma.topk_bool(bq, 15) == mb.topk_bool(bq, 15), ("bool", q)
+        assert ma.topk_phrase(q, 10) == mb.topk_phrase(q, 10), ("phrase", q)
+
+
 def test_crash_between_commit_and_cleanup(spark, tmp_path):
     """Simulate the crash window: consolidated stats.json committed but
     replaced dirs still on disk — list_deltas must see ONLY the
