@@ -631,6 +631,8 @@ class MergedSearcher:
             d for d in self._delta_dirs if d not in set(self._promoted_dirs)
         ]
         self._small_list_cache: dict[str, tuple | None] = {}
+        self._small_alive_cache: dict[str, tuple | None] = {}
+        self._leg_dead_cache: dict[tuple[str, str], int] = {}
 
     def _delta_rows(self, delta: str, terms: list[str]) -> dict[str, dict]:
         """Term rows from one delta via the same dictionary-indexed
@@ -724,34 +726,64 @@ class MergedSearcher:
             out[t] = alive
         return out
 
+    def _leg_dead_count(self, key: str, searcher, tp) -> int:
+        """|dead ∩ leg postings| for one term — O(|dead| log n) over the
+        leg's (cached) decoded docID array, memoized per (leg, term)."""
+        ck = (key, tp.term)
+        n = self._leg_dead_cache.get(ck)
+        if n is None:
+            docs = searcher._decoded(tp)[0]
+            pos = np.searchsorted(docs, self._dead)
+            ok = pos < docs.size
+            n = int((docs[pos[ok]] == self._dead[ok]).sum())
+            self._leg_dead_cache[ck] = n
+        return n
+
     def _alive_term_stats(
-        self, uniq: list[str]
-    ) -> tuple[dict, dict[str, tuple | None], dict[str, int]]:
-        """(base term rows, alive-masked delta lists, ALIVE df per term)
-        without masking any BASE posting list: alive base df = raw df −
-        |dead ∩ base postings|, an O(|dead| log n) searchsorted over the
-        (cached) decoded docID array — the stats step of the tombstone
-        fast path, which must not pay the exact path's full-list work."""
+        self, uniq: list[str], split_promoted: bool = False
+    ) -> tuple:
+        """(base term rows, alive-masked delta lists, ALIVE df per term
+        [, promoted leg rows]) without masking any BASE posting list:
+        alive base df = raw df − |dead ∩ base postings|, an O(|dead| log n)
+        searchsorted over the (cached) decoded docID array — the stats
+        step of the tombstone fast path, which must not pay the exact
+        path's full-list work. With split_promoted=True the masked delta
+        lists cover ONLY unpromoted deltas; promoted consolidated legs
+        come back as [(LocalSearcher, lookup_rows)] with their alive df
+        folded into the per-term counts (same dead-count recipe as the
+        base)."""
         base_rows = self.base.lookup_terms(uniq)
-        dlists = self._delta_lists(uniq)
+        dlists = self._delta_lists(uniq, small_only=split_promoted)
+        acache = (
+            self._small_alive_cache if split_promoted
+            else self._delta_alive_cache2
+        )
+        leg_rows = (
+            [
+                (d, self._leg(d), self._leg(d).lookup_terms(uniq))
+                for d in self._promoted_dirs
+            ]
+            if split_promoted
+            else []
+        )
         alive_d: dict[str, tuple | None] = {}
         dfs: dict[str, int] = {}
         for t in uniq:
             df = 0
             if t in base_rows:
                 if t not in self._dead_df_cache:
-                    docs = self.base._decoded(base_rows[t])[0]
-                    pos = np.searchsorted(docs, self._dead)
-                    ok = pos < docs.size
-                    self._dead_df_cache[t] = int(
-                        (docs[pos[ok]] == self._dead[ok]).sum()
+                    self._dead_df_cache[t] = self._leg_dead_count(
+                        "__base__", self.base, base_rows[t]
                     )
                 df += int(base_rows[t].df) - self._dead_df_cache[t]
+            for d, ls, lr in leg_rows:
+                if t in lr:
+                    df += int(lr[t].df) - self._leg_dead_count(d, ls, lr[t])
             ent = dlists[t]
             if ent is not None:
-                if t not in self._delta_alive_cache2:
+                if t not in acache:
                     mask = self._alive_posting_mask(ent[0])
-                    self._delta_alive_cache2[t] = (
+                    acache[t] = (
                         ent
                         if mask.all()
                         else (
@@ -760,11 +792,15 @@ class MergedSearcher:
                             else None
                         )
                     )
-                ent = self._delta_alive_cache2[t]
+                ent = acache[t]
             alive_d[t] = ent
             if ent is not None:
                 df += int(ent[0].size)
             dfs[t] = df
+        if split_promoted:
+            return base_rows, alive_d, dfs, [
+                (ls, lr) for _d, ls, lr in leg_rows
+            ]
         return base_rows, alive_d, dfs
 
     def _drop_dead(
@@ -786,14 +822,17 @@ class MergedSearcher:
         k: int,
         idfs: dict[str, float],
         avgdl: float,
+        searcher=None,
     ) -> list[tuple[int, float]]:
         """Pruned base-leg top-k that survives tombstones: oversample the
         immutable base index's exact pruned ranking (its top-m is the true
         top-m, dead included), drop dead docs, and retry ONCE at the
         guaranteed depth k + |dead| iff the filtered page is short AND the
         base actually had m matches — at most |dead| dead docs can occupy
-        any prefix, so the retry always covers the alive top-k."""
-        fn = getattr(self.base, method)
+        any prefix, so the retry always covers the alive top-k.
+        `searcher` swaps in a PROMOTED consolidated-delta leg (doc
+        disjointness makes the same argument hold per leg)."""
+        fn = getattr(searcher if searcher is not None else self.base, method)
         pad = min(int(self._dead.size), max(64, k))
         got = fn(terms, k + pad, idfs=idfs, avgdl=avgdl)
         alive = self._drop_dead(got)
@@ -991,7 +1030,9 @@ class MergedSearcher:
         if avgdl is None:
             avgdl = self.avgdl
         if self._dead.size:
-            base_rows, adl, dfs = self._alive_term_stats(uniq)
+            base_rows, adl, dfs, leg_rows = self._alive_term_stats(
+                uniq, split_promoted=True
+            )
             if idfs is None:
                 idfs = {
                     t: p.idf(self.n_docs, dfs[t])
@@ -1008,6 +1049,15 @@ class MergedSearcher:
                         "_topk_or", base_present, k, idfs, avgdl
                     )
                 )
+            for ls, lr in leg_rows:  # promoted legs prune + oversample
+                leg_present = [t for t in uniq if t in lr and t in idfs]
+                if leg_present:
+                    hits.extend(
+                        self._base_leg_alive(
+                            "_topk_or", leg_present, k, idfs, avgdl,
+                            searcher=ls,
+                        )
+                    )
             if any(adl[t] is not None for t in uniq):
                 hits.extend(_exact_or_scores(uniq, adl, idfs, p, avgdl, k))
             hits.sort(key=lambda h: (-h[1], h[0]))
@@ -1082,7 +1132,9 @@ class MergedSearcher:
         p = self.params
         if avgdl is None:
             avgdl = self.avgdl
-        base_rows, adl, dfs = self._alive_term_stats(uniq)
+        base_rows, adl, dfs, leg_rows = self._alive_term_stats(
+            uniq, split_promoted=True
+        )
         if any(dfs[t] == 0 for t in uniq):
             return []  # conjunctive AND: term alive nowhere in this view
         if idfs is None:
@@ -1092,6 +1144,13 @@ class MergedSearcher:
             hits.extend(
                 self._base_leg_alive("_topk_and", terms, k, idfs, avgdl)
             )
+        for ls, lr in leg_rows:  # promoted legs prune + oversample alike
+            if len(lr) == len(uniq):
+                hits.extend(
+                    self._base_leg_alive(
+                        "_topk_and", terms, k, idfs, avgdl, searcher=ls
+                    )
+                )
         if all(adl[t] is not None for t in uniq):  # so can the deltas
             lists = {t: adl[t] for t in uniq}
             hits.extend(_exact_and_scores(terms, lists, idfs, p, avgdl, k))

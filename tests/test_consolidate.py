@@ -63,6 +63,7 @@ def _probe(ms: MergedSearcher):
     out = []
     for q in ("spark index", "merge", "editcons"):
         out.append(ms.topk(q, 15))
+        out.append(ms._topk_or(sorted(set(q.split())), 15))
         out.append(ms.topk_bool(f"{q.split()[0]} AND NOT zzq", 15))
         out.append(ms.topk_phrase(q, 10))
         out.append(ms.topk_within(q.split()[0], "index", 3, 10))
@@ -79,6 +80,14 @@ def test_consolidate_bit_identity_and_idempotence(cons_setup, spark):
     assert len(after_dirs) == 1
     assert os.path.basename(after_dirs[0]) == "delta-000000-c1"
     assert _probe(MergedSearcher(idx)) == before
+
+    # the fixture HAS tombstones, so this view exercises the PROMOTED leg
+    # inside the tombstone fast path (oversample-filter-retry on the
+    # consolidated leg) — pin it against the exact reference evaluator
+    mafter = MergedSearcher(idx)
+    assert mafter._dead.size and mafter._promoted_dirs
+    for q in ("spark index", "merge", "editcons"):
+        assert mafter.topk(q, 15) == mafter.topk_exact(q, 15), q
 
     # structural integrity of the re-encoded consolidated delta (blob
     # decode, docID ascent, df agreement, positional stream == sum(tf))
