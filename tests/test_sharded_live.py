@@ -308,6 +308,43 @@ def test_live_sharded_service_full_response(live_shards):
         svc.close()
 
 
+def test_rolling_consolidation_behind_fanout(live_shards, spark):
+    """Per-shard MINOR compaction (consolidate_deltas) behind the live
+    fan-out: consolidating ONE shard's delta tail — including through the
+    worker-process pool, which rebuilds its MergedSearcher and must
+    detect the promoted leg in-worker — leaves every mode bit-identical
+    on the global view."""
+    from discogsography_spark.streaming.incremental import (
+        consolidate_deltas,
+        list_deltas,
+    )
+
+    dirs = live_shards["shard_dirs"]
+    th, tm = _probe_terms(live_shards["alive"])
+    probes = [(f"{th} {tm}", "topk"), (f"{th} OR editz", "topk_bool")]
+    pre: dict = {}
+    for par in (False, True):
+        sh = ShardedSearcher(dirs, parallel=par)
+        try:
+            pre[par] = {
+                (q, m): getattr(sh, m)(q, 25) for q, m in probes
+            }
+        finally:
+            sh.close()
+    assert pre[False] == pre[True]
+    # consolidate shard 0's tail (shard 1 keeps raw deltas, shard 2 is
+    # static — the mid-roll mixed layout)
+    assert consolidate_deltas(spark, dirs[0]) >= 2
+    assert len(list_deltas(dirs[0])) == 1
+    for par in (False, True):
+        sh2 = ShardedSearcher(dirs, parallel=par)
+        try:
+            for (q, m), want in pre[par].items():
+                assert getattr(sh2, m)(q, 25) == want, (q, m, par)
+        finally:
+            sh2.close()
+
+
 def test_streamed_router_and_rolling_compaction(spark, tmp_path):
     """Ingestion half + lifecycle: Structured Streaming micro-batches run
     through ShardedDeltaRouter (one delta per TOUCHED shard only), deletes
