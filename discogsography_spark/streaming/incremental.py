@@ -440,7 +440,14 @@ class ShardedDeltaRouter:
         self,
         shard_dirs: list[str],
         bounds: list[tuple[str | None, str | None]],
+        consolidate_every: int | None = None,
     ):
+        """`consolidate_every=N` runs MINOR compaction (consolidate_deltas)
+        on a shard automatically whenever a write leaves its tail N or
+        more deltas deep — the LSM tiering policy as a router knob, so a
+        long-running stream keeps every shard's per-query tail cost
+        bounded without an external compaction scheduler (full compact()
+        stays a deliberate, rarer operation)."""
         if len(shard_dirs) != len(bounds):
             raise ValueError("one (lo, hi) bound pair per shard required")
         for i in range(len(bounds) - 1):
@@ -455,7 +462,11 @@ class ShardedDeltaRouter:
                 "outer bounds must be open (None) so every key routes"
             )
         self.writers = [DeltaIndexWriter(d) for d in shard_dirs]
+        self.shard_dirs = list(shard_dirs)
         self.bounds = list(bounds)
+        if consolidate_every is not None and consolidate_every < 2:
+            raise ValueError("consolidate_every must be >= 2")
+        self.consolidate_every = consolidate_every
 
     def _shard_slice(self, df: DataFrame, i: int) -> DataFrame:
         lo, hi = self.bounds[i]
@@ -477,20 +488,31 @@ class ShardedDeltaRouter:
         rows = df.groupBy(expr.alias("_shard")).count().collect()
         return sorted(int(r["_shard"]) for r in rows)
 
+    def _maybe_consolidate(self, spark, touched: list[int]) -> None:
+        if self.consolidate_every is None:
+            return
+        for i in touched:
+            if len(list_deltas(self.shard_dirs[i])) >= self.consolidate_every:
+                consolidate_deltas(spark, self.shard_dirs[i])
+
     def write_batch(
         self, batch_df: DataFrame, batch_id: int, upsert: bool = False
     ) -> None:
-        for i in self._touched(batch_df):
+        touched = self._touched(batch_df)
+        for i in touched:
             self.writers[i].write_batch(
                 self._shard_slice(batch_df, i), batch_id, upsert=upsert
             )
+        self._maybe_consolidate(batch_df.sparkSession, touched)
 
     def write_deletes(self, keys_df: DataFrame, batch_id: int) -> int:
         n = 0
-        for i in self._touched(keys_df):
+        touched = self._touched(keys_df)
+        for i in touched:
             n += self.writers[i].write_deletes(
                 self._shard_slice(keys_df, i), batch_id
             )
+        self._maybe_consolidate(keys_df.sparkSession, touched)
         return n
 
 
@@ -2114,9 +2136,36 @@ def consolidate_deltas(spark: SparkSession, index_dir: str) -> int:
         if os.path.isdir(os.path.join(d, "docs"))
     ]
     if docs_srcs:
+        # a micro-batch whose payload column was ALL NULL stored it as
+        # VOID; mergeSchema cannot reconcile VOID with a concrete type, so
+        # union by name with each VOID column cast to the first concrete
+        # type any sibling delta carries (string if none does)
+        from functools import reduce
+
+        from pyspark.sql.types import NullType, StringType
+
+        frames = [spark.read.parquet(p) for p in docs_srcs]
+        target: dict[str, object] = {}
+        for fr in frames:
+            for fld in fr.schema.fields:
+                if not isinstance(fld.dataType, NullType):
+                    target.setdefault(fld.name, fld.dataType)
+        fixed = []
+        for fr in frames:
+            for fld in fr.schema.fields:
+                if isinstance(fld.dataType, NullType):
+                    fr = fr.withColumn(
+                        fld.name,
+                        F.col(fld.name).cast(
+                            target.get(fld.name, StringType())
+                        ),
+                    )
+            fixed.append(fr)
         (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*docs_srcs)
+            reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                fixed,
+            )
             .write.mode("overwrite")
             .option("parquet.block.size", str(1024 * 1024))
             .parquet(os.path.join(tmp, "docs"))

@@ -207,6 +207,56 @@ def test_promoted_leg_parity_append_only(spark, tmp_path):
         assert ma.topk_phrase(q, 10) == mb.topk_phrase(q, 10), ("phrase", q)
 
 
+def test_router_auto_consolidation_policy(spark, tmp_path):
+    """ShardedDeltaRouter(consolidate_every=N): a long-running stream
+    keeps every shard's tail bounded (minor compaction fires in-band when
+    a write leaves N deltas), and the view stays bit-identical to a
+    policy-free twin of the same batch sequence."""
+    from discogsography_spark.query.sharded import ShardedSearcher
+    from discogsography_spark.streaming.incremental import ShardedDeltaRouter
+
+    d = str(tmp_path)
+    tdf = make_transcripts(n_conversations=80, mean_turns=4, vocab_size=250)
+    convs = sorted(tdf["conv_id"].unique())
+    mid = convs[40]
+
+    def setup(tag, every):
+        dirs = []
+        for i, m in enumerate([tdf["conv_id"] < mid, tdf["conv_id"] >= mid]):
+            base = tdf[m & tdf["conv_id"].isin(convs[:50])]
+            p = os.path.join(d, f"{tag}{i}.parquet")
+            base.to_parquet(p, index=False)
+            idx = os.path.join(d, f"{tag}_shard{i}")
+            IndexBuilder(idx, num_segments=2).build(spark.read.parquet(p))
+            dirs.append(idx)
+        r = ShardedDeltaRouter(
+            dirs, [(None, mid), (mid, None)], consolidate_every=every
+        )
+        return dirs, r
+
+    batches = [convs[50 + i * 4 : 50 + (i + 1) * 4] for i in range(7)]
+    dirs_a, ra = setup("auto", 3)
+    dirs_b, rb = setup("plain", None)
+    for bid, cs in enumerate(b for b in batches if b):
+        bdf = spark.createDataFrame(tdf[tdf["conv_id"].isin(cs)])
+        ra.write_batch(bdf, bid)
+        rb.write_batch(bdf, bid)
+        for sd in dirs_a:  # the policy holds the bound at every step
+            assert len(list_deltas(sd)) < 3, sd
+
+    sa, sb = ShardedSearcher(dirs_a, parallel=False), ShardedSearcher(
+        dirs_b, parallel=False
+    )
+    try:
+        for q in ("spark index", "merge"):
+            assert sa.topk(q, 20) == sb.topk(q, 20), q
+    finally:
+        sa.close()
+        sb.close()
+    # the plain twin accumulated real tails; the policy twin stayed flat
+    assert any(len(list_deltas(sd)) >= 3 for sd in dirs_b)
+
+
 def test_crash_between_commit_and_cleanup(spark, tmp_path):
     """Simulate the crash window: consolidated stats.json committed but
     replaced dirs still on disk — list_deltas must see ONLY the
