@@ -97,6 +97,9 @@ def _docmap_tokens_lookup(svc, docs_dir: str, doc_id: int) -> list[str]:
                 while svc._mlt_rg_bytes > _DOCMAP_CACHE_BUDGET and len(cache) > 1:
                     _k = next(iter(cache))
                     svc._mlt_rg_bytes -= cache.pop(_k)[2]
+            else:
+                # recency bump (insertion-ordered dict as LRU)
+                cache[key] = cache.pop(key)
             ids, tbl, _nb = hit
             at = np.flatnonzero(ids == doc_id)
             if at.size:
