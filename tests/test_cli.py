@@ -164,6 +164,13 @@ def test_cli_upsert_delete_roundtrip(spark, tmp_path):
     hits = ms.topk("climarker", 10**6)
     assert len(hits) == len(patch)
 
+    # minor compaction via the CLI: tail folds to one, answers unchanged
+    before = ms.topk("climarker", 10)
+    out = json.loads(_run(["consolidate", idx]))
+    assert out["deltas_consolidated"] == 2
+    ms2 = MergedSearcher(idx)
+    assert ms2.n_docs == alive and ms2.topk("climarker", 10) == before
+
     _run(["compact", idx])
     stats = json.loads(_run(["stats", idx]))
     assert int(stats["docs"]["n_docs"]) == alive
