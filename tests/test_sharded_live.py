@@ -321,7 +321,12 @@ def test_rolling_consolidation_behind_fanout(live_shards, spark):
 
     dirs = live_shards["shard_dirs"]
     th, tm = _probe_terms(live_shards["alive"])
-    probes = [(f"{th} {tm}", "topk"), (f"{th} OR editz", "topk_bool")]
+    probes = [
+        (f"{th} {tm}", "topk"),
+        (f"{th} OR editz", "topk_bool"),
+        (f"{th} {tm}", "topk_phrase"),  # positional stream of the
+        # consolidated delta through the fan-out
+    ]
     pre: dict = {}
     for par in (False, True):
         sh = ShardedSearcher(dirs, parallel=par)
