@@ -624,6 +624,7 @@ class MergedSearcher:
         # positional gathers (_merged_term_key_fn); base position streams
         # are never concatenated in — they decode block-granular on demand
         self._delta_pos_cache: dict[str, tuple | None] = {}
+        self._small_pos_cache: dict[str, tuple | None] = {}
         # term → alive-only merged arrays (only populated when tombstones
         # exist; _merged_rows returns these so every query path sees the
         # alive corpus)
@@ -750,7 +751,13 @@ class MergedSearcher:
 
     def _leg_dead_count(self, key: str, searcher, tp) -> int:
         """|dead ∩ leg postings| for one term — O(|dead| log n) over the
-        leg's (cached) decoded docID array, memoized per (leg, term)."""
+        leg's (cached) decoded docID array, memoized per (leg, term).
+        Short-circuits to 0 with no tombstones — the pruned bool/phrase
+        paths call the stats step on every query, and a df-only probe
+        must not force a full head-term docID decode the leg's own
+        block-max evaluator would have skipped."""
+        if not self._dead.size:
+            return 0
         ck = (key, tp.term)
         n = self._leg_dead_cache.get(ck)
         if n is None:
@@ -855,15 +862,27 @@ class MergedSearcher:
         `searcher` swaps in a PROMOTED consolidated-delta leg (doc
         disjointness makes the same argument hold per leg)."""
         fn = getattr(searcher if searcher is not None else self.base, method)
+        return self._leg_alive_call(
+            lambda kk: fn(terms, kk, idfs=idfs, avgdl=avgdl), k
+        )
+
+    def _leg_alive_call(self, fn, k: int) -> list[tuple[int, float]]:
+        """Oversample-filter-retry kernel shared by every pruned leg
+        evaluation under tombstones: fn(m) must return the leg's EXACT
+        top-m (dead docs included) — at most |dead| dead docs can occupy
+        any result prefix, so one retry at k + |dead| always covers the
+        alive top-k. With no tombstones this is just fn(k)."""
+        if not self._dead.size:
+            return fn(k)
         pad = min(int(self._dead.size), max(64, k))
-        got = fn(terms, k + pad, idfs=idfs, avgdl=avgdl)
+        got = fn(k + pad)
         alive = self._drop_dead(got)
         if (
             len(alive) < k
             and len(got) == k + pad
             and pad < self._dead.size
         ):
-            got = fn(terms, k + int(self._dead.size), idfs=idfs, avgdl=avgdl)
+            got = fn(k + int(self._dead.size))
             alive = self._drop_dead(got)
         return alive[:k]
 
@@ -1358,6 +1377,161 @@ class MergedSearcher:
                 raise BoolQueryError(
                     "prefix expansion produced a match-all query"
                 )
+        return self._topk_bool_pruned(ast, k, idfs=idfs, avgdl=avgdl)
+
+    def _topk_bool_pruned(
+        self,
+        ast,
+        k: int,
+        idfs: dict[str, float] | None = None,
+        avgdl: float | None = None,
+    ) -> list[tuple[int, float]]:
+        """Pruned boolean evaluation over the live view — union of
+        per-leg evaluations instead of full-corpus set algebra. Every doc
+        lives in exactly ONE leg (base, a promoted consolidated delta, or
+        the small unpromoted tail) and carries all its postings there, so
+        the predicate evaluates exactly per leg; BM25 scores probe only
+        terms the doc contains, so with the COMBINED alive idfs/avgdl
+        injected each leg's per-doc score is bit-identical to the exact
+        merged evaluation and the union of leg top-k's contains the true
+        top-k (the sharded fan-out argument). The base and promoted legs
+        ride LocalSearcher.topk_bool — vocabulary simplification
+        (simplify_for_eval), flat AND/OR delegation to the champion /
+        max-score evaluators, and the dense-bitmap head-term path — so a
+        live shard's boolean cost now tracks the STATIC bool tier, not
+        corpus size (the reference's `to_tsquery` rides the same GIN
+        index as plain match: schema-init/postgres_schema.py:66-83).
+        Under tombstones each leg oversample-filter-retries
+        (_leg_alive_call); _topk_bool_exactmerge stays as the reference
+        implementation, equality regression-tested."""
+        from discogsography_spark.query.boolquery import (
+            BoolQueryError,
+            all_terms,
+            eval_docsets,
+            has_positional_nodes,
+            polarity_terms,
+            simplify_for_eval,
+        )
+
+        uniq_all = all_terms(ast)
+        _base_rows, adl, dfs, leg_rows = self._alive_term_stats(
+            uniq_all, split_promoted=True
+        )
+        # simplify against the COMBINED alive vocabulary: `x AND NOT zzz`
+        # collapses to `x` and takes the merged conjunctive fast path
+        ast = simplify_for_eval(ast, lambda t: dfs.get(t, 0) > 0)
+        if ast is None:
+            return []
+        if ast == ("true",):  # unreachable: parser rejects vacuous forms
+            raise BoolQueryError("query simplified to match-all")
+        pos_terms, neg_terms = polarity_terms(ast)
+        terms = sorted(set(pos_terms) | set(neg_terms))
+        with_pos = has_positional_nodes(ast)
+
+        def _flat(kind: str) -> bool:
+            if ast[0] == "term":
+                return True
+            return ast[0] == kind and all(c[0] == "term" for c in ast[1])
+
+        # flat conjunctions/disjunctions ARE the dedicated merged modes —
+        # delegate to their pruned evaluators (promoted legs + tombstone
+        # fast paths included)
+        if not with_pos and not neg_terms and _flat("and"):
+            return self._topk_and(terms, k, idfs=idfs, avgdl=avgdl)
+        if not with_pos and not neg_terms and _flat("or"):
+            return self._topk_or(terms, k, idfs=idfs, avgdl=avgdl)
+
+        p = self.params
+        if avgdl is None:
+            avgdl = self.avgdl
+        if idfs is None:
+            idfs = {
+                t: p.idf(self.n_docs, dfs[t])
+                for t in terms
+                if dfs.get(t, 0) > 0
+            }
+        hits: list[tuple[int, float]] = []
+        for searcher in [self.base] + [ls for ls, _lr in leg_rows]:
+            hits.extend(
+                self._leg_alive_call(
+                    lambda kk, srch=searcher: srch.topk_bool(
+                        "",
+                        kk,
+                        use_result_cache=False,
+                        idfs=idfs,
+                        avgdl=avgdl,
+                        ast_override=ast,
+                    ),
+                    k,
+                )
+            )
+        hits.extend(
+            self._bool_small_tail(ast, pos_terms, terms, adl, idfs, avgdl, k)
+        )
+        hits.sort(key=lambda h: (-h[1], h[0]))
+        return hits[:k]
+
+    def _bool_small_tail(
+        self,
+        ast,
+        pos_terms: list[str],
+        terms: list[str],
+        adl: dict[str, tuple | None],
+        idfs: dict[str, float],
+        avgdl: float,
+        k: int,
+    ) -> list[tuple[int, float]]:
+        """Exact boolean set algebra + BM25 over the UNPROMOTED delta
+        tail only (alive-masked lists from _alive_term_stats) — the small
+        leg of _topk_bool_pruned. The tail is bounded by the consolidation
+        cadence, so exact evaluation here is O(tail), not O(corpus)."""
+        from discogsography_spark.query.boolquery import eval_docsets
+
+        if all(adl.get(t) is None for t in terms):
+            return []  # no positive leaf can match a tail doc
+        empty = np.empty(0, dtype=np.int64)
+        cand = eval_docsets(
+            ast,
+            lambda t: adl[t][0] if adl.get(t) is not None else empty,
+            phrase_docs_of=lambda ph: self._small_phrase_doc_set(list(ph)),
+            within_docs_of=self._small_within_doc_set,
+        )
+        if cand.size == 0:
+            return []
+        p = self.params
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for t in pos_terms:  # sorted order — fixed float64 summation order
+            if adl.get(t) is None:
+                continue
+            d, tf, dl = adl[t]
+            pos = np.searchsorted(d, cand)
+            ok = pos < d.size
+            mask = np.zeros(cand.size, dtype=bool)
+            mask[ok] = d[pos[ok]] == cand[ok]
+            sel = pos[mask]
+            tfv = tf[sel].astype(np.float64)
+            norm = p.k1 * (
+                1.0 - p.b + p.b * (dl[sel].astype(np.float64) / avgdl)
+            )
+            scores[mask] = scores[mask] + idfs[t] * (tfv / (tfv + norm))
+        order = np.lexsort((cand, -scores))[:k]
+        return [(int(cand[i]), float(scores[i])) for i in order]
+
+    def _topk_bool_exactmerge(
+        self,
+        ast,
+        k: int,
+        idfs: dict[str, float] | None = None,
+        avgdl: float | None = None,
+    ) -> list[tuple[int, float]]:
+        """Reference boolean implementation: exact set algebra over the
+        FULL merged alive relations (the pre-r6 topk_bool body).
+        _topk_bool_pruned must match it bit-for-bit; tests assert it."""
+        from discogsography_spark.query.boolquery import (
+            eval_docsets,
+            polarity_terms,
+        )
+
         pos_terms, neg_terms = polarity_terms(ast)
         terms = sorted(set(pos_terms) | set(neg_terms))
         merged = self._merged_rows(terms)
@@ -1645,11 +1819,105 @@ class MergedSearcher:
         """Proximity top-k (`a <N> b`, either order) over the LIVE merged
         view — LocalSearcher.topk_within semantics (conjunctive BM25 of the
         two terms, combined corpus stats, 5dp rounding) without pausing
-        between compactions. Proximity scores are window-independent, so
-        verification runs lazily in score-tier order (the engine's
-        _lazy_verified_topk kernel) over block-granular positional gathers
-        — head pairs verify only the top tiers instead of every candidate.
-        `idfs`/`avgdl` inject GLOBAL stats from a live sharded coordinator."""
+        between compactions. Pruned union-of-legs evaluation (r6): the
+        base and each PROMOTED consolidated delta evaluate through
+        LocalSearcher.topk_within — dense-candidate pruning + lazy
+        score-tier position verification over their own block directories
+        — with the combined alive stats injected; only the small
+        unpromoted tail evaluates exactly. Every doc's postings and
+        positions live wholly in its own leg, so per-doc scores are
+        bit-identical to the exact merged evaluation and the union of leg
+        top-k's contains the true top-k (the sharded fan-out argument).
+        Under tombstones each leg oversample-filter-retries
+        (_leg_alive_call). `idfs`/`avgdl` inject GLOBAL stats from a live
+        sharded coordinator. _topk_within_exactmerge keeps the reference
+        implementation; equality is regression-tested."""
+        from discogsography_spark.analysis import get_analyzer
+
+        an = get_analyzer(self.base.meta.analyzer)
+        ts1 = an.analyze_query(word1)
+        ts2 = an.analyze_query(word2)
+        if not ts1 or not ts2 or k <= 0:
+            return []
+        if window < 1:
+            raise ValueError(f"window must be ≥ 1, got {window}")
+        t1, t2 = ts1[0], ts2[0]
+        terms = sorted({t1, t2})
+        _base_rows, adl, dfs, leg_rows = self._alive_term_stats(
+            terms, split_promoted=True
+        )
+        if any(dfs.get(t, 0) == 0 for t in terms):
+            return []  # conjunctive: a term alive nowhere matches nothing
+        p = self.params
+        if avgdl is None:
+            avgdl = self.avgdl
+        if idfs is None:
+            idfs = {t: p.idf(self.n_docs, dfs[t]) for t in terms}
+        hits: list[tuple[int, float]] = []
+        for searcher in [self.base] + [ls for ls, _lr in leg_rows]:
+            hits.extend(
+                self._leg_alive_call(
+                    lambda kk, srch=searcher: srch.topk_within(
+                        word1, word2, window, kk, idfs=idfs, avgdl=avgdl
+                    ),
+                    k,
+                )
+            )
+        hits.extend(
+            self._small_within_hits((t1, t2), (window,), terms, idfs, avgdl, k)
+        )
+        hits.sort(key=lambda h: (-h[1], h[0]))
+        return hits[:k]
+
+    def _small_within_hits(
+        self,
+        chain: tuple[str, ...],
+        windows: tuple[int, ...],
+        terms: list[str],
+        idfs: dict[str, float],
+        avgdl: float,
+        k: int,
+    ) -> list[tuple[int, float]]:
+        """Exact proximity leg over the UNPROMOTED delta tail (conjunctive
+        BM25 of the chain terms, combined stats, 5dp rounding) — the small
+        leg of the pruned topk_within."""
+        st = self._merged_chain_state(chain, windows, small_only=True)
+        if st is None:
+            return []
+        cand, verify = st
+        keep = verify(cand)
+        if keep.size == 0:
+            return []
+        rows = self._small_rows(terms)
+        p = self.params
+        scores = np.zeros(keep.size, dtype=np.float64)
+        norm: np.ndarray | None = None
+        for t in terms:  # sorted order — the repo-wide float contract
+            d, tf, dl = rows[t]
+            pos = np.searchsorted(d, keep)  # exact hits (keep ⊆ d)
+            if norm is None:
+                norm = p.k1 * (
+                    1.0 - p.b + p.b * (dl[pos].astype(np.float64) / avgdl)
+                )
+            tfv = tf[pos].astype(np.float64)
+            scores = scores + idfs[t] * (tfv / (tfv + norm))
+        scores = np.round(scores, 5)
+        order = np.lexsort((keep, -scores))[:k]
+        return [(int(keep[i]), float(scores[i])) for i in order]
+
+    def _topk_within_exactmerge(
+        self,
+        word1: str,
+        word2: str,
+        window: int,
+        k: int,
+        idfs: dict[str, float] | None = None,
+        avgdl: float | None = None,
+    ) -> list[tuple[int, float]]:
+        """Reference proximity implementation: exact conjunctive scoring
+        over the FULL merged alive relations with lazy score-tier position
+        verification (the pre-r6 topk_within body). topk_within must match
+        it bit-for-bit; tests assert it."""
         from discogsography_spark.analysis import get_analyzer
         from discogsography_spark.query.engine import _lazy_verified_topk
 
@@ -1705,18 +1973,28 @@ class MergedSearcher:
         cand, verify = st
         return verify(cand)
 
-    def _merged_chain_state(self, chain: tuple[str, ...], windows: tuple[int, ...]):
+    def _merged_chain_state(
+        self,
+        chain: tuple[str, ...],
+        windows: tuple[int, ...],
+        small_only: bool = False,
+    ):
         """(cand, verify) for a proximity chain over the live merged view:
         sorted conjunctive candidate docIDs, and verify(docs_sorted) → the
         sorted subset with occurrences p1..pn, |p_{i+1} − p_i| ≤ windows[i]
         per link (either direction; adjacent equal terms need distinct
         occurrences) — the engine's left-fold kernel (_chain_fold_keys)
         over block-granular positional gathers (_merged_term_key_fn).
-        None when any term is absent or no candidate holds all terms."""
+        None when any term is absent or no candidate holds all terms.
+        `small_only` restricts the whole computation to the UNPROMOTED
+        delta tail (alive-masked lists, small-delta position streams) —
+        the pruned paths' exact tail leg."""
         chain = tuple(chain)
         windows = tuple(windows)
         terms = sorted(set(chain))
-        merged_all = self._merged_rows(terms)
+        merged_all = (
+            self._small_rows(terms) if small_only else self._merged_rows(terms)
+        )
         merged = {t: merged_all.get(t) for t in terms}
         if any(m is None for m in merged.values()):
             return None
@@ -1753,7 +2031,11 @@ class MergedSearcher:
 
         from discogsography_spark.query.engine import _chain_fold_keys
 
-        term_keys = self._merged_term_key_fn(terms, SHIFT)
+        term_keys = (
+            self._small_term_key_fn(terms, SHIFT)
+            if small_only
+            else self._merged_term_key_fn(terms, SHIFT)
+        )
 
         def verify(docs_sorted: np.ndarray) -> np.ndarray:
             keys = {t: term_keys(t, docs_sorted) for t in terms}
@@ -1762,17 +2044,23 @@ class MergedSearcher:
         return np.sort(cand), verify
 
     def _delta_positions(
-        self, terms: list[str]
+        self, terms: list[str], small_only: bool = False
     ) -> dict[str, tuple | None]:
         """term → concatenated DELTA-side (docs, tf, flat positions,
         per-posting offsets), RAW (dead postings keep their runs — callers
         gather by alive docID, never by stream scan; None if the term
         appears in no delta). Memoized: deltas are immutable for this
         searcher's lifetime. Requires positional deltas (DeltaIndexWriter
-        writes them whenever the base manifest says with_positions)."""
-        todo = [t for t in terms if t not in self._delta_pos_cache]
+        writes them whenever the base manifest says with_positions).
+        `small_only` restricts to UNPROMOTED deltas — the pruned
+        phrase/within/bool paths gather the small tail here and evaluate
+        promoted consolidated legs through their own positional block
+        directories instead."""
+        cache = self._small_pos_cache if small_only else self._delta_pos_cache
+        dirs = self._small_dirs if small_only else self._delta_dirs
+        todo = [t for t in terms if t not in cache]
         if todo:
-            delta_rows = [self._delta_rows(d, todo) for d in self._delta_dirs]
+            delta_rows = [self._delta_rows(d, todo) for d in dirs]
             for t in todo:
                 parts_d, parts_tf, parts_pos = [], [], []
                 for dr in delta_rows:
@@ -1793,7 +2081,7 @@ class MergedSearcher:
                         varbyte_decode(row["pos_blob"]).astype(np.int64)
                     )
                 if not parts_d:
-                    self._delta_pos_cache[t] = None
+                    cache[t] = None
                     continue
                 tf = np.concatenate(parts_tf)
                 flat = np.concatenate(parts_pos)
@@ -1804,13 +2092,13 @@ class MergedSearcher:
                         f"positional stream length {flat.size} != delta cf "
                         f"{int(tf.sum())} for {t!r}"
                     )
-                self._delta_pos_cache[t] = (
+                cache[t] = (
                     np.concatenate(parts_d),
                     tf,
                     flat,
                     np.concatenate(([0], np.cumsum(tf))),
                 )
-        return {t: self._delta_pos_cache[t] for t in terms}
+        return {t: cache[t] for t in terms}
 
     def _merged_term_key_fn(self, terms: list[str], SHIFT: np.int64):
         """keys(term, docs_sorted) → sorted (doc << SHIFT | pos) keys over
@@ -1850,15 +2138,89 @@ class MergedSearcher:
 
         return keys
 
-    def _merged_phrase_state(self, ordered: list[str]):
+    def _small_rows(
+        self, terms: list[str]
+    ) -> dict[str, tuple[np.ndarray, np.ndarray, np.ndarray] | None]:
+        """term → alive-masked (docs, tf, dl) over the UNPROMOTED delta
+        tail only (None if absent there) — the exact-leg inputs of the
+        pruned bool/phrase/within paths. Shares _small_alive_cache with
+        _alive_term_stats so either entry point warms the other."""
+        dlists = self._delta_lists(terms, small_only=True)
+        if not self._dead.size:
+            return dlists
+        out: dict[str, tuple | None] = {}
+        for t in terms:
+            ent = dlists[t]
+            if ent is not None:
+                if t not in self._small_alive_cache:
+                    mask = self._alive_posting_mask(ent[0])
+                    self._small_alive_cache[t] = (
+                        ent
+                        if mask.all()
+                        else (
+                            (ent[0][mask], ent[1][mask], ent[2][mask])
+                            if mask.any()
+                            else None
+                        )
+                    )
+                ent = self._small_alive_cache[t]
+            out[t] = ent
+        return out
+
+    def _small_term_key_fn(self, terms: list[str], SHIFT: np.int64):
+        """keys(term, docs_sorted) → sorted (doc << SHIFT | pos) keys over
+        the UNPROMOTED delta tail — the small-leg counterpart of
+        _merged_term_key_fn (candidates are small-delta docIDs only, so
+        no base/leg routing is needed; streams are RAW but keys gather by
+        alive candidate docID)."""
+        dpos = self._delta_positions(terms, small_only=True)
+
+        def keys(t: str, docs_sorted: np.ndarray) -> np.ndarray:
+            ent = dpos.get(t)
+            if ent is None or docs_sorted.size == 0:
+                return np.empty(0, dtype=np.int64)
+            from discogsography_spark.query.engine import _position_keys
+
+            ddocs, dtf, dflat, doff = ent
+            return _position_keys(ddocs, dtf, dflat, doff, docs_sorted, SHIFT)
+
+        return keys
+
+    def _small_phrase_doc_set(self, ordered: list[str]) -> np.ndarray:
+        """Sorted alive docIDs of the UNPROMOTED delta tail matching an
+        exact phrase — the boolean phrase-node resolver of the pruned
+        topk_bool's small leg."""
+        st = self._merged_phrase_state(ordered, small_only=True)
+        if st is None:
+            return np.empty(0, dtype=np.int64)
+        cand, _tf_by, _dl0, _rows, verify = st
+        return verify(cand)
+
+    def _small_within_doc_set(
+        self, chain: tuple[str, ...], windows: tuple[int, ...]
+    ) -> np.ndarray:
+        """Sorted alive docIDs of the UNPROMOTED delta tail admitting a
+        proximity chain — the boolean within-node resolver of the pruned
+        topk_bool's small leg."""
+        st = self._merged_chain_state(chain, windows, small_only=True)
+        if st is None:
+            return np.empty(0, dtype=np.int64)
+        cand, verify = st
+        return verify(cand)
+
+    def _merged_phrase_state(self, ordered: list[str], small_only: bool = False):
         """Phrase-evaluation state over the live merged view — shared by
         topk_phrase and boolean phrase nodes.
         Returns (cand, tf_by, dl0, merged, verify) where verify(docs_sorted)
         folds phrase adjacency over just those docs (block-granular
         positional gathers via _merged_term_key_fn); None when any term is
-        absent or no candidate holds all terms."""
+        absent or no candidate holds all terms. `small_only` restricts the
+        computation to the UNPROMOTED delta tail (alive-masked lists,
+        small-delta position streams) — the pruned paths' exact tail leg."""
         terms = sorted(set(ordered))
-        merged_all = self._merged_rows(terms)
+        merged_all = (
+            self._small_rows(terms) if small_only else self._merged_rows(terms)
+        )
         merged = {t: merged_all.get(t) for t in terms}
         if any(m is None for m in merged.values()):
             return None
@@ -1886,7 +2248,11 @@ class MergedSearcher:
             raise ValueError("phrase key packing overflow on merged view")
         SHIFT = np.int64(shift)
 
-        term_keys = self._merged_term_key_fn(terms, SHIFT)
+        term_keys = (
+            self._small_term_key_fn(terms, SHIFT)
+            if small_only
+            else self._merged_term_key_fn(terms, SHIFT)
+        )
 
         def verify(docs_sorted: np.ndarray) -> np.ndarray:
             survivors = term_keys(ordered[0], docs_sorted)
@@ -1921,12 +2287,92 @@ class MergedSearcher:
     ) -> list[tuple[int, float]]:
         """Exact-phrase BM25 top-k over the LIVE merged view (base + deltas,
         combined corpus stats) — phrase capability does not pause between
-        compactions. Phrase scores are adjacency-independent (BM25 of the
-        phrase terms), so adjacency verifies lazily in score-tier order
-        (the engine's _lazy_verified_topk kernel) over block-granular
-        positional gathers — head-pair phrases stop after the top tiers.
-        `idfs`/`avgdl` inject GLOBAL stats from a live sharded
-        coordinator."""
+        compactions. Pruned union-of-legs evaluation (r6): the base and
+        each PROMOTED consolidated delta evaluate through
+        LocalSearcher.topk_phrase — dense-candidate intersection + lazy
+        score-tier adjacency verification over their own positional block
+        directories — with the combined alive stats injected; only the
+        small unpromoted tail evaluates exactly. Per-doc scores are
+        bit-identical to the exact merged evaluation (a doc's postings
+        and positions live wholly in its leg) and the union of leg
+        top-k's contains the true top-k. Under tombstones each leg
+        oversample-filter-retries (_leg_alive_call). `idfs`/`avgdl`
+        inject GLOBAL stats from a live sharded coordinator.
+        _topk_phrase_exactmerge keeps the reference implementation;
+        equality is regression-tested."""
+        from discogsography_spark.analysis import get_analyzer
+
+        an = get_analyzer(self.base.meta.analyzer)
+        ordered = an.tokenize_py(phrase)
+        terms = sorted(set(ordered))
+        if not ordered or k <= 0:
+            return []
+        _base_rows, adl, dfs, leg_rows = self._alive_term_stats(
+            terms, split_promoted=True
+        )
+        if any(dfs.get(t, 0) == 0 for t in terms):
+            return []  # phrase ⊆ AND: a term alive nowhere matches nothing
+        p = self.params
+        if avgdl is None:
+            avgdl = self.avgdl
+        if idfs is None:
+            idfs = {t: p.idf(self.n_docs, dfs[t]) for t in terms}
+        hits: list[tuple[int, float]] = []
+        for searcher in [self.base] + [ls for ls, _lr in leg_rows]:
+            hits.extend(
+                self._leg_alive_call(
+                    lambda kk, srch=searcher: srch.topk_phrase(
+                        phrase, kk, idfs=idfs, avgdl=avgdl
+                    ),
+                    k,
+                )
+            )
+        hits.extend(self._small_phrase_hits(ordered, terms, idfs, avgdl, k))
+        hits.sort(key=lambda h: (-h[1], h[0]))
+        return hits[:k]
+
+    def _small_phrase_hits(
+        self,
+        ordered: list[str],
+        terms: list[str],
+        idfs: dict[str, float],
+        avgdl: float,
+        k: int,
+    ) -> list[tuple[int, float]]:
+        """Exact phrase leg over the UNPROMOTED delta tail (BM25 of the
+        phrase terms, combined stats, 5dp rounding) — the small leg of the
+        pruned topk_phrase."""
+        st = self._merged_phrase_state(ordered, small_only=True)
+        if st is None:
+            return []
+        cand, tf_by, dl0, _rows, verify = st
+        keep = verify(cand)
+        if keep.size == 0:
+            return []
+        pos = np.searchsorted(cand, keep)  # keep ⊆ cand
+        p = self.params
+        norm = p.k1 * (
+            1.0 - p.b + p.b * (dl0[pos].astype(np.float64) / avgdl)
+        )
+        score = np.zeros(keep.size, dtype=np.float64)
+        for t in terms:  # sorted order — the repo-wide float contract
+            tfv = tf_by[t][pos].astype(np.float64)
+            score = score + idfs[t] * (tfv / (tfv + norm))
+        score = np.round(score, 5)
+        order = np.lexsort((keep, -score))[:k]
+        return [(int(keep[i]), float(score[i])) for i in order]
+
+    def _topk_phrase_exactmerge(
+        self,
+        phrase: str,
+        k: int,
+        idfs: dict[str, float] | None = None,
+        avgdl: float | None = None,
+    ) -> list[tuple[int, float]]:
+        """Reference phrase implementation: exact BM25 over the FULL
+        merged alive relations with lazy score-tier adjacency verification
+        (the pre-r6 topk_phrase body). topk_phrase must match it
+        bit-for-bit; tests assert it."""
         from discogsography_spark.analysis import get_analyzer
         from discogsography_spark.query.engine import _lazy_verified_topk
 

@@ -9,7 +9,7 @@ corpus:
     python scripts/delta_tail_sweep.py [sf] [n_deltas]
 
 - build a base index over ~70% of the corpus (store_text off — serving
-  only), positional off;
+  only), positional ON (the r6 curve tracks phrase/within tiers too);
 - ingest the remaining conversations as `n_deltas` equal micro-batches
   (every 4th batch an upsert of earlier convs + a small tombstone batch,
   so the tail carries live edits and deletes, not just appends);
@@ -47,15 +47,29 @@ init_s = time.time() - t0
 for _, row in qdf.iterrows():
     ms.topk(row["query_text"], int(row["k"]))
 out = {{"init_s": round(init_s, 2)}}
-for name in ("and", "bool"):
+for name in ("and", "bool", "boolmix", "phrase", "within"):
     lat = []
     for _, row in qdf.iterrows():
         q, k = row["query_text"], int(row["k"])
+        ws = q.split()
+        w0 = ws[0]
+        w1 = ws[1] if len(ws) > 1 else ws[0]
+        w2 = ws[2] if len(ws) > 2 else w0
         t0 = time.time()
         if name == "and":
             ms.topk(q, k)
+        elif name == "bool":
+            ms.topk_bool(w0 + " AND NOT zzqx", k)
+        elif name == "boolmix":
+            # mixed algebra with a PRESENT negation — cannot collapse to a
+            # flat mode, exercises the general per-leg boolean path
+            ms.topk_bool(
+                "(" + w0 + " OR " + w1 + ") AND NOT " + w2, k
+            )
+        elif name == "phrase":
+            ms.topk_phrase(w0 + " " + w1, k)
         else:
-            ms.topk_bool(q.split()[0] + " AND NOT zzqx", k)
+            ms.topk_within(w0, w1, 3, k)
         lat.append((time.time() - t0) * 1000.0)
     a = np.array(lat)
     out[name + "_p50_ms"] = round(float(np.percentile(a, 50)), 2)
@@ -110,9 +124,9 @@ def main() -> int:
     base_p = os.path.join(work, "base.parquet")
     tdf[tdf["conv_id"].isin(base_convs)].to_parquet(base_p, index=False)
     t0 = time.time()
-    IndexBuilder(idx, num_segments=16, head_df_threshold=100_000).build(
-        spark.read.parquet(base_p)
-    )
+    IndexBuilder(
+        idx, num_segments=16, head_df_threshold=100_000, with_positions=True
+    ).build(spark.read.parquet(base_p))
     out: dict = {
         "sf": sf,
         "n_deltas": n_deltas,
