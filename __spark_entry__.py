@@ -515,6 +515,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_facets_multi"] = fts_facets_multi
 
+    def fts_facet_tree(spark, sf_dir):
+        # hierarchical (nested) facets: two-level parent→child co-occurrence
+        # counts over the matched set — the reference's genre→style tree
+        # (api/queries/genre_tree_queries.py:13-31) as ONE
+        # groupBy(parent, child) rollup + a window parent total (no second
+        # scan, no per-parent subqueries)
+        docs = _read(spark, sf_dir, "documents")
+        matched = docs.filter(
+            F.array_contains(F.array_distinct(tokens_col("text")), "table")
+        )
+        pair = matched.groupBy(
+            F.col("source").alias("parent"), F.col("lang").alias("child")
+        ).agg(F.count("*").cast("long").alias("n"))
+        return pair.withColumn(
+            "parent_n",
+            F.sum("n").over(W.partitionBy("parent")).cast("long"),
+        ).orderBy("parent", "child")
+
+    q["fts_facet_tree"] = fts_facet_tree
+
     def agg_cube_orders(spark, sf_dir):
         # grouping-sets/cube — the one-pass form of the reference's separate
         # facet queries (SURVEY.md §2.4 "grouping sets: none — could be one cube")
@@ -759,6 +779,24 @@ array_sort(
         ).orderBy("facet", "value", "n")
 
     q["fts_facets_served"] = fts_facets_served
+
+    def fts_facet_tree_served(spark, sf_dir):
+        # the same nested facet relation answered from the SERVING path
+        # (SearchService.facet_tree — one combined bincount over dense
+        # parent/child code arrays, genre_tree_queries.py:13-31) — must
+        # hash-match the identical SQL oracle the DataFrame entry uses
+        svc = _served_service(spark, sf_dir)
+        matched = svc.matched_docs("table")
+        rows = [
+            (node["name"], c, n, node["count"])
+            for node in svc.facet_tree(matched, "source", "lang")
+            for c, n in node["children"]
+        ]
+        return spark.createDataFrame(
+            sorted(rows), "parent string, child string, n long, parent_n long"
+        ).orderBy("parent", "child")
+
+    q["fts_facet_tree_served"] = fts_facet_tree_served
 
     def fts_collapse_topk(spark, sf_dir):
         # field-collapsed search (Lucene/Solr FieldCollapsing, ES collapse;
@@ -2435,6 +2473,22 @@ SELECT source, count(*)::BIGINT AS n FROM documents
 WHERE list_contains(list_distinct({toks}), 'table')
 GROUP BY source ORDER BY n DESC, source ASC
 """
+
+    _facet_tree_sql = f"""
+WITH matched AS (
+  SELECT * FROM documents
+  WHERE list_contains(list_distinct({toks}), 'table')
+),
+pair AS (
+  SELECT source AS parent, lang AS child, count(*)::BIGINT AS n
+  FROM matched GROUP BY 1, 2
+)
+SELECT parent, child, n,
+       sum(n) OVER (PARTITION BY parent)::BIGINT AS parent_n
+FROM pair ORDER BY parent, child
+"""
+    o["fts_facet_tree"] = _facet_tree_sql
+    o["fts_facet_tree_served"] = _facet_tree_sql
 
     o["fts_facets_multi"] = f"""
 WITH matched AS (

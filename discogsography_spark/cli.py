@@ -90,6 +90,12 @@ def main(argv: list[str] | None = None) -> int:
         "of the hit's conversation within W turn indexes",
     )
     sr.add_argument(
+        "--facet-tree", default=None, metavar="PARENT,CHILD",
+        help="hierarchical facet tree over the matched set: nested "
+        "parent→child co-occurrence counts (the reference's genre→style "
+        "tree), e.g. --facet-tree role,tool",
+    )
+    sr.add_argument(
         "--collapse", default=None, metavar="FIELD",
         help="field-collapsed results: best hit per FIELD value (e.g. "
         "--collapse conv_id returns top-k CONVERSATIONS, each "
@@ -272,6 +278,30 @@ def main(argv: list[str] | None = None) -> int:
             from discogsography_spark.query.serving import SearchService
 
             svc = SearchService(args.index_dir, facet_defs=facet_defs)
+        if args.facet_tree:
+            if "," not in args.facet_tree:
+                raise SystemExit("--facet-tree expects PARENT,CHILD")
+            parent, child = args.facet_tree.split(",", 1)
+            if hasattr(svc, "facet_tree_pairs"):  # single / merged service
+                matched = svc.matched_docs(args.query_text, mode=args.mode)
+                tree = svc.facet_tree(matched, parent, child)
+            else:  # sharded coordinator sums per-shard pair vectors
+                tree = svc.facet_tree(
+                    args.query_text, parent, child, mode=args.mode
+                )
+            print(json.dumps({"facet_tree": [
+                {
+                    "name": node["name"],
+                    "count": node["count"],
+                    "children": [
+                        {"name": c, "count": n} for c, n in node["children"]
+                    ],
+                }
+                for node in tree
+            ]}, indent=2))
+            if hasattr(svc, "close"):
+                svc.close()
+            return 0
         if args.collapse:
             rows = svc.collapse(
                 args.query_text, args.collapse, args.k, mode=args.mode

@@ -250,6 +250,29 @@ def _facet_arrays(
     return codes, cats
 
 
+
+
+def assemble_facet_tree(
+    pairs: list[tuple[str, str, int]],
+) -> list[dict]:
+    """Nested two-level facet tree from (parent, child, n) pair counts —
+    the reference's genre→style tree shape
+    (api/queries/genre_tree_queries.py:13-31): parents ordered count DESC
+    (name ASC tiebreak), each with its total and its children ordered the
+    same way. Pure assembly — shard-sum the pair vectors first (shards are
+    doc-disjoint, so pair counts add exactly)."""
+    by_parent: dict[str, dict[str, int]] = {}
+    for parent, child, n in pairs:
+        bucket = by_parent.setdefault(parent, {})
+        bucket[child] = bucket.get(child, 0) + n
+    out = []
+    for parent, kids in by_parent.items():
+        total = sum(kids.values())
+        children = sorted(kids.items(), key=lambda cn: (-cn[1], cn[0]))
+        out.append({"name": parent, "count": total, "children": children})
+    out.sort(key=lambda row: (-row["count"], row["name"]))
+    return out
+
 class SearchService:
     """One-stop search response over a LocalSearcher index.
 
@@ -404,6 +427,37 @@ class SearchService:
                 if counts[i] > 0
             ]
         return out
+
+    def facet_tree_pairs(
+        self, matched: np.ndarray, parent: str, child: str
+    ) -> list[tuple[str, str, int]]:
+        """(parent, child, n) co-occurrence counts over the matched set —
+        ONE combined bincount over the two dense code arrays (parent code
+        × |child categories| + child code), zero pairs dropped. This is
+        the per-shard RPC vector of the hierarchical facet tree: shards
+        are doc-disjoint, so the coordinator just adds vectors."""
+        pcodes, pcats = self._collapse_codes(parent)
+        ccodes, ccats = self._collapse_codes(child)
+        C = len(ccats)
+        if matched.size == 0 or C == 0:
+            return []
+        combo = pcodes[matched].astype(np.int64) * C + ccodes[matched]
+        counts = np.bincount(combo, minlength=len(pcats) * C)
+        nz = np.flatnonzero(counts)
+        return [
+            (pcats[int(i // C)], ccats[int(i % C)], int(counts[i]))
+            for i in nz
+        ]
+
+    def facet_tree(
+        self, matched: np.ndarray, parent: str, child: str
+    ) -> list[dict]:
+        """Two-level nested facet hierarchy over the matched set — the
+        reference's genre→style tree (genre_tree_queries.py:13-31) from
+        the serving path: O(|matched|) + one bincount, no corpus scan."""
+        return assemble_facet_tree(
+            self.facet_tree_pairs(matched, parent, child)
+        )
 
     def _collapse_codes(self, field: str) -> tuple[np.ndarray, list[str]]:
         """Dense per-docID group codes + labels for a docmap column —
@@ -821,6 +875,28 @@ class ShardedSearchService:
     def close(self) -> None:
         """Shut down the underlying shard worker pool / thread pool."""
         self.sharded.close()
+
+    def facet_tree(
+        self,
+        query_text: str,
+        parent: str,
+        child: str,
+        mode: str = "and",
+    ) -> list[dict]:
+        """Hierarchical facet tree over the GLOBAL matched set — one
+        fan-out RPC per shard returning its (parent, child, n) pair
+        vector, summed exactly at the coordinator (doc-disjoint shards),
+        then assembled once. Identical to the single-index tree over the
+        concatenated corpus; tests assert the summation identity."""
+        def _pairs(svc):
+            m = svc.matched_docs(query_text, mode=mode)
+            return svc.facet_tree_pairs(m, parent, child)
+
+        acc: dict[tuple[str, str], int] = {}
+        for pairs in self.sharded._fanout(_pairs, self.services):
+            for p, c, n in pairs:
+                acc[(p, c)] = acc.get((p, c), 0) + n
+        return assemble_facet_tree([(p, c, n) for (p, c), n in acc.items()])
 
     def search(
         self,
@@ -1334,6 +1410,37 @@ class MergedSearchService:
                     ast, lambda p: self.searcher.expand_pattern(p, 64)
                 )
         return polarity_terms(ast)[0] if ast is not None else []
+
+    def facet_tree_pairs(
+        self, matched: np.ndarray, parent: str, child: str
+    ) -> list[tuple[str, str, int]]:
+        """(parent, child, n) co-occurrence counts over the matched set —
+        ONE combined bincount over the two dense code arrays (parent code
+        × |child categories| + child code), zero pairs dropped. This is
+        the per-shard RPC vector of the hierarchical facet tree: shards
+        are doc-disjoint, so the coordinator just adds vectors."""
+        pcodes, pcats = self._collapse_codes(parent)
+        ccodes, ccats = self._collapse_codes(child)
+        C = len(ccats)
+        if matched.size == 0 or C == 0:
+            return []
+        combo = pcodes[matched].astype(np.int64) * C + ccodes[matched]
+        counts = np.bincount(combo, minlength=len(pcats) * C)
+        nz = np.flatnonzero(counts)
+        return [
+            (pcats[int(i // C)], ccats[int(i % C)], int(counts[i]))
+            for i in nz
+        ]
+
+    def facet_tree(
+        self, matched: np.ndarray, parent: str, child: str
+    ) -> list[dict]:
+        """Two-level nested facet hierarchy over the matched set — the
+        reference's genre→style tree (genre_tree_queries.py:13-31) from
+        the serving path: O(|matched|) + one bincount, no corpus scan."""
+        return assemble_facet_tree(
+            self.facet_tree_pairs(matched, parent, child)
+        )
 
     def _collapse_codes(self, field: str) -> tuple[np.ndarray, list[str]]:
         """Dense per-docID group codes + labels for a docmap column —
