@@ -39,7 +39,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+import time
 from collections import OrderedDict
+from contextlib import contextmanager
 
 from discogsography_spark.analysis import analyze_query, get_analyzer
 from discogsography_spark.codec import decode_postings, delta_decode, varbyte_decode
@@ -176,6 +178,7 @@ def _lazy_verified_topk(
     scores: np.ndarray,
     verify,
     k: int,
+    check=None,
 ) -> list[tuple[int, float]]:
     """Top-k of a positional predicate evaluated lazily in score order.
 
@@ -201,6 +204,8 @@ def _lazy_verified_topk(
     m_scores: list[np.ndarray] = []
     T = _FIRST_TIER
     while True:
+        if check is not None:
+            check()  # verification-tier boundary
         if T >= C:
             sel = np.flatnonzero(~verified)
             bound = -np.inf
@@ -226,6 +231,29 @@ def _lazy_verified_topk(
     s_all = np.concatenate(m_scores)
     top = np.lexsort((d_all, -s_all))[:k]
     return [(int(d_all[i]), float(s_all[i])) for i in top]
+
+
+class QueryBudgetExceeded(RuntimeError):
+    """A per-query time budget expired before evaluation finished — the
+    engine's statement_timeout (the reference caps every heavy query at
+    120 s, api/queries/rarity_queries.py:199-204, and sets per-endpoint
+    p95 targets, tests/perftest/config.yaml:67-74). Raised from block /
+    term / tier boundaries inside the evaluators; the query returns NO
+    result (never a silently truncated page)."""
+
+    def __init__(
+        self, budget_ms: float | str, elapsed_ms: float | None = None
+    ):
+        if isinstance(budget_ms, str):  # worker-pool error reconstruction
+            super().__init__(budget_ms)
+            self.budget_ms = self.elapsed_ms = None
+            return
+        super().__init__(
+            f"query budget {budget_ms:.0f} ms exceeded "
+            f"({elapsed_ms:.0f} ms elapsed)"
+        )
+        self.budget_ms = budget_ms
+        self.elapsed_ms = elapsed_ms
 
 
 @dataclass
@@ -448,6 +476,12 @@ class LocalSearcher:
     ):
         tune_allocator()
         self.meta = IndexMeta(index_dir)
+        # per-query deadline (monotonic seconds; None = unlimited), set by
+        # the deadline() context manager and checked at block/term/tier
+        # boundaries inside the evaluators — granularity is one posting
+        # block / one term probe, so an expired budget aborts within one
+        # bounded unit of work, never mid-numpy-kernel
+        self._deadline: tuple[float, float] | None = None
         self._readers: dict[int, _SegmentReader | None] = {}
         self._trigram_index = None  # built lazily by suggest_terms
         self._dec_cache: OrderedDict[str, tuple] = OrderedDict()
@@ -489,6 +523,7 @@ class LocalSearcher:
     # ---- decoded-postings cache ----
 
     def _decoded(self, tp: TermPostings) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        self._budget_check()  # term-decode boundary (OR/bool/phrase paths)
         ent = self._dec_cache.get(tp.term)
         if ent is not None:
             self._dec_cache.move_to_end(tp.term)
@@ -639,10 +674,37 @@ class LocalSearcher:
         shards."""
         return {t: tp.df for t, tp in self.lookup_terms(terms).items()}
 
+    @contextmanager
+    def deadline(self, budget_ms: float | None):
+        """Per-query time budget: evaluators called inside this context
+        raise QueryBudgetExceeded once `budget_ms` elapses (checked at
+        block/term/tier boundaries). None = no-op. Nested deadlines
+        restore the outer one on exit. NOT thread-safe — one searcher
+        serves one query at a time (the worker-pool deployment shape)."""
+        if budget_ms is None:
+            yield self
+            return
+        prev = self._deadline
+        self._deadline = (time.monotonic() + budget_ms / 1000.0, budget_ms)
+        try:
+            yield self
+        finally:
+            self._deadline = prev
+
+    def _budget_check(self) -> None:
+        dl = self._deadline
+        if dl is not None:
+            now = time.monotonic()
+            if now > dl[0]:
+                raise QueryBudgetExceeded(
+                    dl[1], dl[1] + (now - dl[0]) * 1000.0
+                )
+
     def lookup_terms(self, terms: list[str]) -> dict[str, TermPostings]:
         """Segment-pruned, dictionary-indexed term row fetch, memoized per
         term (positive and negative) — repeated head-term queries skip the
         multi-MB blob-row deserialization entirely."""
+        self._budget_check()  # evaluator-entry boundary (all modes)
         out: dict[str, TermPostings] = {}
         todo: list[str] = []
         for t in terms:
@@ -710,6 +772,7 @@ class LocalSearcher:
         k: int,
         mode: str = "and",
         use_result_cache: bool = True,
+        budget_ms: float | None = None,
     ) -> list[tuple[int, float]]:
         """Exact BM25 top-k. mode='and' (default): conjunctive, plainto_tsquery
         semantics; mode='or': disjunctive with max-score/block-max pruning.
@@ -717,7 +780,15 @@ class LocalSearcher:
 
         `use_result_cache=False` bypasses the query-result memo (but still
         uses the decoded-postings cache) — the steady-state-serving
-        measurement mode."""
+        measurement mode. `budget_ms` caps evaluation wall-clock (raises
+        QueryBudgetExceeded at a block/term boundary — the deadline()
+        context, per call)."""
+        if budget_ms is not None:
+            with self.deadline(budget_ms):
+                return self.topk(
+                    query_text, k, mode=mode,
+                    use_result_cache=use_result_cache,
+                )
         if k <= 0:
             return []
         terms = get_analyzer(self.meta.analyzer).analyze_query(query_text)
@@ -913,6 +984,7 @@ class LocalSearcher:
             order[a:b] for a, b in zip([0, *cuts], [*cuts, order.size])
         ]
         for i, sel in enumerate(phases):
+            self._budget_check()  # block-phase boundary
             if i and theta > -np.inf:
                 sel = sel[ub[sel] >= theta]
             if sel.size == 0:
@@ -1029,7 +1101,14 @@ class LocalSearcher:
             # verify the candidates with the regex
             req = like_trigrams(pattern)
             if req:
+                # the lazy trigram-index construction is a one-time cost
+                # shared by every later leading-wildcard query; under a
+                # budget it still counts as ONE bounded unit of work —
+                # checks bracket it so an expired budget aborts before
+                # the regex-verification sweep
+                self._budget_check()
                 tgx = self._vocab_trigram_index()
+                self._budget_check()
                 found = {
                     tgx.terms[i]
                     for i in tgx.probe_all(req).tolist()
@@ -1039,6 +1118,7 @@ class LocalSearcher:
         hi_key = lit + "{"
         found = set()
         for seg in range(self.meta.num_segments):
+            self._budget_check()  # per-segment vocabulary-scan boundary
             rd = self._reader(seg)
             if rd is None:
                 continue
@@ -1107,7 +1187,12 @@ class LocalSearcher:
         return self._trigram_index
 
     def topk_fuzzy(
-        self, query_text: str, k: int, min_sim: float = 0.3, mode: str = "and"
+        self,
+        query_text: str,
+        k: int,
+        min_sim: float = 0.3,
+        mode: str = "and",
+        budget_ms: float | None = None,
     ) -> tuple[list[tuple[int, float]], dict[str, str]]:
         """Did-you-mean search: analyzed terms ABSENT from the vocabulary are
         rewritten to their best trigram suggestion (≥ min_sim) before the
@@ -1116,7 +1201,11 @@ class LocalSearcher:
         stay as-is (AND then correctly returns empty). mode='bool' rewrites
         the PLAIN term leaves of the parsed AST (phrase/within/prefix nodes
         are exact-match requests and stay untouched — boolquery.py
-        rewrite_fuzzy_terms)."""
+        rewrite_fuzzy_terms). `budget_ms` caps evaluation wall-clock
+        (QueryBudgetExceeded)."""
+        if budget_ms is not None:
+            with self.deadline(budget_ms):
+                return self.topk_fuzzy(query_text, k, min_sim=min_sim, mode=mode)
         if mode == "bool":
             from discogsography_spark.query.boolquery import (
                 parse_bool_query,
@@ -1401,6 +1490,7 @@ class LocalSearcher:
         k: int,
         idfs: dict[str, float] | None = None,
         avgdl: float | None = None,
+        budget_ms: float | None = None,
     ) -> list[tuple[int, float]]:
         """Proximity top-k: documents where the two analyzed terms occur
         within `window` token positions of each other, in EITHER order —
@@ -1410,6 +1500,11 @@ class LocalSearcher:
         a positional index. Same-term proximity ("a", "a", w) matches docs
         with two occurrences ≤ w apart. `idfs`/`avgdl` inject GLOBAL corpus
         stats (the sharded fan-out, query/sharded.py)."""
+        if budget_ms is not None:
+            with self.deadline(budget_ms):
+                return self.topk_within(
+                    word1, word2, window, k, idfs=idfs, avgdl=avgdl
+                )
         an = get_analyzer(self.meta.analyzer)
         ts1 = an.analyze_query(word1)
         ts2 = an.analyze_query(word2)
@@ -1439,7 +1534,7 @@ class LocalSearcher:
         sd, ss = self._and_score(cand, terms, by_df, rows, idfs, avgdl=avgdl)
         ss = np.round(ss, 5)
         verify = self._within_verifier((t1, t2), (window,), rows)
-        return _lazy_verified_topk(sd, ss, verify, k)
+        return _lazy_verified_topk(sd, ss, verify, k, check=self._budget_check)
 
     def _within_doc_set(
         self, chain: tuple[str, ...], windows: tuple[int, ...]
@@ -1555,6 +1650,7 @@ class LocalSearcher:
         k: int,
         idfs: dict[str, float] | None = None,
         avgdl: float | None = None,
+        budget_ms: float | None = None,
     ) -> list[tuple[int, float]]:
         """Exact-phrase top-k over a positional index — Lucene PhraseQuery
         with BM25 similarity, the serving-path mirror of
@@ -1565,6 +1661,9 @@ class LocalSearcher:
         Fully vectorized adjacency: each term's (doc, position) pairs become
         sorted int64 keys (doc << 21 | pos); phrase starts survive j terms
         iff key+j exists in term j's key set — one searchsorted per term."""
+        if budget_ms is not None:
+            with self.deadline(budget_ms):
+                return self.topk_phrase(phrase, k, idfs=idfs, avgdl=avgdl)
         an = get_analyzer(self.meta.analyzer)
         ordered = an.tokenize_py(phrase)
         terms = sorted(set(ordered))
@@ -1665,10 +1764,14 @@ class LocalSearcher:
             tf = tf_by[t].astype(np.float64)
             scores = scores + idfs[t] * (tf / (tf + norm))
         scores = np.round(scores, 5)
-        return _lazy_verified_topk(cand, scores, phrase_docs, k)
+        return _lazy_verified_topk(cand, scores, phrase_docs, k, check=self._budget_check)
 
     def topk_prefix(
-        self, query_text: str, k: int, max_expansions: int = 64
+        self,
+        query_text: str,
+        k: int,
+        max_expansions: int = 64,
+        budget_ms: float | None = None,
     ) -> list[tuple[int, float]]:
         """Autocomplete prefix BM25 top-k over the index. Semantics shared
         verbatim with bm25_prefix_topk_dataframe (and its DuckDB oracle):
@@ -1681,6 +1784,9 @@ class LocalSearcher:
         way); expansion runs against the stored (possibly stemmed)
         dictionary. Results are memoized: autocomplete traffic repeats the
         same short prefixes heavily, the reference's Redis design point."""
+        if budget_ms is not None:
+            with self.deadline(budget_ms):
+                return self.topk_prefix(query_text, k, max_expansions)
         prefixes = analyze_query(query_text)
         if not prefixes:
             return []
@@ -1696,7 +1802,11 @@ class LocalSearcher:
         return res
 
     def topk_wildcard(
-        self, query_text: str, k: int, max_expansions: int = 64
+        self,
+        query_text: str,
+        k: int,
+        max_expansions: int = 64,
+        budget_ms: float | None = None,
     ) -> list[tuple[int, float]]:
         """Wildcard term-match BM25 top-k (`te*m`, `ind?x`, `*fix`) — the
         Lucene WildcardQuery / pg_trgm LIKE surface. Every pattern expands
@@ -1704,6 +1814,9 @@ class LocalSearcher:
         doc must match EVERY pattern; scoring is the distinct-union-term
         evaluator shared verbatim with topk_prefix (a prefix is the special
         case `lit*`) and the DuckDB oracle. Memoized like topk_prefix."""
+        if budget_ms is not None:
+            with self.deadline(budget_ms):
+                return self.topk_wildcard(query_text, k, max_expansions)
         from discogsography_spark.analysis import parse_wildcard_query
 
         patterns = parse_wildcard_query(query_text)
@@ -1872,6 +1985,7 @@ class LocalSearcher:
         #    decoded-postings cache for the essential lists)
         scores = np.zeros(cand.size, dtype=np.float64)
         for t in present:
+            self._budget_check()  # term-probe boundary
             mask, tfv, dlv = self._probe(rows[t], cand)
             hit = np.flatnonzero(mask)
             if hit.size == 0:
@@ -1899,6 +2013,7 @@ class LocalSearcher:
         avgdl: float | None = None,
         prefix_expansions: dict[str, list[str]] | None = None,
         ast_override=None,
+        budget_ms: float | None = None,
     ) -> list[tuple[int, float]]:
         """Boolean AND/OR/NOT BM25 top-k (`to_tsquery` / Lucene BooleanQuery
         semantics — see boolquery.py for the grammar and scoring contract;
@@ -1913,6 +2028,14 @@ class LocalSearcher:
         probe/accumulate kernel as OR mode. `ast_override` supplies an
         already-parsed (possibly rewritten) AST — the did-you-mean path and
         the sharded coordinator's fuzzy fan-out."""
+        if budget_ms is not None:
+            with self.deadline(budget_ms):
+                return self.topk_bool(
+                    query_text, k, use_result_cache=use_result_cache,
+                    idfs=idfs, avgdl=avgdl,
+                    prefix_expansions=prefix_expansions,
+                    ast_override=ast_override,
+                )
         from discogsography_spark.query.boolquery import (
             all_terms,
             eval_docsets,

@@ -605,12 +605,24 @@ class SearchService:
         highlight_fragments: int | None = None,
         fragment_mode: str = "term",
         offset: int = 0,
+        budget_ms: float | None = None,
     ) -> SearchResponse:
         """`offset` pages the ranked results (reference:
         api/queries/search_queries.py:230-234 `ORDER BY rank DESC, id
         LIMIT %s OFFSET %s`): rank to depth k+offset, return rows
         offset..offset+k. Deterministic under the engine-wide
-        (score DESC, doc_id ASC) tiebreak, so pages never overlap or skip."""
+        (score DESC, doc_id ASC) tiebreak, so pages never overlap or skip.
+        `budget_ms` caps the whole request's evaluation wall-clock
+        (QueryBudgetExceeded at a block/term boundary — the reference's
+        120 s per-query cap, api/queries/rarity_queries.py:199-204)."""
+        if budget_ms is not None:
+            with self.searcher.deadline(budget_ms):
+                return self.search(
+                    query_text, k, mode=mode, facets=facets,
+                    highlight=highlight, fuzzy=fuzzy, filter=filter,
+                    highlight_fragments=highlight_fragments,
+                    fragment_mode=fragment_mode, offset=offset,
+                )
         if offset < 0:
             raise ValueError(f"offset must be ≥ 0, got {offset}")
         k = k + offset  # rank depth; sliced back to the page below
@@ -910,11 +922,16 @@ class ShardedSearchService:
         highlight_fragments: int | None = None,
         fragment_mode: str = "term",
         offset: int = 0,
+        budget_ms: float | None = None,
     ) -> SearchResponse:
         """`offset` pages exactly like SearchService.search: every shard
         ranks to depth k+offset (a shard may own the whole page), the
         coordinator merges under (score DESC, global doc_id ASC), then the
-        page slices out — bit-identical to the single-index service."""
+        page slices out — bit-identical to the single-index service.
+        `budget_ms` caps per-shard evaluation wall-clock: the ranking
+        fan-out ships the budget on the RPC (each parallel shard leg gets
+        the full budget), the coordinator-side facet/count loops arm each
+        shard service's deadline."""
         if offset < 0:
             raise ValueError(f"offset must be ≥ 0, got {offset}")
         k = k + offset  # rank depth; sliced back to the page below
@@ -1005,6 +1022,10 @@ class ShardedSearchService:
             _, idfs = self.sharded._global_idfs(score_terms)
 
             def _filter_and_rank(svc: SearchService):
+                with svc.searcher.deadline(budget_ms):
+                    return _filter_and_rank_inner(svc)
+
+            def _filter_and_rank_inner(svc: SearchService):
                 m2 = svc._filtered_matched(
                     query_text, mode, filter,
                     terms=qterms, prefix_expansions=expansions,
@@ -1027,12 +1048,18 @@ class ShardedSearchService:
         else:
             if mode == "bool":
                 results = self.sharded.topk_bool(
-                    query_text, k, expansions=expansions, ast_override=qast
+                    query_text, k, expansions=expansions, ast_override=qast,
+                    budget_ms=budget_ms,
                 )
             elif qterms is not None:
-                results = self.sharded.topk(query_text, k, mode=mode, terms=qterms)
+                results = self.sharded.topk(
+                    query_text, k, mode=mode, terms=qterms,
+                    budget_ms=budget_ms,
+                )
             else:
-                results = self.sharded.topk(query_text, k, mode=mode)
+                results = self.sharded.topk(
+                    query_text, k, mode=mode, budget_ms=budget_ms
+                )
             matched_sets = None
         if offset:
             results = results[offset:]
@@ -1043,6 +1070,10 @@ class ShardedSearchService:
 
         def _count_shard(im: tuple[int, SearchService]):
             i, svc = im
+            with svc.searcher.deadline(budget_ms):
+                return _count_shard_inner(i, svc)
+
+        def _count_shard_inner(i: int, svc: SearchService):
             matched = (
                 matched_sets[i]
                 if matched_sets is not None
@@ -1696,9 +1727,20 @@ class MergedSearchService:
         fuzzy: bool = False,
         fragment_mode: str = "term",
         offset: int = 0,
+        budget_ms: float | None = None,
     ) -> SearchResponse:
         """`offset` pages exactly like SearchService.search — rank the
-        merged base+delta view to depth k+offset, slice out the page."""
+        merged base+delta view to depth k+offset, slice out the page.
+        `budget_ms` caps the request wall-clock across base, promoted
+        legs, and the delta tail (MergedSearcher.deadline)."""
+        if budget_ms is not None:
+            with self.searcher.deadline(budget_ms):
+                return self.search(
+                    query_text, k, mode=mode, facets=facets,
+                    highlight=highlight, filter=filter,
+                    highlight_fragments=highlight_fragments, fuzzy=fuzzy,
+                    fragment_mode=fragment_mode, offset=offset,
+                )
         if offset < 0:
             raise ValueError(f"offset must be ≥ 0, got {offset}")
         k = k + offset  # rank depth; sliced back to the page below

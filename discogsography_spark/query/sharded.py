@@ -137,7 +137,14 @@ class ShardedSearcher:
 
         def one(arg):
             shard, kw = arg
-            return getattr(shard, method)(**kw) if kw is not None else None
+            if kw is None:
+                return None
+            kw = dict(kw)
+            bm = kw.pop("_budget_ms", None)
+            if bm is None:
+                return getattr(shard, method)(**kw)
+            with shard.deadline(bm):  # same contract as the worker pool
+                return getattr(shard, method)(**kw)
 
         return self._fanout(one, list(zip(self.shards, kwargs_list)))
 
@@ -175,6 +182,7 @@ class ShardedSearcher:
         k: int,
         mode: str = "and",
         terms: list[str] | None = None,
+        budget_ms: float | None = None,
     ) -> list[tuple[int, float]]:
         """Exact BM25 top-k across all shards, global docIDs, ordered
         (score DESC, global doc_id ASC) — bit-identical to a single
@@ -188,6 +196,11 @@ class ShardedSearcher:
             return []
         per_shard_dfs, idfs = self._global_idfs(terms)
         kw = {"terms": terms, "k": k, "idfs": idfs, "avgdl": self.avgdl}
+        if budget_ms is not None:
+            # per-shard wall-clock cap: shards evaluate in parallel, so
+            # each leg gets the query's full budget (the coordinator's
+            # merge is O(k); reference analog: per-statement timeout)
+            kw["_budget_ms"] = budget_ms
         if mode == "or":
             hits = self._call_shards(
                 "_topk_or", [kw if r else None for r in per_shard_dfs]
@@ -201,7 +214,9 @@ class ShardedSearcher:
         )
         return self._merge(hits, k)
 
-    def topk_phrase(self, phrase: str, k: int) -> list[tuple[int, float]]:
+    def topk_phrase(
+        self, phrase: str, k: int, budget_ms: float | None = None
+    ) -> list[tuple[int, float]]:
         """Exact-phrase top-k across positional shard indexes, global
         stats + docIDs — bit-identical to a whole-corpus positional index."""
         ordered = get_analyzer(self.analyzer).tokenize_py(phrase)
@@ -212,6 +227,8 @@ class ShardedSearcher:
         if len(idfs) != len(terms):
             return []
         kw = {"phrase": phrase, "k": k, "idfs": idfs, "avgdl": self.avgdl}
+        if budget_ms is not None:
+            kw["_budget_ms"] = budget_ms
         hits = self._call_shards(
             "topk_phrase",
             [kw if len(r) == len(terms) else None for r in per_shard_dfs],
@@ -262,7 +279,11 @@ class ShardedSearcher:
         return self._merge(hits, k)
 
     def topk_wildcard(
-        self, query_text: str, k: int, max_expansions: int = 64
+        self,
+        query_text: str,
+        k: int,
+        max_expansions: int = 64,
+        budget_ms: float | None = None,
     ) -> list[tuple[int, float]]:
         """Wildcard term-match top-k across shards — topk_prefix's shape
         with expand_wildcards as the expansion RPC. The same cap argument
@@ -298,6 +319,8 @@ class ShardedSearcher:
             "idfs": idfs,
             "avgdl": self.avgdl,
         }
+        if budget_ms is not None:
+            kw["_budget_ms"] = budget_ms
         hits = self._call_shards(
             "_topk_prefix_uncached", [kw] * len(self.shards)
         )
@@ -340,6 +363,7 @@ class ShardedSearcher:
         k: int,
         expansions: dict[str, list[str]] | None = None,
         ast_override=None,
+        budget_ms: float | None = None,
     ) -> list[tuple[int, float]]:
         """Boolean AND/OR/NOT top-k across shards. Doc-disjoint sharding
         makes the predicate exactly shard-local (every term occurrence of a
@@ -386,11 +410,18 @@ class ShardedSearcher:
             # picklable)
             "ast_override": ast,
         }
+        if budget_ms is not None:
+            kw["_budget_ms"] = budget_ms
         hits = self._call_shards("topk_bool", [kw] * len(self.shards))
         return self._merge(hits, k)
 
     def topk_within(
-        self, word1: str, word2: str, window: int, k: int
+        self,
+        word1: str,
+        word2: str,
+        window: int,
+        k: int,
+        budget_ms: float | None = None,
     ) -> list[tuple[int, float]]:
         """Proximity top-k (`a <N> b`, either order) across positional
         shards. A doc's positions live entirely in its own shard, so the
@@ -414,6 +445,8 @@ class ShardedSearcher:
             "idfs": idfs,
             "avgdl": self.avgdl,
         }
+        if budget_ms is not None:
+            kw["_budget_ms"] = budget_ms
         hits = self._call_shards(
             "topk_within",
             [kw if len(r) == len(terms) else None for r in per_shard_dfs],

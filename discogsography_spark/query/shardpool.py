@@ -52,8 +52,14 @@ def _worker_main(conn, shard_dir: str, live: bool = False) -> None:
             break
         method, kwargs = msg
         try:
+            # per-query budget rides the RPC as a reserved kwarg: the
+            # worker arms its searcher's deadline for just this call
+            bm = kwargs.pop("_budget_ms", None) if kwargs else None
             if method == "term_stats":
                 out = searcher.term_dfs(kwargs["terms"])
+            elif bm is not None:
+                with searcher.deadline(bm):
+                    out = getattr(searcher, method)(**kwargs)
             else:
                 out = getattr(searcher, method)(**kwargs)
             conn.send((True, out))
@@ -115,6 +121,12 @@ def _rebuild_error(method: str, shard: int, err) -> BaseException:
         from discogsography_spark.query.boolquery import BoolQueryError
 
         known["BoolQueryError"] = BoolQueryError
+    except ImportError:  # pragma: no cover
+        pass
+    try:
+        from discogsography_spark.query.engine import QueryBudgetExceeded
+
+        known["QueryBudgetExceeded"] = QueryBudgetExceeded
     except ImportError:  # pragma: no cover
         pass
     cls = known.get(type_name, RuntimeError)

@@ -28,6 +28,8 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
+from contextlib import contextmanager
 
 import numpy as np
 import pandas as pd
@@ -605,6 +607,10 @@ class MergedSearcher:
         recover_compact(index_dir)  # reader-side repair of a crashed swap
         self.index_dir = index_dir
         self.base = LocalSearcher(index_dir)
+        # per-query deadline — mirrors LocalSearcher.deadline(); entering
+        # the context propagates to the base and every (lazily created)
+        # promoted-leg searcher so one budget covers all legs of a query
+        self._deadline: tuple[float, float] | None = None
         self.params: BM25Params = self.base.meta.params
         self._delta_dirs = list_deltas(index_dir)
         # id_space = next unassigned docID (dead docs keep their slots
@@ -919,7 +925,47 @@ class MergedSearcher:
         ls = self._leg_searchers.get(d)
         if ls is None:
             ls = self._leg_searchers[d] = LocalSearcher(d)
+            ls._deadline = self._deadline  # mid-query leg open inherits
         return ls
+
+    @contextmanager
+    def deadline(self, budget_ms: float | None):
+        """Per-query time budget over the whole live view — the engine's
+        statement_timeout (LocalSearcher.deadline) spanning the base, every
+        promoted leg, and the merged-side small-tail loops. None = no-op."""
+        if budget_ms is None:
+            yield self
+            return
+        prev = self._deadline
+        dl = (time.monotonic() + budget_ms / 1000.0, budget_ms)
+        self._deadline = dl
+        prev_legs = {
+            d: ls._deadline for d, ls in self._leg_searchers.items()
+        }
+        prev_base = self.base._deadline
+        self.base._deadline = dl
+        for ls in self._leg_searchers.values():
+            ls._deadline = dl
+        try:
+            yield self
+        finally:
+            self._deadline = prev
+            self.base._deadline = prev_base
+            for d, ls in self._leg_searchers.items():
+                ls._deadline = prev_legs.get(d, prev)
+
+    def _budget_check(self) -> None:
+        dl = self._deadline
+        if dl is not None:
+            now = time.monotonic()
+            if now > dl[0]:
+                from discogsography_spark.query.engine import (
+                    QueryBudgetExceeded,
+                )
+
+                raise QueryBudgetExceeded(
+                    dl[1], dl[1] + (now - dl[0]) * 1000.0
+                )
 
     def _delta_lists(
         self, terms: list[str], small_only: bool = False
@@ -935,6 +981,7 @@ class MergedSearcher:
         if todo:
             delta_rows = [self._delta_rows(d, todo) for d in dirs]
             for t in todo:
+                self._budget_check()  # per-term delta-decode boundary
                 parts_d, parts_tf, parts_dl = [], [], []
                 for dr in delta_rows:
                     if t in dr:
@@ -966,7 +1013,9 @@ class MergedSearcher:
             if ent is not None
         }
 
-    def topk(self, query_text: str, k: int) -> list[tuple[int, float]]:
+    def topk(
+        self, query_text: str, k: int, budget_ms: float | None = None
+    ) -> list[tuple[int, float]]:
         """Exact BM25 conjunctive top-k over the live base+delta view.
 
         Fast path (r5): the base index evaluates through LocalSearcher's
@@ -980,6 +1029,9 @@ class MergedSearcher:
         (and the same bit-identity test net) as sharded fan-out.
         `topk_exact` keeps the single-pass reference implementation;
         equality is regression-tested across head/tail/delta-only terms."""
+        if budget_ms is not None:
+            with self.deadline(budget_ms):
+                return self.topk(query_text, k)
         from discogsography_spark.analysis import get_analyzer
 
         terms = get_analyzer(self.base.meta.analyzer).analyze_query(query_text)
@@ -1325,6 +1377,7 @@ class MergedSearcher:
         idfs: dict[str, float] | None = None,
         avgdl: float | None = None,
         prefix_expansions: dict[str, list[str]] | None = None,
+        budget_ms: float | None = None,
     ) -> list[tuple[int, float]]:
         """Boolean AND/OR/NOT BM25 over the live base+delta view — the same
         grammar/scoring contract as LocalSearcher.topk_bool (boolquery.py),
@@ -1334,6 +1387,12 @@ class MergedSearcher:
         fuzzy-rewritten) AST; `idfs`/`avgdl`/`prefix_expansions` inject a
         live sharded coordinator's GLOBAL stats and its one global prefix
         rewrite (every shard must evaluate the identical expansion)."""
+        if budget_ms is not None:
+            with self.deadline(budget_ms):
+                return self.topk_bool(
+                    query_text, k, ast_override=ast_override, idfs=idfs,
+                    avgdl=avgdl, prefix_expansions=prefix_expansions,
+                )
         from discogsography_spark.analysis import get_analyzer
         from discogsography_spark.query.boolquery import (
             eval_docsets,
@@ -1501,6 +1560,7 @@ class MergedSearcher:
         p = self.params
         scores = np.zeros(cand.size, dtype=np.float64)
         for t in pos_terms:  # sorted order — fixed float64 summation order
+            self._budget_check()  # small-tail term boundary
             if adl.get(t) is None:
                 continue
             d, tf, dl = adl[t]
@@ -1815,6 +1875,7 @@ class MergedSearcher:
         k: int,
         idfs: dict[str, float] | None = None,
         avgdl: float | None = None,
+        budget_ms: float | None = None,
     ) -> list[tuple[int, float]]:
         """Proximity top-k (`a <N> b`, either order) over the LIVE merged
         view — LocalSearcher.topk_within semantics (conjunctive BM25 of the
@@ -1832,6 +1893,11 @@ class MergedSearcher:
         (_leg_alive_call). `idfs`/`avgdl` inject GLOBAL stats from a live
         sharded coordinator. _topk_within_exactmerge keeps the reference
         implementation; equality is regression-tested."""
+        if budget_ms is not None:
+            with self.deadline(budget_ms):
+                return self.topk_within(
+                    word1, word2, window, k, idfs=idfs, avgdl=avgdl
+                )
         from discogsography_spark.analysis import get_analyzer
 
         an = get_analyzer(self.base.meta.analyzer)
@@ -1959,7 +2025,7 @@ class MergedSearcher:
             tfv = tf[pos].astype(np.float64)
             scores = scores + idfs[t] * (tfv / (tfv + norm))
         scores = np.round(scores, 5)
-        return _lazy_verified_topk(cand, scores, verify, k)
+        return _lazy_verified_topk(cand, scores, verify, k, check=self._budget_check)
 
     def _merged_within_doc_set(
         self, chain: tuple[str, ...], windows: tuple[int, ...]
@@ -2284,6 +2350,7 @@ class MergedSearcher:
         k: int,
         idfs: dict[str, float] | None = None,
         avgdl: float | None = None,
+        budget_ms: float | None = None,
     ) -> list[tuple[int, float]]:
         """Exact-phrase BM25 top-k over the LIVE merged view (base + deltas,
         combined corpus stats) — phrase capability does not pause between
@@ -2300,6 +2367,9 @@ class MergedSearcher:
         inject GLOBAL stats from a live sharded coordinator.
         _topk_phrase_exactmerge keeps the reference implementation;
         equality is regression-tested."""
+        if budget_ms is not None:
+            with self.deadline(budget_ms):
+                return self.topk_phrase(phrase, k, idfs=idfs, avgdl=avgdl)
         from discogsography_spark.analysis import get_analyzer
 
         an = get_analyzer(self.base.meta.analyzer)
@@ -2398,7 +2468,7 @@ class MergedSearcher:
             tf = tf_by[t].astype(np.float64)
             score = score + idfs[t] * (tf / (tf + norm))
         score = np.round(score, 5)
-        return _lazy_verified_topk(cand, score, verify, k)
+        return _lazy_verified_topk(cand, score, verify, k, check=self._budget_check)
 
 
 def _compact_marker_path(index_dir: str) -> str:
