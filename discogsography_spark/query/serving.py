@@ -888,6 +888,17 @@ class ShardedSearchService:
         """Shut down the underlying shard worker pool / thread pool."""
         self.sharded.close()
 
+    def reopen(self) -> bool:
+        """Advance every live shard (worker-pool searchers AND the
+        coordinator-side per-shard services) to the latest committed
+        deltas, atomically per shard — the sharded deployment's view
+        refresh. Returns True iff any shard changed."""
+        changed = self.sharded.reopen()
+        for svc in self.services:
+            if hasattr(svc, "reopen"):
+                changed = svc.reopen() or changed
+        return bool(changed)
+
     def facet_tree(
         self,
         query_text: str,
@@ -1262,6 +1273,17 @@ class MergedSearchService:
         # never appear in matched sets, so they are never counted or shown
         self.n_docs = self.searcher.id_space
         self._text_lookup = text_lookup
+        self._facet_defs = facet_defs
+        self._load_view_state()
+
+    def _load_view_state(self) -> None:
+        """(Re)build every view-derived array — facet/text arrays size to
+        the current id_space and read base + delta docmaps, so they rebuild
+        wholesale whenever reopen() advances the delta snapshot."""
+        base_meta = self.searcher.base.meta
+        facet_defs = self._facet_defs
+        text_lookup = self._text_lookup
+        self.n_docs = self.searcher.id_space
         self._texts: np.ndarray | None = None
         self._facet_codes: dict[str, np.ndarray] = {}
         self._facet_cats: dict[str, list[str]] = {}
@@ -1281,6 +1303,18 @@ class MergedSearchService:
             arr = np.empty(self.n_docs, dtype=object)
             arr[tp["doc_id"].to_numpy()] = tp["text"].to_numpy(dtype=object)
             self._texts = arr
+
+    def reopen(self) -> bool:
+        """Advance the underlying live view to the latest committed
+        deltas (MergedSearcher.reopen) and rebuild the view-derived facet/
+        text/collapse/context state when it moved — the long-lived serving
+        node's refresh between compactions (the reference's consumers see
+        each batch as it lands, tableinator/batch_processor.py:151-215).
+        Returns True iff anything changed; False is a pure no-op."""
+        if not self.searcher.reopen():
+            return False
+        self._load_view_state()
+        return True
 
     def _docs_pdf(self, columns: list[str] | None) -> pd.DataFrame:
         """Concatenated docmap rows over base + deltas (delta docIDs are

@@ -120,6 +120,34 @@ class ShardedSearcher:
         if self._pool is not None:
             self._pool.shutdown(wait=False)
 
+    def reopen(self) -> bool:
+        """Advance every LIVE shard's delta snapshot (MergedSearcher.
+        reopen) and recompute the global offsets/stats — the long-lived
+        coordinator's view refresh between compactions. Worker-pool
+        deployments reopen the worker-held searchers through one RPC per
+        shard; the coordinator's own shard copies reopen locally so both
+        views stay in lockstep. Static (no-delta) tiers return False —
+        a static shard never changes under a committed write (deltas make
+        it live; open a live searcher to serve them)."""
+        if not self.live:
+            return False
+        changed = [bool(s.reopen()) for s in self.shards]
+        if self._procs is not None:
+            worker_changed = self._procs.call(
+                "reopen", [{}] * len(self.shards)
+            )
+            changed = [a or bool(b) for a, b in zip(changed, worker_changed)]
+        if not any(changed):
+            return False
+        counts = [s.id_space for s in self.shards]
+        self.n_docs = int(sum(s.n_docs for s in self.shards))
+        self.total_tokens = int(sum(s.total_tokens for s in self.shards))
+        self.offsets = np.concatenate(
+            ([0], np.cumsum(counts)[:-1])
+        ).astype(np.int64)
+        self.avgdl = self.total_tokens / self.n_docs if self.n_docs else 1.0
+        return True
+
     def _fanout(self, fn: Callable[[_A], _R], items: Iterable[_A]) -> list[_R]:
         """Order-preserving map over coordinator-side per-shard work (used
         by ShardedSearchService's facet/count loops): thread-pooled only in

@@ -662,6 +662,56 @@ class MergedSearcher:
         self._small_list_cache: dict[str, tuple | None] = {}
         self._small_alive_cache: dict[str, tuple | None] = {}
         self._leg_dead_cache: dict[tuple[str, str], int] = {}
+        self._fingerprint_base = self._base_fingerprint()
+
+    def _base_fingerprint(self) -> tuple:
+        """Identity of the BASE index on disk — changes only when compact()
+        swaps a rebuilt base in (the manifest's docs.json is rewritten
+        atomically as part of the swap)."""
+        mp = os.path.join(self.index_dir, "manifest", "docs.json")
+        try:
+            st = os.stat(mp)
+            ident = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            ident = None
+        return (ident, self.base.meta.n_docs)
+
+    def reopen(self) -> bool:
+        """Refresh this searcher's snapshot of committed deltas — the
+        long-lived serving node's view advance (the reference's consumers
+        see each batch as it lands, tableinator/batch_processor.py:151-215;
+        Lucene's SearcherManager.maybeRefresh). Returns True iff the view
+        changed.
+
+        Reader model: construction snapshots committed deltas; reopen()
+        re-lists them and atomically swaps in a fresh view. Still-valid
+        state carries over — the base LocalSearcher (with its warm decode/
+        memo caches) when the base is untouched, per-delta segment readers
+        and promoted-leg searchers for delta dirs that survived (keyed by
+        dir; consolidation REPLACES dirs so a folded tail drops its
+        entries). All term-keyed aggregate caches (merged/alive/delta-list/
+        positional/dead-count memos) concatenate across the delta SET, so
+        any change invalidates them wholesale — nothing from the old
+        snapshot can be served stale. No change = no-op, every cache kept.
+        Single-coordinator use, like every other method here (the
+        worker-pool deployment reopens via one RPC per shard)."""
+        same_base = self._base_fingerprint() == self._fingerprint_base
+        new_deltas = list_deltas(self.index_dir)
+        if same_base and new_deltas == self._delta_dirs:
+            # tombstones live inside delta dirs, so an unchanged committed
+            # delta list means an unchanged view
+            return False
+        fresh = MergedSearcher(self.index_dir)
+        if same_base:
+            fresh.base = self.base  # immutable — keep the warm caches
+        for key, rd in self._delta_readers.items():
+            if key[0] in fresh._delta_dirs and key not in fresh._delta_readers:
+                fresh._delta_readers[key] = rd
+        for d, ls in self._leg_searchers.items():
+            if d in fresh._promoted_dirs:
+                fresh._leg_searchers[d] = ls
+        self.__dict__ = fresh.__dict__
+        return True
 
     def _delta_rows(self, delta: str, terms: list[str]) -> dict[str, dict]:
         """Term rows from one delta via the same dictionary-indexed
