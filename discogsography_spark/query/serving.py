@@ -916,7 +916,7 @@ class ShardedSearchService:
             return svc.facet_tree_pairs(m, parent, child)
 
         acc: dict[tuple[str, str], int] = {}
-        for pairs in self.sharded._fanout(_pairs, self.services):
+        for pairs in self.sharded._fanout_heavy(_pairs, self.services):
             for p, c, n in pairs:
                 acc[(p, c)] = acc.get((p, c), 0) + n
         return assemble_facet_tree([(p, c, n) for (p, c), n in acc.items()])
@@ -1049,7 +1049,9 @@ class ShardedSearchService:
                     ast_override=qast,
                 ))
 
-            per_shard = self.sharded._fanout(_filter_and_rank, self.services)
+            per_shard = self.sharded._fanout_heavy(
+                _filter_and_rank, self.services
+            )
             merged: list[tuple[int, float]] = []
             for off, (_m, hits) in zip(self.offsets, per_shard):
                 merged.extend((int(off) + d, x) for d, x in hits)
@@ -1098,7 +1100,7 @@ class ShardedSearchService:
                 svc.facet_counts(matched, facets) if facets else {}
             )
 
-        for size, fc in self.sharded._fanout(
+        for size, fc in self.sharded._fanout_heavy(
             _count_shard, list(enumerate(self.services))
         ):
             total += size
@@ -1191,7 +1193,7 @@ class ShardedSearchService:
             return cats, c
 
         label_counts: dict[str, int] = {}
-        for cats, c in self.sharded._fanout(_count_shard, self.services):
+        for cats, c in self.sharded._fanout_heavy(_count_shard, self.services):
             if c is None:
                 continue
             for i in np.flatnonzero(c):

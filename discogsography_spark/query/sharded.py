@@ -94,6 +94,7 @@ class ShardedSearcher:
             self.total_tokens = int(sum(m.total_tokens for m in metas))
         self._procs = None
         self._pool: ThreadPoolExecutor | None = None
+        self._heavy_pool: ThreadPoolExecutor | None = None
         if len(index_dirs) > 1 and parallel == "thread":
             self._pool = ThreadPoolExecutor(
                 max_workers=min(len(index_dirs), os.cpu_count() or 4),
@@ -119,6 +120,8 @@ class ShardedSearcher:
             self._procs.close()
         if self._pool is not None:
             self._pool.shutdown(wait=False)
+        if self._heavy_pool is not None:
+            self._heavy_pool.shutdown(wait=False)
 
     def reopen(self) -> bool:
         """Advance every LIVE shard's delta snapshot (MergedSearcher.
@@ -151,10 +154,30 @@ class ShardedSearcher:
     def _fanout(self, fn: Callable[[_A], _R], items: Iterable[_A]) -> list[_R]:
         """Order-preserving map over coordinator-side per-shard work (used
         by ShardedSearchService's facet/count loops): thread-pooled only in
-        thread mode, else sequential — measured fastest in both cases."""
+        thread mode, else sequential — measured fastest in both cases for
+        SMALL per-item work (the GIL eats thread wins on glue-dominated
+        calls). Numpy-heavy per-shard work goes through _fanout_heavy."""
         if self._pool is None:
             return [fn(x) for x in items]
         return list(self._pool.map(fn, items))
+
+    def _fanout_heavy(
+        self, fn: Callable[[_A], _R], items: list[_A]
+    ) -> list[_R]:
+        """Order-preserving THREADED map for numpy-heavy coordinator-side
+        per-shard work (matched-set intersections, facet/count bincounts):
+        the kernels release the GIL, so threads parallelize across shards
+        even in worker-pool mode — measured 16x on the sf1.0 8-shard
+        exact-group-count leg (p95 1074 -> 67 ms). Falls back to the
+        sequential loop for a single shard."""
+        if len(items) <= 1:
+            return [fn(x) for x in items]
+        if self._heavy_pool is None:
+            self._heavy_pool = ThreadPoolExecutor(
+                max_workers=min(len(self.shards), os.cpu_count() or 4),
+                thread_name_prefix="shard-heavy",
+            )
+        return list(self._heavy_pool.map(fn, items))
 
     def _call_shards(self, method: str, kwargs_list: list[dict | None]) -> list:
         """Invoke a LocalSearcher method per shard (None kwargs = skip that
