@@ -1904,6 +1904,319 @@ array_sort(
 
     q["json_extract_props"] = json_extract_props
 
+    def recommend_profile_similarity(spark, sf_dir):
+        # "Similar artists" engine (recommend_queries.py:93-268): 4-dimension
+        # sparse count-profiles + weighted per-dimension cosine. TPC-H graft:
+        # suppliers profiled over part brand / part type / customer nation /
+        # co-suppliers (the genre/style/label/collaborator analog), target
+        # supplier 1, weights 0.35/0.25/0.25/0.15 (recommend_queries.py:20-26).
+        from discogsography_spark.operators.recommend import profile_cosine_topk
+
+        li = _read(spark, sf_dir, "lineitem")
+        part = _read(spark, sf_dir, "part")
+        orders = _read(spark, sf_dir, "orders")
+        cust = _read(spark, sf_dir, "customer")
+        nation = _read(spark, sf_dir, "nation")
+
+        lp = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        brand = lp.groupBy(
+            F.col("l_suppkey").alias("entity"), F.col("p_brand").alias("value")
+        ).agg(F.count("*").alias("cnt")).withColumn("dim", F.lit("brand"))
+        ptype = lp.groupBy(
+            F.col("l_suppkey").alias("entity"), F.col("p_type").alias("value")
+        ).agg(F.count("*").alias("cnt")).withColumn("dim", F.lit("type"))
+        cnat = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy(
+                F.col("l_suppkey").alias("entity"), F.col("n_name").alias("value")
+            )
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("dim", F.lit("cnation"))
+        )
+        sp = li.select("l_suppkey", "l_partkey").distinct()
+        collab = (
+            sp.alias("a")
+            .join(sp.alias("b"), "l_partkey")
+            .where(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+            .groupBy(
+                F.col("a.l_suppkey").alias("entity"),
+                F.col("b.l_suppkey").cast("string").alias("value"),
+            )
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("dim", F.lit("collab"))
+        )
+        cols = ["entity", "dim", "value", "cnt"]
+        profiles = (
+            brand.select(cols)
+            .unionAll(ptype.select(cols))
+            .unionAll(cnat.select(cols))
+            .unionAll(collab.select(cols))
+        )
+        return profile_cosine_topk(
+            profiles,
+            target_id=1,
+            dim_weights=[
+                ("brand", 0.35),
+                ("type", 0.25),
+                ("cnation", 0.25),
+                ("collab", 0.15),
+            ],
+            k=10,
+            candidate_dim="brand",
+            min_shared=3,
+            candidate_cap=200,
+            entity_col="entity",
+        ).withColumnRenamed("entity", "s_suppkey")
+
+    q["recommend_profile_similarity"] = recommend_profile_similarity
+
+    def recommend_multi_signal(spark, sf_dir):
+        # "Enhanced recommendations" merger (recommend_queries.py:281-330 +
+        # the three candidate queries :349-499): per-signal max-normalization,
+        # weighted blend 0.35/0.25/0.25, obscurity bonus 0.15*(1 - c/max).
+        # TPC-H graft: part recommendations for customer 1 from brand
+        # affinity / supplier affinity / blindspot-type signals; collectors =
+        # distinct customers who ever ordered the part.
+        from discogsography_spark.operators.recommend import (
+            merge_signal_candidates,
+        )
+
+        li = _read(spark, sf_dir, "lineitem")
+        part = _read(spark, sf_dir, "part")
+        orders = _read(spark, sf_dir, "orders")
+        CUST = 1
+
+        lo = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        mine = lo.where(F.col("o_custkey") == CUST)
+        # renamed key so anti-joins against other lineitem lineages are
+        # unambiguous (no trivially-true self-join resolution)
+        my_parts = mine.select(
+            F.col("l_partkey").alias("_my_partkey")
+        ).distinct()
+        my_lp = mine.join(F.broadcast(part), mine.l_partkey == part.p_partkey)
+
+        # signal 1 — brand affinity (get_label_affinity_candidates analog,
+        # recommend_queries.py:349-378): top-3 brands by my line count →
+        # parts of those brands I never ordered, score = my brand count.
+        top_brands = (
+            my_lp.groupBy("p_brand")
+            .agg(F.count("*").alias("bcnt"))
+            .orderBy(F.desc("bcnt"), F.asc("p_brand"))
+            .limit(3)
+        )
+        brand_cand = (
+            part.join(F.broadcast(top_brands), "p_brand")
+            .join(
+                my_parts,
+                part.p_partkey == my_parts._my_partkey,
+                "left_anti",
+            )
+            .select(F.col("p_partkey").alias("id"), F.col("bcnt").alias("score"))
+            .orderBy(F.desc("score"), F.asc("id"))
+            .limit(50)
+        )
+
+        # signal 2 — supplier affinity: top-3 suppliers by my line count →
+        # parts they supply that I never ordered; a part reachable via two
+        # top suppliers takes the max supplier score (a release has one
+        # label in the reference; parts may have several suppliers).
+        top_supp = (
+            mine.groupBy("l_suppkey")
+            .agg(F.count("*").alias("scnt"))
+            .orderBy(F.desc("scnt"), F.asc("l_suppkey"))
+            .limit(3)
+        )
+        supp_parts = (
+            li.join(F.broadcast(top_supp), "l_suppkey")
+            .groupBy("l_partkey")
+            .agg(F.max("scnt").alias("score"))
+        )
+        supp_cand = (
+            supp_parts.join(
+                my_parts,
+                supp_parts.l_partkey == my_parts._my_partkey,
+                "left_anti",
+            )
+            .select(F.col("l_partkey").alias("id"), "score")
+            .orderBy(F.desc("score"), F.asc("id"))
+            .limit(50)
+        )
+
+        # signal 3 — blindspot (get_blindspot_candidates analog,
+        # recommend_queries.py:471-499): part types my top suppliers carry
+        # that I never ordered; per type, overlap = how many of my top
+        # suppliers carry it; top-5 sample parts per type (partkey ASC).
+        my_types = my_lp.select("p_type").distinct()
+        supp_typed = (
+            li.join(F.broadcast(top_supp), "l_suppkey")
+            .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .select("l_suppkey", "l_partkey", "p_type")
+        )
+        bs_types = (
+            supp_typed.join(my_types, "p_type", "left_anti")
+            .groupBy("p_type")
+            .agg(F.countDistinct("l_suppkey").alias("overlap"))
+        )
+        bs_pool = supp_typed.select("l_partkey", "p_type").distinct()
+        bs_parts = (
+            bs_pool.join(
+                my_parts,
+                bs_pool.l_partkey == my_parts._my_partkey,
+                "left_anti",
+            )
+            .join(F.broadcast(bs_types), "p_type")
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    W.partitionBy("p_type").orderBy(F.asc("l_partkey"))
+                ),
+            )
+            .where(F.col("_rk") <= 5)
+        )
+        blind_cand = (
+            bs_parts.select(
+                F.col("l_partkey").alias("id"), F.col("overlap").alias("score")
+            )
+            .orderBy(F.desc("score"), F.asc("id"))
+            .limit(50)
+        )
+
+        collectors = lo.groupBy(F.col("l_partkey").alias("id")).agg(
+            F.countDistinct("o_custkey").alias("collectors")
+        )
+        return merge_signal_candidates(
+            [
+                ("brand", 0.35, brand_cand),
+                ("supplier", 0.25, supp_cand),
+                ("blindspot", 0.25, blind_cand),
+            ],
+            collectors=collectors,
+            obscurity_weight=0.15,
+            k=20,
+            id_col="id",
+        ).withColumnRenamed("id", "p_partkey")
+
+    q["recommend_multi_signal"] = recommend_multi_signal
+
+    def graph_explore_scored(spark, sf_dir):
+        # Explore From Here (recommend_queries.py:400-499): variable-length
+        # typed traversal (2 hops) + taste/blind-spot discovery scoring.
+        # TPC-H graft: heterogeneous graph customer—ORDERED→part,
+        # supplier—SUPPLIES→part, part—IS→brand, {customer,supplier}—FROM→
+        # nation; start = customer 1; genre analog = brand, style = nation,
+        # artist/label analog = supplier/customer (scored 1/dist).
+        from discogsography_spark.operators.graph import (
+            explore_traversal,
+            score_discoveries,
+        )
+
+        li = _read(spark, sf_dir, "lineitem")
+        part = _read(spark, sf_dir, "part")
+        orders = _read(spark, sf_dir, "orders")
+        cust = _read(spark, sf_dir, "customer")
+        supp = _read(spark, sf_dir, "supplier")
+        nation = _read(spark, sf_dir, "nation")
+        CUST = 1
+
+        cid = F.concat(F.lit("c"), F.col("o_custkey"))
+        pid = F.concat(F.lit("p"), F.col("l_partkey"))
+
+        ordered = (
+            orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .select(
+                cid.alias("src"),
+                F.lit("customer").alias("src_type"),
+                pid.alias("dst"),
+                F.lit("part").alias("dst_type"),
+                F.lit("ORDERED").alias("rel"),
+            )
+            .distinct()
+        )
+        supplies = (
+            li.select(
+                F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+                F.lit("supplier").alias("src_type"),
+                F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+                F.lit("part").alias("dst_type"),
+                F.lit("SUPPLIES").alias("rel"),
+            )
+            .distinct()
+        )
+        isbrand = part.select(
+            F.concat(F.lit("p"), F.col("p_partkey")).alias("src"),
+            F.lit("part").alias("src_type"),
+            F.concat(F.lit("b:"), F.col("p_brand")).alias("dst"),
+            F.lit("brand").alias("dst_type"),
+            F.lit("IS").alias("rel"),
+        )
+        cnation = cust.join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        ).select(
+            F.concat(F.lit("c"), F.col("c_custkey")).alias("src"),
+            F.lit("customer").alias("src_type"),
+            F.concat(F.lit("n:"), F.col("n_name")).alias("dst"),
+            F.lit("nation").alias("dst_type"),
+            F.lit("FROM").alias("rel"),
+        )
+        snation = supp.join(
+            F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+        ).select(
+            F.concat(F.lit("s"), F.col("s_suppkey")).alias("src"),
+            F.lit("supplier").alias("src_type"),
+            F.concat(F.lit("n:"), F.col("n_name")).alias("dst"),
+            F.lit("nation").alias("dst_type"),
+            F.lit("FROM").alias("rel"),
+        )
+        edges = ordered.unionAll(supplies).unionAll(isbrand).unionAll(cnation).unionAll(snation)
+
+        discovered = explore_traversal(
+            edges,
+            start=f"c{CUST}",
+            hops=2,
+            keep_types=["supplier", "customer", "brand", "nation"],
+        )
+
+        my_lp = (
+            orders.where(F.col("o_custkey") == CUST)
+            .join(li, orders.o_orderkey == li.l_orderkey)
+            .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        )
+        bcnt = my_lp.groupBy("p_brand").agg(F.count("*").alias("cnt"))
+        tot = bcnt.agg(F.sum("cnt").alias("tot"))
+        taste = bcnt.crossJoin(F.broadcast(tot)).select(
+            F.concat(F.lit("b:"), F.col("p_brand")).alias("value"),
+            (F.col("cnt").cast("double") / F.col("tot")).alias("share"),
+        )
+        bs_brand = (
+            part.select("p_brand")
+            .distinct()
+            .join(bcnt.select("p_brand"), "p_brand", "left_anti")
+            .select(F.concat(F.lit("b:"), F.col("p_brand")).alias("value"))
+        )
+        my_nation = (
+            cust.where(F.col("c_custkey") == CUST)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .select("n_name")
+        )
+        bs_nation = (
+            nation.select("n_name")
+            .join(F.broadcast(my_nation), "n_name", "left_anti")
+            .select(F.concat(F.lit("n:"), F.col("n_name")).alias("value"))
+        )
+        return score_discoveries(
+            discovered,
+            taste=taste,
+            blindspots=bs_brand.unionAll(bs_nation),
+            genre_type="brand",
+            style_type="nation",
+            item_types=("supplier", "customer"),
+            k=10,
+        )
+
+    q["graph_explore_scored"] = graph_explore_scored
+
     return q
 
 
@@ -3484,6 +3797,290 @@ SELECT event_type,
        round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+    o["recommend_profile_similarity"] = """
+WITH lp AS (
+  SELECT l_suppkey, p_brand, p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+prof AS (
+  SELECT l_suppkey AS entity, 'brand' AS dim, p_brand AS value,
+         COUNT(*)::BIGINT AS cnt
+  FROM lp GROUP BY 1, 3
+  UNION ALL
+  SELECT l_suppkey, 'type', p_type, COUNT(*)::BIGINT FROM lp GROUP BY 1, 3
+  UNION ALL
+  SELECT l_suppkey, 'cnation', n_name, COUNT(*)::BIGINT
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 3
+  UNION ALL
+  SELECT a.l_suppkey, 'collab', CAST(b.l_suppkey AS VARCHAR), COUNT(*)::BIGINT
+  FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem) b
+    USING (l_partkey)
+  WHERE a.l_suppkey <> b.l_suppkey
+  GROUP BY 1, 3
+),
+tgt AS (SELECT dim, value, cnt AS tcnt FROM prof WHERE entity = 1),
+cand AS (
+  SELECT p.entity, SUM(p.cnt)::BIGINT AS shared_count
+  FROM prof p JOIN tgt t ON p.dim = t.dim AND p.value = t.value
+  WHERE p.dim = 'brand' AND p.entity <> 1
+  GROUP BY 1 HAVING SUM(p.cnt) >= 3
+  ORDER BY shared_count DESC, entity ASC LIMIT 200
+),
+cp AS (SELECT * FROM prof WHERE entity IN (SELECT entity FROM cand)),
+dots AS (
+  SELECT cp.entity, cp.dim, SUM(cp.cnt * t.tcnt) AS dot
+  FROM cp JOIN tgt t ON cp.dim = t.dim AND cp.value = t.value
+  GROUP BY 1, 2
+),
+cn AS (SELECT entity, dim, SUM(cnt * cnt) AS n2 FROM cp GROUP BY 1, 2),
+tn AS (SELECT dim, SUM(tcnt * tcnt) AS t2 FROM tgt GROUP BY 1),
+sims AS (
+  SELECT cn.entity, cn.dim,
+         COALESCE(d.dot, 0)::DOUBLE / sqrt(cn.n2::DOUBLE * tn.t2::DOUBLE) AS sim
+  FROM cn
+  LEFT JOIN dots d ON cn.entity = d.entity AND cn.dim = d.dim
+  JOIN tn ON cn.dim = tn.dim
+),
+wide AS (
+  SELECT entity,
+         MAX(CASE WHEN dim = 'brand' THEN sim END) AS sb,
+         MAX(CASE WHEN dim = 'type' THEN sim END) AS st,
+         MAX(CASE WHEN dim = 'cnation' THEN sim END) AS sc,
+         MAX(CASE WHEN dim = 'collab' THEN sim END) AS sl
+  FROM sims GROUP BY 1
+),
+scored AS (
+  SELECT w.entity AS s_suppkey,
+         ROUND(0.35 * COALESCE(sb, 0) + 0.25 * COALESCE(st, 0)
+               + 0.25 * COALESCE(sc, 0) + 0.15 * COALESCE(sl, 0), 6)
+           AS similarity,
+         ROUND(COALESCE(sb, 0), 4) AS sim_brand,
+         ROUND(COALESCE(st, 0), 4) AS sim_type,
+         ROUND(COALESCE(sc, 0), 4) AS sim_cnation,
+         ROUND(COALESCE(sl, 0), 4) AS sim_collab,
+         c.shared_count
+  FROM wide w JOIN cand c ON w.entity = c.entity
+)
+SELECT * FROM scored WHERE similarity > 0.0
+ORDER BY similarity DESC, s_suppkey ASC LIMIT 10
+"""
+
+    o["recommend_multi_signal"] = """
+WITH lo AS (
+  SELECT l_partkey, l_suppkey, o_custkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+mine AS (SELECT * FROM lo WHERE o_custkey = 1),
+my_parts AS (SELECT DISTINCT l_partkey FROM mine),
+my_lp AS (
+  SELECT m.*, p.p_brand, p.p_type
+  FROM mine m JOIN part p ON m.l_partkey = p.p_partkey
+),
+top_brands AS (
+  SELECT p_brand, COUNT(*)::BIGINT AS bcnt FROM my_lp
+  GROUP BY 1 ORDER BY bcnt DESC, p_brand ASC LIMIT 3
+),
+brand_cand AS (
+  SELECT p.p_partkey AS id, tb.bcnt::DOUBLE AS score
+  FROM part p JOIN top_brands tb ON p.p_brand = tb.p_brand
+  WHERE p.p_partkey NOT IN (SELECT l_partkey FROM my_parts)
+  ORDER BY score DESC, id ASC LIMIT 50
+),
+top_supp AS (
+  SELECT l_suppkey, COUNT(*)::BIGINT AS scnt FROM mine
+  GROUP BY 1 ORDER BY scnt DESC, l_suppkey ASC LIMIT 3
+),
+supp_parts AS (
+  SELECT l.l_partkey, MAX(ts.scnt) AS score
+  FROM lineitem l JOIN top_supp ts ON l.l_suppkey = ts.l_suppkey
+  GROUP BY 1
+),
+supp_cand AS (
+  SELECT l_partkey AS id, score::DOUBLE AS score FROM supp_parts
+  WHERE l_partkey NOT IN (SELECT l_partkey FROM my_parts)
+  ORDER BY score DESC, id ASC LIMIT 50
+),
+my_types AS (SELECT DISTINCT p_type FROM my_lp),
+supp_typed AS (
+  SELECT l.l_suppkey, l.l_partkey, p.p_type
+  FROM lineitem l
+  JOIN top_supp ts ON l.l_suppkey = ts.l_suppkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+),
+bs_types AS (
+  SELECT p_type, COUNT(DISTINCT l_suppkey)::BIGINT AS overlap
+  FROM supp_typed
+  WHERE p_type NOT IN (SELECT p_type FROM my_types)
+  GROUP BY 1
+),
+bs_ranked AS (
+  SELECT st.l_partkey AS id, t.overlap::DOUBLE AS score,
+         row_number() OVER (PARTITION BY st.p_type ORDER BY st.l_partkey ASC)
+           AS rk
+  FROM (SELECT DISTINCT l_partkey, p_type FROM supp_typed) st
+  JOIN bs_types t ON st.p_type = t.p_type
+  WHERE st.l_partkey NOT IN (SELECT l_partkey FROM my_parts)
+),
+blind_cand AS (
+  SELECT id, score FROM bs_ranked WHERE rk <= 5
+  ORDER BY score DESC, id ASC LIMIT 50
+),
+nbrand AS (
+  SELECT id, CASE WHEN (SELECT MAX(score) FROM brand_cand) > 0
+                  THEN score / (SELECT MAX(score) FROM brand_cand)
+                  ELSE score END AS s_brand
+  FROM brand_cand
+),
+nsupp AS (
+  SELECT id, CASE WHEN (SELECT MAX(score) FROM supp_cand) > 0
+                  THEN score / (SELECT MAX(score) FROM supp_cand)
+                  ELSE score END AS s_supplier
+  FROM supp_cand
+),
+nblind AS (
+  SELECT id, CASE WHEN (SELECT MAX(score) FROM blind_cand) > 0
+                  THEN score / (SELECT MAX(score) FROM blind_cand)
+                  ELSE score END AS s_blindspot
+  FROM blind_cand
+),
+merged AS (
+  SELECT COALESCE(b.id, s.id, l.id) AS id, b.s_brand, s.s_supplier,
+         l.s_blindspot
+  FROM nbrand b
+  FULL OUTER JOIN nsupp s ON b.id = s.id
+  FULL OUTER JOIN nblind l ON COALESCE(b.id, s.id) = l.id
+),
+base AS (
+  SELECT id,
+         0.35 * COALESCE(s_brand, 0) + 0.25 * COALESCE(s_supplier, 0)
+           + 0.25 * COALESCE(s_blindspot, 0) AS _base,
+         array_to_string(list_sort(list_filter([
+           CASE WHEN s_brand IS NOT NULL THEN 'brand' END,
+           CASE WHEN s_supplier IS NOT NULL THEN 'supplier' END,
+           CASE WHEN s_blindspot IS NOT NULL THEN 'blindspot' END
+         ], x -> x IS NOT NULL)), ',') AS reasons
+  FROM merged
+),
+coll AS (
+  SELECT l_partkey AS id, COUNT(DISTINCT o_custkey)::BIGINT AS collectors
+  FROM lo GROUP BY 1
+),
+cc AS (
+  SELECT b.id, c.collectors::DOUBLE AS _coll
+  FROM base b LEFT JOIN coll c ON b.id = c.id
+),
+mxc AS (SELECT MAX(_coll) AS _mxc FROM cc),
+bonus AS (
+  SELECT cc.id,
+         CASE WHEN _mxc > 0
+              THEN 0.15 * (1.0 - COALESCE(_coll, _mxc) / _mxc)
+              ELSE 0.0 END AS _bonus
+  FROM cc, mxc
+)
+SELECT b.id AS p_partkey, ROUND(b._base + bo._bonus, 6) AS score, b.reasons
+FROM base b JOIN bonus bo ON b.id = bo.id
+ORDER BY score DESC, p_partkey ASC LIMIT 20
+"""
+
+    o["graph_explore_scored"] = """
+WITH edges AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 'customer' AS src_type,
+         'p' || l_partkey AS dst, 'part' AS dst_type, 'ORDERED' AS rel
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION ALL
+  SELECT DISTINCT 's' || l_suppkey, 'supplier', 'p' || l_partkey, 'part',
+         'SUPPLIES'
+  FROM lineitem
+  UNION ALL
+  SELECT 'p' || p_partkey, 'part', 'b:' || p_brand, 'brand', 'IS' FROM part
+  UNION ALL
+  SELECT 'c' || c_custkey, 'customer', 'n:' || n_name, 'nation', 'FROM'
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL
+  SELECT 's' || s_suppkey, 'supplier', 'n:' || n_name, 'nation', 'FROM'
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+und AS (
+  SELECT src, dst, dst_type, rel FROM edges
+  UNION ALL
+  SELECT dst, src, src_type, rel FROM edges
+),
+hop1 AS (
+  SELECT dst AS id, dst_type AS type, 1 AS dist,
+         'c1—' || rel || '→' || dst AS path
+  FROM und WHERE src = 'c1'
+),
+prev AS (SELECT DISTINCT id, path FROM hop1),
+hop2 AS (
+  SELECT u.dst AS id, u.dst_type AS type, 2 AS dist,
+         p.path || '—' || u.rel || '→' || u.dst AS path
+  FROM und u JOIN prev p ON u.src = p.id
+  WHERE u.dst <> 'c1'
+),
+allr AS (SELECT * FROM hop1 UNION ALL SELECT * FROM hop2),
+kept AS (
+  SELECT * FROM allr
+  WHERE type IN ('supplier', 'customer', 'brand', 'nation')
+),
+dmin AS (SELECT id, type, MIN(dist) AS dist FROM kept GROUP BY 1, 2),
+disc AS (
+  SELECT k.id, k.type, k.dist, MIN(k.path) AS path
+  FROM kept k
+  JOIN dmin d ON k.id = d.id AND k.type = d.type AND k.dist = d.dist
+  GROUP BY 1, 2, 3
+),
+my_lp AS (
+  SELECT p.p_brand
+  FROM orders o
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE o.o_custkey = 1
+),
+bcnt AS (SELECT p_brand, COUNT(*)::BIGINT AS cnt FROM my_lp GROUP BY 1),
+taste AS (
+  SELECT 'b:' || p_brand AS id,
+         cnt::DOUBLE / (SELECT SUM(cnt) FROM bcnt) AS share
+  FROM bcnt
+),
+bs AS (
+  SELECT 'b:' || p_brand AS id
+  FROM (SELECT DISTINCT p_brand FROM part)
+  WHERE p_brand NOT IN (SELECT p_brand FROM bcnt)
+  UNION ALL
+  SELECT 'n:' || n_name FROM nation
+  WHERE n_name NOT IN (
+    SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey = 1
+  )
+),
+j AS (
+  SELECT d.id, d.type, d.dist, d.path, t.share,
+         (b.id IS NOT NULL) AS is_bs
+  FROM disc d
+  LEFT JOIN taste t ON d.id = t.id
+  LEFT JOIN bs b ON d.id = b.id
+)
+SELECT id, type, dist::BIGINT AS dist,
+       ROUND(CASE
+         WHEN type = 'brand' AND is_bs THEN 1.0 * 1.5
+         WHEN type = 'brand' THEN COALESCE(share, 0.0)
+         WHEN type = 'nation' AND is_bs THEN 1.0 * 1.5
+         WHEN type = 'nation' THEN 0.0
+         WHEN type IN ('supplier', 'customer') THEN 1.0 / dist::DOUBLE
+         ELSE 0.0
+       END, 4) AS score,
+       CASE WHEN type IN ('brand', 'nation') AND is_bs
+            THEN 'blind_spot_boost' ELSE 'graph_proximity' END AS reason,
+       path
+FROM j
+ORDER BY score DESC, id ASC LIMIT 10
 """
 
     return o

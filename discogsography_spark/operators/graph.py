@@ -161,3 +161,150 @@ class GraphSink:
         )
         payload = [c for c in keyed.columns if c != "eid"]
         return self._upsert("edges", keyed, "eid", payload)
+
+
+def undirected_typed_edges(edges: DataFrame) -> DataFrame:
+    """(src, src_type, dst, dst_type, rel) → symmetric closure. Cypher's
+    `-[:R]-` matches both directions and type(r) is direction-independent
+    (recommend_queries.py:421-424); the union restates that for an edge
+    table."""
+    fwd = edges.select("src", "src_type", "dst", "dst_type", "rel")
+    rev = edges.select(
+        F.col("dst").alias("src"),
+        F.col("dst_type").alias("src_type"),
+        F.col("src").alias("dst"),
+        F.col("src_type").alias("dst_type"),
+        "rel",
+    )
+    return fwd.unionAll(rev)
+
+
+def explore_traversal(
+    edges: DataFrame,
+    start: str,
+    hops: int = 2,
+    keep_types: list[str] | None = None,
+) -> DataFrame:
+    """Variable-length traversal from `start` over a typed undirected edge
+    table — the reference's Explore From Here discovery query
+    (recommend_queries.py:400-442: `MATCH path = (start)-[*1..hops]-(d)`,
+    DISTINCT discovered with path names, rel types and dist).
+
+    Returns (id, type, dist, path): dist = SHORTEST path length (the
+    reference's ORDER BY dist + DISTINCT keeps each node at its first,
+    i.e. minimal, depth), path = the lexicographically smallest
+    "n—REL→n—REL→n" string among shortest paths (the reference returns an
+    arbitrary member; a total order makes the result reproducible and
+    oracle-checkable). keep_types filters discovered node types (the
+    reference keeps Artist/Label/Genre/Style and drops Release).
+
+    Scale shape: each hop is frontier ⨝ edges — the frontier starts at one
+    node, so the per-hop join broadcasts the frontier; nothing corpus-wide
+    is ever shuffled. Hot intermediate nodes (the "Rock genre" problem)
+    inflate the frontier multiplicatively — the reference answers with
+    LIMIT 100; at 10^12 edges cap the frontier per hop (top-N by node id)
+    or pre-drop super-nodes as in shared_pair_strength's max_dst_degree.
+    """
+    und = undirected_typed_edges(edges)
+    frontier = und.where(F.col("src") == start).select(
+        F.col("dst").alias("id"),
+        F.col("dst_type").alias("type"),
+        F.lit(1).alias("dist"),
+        F.concat_ws("", F.lit(start + "—"), F.col("rel"), F.lit("→"), F.col("dst")).alias("path"),
+    )
+    layers = [frontier]
+    for depth in range(2, hops + 1):
+        prev = layers[-1].select("id", "path").distinct()
+        nxt = (
+            und.join(F.broadcast(prev.withColumnRenamed("id", "src")), "src")
+            .where(F.col("dst") != F.lit(start))
+            .select(
+                F.col("dst").alias("id"),
+                F.col("dst_type").alias("type"),
+                F.lit(depth).alias("dist"),
+                F.concat_ws(
+                    "", F.col("path"), F.lit("—"), F.col("rel"), F.lit("→"), F.col("dst")
+                ).alias("path"),
+            )
+        )
+        layers.append(nxt)
+    allr = layers[0]
+    for l in layers[1:]:
+        allr = allr.unionAll(l)
+    if keep_types:
+        allr = allr.where(F.col("type").isin(keep_types))
+    dmin = allr.groupBy("id", "type").agg(F.min("dist").alias("dist"))
+    return (
+        allr.join(dmin, ["id", "type", "dist"])
+        .groupBy("id", "type", "dist")
+        .agg(F.min("path").alias("path"))
+    )
+
+
+def score_discoveries(
+    discovered: DataFrame,
+    taste: DataFrame,
+    blindspots: DataFrame,
+    genre_type: str = "brand",
+    style_type: str = "nation",
+    item_types: tuple[str, ...] = ("supplier", "customer"),
+    k: int = 10,
+) -> DataFrame:
+    """Taste-aware ranking of traversal discoveries — the reference's
+    score_discoveries (recommend_queries.py:445-499) as one declarative
+    projection:
+
+    - genre-typed node: 1.0 if a blind spot else the user's taste share;
+    - style-typed node: 1.0 if a blind spot else 0;
+    - item-typed node (artist/label analog): 1/dist;
+    - blind-spot genre/style rows get a ×1.5 boost and reason
+      'blind_spot_boost', everything else 'graph_proximity'.
+
+    taste: (value, share) — the user's normalized affinity vector;
+    blindspots: (value) — values absent from the user's history. Both are
+    user-sized → broadcast; the discovered set is already tiny.
+    Returns (id, type, dist, score, reason, path) ordered
+    (score DESC, id ASC) limit k.
+    """
+    t = F.broadcast(taste.select(F.col("value").alias("id"), "share"))
+    b = F.broadcast(
+        blindspots.select(F.col("value").alias("id")).withColumn(
+            "_bs", F.lit(True)
+        )
+    )
+    d = discovered.join(t, "id", "left").join(b, "id", "left")
+    is_bs = F.col("_bs").isNotNull()
+    base = (
+        F.when((F.col("type") == genre_type) & is_bs, F.lit(1.0))
+        .when(
+            F.col("type") == genre_type,
+            F.coalesce(F.col("share"), F.lit(0.0)),
+        )
+        .when((F.col("type") == style_type) & is_bs, F.lit(1.0))
+        .when(F.col("type") == style_type, F.lit(0.0))
+        .when(
+            F.col("type").isin(list(item_types)),
+            F.lit(1.0) / F.col("dist").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    boosted = F.when(
+        F.col("type").isin([genre_type, style_type]) & is_bs,
+        base * F.lit(1.5),
+    ).otherwise(base)
+    reason = F.when(
+        F.col("type").isin([genre_type, style_type]) & is_bs,
+        F.lit("blind_spot_boost"),
+    ).otherwise(F.lit("graph_proximity"))
+    return (
+        d.select(
+            "id",
+            "type",
+            F.col("dist").cast("long").alias("dist"),
+            F.round(boosted, 4).alias("score"),
+            reason.alias("reason"),
+            "path",
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
