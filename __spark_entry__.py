@@ -2217,6 +2217,86 @@ array_sort(
 
     q["graph_explore_scored"] = graph_explore_scored
 
+    def insight_supplier_longevity(spark, sf_dir):
+        # Label longevity (insights_neo4j_queries.py:63-95): per entity
+        # first/last active year, years_active, total volume, PEAK bucket
+        # (the reference picks collect(...)[0] after ORDER BY count DESC —
+        # here the tie is made deterministic: count DESC, year ASC).
+        li = _read(spark, sf_dir, "lineitem")
+        yr = li.select(
+            "l_suppkey", F.year("l_shipdate").alias("yr")
+        )
+        per_year = yr.groupBy("l_suppkey", "yr").agg(
+            F.count("*").alias("ycnt")
+        )
+        peak = (
+            per_year.withColumn(
+                "_rk",
+                F.row_number().over(
+                    W.partitionBy("l_suppkey").orderBy(
+                        F.desc("ycnt"), F.asc("yr")
+                    )
+                ),
+            )
+            .where(F.col("_rk") == 1)
+            .select("l_suppkey", F.col("yr").alias("peak_year"))
+        )
+        spans = per_year.groupBy("l_suppkey").agg(
+            F.min("yr").alias("first_year"),
+            F.max("yr").alias("last_year"),
+            F.sum("ycnt").cast("long").alias("total_lines"),
+        )
+        return (
+            spans.join(peak, "l_suppkey")
+            .select(
+                F.col("l_suppkey").alias("s_suppkey"),
+                "first_year",
+                "last_year",
+                (F.col("last_year") - F.col("first_year") + 1)
+                .cast("long")
+                .alias("years_active"),
+                "total_lines",
+                "peak_year",
+            )
+            .orderBy(
+                F.desc("years_active"), F.desc("total_lines"), F.asc("s_suppkey")
+            )
+            .limit(50)
+        )
+
+    q["insight_supplier_longevity"] = insight_supplier_longevity
+
+    def trend_brand_yoy(spark, sf_dir):
+        # Genre trends (insights_neo4j_queries.py:35-61 buckets) + the
+        # trend/decline computation the insights dashboard derives from them
+        # (computations.py genre trends): per-bucket counts with
+        # year-over-year growth via lag().
+        li = _read(spark, sf_dir, "lineitem")
+        part = _read(spark, sf_dir, "part")
+        by = (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("p_brand", F.year("l_shipdate").alias("yr"))
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+        w = W.partitionBy("p_brand").orderBy("yr")
+        return (
+            by.withColumn("prev", F.lag("n").over(w))
+            .select(
+                "p_brand",
+                "yr",
+                "n",
+                F.round(
+                    F.lit(100.0)
+                    * (F.col("n") - F.col("prev")).cast("double")
+                    / F.col("prev"),
+                    4,
+                ).alias("growth_pct"),
+            )
+            .orderBy("p_brand", "yr")
+        )
+
+    q["trend_brand_yoy"] = trend_brand_yoy
+
     return q
 
 
@@ -4081,6 +4161,44 @@ SELECT id, type, dist::BIGINT AS dist,
        path
 FROM j
 ORDER BY score DESC, id ASC LIMIT 10
+"""
+
+    o["insight_supplier_longevity"] = """
+WITH per_year AS (
+  SELECT l_suppkey, EXTRACT(year FROM l_shipdate)::INT AS yr,
+         COUNT(*) AS ycnt
+  FROM lineitem GROUP BY 1, 2
+),
+peak AS (
+  SELECT l_suppkey, yr AS peak_year
+  FROM per_year
+  QUALIFY row_number() OVER (
+    PARTITION BY l_suppkey ORDER BY ycnt DESC, yr ASC
+  ) = 1
+),
+spans AS (
+  SELECT l_suppkey, MIN(yr) AS first_year, MAX(yr) AS last_year,
+         SUM(ycnt)::BIGINT AS total_lines
+  FROM per_year GROUP BY 1
+)
+SELECT s.l_suppkey AS s_suppkey, s.first_year, s.last_year,
+       (s.last_year - s.first_year + 1)::BIGINT AS years_active,
+       s.total_lines, p.peak_year
+FROM spans s JOIN peak p ON s.l_suppkey = p.l_suppkey
+ORDER BY years_active DESC, total_lines DESC, s_suppkey ASC LIMIT 50
+"""
+
+    o["trend_brand_yoy"] = """
+WITH by AS (
+  SELECT p_brand, EXTRACT(year FROM l_shipdate)::INT AS yr,
+         COUNT(*)::BIGINT AS n
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+)
+SELECT p_brand, yr, n,
+       ROUND(100.0 * (n - lag(n) OVER (PARTITION BY p_brand ORDER BY yr))::DOUBLE
+             / lag(n) OVER (PARTITION BY p_brand ORDER BY yr), 4) AS growth_pct
+FROM by ORDER BY p_brand, yr
 """
 
     return o
