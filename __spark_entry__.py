@@ -2297,6 +2297,25 @@ array_sort(
 
     q["trend_brand_yoy"] = trend_brand_yoy
 
+    def fts_synonym_topk(spark, sf_dir):
+        # Synonym-aware BM25 (Lucene SynonymQuery / PG FTS synonym
+        # dictionary semantics): per query term the synonym GROUP scores as
+        # one pseudo-term (df = max over members, tf = sum of member tfs),
+        # conjunctive across groups. Index-path twin:
+        # LocalSearcher.topk_synonym (identity-tested in tests/test_synonym.py).
+        from discogsography_spark.query.dataframe_bm25 import (
+            bm25_synonym_topk_dataframe,
+        )
+
+        return bm25_synonym_topk_dataframe(
+            _read(spark, sf_dir, "documents"),
+            "table filter",
+            synonyms={"table": ["row"], "filter": ["scan", "query"]},
+            k=20,
+        )
+
+    q["fts_synonym_topk"] = fts_synonym_topk
+
     return q
 
 
@@ -4199,6 +4218,48 @@ SELECT p_brand, yr, n,
        ROUND(100.0 * (n - lag(n) OVER (PARTITION BY p_brand ORDER BY yr))::DOUBLE
              / lag(n) OVER (PARTITION BY p_brand ORDER BY yr), 4) AS growth_pct
 FROM by ORDER BY p_brand, yr
+"""
+
+    o["fts_synonym_topk"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT count(*) FROM toks)::DOUBLE AS total_tokens
+),
+syn AS (
+  SELECT * FROM (VALUES
+    ('row', 'table'), ('table', 'table'),
+    ('filter', 'filter'), ('query', 'filter'), ('scan', 'filter')
+  ) AS v(member, leader)
+),
+mt AS (
+  SELECT t.doc_id, s.leader, t.term AS member
+  FROM toks t JOIN syn s ON t.term = s.member
+),
+gtf AS (
+  SELECT doc_id, leader, count(*)::DOUBLE AS tf FROM mt GROUP BY 1, 2
+),
+mdf AS (
+  SELECT member, count(DISTINCT doc_id)::DOUBLE AS df FROM mt GROUP BY 1
+),
+gdf AS (
+  SELECT s.leader, MAX(m.df) AS df
+  FROM mdf m JOIN syn s ON m.member = s.member GROUP BY 1
+),
+scored AS (
+  SELECT g.doc_id, count(*) AS nt,
+         sum( ln(1.0 + (s.n_docs - gd.df + 0.5) / (gd.df + 0.5))
+              * (g.tf / (g.tf + 1.2 * (0.25 + 0.75
+                  * (dl.dl / (s.total_tokens / s.n_docs))))) ) AS raw
+  FROM gtf g JOIN gdf gd USING (leader) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY g.doc_id
+)
+SELECT doc_id, round(raw, 5) AS score FROM scored WHERE nt = 2
+ORDER BY score DESC, doc_id ASC LIMIT 20
 """
 
     return o

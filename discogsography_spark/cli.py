@@ -4,7 +4,7 @@ to the same query functions, SURVEY.md §3.3). This CLI, the pytest suite,
 and bench.py all consume the same library surface.
 
     python -m discogsography_spark.cli build  <transcripts.parquet> <index_dir> [--segments N]
-    python -m discogsography_spark.cli query  <index_dir> "<query text>" [--k K] [--mode and|or|prefix|wildcard|phrase|bool|suggest|near|mlt] [--show-text <transcripts>]
+    python -m discogsography_spark.cli query  <index_dir> "<query text>" [--k K] [--mode and|or|prefix|wildcard|phrase|bool|suggest|near|mlt] [--syn TERM=ALT1,ALT2] [--show-text <transcripts>]
     python -m discogsography_spark.cli stats  <index_dir>
     python -m discogsography_spark.cli compact <index_dir>
 """
@@ -40,6 +40,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--window", type=int, default=3, help="proximity window for --mode near")
     q.add_argument("--fuzzy", action="store_true", help="did-you-mean rewrite of vocabulary-absent terms (and/or/bool modes)")
     q.add_argument("--mode", choices=("and", "or", "prefix", "wildcard", "phrase", "bool", "suggest", "near", "mlt"), default="and")
+    q.add_argument(
+        "--syn", action="append", default=[], metavar="TERM=ALT1,ALT2",
+        help="synonym group (repeatable); routes the query through "
+        "topk_synonym (SynonymQuery semantics: df=max, tf=sum)",
+    )
     q.add_argument("--show-text", metavar="TRANSCRIPTS", default=None)
 
     sr = sub.add_parser(
@@ -177,7 +182,15 @@ def main(argv: list[str] | None = None) -> int:
         from discogsography_spark.query.engine import LocalSearcher
 
         searcher = LocalSearcher(args.index_dir)
-        if args.mode == "prefix":
+        if args.syn and args.mode == "and":
+            syn: dict[str, list[str]] = {}
+            for spec in args.syn:
+                term, _, alts = spec.partition("=")
+                if not alts:
+                    raise SystemExit("--syn expects TERM=ALT1,ALT2")
+                syn[term] = [a for a in alts.split(",") if a]
+            hits = searcher.topk_synonym(args.query_text, args.k, syn)
+        elif args.mode == "prefix":
             hits = searcher.topk_prefix(args.query_text, args.k)
         elif args.mode == "wildcard":
             hits = searcher.topk_wildcard(args.query_text, args.k)

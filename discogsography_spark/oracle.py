@@ -214,3 +214,55 @@ def bm25_topk_bool(
         scored.append((d, s))
     scored.sort(key=lambda ds: (-ds[1], ds[0]))
     return scored[:k]
+
+
+def bm25_topk_synonym(
+    idx: OracleIndex,
+    query_text: str,
+    k: int,
+    synonyms: dict[str, list[str]],
+) -> list[tuple[int, float]]:
+    """Synonym-aware conjunctive BM25 (Lucene SynonymQuery semantics): per
+    query term the synonym group scores as one pseudo-term with
+    docFreq = MAX over member dfs and per-doc tf = SUM of member tfs.
+    Same determinism discipline as bm25_topk: per-doc sum in sorted
+    group-leader order, (score DESC, doc_id ASC)."""
+    an = get_analyzer(idx.analyzer)
+    base = an.analyze_query(query_text)
+    seen: set[str] = set()
+    terms = [t for t in base if not (t in seen or seen.add(t))]
+    if not terms or k <= 0:
+        return []
+    groups: list[tuple[str, list[str]]] = []
+    for t in terms:
+        mem = {t}
+        for s in synonyms.get(t, ()):
+            mem.update(an.analyze_query(s))
+        groups.append((t, sorted(mem)))
+    groups.sort(key=lambda g: g[0])
+    p_ = idx.params
+    n, avgdl = idx.n_docs, idx.avgdl
+    rels: list[tuple[float, dict[int, int]]] = []
+    for _leader, ms in groups:
+        present = [x for x in ms if idx.postings.get(x)]
+        if not present:
+            return []
+        df = max(len(idx.postings[x]) for x in present)
+        tfmap: dict[int, int] = {}
+        for x in present:
+            for d, tf in idx.postings[x].items():
+                tfmap[d] = tfmap.get(d, 0) + tf
+        rels.append((p_.idf(n, df), tfmap))
+    cand = set(rels[0][1])
+    for _idf, tm in rels[1:]:
+        cand &= set(tm)
+    out: list[tuple[int, float]] = []
+    for d in cand:
+        norm = p_.k1 * (1.0 - p_.b + p_.b * (idx.doc_len[d] / avgdl))
+        score = 0.0
+        for idf, tm in rels:
+            tf = float(tm[d])
+            score += idf * (tf / (tf + norm))
+        out.append((d, score))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]

@@ -1270,3 +1270,111 @@ def bm25_fuzzy_bool_topk_dataframe(
         docs, query_text, k=k, id_col=id_col, text_col=text_col,
         params=params, round_dp=round_dp, ast=fixed_ast,
     )
+
+
+def bm25_synonym_topk_dataframe(
+    docs: DataFrame,
+    query_text: str,
+    synonyms: dict[str, list[str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    params: BM25Params | None = None,
+    round_dp: int = 5,
+) -> DataFrame:
+    """Synonym-aware conjunctive BM25 — the declarative mirror of
+    LocalSearcher.topk_synonym (Lucene SynonymQuery semantics: per query
+    term the synonym GROUP scores as one pseudo-term with docFreq = MAX of
+    member dfs and per-doc tf = SUM of member tfs).
+
+    The member→group mapping is a literal lookup relation broadcast-joined
+    against the exploded token stream, so a member shared by two groups
+    contributes to both (exactly like the index evaluator's independent
+    group gathers). One token-explode scan feeds both the group tf and the
+    member df aggregates; everything else is the standard BM25 plan.
+    """
+    p = params or BM25Params()
+    base = analyze_query(query_text)
+    seen: set = set()
+    terms = [t for t in base if not (t in seen or seen.add(t))]
+    spark = docs.sparkSession
+    if not terms:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    pairs = []
+    for t in terms:
+        mem = {t}
+        for s in synonyms.get(t, ()):
+            mem.update(analyze_query(s))
+        for x in sorted(mem):
+            pairs.append((x, t))
+    syn = F.broadcast(
+        spark.createDataFrame(pairs, "member string, leader string")
+    )
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("_dl"), F.lit(0)).alias("total_tokens"),
+    )
+    mt = (
+        toks.select("_id", "_dl", F.explode("_toks").alias("member"))
+        .join(syn, "member")
+    )
+    gtf = mt.groupBy("_id", "leader").agg(
+        F.count("*").alias("tf"), F.first("_dl").alias("dl")
+    )
+    mdf = mt.groupBy("member").agg(
+        F.countDistinct("_id").alias("df")
+    )
+    gdf = (
+        mdf.join(syn, "member")
+        .groupBy("leader")
+        .agg(F.max("df").alias("df"))
+    )
+    scored = (
+        gtf.join(F.broadcast(gdf), "leader")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.col("total_tokens") / F.col("n_docs"))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "partial",
+            F.col("idf")
+            * (
+                F.col("tf").cast("double")
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(p.k1)
+                    * (
+                        F.lit(1.0 - p.b)
+                        + F.lit(p.b) * (F.col("dl").cast("double") / F.col("avgdl"))
+                    )
+                )
+            ),
+        )
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("nt"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("leader", "partial"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["partial"],
+            ).alias("raw_score"),
+        )
+        .filter(F.col("nt") == F.lit(len(terms)))
+        .select(
+            F.col("_id").alias(id_col),
+            F.round("raw_score", round_dp).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+    return scored

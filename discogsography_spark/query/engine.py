@@ -1041,6 +1041,112 @@ class LocalSearcher:
         top = np.lexsort((d_all, -s_all))[:k]
         return [(int(d_all[i]), float(s_all[i])) for i in top]
 
+    def topk_synonym(
+        self,
+        query_text: str,
+        k: int,
+        synonyms: dict[str, list[str]],
+        use_result_cache: bool = True,
+        budget_ms: float | None = None,
+    ) -> list[tuple[int, float]]:
+        """Synonym-aware conjunctive BM25 — Lucene SynonymQuery semantics
+        (the engine behind PG FTS synonym/thesaurus dictionaries: the
+        reference's PostgreSQL `to_tsvector('english', ...)` GIN stack
+        supports synonym dictionaries at analysis time,
+        schema-init/postgres_schema.py:66-83; Lucene rewrites each analyzed
+        query term plus its synonyms into ONE pseudo-term).
+
+        Per query term, the synonym GROUP is the analyzed term plus the
+        analyzed tokens of its `synonyms` entries. Group statistics follow
+        SynonymQuery: docFreq = MAX over member dfs (not the union size —
+        keeps idf stable when synonyms overlap), per-doc tf = SUM of member
+        tfs. Scoring is then standard conjunctive BM25 over groups; a group
+        with no member in the vocabulary empties the result (AND semantics,
+        same as topk on an absent term). Returns [(doc_id, score)] ordered
+        (score DESC, doc_id ASC).
+
+        Exact evaluator: groups are merged posting unions (synonym sets are
+        small by construction), so no pruning machinery is needed — the
+        group-merge cost is the same term-decode cost topk_or pays.
+        """
+        if budget_ms is not None:
+            with self.deadline(budget_ms):
+                return self.topk_synonym(
+                    query_text, k, synonyms,
+                    use_result_cache=use_result_cache,
+                )
+        if k <= 0:
+            return []
+        analyzer = get_analyzer(self.meta.analyzer)
+        base = analyzer.analyze_query(query_text)
+        seen: set[str] = set()
+        terms = [t for t in base if not (t in seen or seen.add(t))]
+        if not terms:
+            return []
+        groups: list[tuple[str, list[str]]] = []
+        for t in terms:
+            mem = {t}
+            for s in synonyms.get(t, ()):
+                mem.update(analyzer.analyze_query(s))
+            groups.append((t, sorted(mem)))
+        # sorted-leader summation order — the same discipline every other
+        # evaluator and the pure-Python oracle use (bit-identical scores)
+        groups.sort(key=lambda g: g[0])
+        key = ("syn", tuple((l, tuple(ms)) for l, ms in groups), k)
+        if use_result_cache:
+            hit = self._result_cache.get(key)
+            if hit is not None:
+                self._result_cache.move_to_end(key)
+                return list(hit)
+        rows = self.lookup_terms(
+            sorted({x for _, ms in groups for x in ms})
+        )
+        m = self.meta
+        p = m.params
+        merged: list[tuple[float, np.ndarray, np.ndarray, np.ndarray]] = []
+        for _leader, ms in groups:
+            present = [x for x in ms if x in rows]
+            if not present:
+                return []
+            df = max(rows[x].df for x in present)
+            d_parts, tf_parts, dl_parts = [], [], []
+            for x in present:
+                d, tf, dl = self._decoded(rows[x])
+                d_parts.append(d)
+                tf_parts.append(tf)
+                dl_parts.append(dl)
+            d = np.concatenate(d_parts)
+            tf = np.concatenate(tf_parts).astype(np.float64)
+            dl = np.concatenate(dl_parts)
+            order = np.argsort(d, kind="stable")
+            d, tf, dl = d[order], tf[order], dl[order]
+            uniq, start = np.unique(d, return_index=True)
+            gtf = np.add.reduceat(tf, start)
+            merged.append((p.idf(m.n_docs, df), uniq, gtf, dl[start]))
+        cand = merged[0][1]
+        for _idf, d, _gtf, _gdl in merged[1:]:
+            cand = np.intersect1d(cand, d, assume_unique=True)
+            if cand.size == 0:
+                if use_result_cache:
+                    self._result_cache[key] = ()
+                return []
+        norm: np.ndarray | None = None
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for idf, d, gtf, gdl in merged:  # query order — documented summation
+            pos = np.searchsorted(d, cand)
+            if norm is None:
+                dlv = gdl[pos].astype(np.float64)
+                norm = p.k1 * (1.0 - p.b + p.b * (dlv / m.avgdl))
+            tf = gtf[pos]
+            scores = scores + idf * (tf / (tf + norm))
+        top = np.lexsort((cand, -scores))[:k]
+        res = [(int(cand[i]), float(scores[i])) for i in top]
+        if use_result_cache:
+            self._result_cache[key] = tuple(res)
+            if len(self._result_cache) > self._result_cache_size:
+                self._result_cache.popitem(last=False)
+        return res
+
     def expand_prefix(self, prefix: str, max_expansions: int = 64) -> list[str]:
         """Vocabulary terms starting with `prefix`, term-ASC, capped at
         `max_expansions` (Lucene's deterministic multi-term rewrite cap).

@@ -174,3 +174,22 @@ def test_cli_upsert_delete_roundtrip(spark, tmp_path):
     _run(["compact", idx])
     stats = json.loads(_run(["stats", idx]))
     assert int(stats["docs"]["n_docs"]) == alive
+
+
+def test_cli_query_synonym(built_index):
+    import json as _json
+
+    syn = [_json.loads(x) for x in _run(
+        ["query", built_index, "turn spark", "--k", "5",
+         "--syn", "spark=stream,batch"]
+    ).splitlines()]
+    assert len(syn) == 5 and syn[0]["rank"] == 1
+    # identical to the API path
+    from discogsography_spark.query.engine import LocalSearcher
+
+    want = LocalSearcher(built_index).topk_synonym(
+        "turn spark", 5, {"spark": ["stream", "batch"]}
+    )
+    assert [(r["doc_id"], r["score"]) for r in syn] == [
+        (d, round(s, 6)) for d, s in want
+    ]
