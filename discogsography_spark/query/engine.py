@@ -1098,17 +1098,43 @@ class LocalSearcher:
             if hit is not None:
                 self._result_cache.move_to_end(key)
                 return list(hit)
+        res = self._topk_synonym_groups(groups, k)
+        if use_result_cache:
+            self._result_cache[key] = tuple(res)
+            if len(self._result_cache) > self._result_cache_size:
+                self._result_cache.popitem(last=False)
+        return res
+
+    def _topk_synonym_groups(
+        self,
+        groups: list[tuple[str, list[str]]],
+        k: int,
+        idfs: dict[str, float] | None = None,
+        avgdl: float | None = None,
+    ) -> list[tuple[int, float]]:
+        """Core synonym-group evaluator. `groups` = sorted
+        [(leader, sorted members)]. `idfs` (keyed by leader) / `avgdl`
+        override local statistics — the sharded fan-out injects GLOBAL group
+        stats so per-shard scores are directly comparable (the same contract
+        as _topk_and)."""
         rows = self.lookup_terms(
             sorted({x for _, ms in groups for x in ms})
         )
         m = self.meta
         p = m.params
+        if avgdl is None:
+            avgdl = m.avgdl
         merged: list[tuple[float, np.ndarray, np.ndarray, np.ndarray]] = []
-        for _leader, ms in groups:
+        for leader, ms in groups:
             present = [x for x in ms if x in rows]
             if not present:
                 return []
-            df = max(rows[x].df for x in present)
+            if idfs is None:
+                idf = p.idf(m.n_docs, max(rows[x].df for x in present))
+            elif leader in idfs:
+                idf = idfs[leader]
+            else:
+                return []  # group absent from the whole corpus
             d_parts, tf_parts, dl_parts = [], [], []
             for x in present:
                 d, tf, dl = self._decoded(rows[x])
@@ -1122,30 +1148,23 @@ class LocalSearcher:
             d, tf, dl = d[order], tf[order], dl[order]
             uniq, start = np.unique(d, return_index=True)
             gtf = np.add.reduceat(tf, start)
-            merged.append((p.idf(m.n_docs, df), uniq, gtf, dl[start]))
+            merged.append((idf, uniq, gtf, dl[start]))
         cand = merged[0][1]
         for _idf, d, _gtf, _gdl in merged[1:]:
             cand = np.intersect1d(cand, d, assume_unique=True)
             if cand.size == 0:
-                if use_result_cache:
-                    self._result_cache[key] = ()
                 return []
         norm: np.ndarray | None = None
         scores = np.zeros(cand.size, dtype=np.float64)
-        for idf, d, gtf, gdl in merged:  # query order — documented summation
+        for idf, d, gtf, gdl in merged:  # sorted-leader summation order
             pos = np.searchsorted(d, cand)
             if norm is None:
                 dlv = gdl[pos].astype(np.float64)
-                norm = p.k1 * (1.0 - p.b + p.b * (dlv / m.avgdl))
+                norm = p.k1 * (1.0 - p.b + p.b * (dlv / avgdl))
             tf = gtf[pos]
             scores = scores + idf * (tf / (tf + norm))
         top = np.lexsort((cand, -scores))[:k]
-        res = [(int(cand[i]), float(scores[i])) for i in top]
-        if use_result_cache:
-            self._result_cache[key] = tuple(res)
-            if len(self._result_cache) > self._result_cache_size:
-                self._result_cache.popitem(last=False)
-        return res
+        return [(int(cand[i]), float(scores[i])) for i in top]
 
     def expand_prefix(self, prefix: str, max_expansions: int = 64) -> list[str]:
         """Vocabulary terms starting with `prefix`, term-ASC, capped at

@@ -504,6 +504,62 @@ class ShardedSearcher:
         )
         return self._merge(hits, k)
 
+    def topk_synonym(
+        self,
+        query_text: str,
+        k: int,
+        synonyms: dict[str, list[str]],
+        budget_ms: float | None = None,
+    ) -> list[tuple[int, float]]:
+        """Synonym-aware conjunctive BM25 across shards (SynonymQuery
+        semantics; see LocalSearcher.topk_synonym). Group statistics are
+        GLOBAL: member dfs summed across shard dictionaries, group
+        docFreq = max over global member dfs, idf/avgdl injected into each
+        shard's _topk_synonym_groups — bit-identical to a whole-corpus
+        index. Shards missing any group entirely are skipped (no doc there
+        can satisfy the conjunction)."""
+        if k <= 0:
+            return []
+        an = get_analyzer(self.analyzer)
+        base = an.analyze_query(query_text)
+        seen: set[str] = set()
+        qterms = [t for t in base if not (t in seen or seen.add(t))]
+        if not qterms:
+            return []
+        groups: list[tuple[str, list[str]]] = []
+        for t in qterms:
+            mem = {t}
+            for s in synonyms.get(t, ()):
+                mem.update(an.analyze_query(s))
+            groups.append((t, sorted(mem)))
+        groups.sort(key=lambda g: g[0])
+        members = sorted({x for _, ms in groups for x in ms})
+        per_shard_dfs, _ = self._global_idfs(members)
+        gdf = {
+            t: sum(r[t] for r in per_shard_dfs if t in r) for t in members
+        }
+        idfs: dict[str, float] = {}
+        for leader, ms in groups:
+            df = max(gdf[x] for x in ms)
+            if df <= 0:
+                return []  # a whole group absent from the corpus
+            idfs[leader] = self.params.idf(self.n_docs, df)
+        kw = {
+            "groups": groups,
+            "k": k,
+            "idfs": idfs,
+            "avgdl": self.avgdl,
+        }
+        if budget_ms is not None:
+            kw["_budget_ms"] = budget_ms
+        # a shard participates only if EVERY group has ≥1 member there
+        kws = []
+        for r in per_shard_dfs:
+            ok = all(any(r.get(x, 0) > 0 for x in ms) for _, ms in groups)
+            kws.append(kw if ok else None)
+        hits = self._call_shards("_topk_synonym_groups", kws)
+        return self._merge(hits, k)
+
     def suggest_terms(
         self, word: str, k: int = 10, min_sim: float = 0.3
     ) -> list[tuple[str, float]]:

@@ -91,3 +91,51 @@ def test_budget_applies(built_index):
         s.topk_synonym(
             "turn spark", 10, {"spark": ["stream"]}, budget_ms=0.0
         )
+
+
+def test_sharded_synonym_bit_identical(spark, tmp_path_factory):
+    from discogsography_spark.corpus import make_transcripts
+    from discogsography_spark.index.builder import IndexBuilder
+    from discogsography_spark.query.sharded import ShardedSearcher
+
+    d = tmp_path_factory.mktemp("syn_sharded")
+    tdf = make_transcripts(n_conversations=120, mean_turns=6, vocab_size=400)
+    convs = sorted(tdf["conv_id"].unique())
+    full_p = str(d / "full.parquet")
+    tdf.to_parquet(full_p, index=False)
+    full_idx = str(d / "full_idx")
+    IndexBuilder(full_idx, num_segments=4, head_df_threshold=300).build(
+        spark.read.parquet(full_p)
+    )
+    shard_dirs = []
+    bounds = [convs[i * len(convs) // 3] for i in range(1, 3)]
+    for i, (lo, hi) in enumerate(zip([None, *bounds], [*bounds, None])):
+        m = tdf["conv_id"].map(
+            lambda c: (lo is None or c >= lo) and (hi is None or c < hi)
+        )
+        p = str(d / f"s{i}.parquet")
+        tdf[m].to_parquet(p, index=False)
+        idx = str(d / f"s{i}_idx")
+        IndexBuilder(idx, num_segments=2, head_df_threshold=10**9).build(
+            spark.read.parquet(p)
+        )
+        shard_dirs.append(idx)
+
+    full = LocalSearcher(full_idx)
+    sharded = ShardedSearcher(shard_dirs, parallel=False)
+    cases = [
+        ("turn spark", {"spark": ["stream", "batch"]}),
+        ("merge", {"merge": ["join", "zzqqneverseen"]}),
+        ("index query", {"index": ["table"], "query": ["scan", "filter"]}),
+        ("zzqqxx merge", {"zzqqxx": ["spark"]}),   # synonym rescue
+        ("zzqqxx merge", {}),                       # absent group → []
+    ]
+    n_nonempty = 0
+    for q, syn in cases:
+        want = full.topk_synonym(q, 10, syn)
+        got = sharded.topk_synonym(q, 10, syn)
+        assert [x[0] for x in got] == [x[0] for x in want], q
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gs == ws, f"{q}: {gs!r} != {ws!r} (bit-identical)"
+        n_nonempty += bool(got)
+    assert n_nonempty >= 3
