@@ -1323,6 +1323,102 @@ class MergedSearcher:
             }
         return _exact_and_scores(terms, merged, idfs, p, avgdl, k)
 
+    def topk_synonym(
+        self,
+        query_text: str,
+        k: int,
+        synonyms: dict[str, list[str]],
+        budget_ms: float | None = None,
+    ) -> list[tuple[int, float]]:
+        """Synonym-aware conjunctive BM25 over the live base+delta view
+        (SynonymQuery semantics — see LocalSearcher.topk_synonym). Group
+        statistics come from the ALIVE relations (_merged_rows filters
+        tombstones), so the result equals a fresh rebuild of the alive
+        corpus bit-identically — the same contract as every other live
+        mode. Exact evaluator: synonym groups are small unions, and the
+        alive-relation gather is the cost the exact tier already pays."""
+        if budget_ms is not None:
+            with self.deadline(budget_ms):
+                return self.topk_synonym(query_text, k, synonyms)
+        if k <= 0:
+            return []
+        from discogsography_spark.analysis import get_analyzer
+
+        an = get_analyzer(self.base.meta.analyzer)
+        base_terms = an.analyze_query(query_text)
+        seen: set[str] = set()
+        terms = [t for t in base_terms if not (t in seen or seen.add(t))]
+        if not terms:
+            return []
+        groups: list[tuple[str, list[str]]] = []
+        for t in terms:
+            mem = {t}
+            for s in synonyms.get(t, ()):
+                mem.update(an.analyze_query(s))
+            groups.append((t, sorted(mem)))
+        groups.sort(key=lambda g: g[0])
+        return self._topk_synonym_groups(groups, k)
+
+    def _topk_synonym_groups(
+        self,
+        groups: list[tuple[str, list[str]]],
+        k: int,
+        idfs: dict[str, float] | None = None,
+        avgdl: float | None = None,
+    ) -> list[tuple[int, float]]:
+        """Core synonym-group evaluator over alive merged relations —
+        same injection contract as LocalSearcher._topk_synonym_groups
+        (the live sharded tier injects GLOBAL alive group stats)."""
+        rels = self._merged_rows(
+            sorted({x for _, ms in groups for x in ms})
+        )
+        p = self.params
+        if avgdl is None:
+            avgdl = self.avgdl
+        merged: list[tuple[float, np.ndarray, np.ndarray, np.ndarray]] = []
+        for leader, ms in groups:
+            present = [x for x in ms if rels.get(x) is not None]
+            if not present:
+                return []
+            if idfs is None:
+                idf = p.idf(
+                    self.n_docs, max(int(rels[x][0].size) for x in present)
+                )
+            elif leader in idfs:
+                idf = idfs[leader]
+            else:
+                return []
+            d_parts, tf_parts, dl_parts = [], [], []
+            for x in present:
+                d, tf, dl = rels[x]
+                d_parts.append(d)
+                tf_parts.append(tf)
+                dl_parts.append(dl)
+            d = np.concatenate(d_parts)
+            tf = np.concatenate(tf_parts).astype(np.float64)
+            dl = np.concatenate(dl_parts)
+            order = np.argsort(d, kind="stable")
+            d, tf, dl = d[order], tf[order], dl[order]
+            uniq, start = np.unique(d, return_index=True)
+            gtf = np.add.reduceat(tf, start)
+            merged.append((idf, uniq, gtf, dl[start]))
+        cand = merged[0][1]
+        for _idf, d, _gtf, _gdl in merged[1:]:
+            cand = np.intersect1d(cand, d, assume_unique=True)
+            if cand.size == 0:
+                return []
+        norm: np.ndarray | None = None
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for idf, d, gtf, gdl in merged:  # sorted-leader summation order
+            pos = np.searchsorted(d, cand)
+            if norm is None:
+                dlv = gdl[pos].astype(np.float64)
+                norm = p.k1 * (1.0 - p.b + p.b * (dlv / avgdl))
+            tf = gtf[pos]
+            scores = scores + idf * (tf / (tf + norm))
+        top = np.lexsort((cand, -scores))[:k]
+        return [(int(cand[i]), float(scores[i])) for i in top]
+
     def suggest_terms(
         self, word: str, k: int = 10, min_sim: float = 0.3
     ) -> list[tuple[str, float]]:

@@ -497,3 +497,30 @@ def test_streamed_router_and_rolling_compaction(spark, tmp_path):
         assert sh_final.live is False  # fully compacted → static fast path
     finally:
         sh_final.close()
+
+
+@pytest.mark.parametrize("par", [False, True])
+def test_live_sharded_synonym_matches_alive_rebuild(live_shards, par):
+    """topk_synonym across live shards (deltas + tombstones + one static
+    shard) ≡ a fresh alive rebuild — the same net every other mode has."""
+    sh = ShardedSearcher(live_shards["shard_dirs"], parallel=par)
+    try:
+        assert sh.live
+        ref = LocalSearcher(live_shards["ref_dir"])
+        skeys = _shard_keymap(sh, live_shards["shard_dirs"])
+        rkeys = _ref_keymap(live_shards["ref_dir"])
+        th, tm = _probe_terms(live_shards["alive"])
+        cases = [
+            (f"{th} {tm}", {th: ["editz"]}),
+            ("editz", {"editz": [th, "zzqqneverseen"]}),
+            (th, {th: [tm]}),
+        ]
+        n_nonempty = 0
+        for q, syn in cases:
+            got = _rel(sh.topk_synonym(q, BIGK, syn), skeys)
+            want = _rel(ref.topk_synonym(q, BIGK, syn, use_result_cache=False), rkeys)
+            assert got == want, ("synonym", q)
+            n_nonempty += bool(got)
+        assert n_nonempty >= 2
+    finally:
+        sh.close()

@@ -139,3 +139,88 @@ def test_sharded_synonym_bit_identical(spark, tmp_path_factory):
             assert gs == ws, f"{q}: {gs!r} != {ws!r} (bit-identical)"
         n_nonempty += bool(got)
     assert n_nonempty >= 3
+
+
+def test_merged_live_synonym_matches_alive_rebuild(spark, tmp_path_factory):
+    """Live view (upserts + tombstones) topk_synonym ≡ a fresh rebuild of
+    the alive corpus — key-set AND score equality (same (conv, turn) docs,
+    same BM25 numbers under alive stats)."""
+    import pandas as pd
+
+    from discogsography_spark.corpus import make_transcripts
+    from discogsography_spark.index.builder import IndexBuilder
+    from discogsography_spark.streaming.incremental import (
+        DeltaIndexWriter,
+        MergedSearcher,
+    )
+
+    d = tmp_path_factory.mktemp("syn_live")
+    tdf = make_transcripts(n_conversations=80, mean_turns=5, vocab_size=300)
+    convs = sorted(tdf["conv_id"].unique())
+    base = tdf[tdf["conv_id"].isin(convs[:60])].reset_index(drop=True)
+    batch = tdf[tdf["conv_id"].isin(convs[60:75])].reset_index(drop=True)
+    dead = convs[:5]
+
+    base_p = str(d / "base.parquet")
+    base.to_parquet(base_p, index=False)
+    idx = str(d / "idx")
+    IndexBuilder(idx, num_segments=4, head_df_threshold=10**9).build(
+        spark.read.parquet(base_p)
+    )
+    w = DeltaIndexWriter(idx)
+    b_p = str(d / "b.parquet")
+    batch.to_parquet(b_p, index=False)
+    w.write_batch(spark.read.parquet(b_p), 0, upsert=True)
+    w.write_deletes(
+        spark.createDataFrame(pd.DataFrame({"conv_id": dead})), 1
+    )
+
+    alive = pd.concat(
+        [base[~base["conv_id"].isin(dead)], batch], ignore_index=True
+    )
+    ref_p = str(d / "alive.parquet")
+    alive.to_parquet(ref_p, index=False)
+    ref_idx = str(d / "ref_idx")
+    IndexBuilder(ref_idx, num_segments=4, head_df_threshold=10**9).build(
+        spark.read.parquet(ref_p)
+    )
+
+    ms = MergedSearcher(idx)
+    ref = LocalSearcher(ref_idx)
+
+    from discogsography_spark.streaming.incremental import list_deltas
+
+    def keymap(index_dir):
+        parts = [os.path.join(index_dir, "docs")]
+        for dd in list_deltas(index_dir):
+            p = os.path.join(dd, "docs")
+            if os.path.isdir(p):
+                parts.append(p)
+        t = pd.concat(
+            [
+                pd.read_parquet(p, columns=["doc_id", "conv_id", "turn_idx"])
+                for p in parts
+            ],
+            ignore_index=True,
+        )
+        return dict(
+            zip(t["doc_id"], zip(t["conv_id"], t["turn_idx"].astype(int)))
+        )
+
+    ref_keys = keymap(ref_idx)
+    live_keys = keymap(idx)
+
+    cases = [
+        ("turn spark", {"spark": ["stream", "batch"]}),
+        ("merge", {"merge": ["join"]}),
+        ("index query", {"index": ["table"], "query": ["scan"]}),
+    ]
+    n_nonempty = 0
+    for q, syn in cases:
+        got = ms.topk_synonym(q, 200, syn)
+        want = ref.topk_synonym(q, 200, syn, use_result_cache=False)
+        assert {(live_keys[did], round(s, 9)) for did, s in got} == {
+            (ref_keys[did], round(s, 9)) for did, s in want
+        }, q
+        n_nonempty += bool(got)
+    assert n_nonempty >= 2
