@@ -211,6 +211,49 @@ ORDER BY score DESC, doc_id ASC LIMIT {k} OFFSET {offset}
 """
 
 
+def _bm25_after_oracle(terms: list[str], k: int, after_rank: int) -> str:
+    """search_after oracle: the cursor is the rank-`after_rank` row of the
+    RAW-score ranking; the page is the k rows strictly after it under
+    (raw DESC, doc_id ASC) — the exact predicate the engine's _after_mask
+    applies. The cut happens on raw scores (the engine's ordering);
+    rounding to 5dp is presentation only."""
+    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    nt = len(set(terms))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT count(*) FROM toks)::DOUBLE AS total_tokens
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ({tl}) GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         count(*) AS nt,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * (tf.tf / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * (dl.dl / (s.total_tokens / s.n_docs))))) ) AS raw
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+ranked AS (SELECT doc_id, raw FROM scored WHERE nt = {nt}),
+cur AS (
+  SELECT raw AS cs, doc_id AS cd FROM ranked
+  ORDER BY raw DESC, doc_id ASC LIMIT 1 OFFSET {after_rank - 1}
+)
+SELECT doc_id, round(raw, 5) AS score FROM (
+  SELECT r.doc_id, r.raw FROM ranked r, cur
+  WHERE r.raw < cur.cs OR (r.raw = cur.cs AND r.doc_id > cur.cd)
+  ORDER BY r.raw DESC, r.doc_id ASC LIMIT {k}
+) ORDER BY score DESC, doc_id ASC
+"""
+
+
 # ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -750,6 +793,14 @@ array_sort(
             "lang",
             "n_chars",
             "text",
+            # deterministic per-doc date (the documents table has no
+            # timestamp): doc_id % 365 days from 2025-01-01 — carried
+            # through the docmap for the date_histogram serving surface,
+            # reproduced exactly by the DuckDB oracle
+            F.date_add(
+                F.to_date(F.lit("2025-01-01")),
+                (F.col("doc_id") % 365).cast("int"),
+            ).alias("ts"),
         )
         idx = os.path.join(tempfile.mkdtemp(prefix="served_idx_"), "idx")
         IndexBuilder(idx, num_segments=2, store_text=True).build(docs)
@@ -797,6 +848,24 @@ array_sort(
         ).orderBy("parent", "child")
 
     q["fts_facet_tree_served"] = fts_facet_tree_served
+
+    def fts_date_histogram(spark, sf_dir):
+        # Elasticsearch date_histogram over the MATCHED set (the
+        # reference's time-bucketed dashboard counts — date_trunc over a
+        # filtered set, SURVEY §2.4 time bucketing — scoped to a full-text
+        # match): monthly bucket counts of the docs matching the
+        # conjunctive query, served from the index docmap's dense period
+        # codes (one factorize, O(|matched|) bincount per query — no
+        # corpus scan). The docmap date is synthesized deterministically
+        # at build (doc_id %% 365 days from 2025-01-01).
+        svc = _served_service(spark, sf_dir)
+        matched = svc.matched_docs("table value")
+        rows = svc.date_histogram(matched, "ts", "month")
+        return spark.createDataFrame(
+            rows, "month string, n long"
+        ).orderBy("month")
+
+    q["fts_date_histogram"] = fts_date_histogram
 
     def fts_collapse_topk(spark, sf_dir):
         # field-collapsed search (Lucene/Solr FieldCollapsing, ES collapse;
@@ -919,6 +988,29 @@ array_sort(
         ).orderBy(F.desc("score"), F.asc("doc_id"))
 
     q["fts_bm25_page"] = fts_bm25_page
+
+    def fts_search_after(spark, sf_dir):
+        # cursor deep pagination (Elasticsearch search_after, the
+        # scale-correct restatement of the reference's LIMIT/OFFSET
+        # paging, api/queries/search_queries.py:230-234): page 1 of 10
+        # hands back next_after = (score, doc_id) of its last hit; the 15
+        # results STRICTLY after that cursor must equal ranks 11..25 of
+        # the deep ranking. Unlike OFFSET (ranks to depth offset+k and
+        # ships offset+k rows per shard), the cursor page keeps an O(k)
+        # pool and ships k rows per shard at any depth.
+        svc = _served_service(spark, sf_dir)
+        p1 = svc.search("table value", k=10)
+        resp = svc.search("table value", k=15, search_after=p1.next_after)
+        src = svc._docs_pdf(svc.meta.index_dir, ["src_doc_id"])
+        src_of = src.set_index("doc_id")["src_doc_id"]
+        rows = [
+            (int(src_of[d]), round(float(s), 5)) for d, s in resp.results
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, score double"
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+    q["fts_search_after"] = fts_search_after
 
     def fts_live_upsert_topk(spark, sf_dir):
         # LIVE merged view with upserts + deletes (tombstone layer): base
@@ -2328,6 +2420,23 @@ def oracle_sql() -> dict[str, str]:
     o["fts_bm25_topk"] = _bm25_oracle(analyze_query("table value"), 20)
     o["fts_bm25_topk_head"] = _bm25_oracle(analyze_query("table"), 50)
     o["fts_bm25_page"] = _bm25_oracle(analyze_query("table value"), 15, offset=10)
+    o["fts_search_after"] = _bm25_after_oracle(
+        analyze_query("table value"), k=15, after_rank=10
+    )
+    _dh_terms = sorted(set(analyze_query("table value")))
+    _dh_tl = ", ".join(f"'{t}'" for t in _dh_terms)
+    o["fts_date_histogram"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+),
+m AS (
+  SELECT doc_id FROM toks WHERE term IN ({_dh_tl})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(_dh_terms)}
+)
+SELECT strftime(DATE '2025-01-01' + (doc_id % 365)::INT, '%Y-%m') AS month,
+       count(*)::BIGINT AS n
+FROM m GROUP BY 1 ORDER BY 1
+"""
 
     # live upsert/delete view: BM25 over the latest-version ALIVE corpus —
     # doc_id % 10 == 0 carries the upserted text, doc_id % 7 == 3 is deleted

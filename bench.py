@@ -310,7 +310,30 @@ for a, b in pos_pairs:
     t0 = time.time()
     sp.topk_within(a, b, 3, 10)
     within_ms.append((time.time() - t0) * 1000.0)
+# deep-pagination tier: OFFSET page vs search_after cursor page at ~90%%
+# depth of the heaviest query's ranking. The offset path must RANK to
+# depth D+k (pool of D+k per node, D+k rows per shard on a fan-out); the
+# cursor page keeps an O(k) pool and ships k rows — the structural
+# scale difference; wall-clock both honestly here.
+toks = sorted({{t for _, row in qdf.iterrows() for t in row["query_text"].split()}})
+dfs = s.term_dfs(toks)
+hd = max(toks, key=lambda t: dfs.get(t, 0))
+deep_full = s.topk(hd, 10**9, use_result_cache=False)
+D = max(1, int(0.9 * len(deep_full)))
+cur = (deep_full[D - 1][1], deep_full[D - 1][0])
+s.topk(hd, D + 10, use_result_cache=False)
+s.topk(hd, 10, after=cur, use_result_cache=False)
+off_ms, aft_ms = [], []
+for _ in range(7):
+    t0 = time.time()
+    s.topk(hd, D + 10, use_result_cache=False)
+    off_ms.append((time.time() - t0) * 1000.0)
+    t0 = time.time()
+    s.topk(hd, 10, after=cur, use_result_cache=False)
+    aft_ms.append((time.time() - t0) * 1000.0)
 print(json.dumps({{"cold": cold, "steady": steady, "memo": memo,
+                   "page_depth": D, "page_offset_ms": off_ms,
+                   "page_after_ms": aft_ms,
                    "bool": bool_ms,
                    "faceted": faceted, "faceted_warm": faceted_warm,
                    "facet_init_ms": facet_init_ms,
@@ -351,6 +374,13 @@ print(json.dumps({{"cold": cold, "steady": steady, "memo": memo,
     mlt_ms = np.array(tiers["mlt"])
     extra["mlt_p50_ms"] = round(float(np.percentile(mlt_ms, 50)), 2)
     extra["mlt_p95_ms"] = round(float(np.percentile(mlt_ms, 95)), 2)
+    extra["page_depth"] = int(tiers["page_depth"])
+    extra["page_offset_deep_p50_ms"] = round(
+        float(np.percentile(np.array(tiers["page_offset_ms"]), 50)), 2
+    )
+    extra["page_after_deep_p50_ms"] = round(
+        float(np.percentile(np.array(tiers["page_after_ms"]), 50)), 2
+    )
     ph_ms = np.array(tiers["phrase"])
     wi_ms = np.array(tiers["within"])
     extra["phrase_p50_ms"] = round(float(np.percentile(ph_ms, 50)), 2)

@@ -70,6 +70,13 @@ def main(argv: list[str] | None = None) -> int:
         help="result pagination: skip the first N ranked hits "
         "(LIMIT k OFFSET n semantics)",
     )
+    sr.add_argument(
+        "--after", default=None, metavar="SCORE,DOC_ID",
+        help="search_after cursor pagination: return the top-k strictly "
+        "after this (score, doc_id) position — O(k) per page at any "
+        "depth (use the response's next_after verbatim); mutually "
+        "exclusive with --offset",
+    )
     sr.add_argument("--highlight", action="store_true")
     sr.add_argument(
         "--fragments", type=int, default=None, metavar="N",
@@ -268,6 +275,12 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit("--filter expects FIELD=VALUE")
             fk, fv = args.filter.split("=", 1)
             filt = {fk: fv}
+        search_after = None
+        if args.after:
+            if "," not in args.after:
+                raise SystemExit("--after expects SCORE,DOC_ID")
+            a_s, a_d = args.after.split(",", 1)
+            search_after = (float(a_s), int(a_d))
         kwargs = dict(
             mode=args.mode,
             facets=sorted(facet_defs) if facet_defs else None,
@@ -276,6 +289,7 @@ def main(argv: list[str] | None = None) -> int:
             highlight_fragments=args.fragments,
             fragment_mode=args.fragment_mode,
             offset=args.offset,
+            search_after=search_after,
         )
         if args.merged:
             from discogsography_spark.query.serving import MergedSearchService
@@ -349,6 +363,11 @@ def main(argv: list[str] | None = None) -> int:
             "facets": resp.facets,
             "rewrites": resp.rewrites,
             "headlines": {str(d): h for d, h in resp.headlines.items()},
+            "next_after": (
+                [resp.next_after[0], resp.next_after[1]]
+                if resp.next_after is not None
+                else None
+            ),
         }
         if args.context is not None:
             payload["context"] = {

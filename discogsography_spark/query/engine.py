@@ -146,6 +146,22 @@ def _position_keys(
 _FIRST_TIER = 4096
 
 
+def _after_mask(
+    docs: np.ndarray, scores: np.ndarray, after: tuple[float, int]
+) -> np.ndarray:
+    """Cursor-pagination acceptance mask under the engine-wide
+    (score DESC, doc_id ASC) ordering: keep docs STRICTLY after the
+    cursor (score, doc_id) — Elasticsearch search_after semantics, the
+    scale-correct deep-pagination primitive (OFFSET ranks to depth
+    offset+k and ships offset+k rows per shard; a cursor page keeps an
+    O(k) pool and ships k rows per shard at ANY depth). Scores are
+    deterministic float64 per (index snapshot, query), so equality
+    against a cursor taken from a prior page of the same ranking is
+    exact."""
+    cs, cd = after
+    return (scores < cs) | ((scores == cs) & (docs > cd))
+
+
 def _rounded_and_topk(topk_and_fn, terms, k, idfs, avgdl):
     """Top-k under the PREFIX scoring contract (round to 5dp, THEN rank
     (score DESC, doc ASC)) computed through a raw-score conjunctive
@@ -773,6 +789,7 @@ class LocalSearcher:
         mode: str = "and",
         use_result_cache: bool = True,
         budget_ms: float | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Exact BM25 top-k. mode='and' (default): conjunctive, plainto_tsquery
         semantics; mode='or': disjunctive with max-score/block-max pruning.
@@ -782,23 +799,30 @@ class LocalSearcher:
         uses the decoded-postings cache) — the steady-state-serving
         measurement mode. `budget_ms` caps evaluation wall-clock (raises
         QueryBudgetExceeded at a block/term boundary — the deadline()
-        context, per call)."""
+        context, per call). `after=(score, doc_id)` is a search_after
+        cursor: return the top-k STRICTLY after that (score DESC, doc ASC)
+        position — page n+1 of the ranking with an O(k) pool regardless of
+        depth (OFFSET pagination ranks to depth offset+k)."""
         if budget_ms is not None:
             with self.deadline(budget_ms):
                 return self.topk(
                     query_text, k, mode=mode,
-                    use_result_cache=use_result_cache,
+                    use_result_cache=use_result_cache, after=after,
                 )
         if k <= 0:
             return []
         terms = get_analyzer(self.meta.analyzer).analyze_query(query_text)
-        key = (mode, tuple(terms), k)
+        key = (mode, tuple(terms), k, after)
         if use_result_cache:
             hit = self._result_cache.get(key)
             if hit is not None:
                 self._result_cache.move_to_end(key)
                 return list(hit)
-        res = self._topk_or(terms, k) if mode == "or" else self._topk_and(terms, k)
+        res = (
+            self._topk_or(terms, k, after=after)
+            if mode == "or"
+            else self._topk_and(terms, k, after=after)
+        )
         if use_result_cache:
             self._result_cache[key] = tuple(res)
             if len(self._result_cache) > self._result_cache_size:
@@ -811,10 +835,15 @@ class LocalSearcher:
         k: int,
         idfs: dict[str, float] | None = None,
         avgdl: float | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """`idfs`/`avgdl` override the shard-local statistics — the sharded
         fan-out searcher injects GLOBAL corpus stats so per-shard scores are
-        directly comparable (query/sharded.py)."""
+        directly comparable (query/sharded.py). `after` filters to docs
+        strictly after the cursor (search_after): scored candidates are
+        masked BEFORE entering the θ pool, so θ becomes the k-th best
+        ACCEPTED score and the block upper-bound pruning stays sound (a
+        block with ub < θ cannot displace k accepted docs)."""
         if not terms:
             return []
         rows = self.lookup_terms(terms)
@@ -846,22 +875,38 @@ class LocalSearcher:
             if (
                 tp.champ_doc is not None
                 and tp.champ_doc.size
-                and (full_cover or (local_stats and k <= tp.champ_doc.size))
+                and (
+                    full_cover
+                    or (
+                        local_stats
+                        and after is None
+                        and k <= tp.champ_doc.size
+                    )
+                )
             ):
                 tf = tp.champ_tf.astype(np.float64)
                 norm = p.k1 * (
                     1.0 - p.b + p.b * (tp.champ_dl.astype(np.float64) / avgdl)
                 )
                 scores = idfs[terms[0]] * (tf / (tf + norm))
-                if local_stats:
+                docs = tp.champ_doc
+                if after is not None:
+                    # full_cover holds here: the cursor filter needs every
+                    # posting in play (a champion PREFIX can be exhausted
+                    # by pre-cursor docs), so the prefix case falls through
+                    keep = _after_mask(
+                        docs.astype(np.int64, copy=False), scores, after
+                    )
+                    docs, scores = docs[keep], scores[keep]
+                elif local_stats:
                     # champions are already (tfnorm DESC, doc ASC) == final
                     return [
                         (int(d), float(s))
-                        for d, s in zip(tp.champ_doc[:k], scores[:k])
+                        for d, s in zip(docs[:k], scores[:k])
                     ]
-                order = np.lexsort((tp.champ_doc, -scores))[:k]
+                order = np.lexsort((docs, -scores))[:k]
                 return [
-                    (int(tp.champ_doc[i]), float(scores[i])) for i in order
+                    (int(docs[i]), float(scores[i])) for i in order
                 ]
 
         # dense-intersection fast path: when EVERY term's postings cover
@@ -891,6 +936,11 @@ class LocalSearcher:
                 rank_t, tf_t, _dl_t = aligned[t]
                 tf = tf_t[rank_t[cand]].astype(np.float64)
                 scores = scores + idfs[t] * (tf / (tf + norm))
+            if after is not None:
+                keep = _after_mask(cand, scores, after)
+                cand, scores = cand[keep], scores[keep]
+                if cand.size == 0:
+                    return []
             if cand.size > 4 * k:
                 kth = np.partition(-scores, k - 1)[k - 1]
                 sel = np.flatnonzero(-scores <= kth)
@@ -928,6 +978,11 @@ class LocalSearcher:
             # and wrongly prune phase-1 blocks (dropped true rank-11..20 docs
             # at 132k docs / >1024 driving blocks).
             seeded = cu.astype(np.int64, copy=False)
+            if after is not None and sd.size:
+                # mask BEFORE pooling: θ must be the k-th ACCEPTED score
+                # (`seeded` keeps the full union so no doc scores twice)
+                keep = _after_mask(sd, ss, after)
+                sd, ss = sd[keep], ss[keep]
             if sd.size:
                 pool_d.append(sd)
                 pool_s.append(ss)
@@ -1016,6 +1071,9 @@ class LocalSearcher:
                 known={t0: (cand_tf, cand_dl)},
                 avgdl=avgdl,
             )
+            if after is not None and sd.size:
+                keep = _after_mask(sd, ss, after)
+                sd, ss = sd[keep], ss[keep]
             if sd.size:
                 pool_d.append(sd)
                 pool_s.append(ss)
@@ -1048,6 +1106,7 @@ class LocalSearcher:
         synonyms: dict[str, list[str]],
         use_result_cache: bool = True,
         budget_ms: float | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Synonym-aware conjunctive BM25 — Lucene SynonymQuery semantics
         (the engine behind PG FTS synonym/thesaurus dictionaries: the
@@ -1073,7 +1132,7 @@ class LocalSearcher:
             with self.deadline(budget_ms):
                 return self.topk_synonym(
                     query_text, k, synonyms,
-                    use_result_cache=use_result_cache,
+                    use_result_cache=use_result_cache, after=after,
                 )
         if k <= 0:
             return []
@@ -1092,13 +1151,13 @@ class LocalSearcher:
         # sorted-leader summation order — the same discipline every other
         # evaluator and the pure-Python oracle use (bit-identical scores)
         groups.sort(key=lambda g: g[0])
-        key = ("syn", tuple((l, tuple(ms)) for l, ms in groups), k)
+        key = ("syn", tuple((l, tuple(ms)) for l, ms in groups), k, after)
         if use_result_cache:
             hit = self._result_cache.get(key)
             if hit is not None:
                 self._result_cache.move_to_end(key)
                 return list(hit)
-        res = self._topk_synonym_groups(groups, k)
+        res = self._topk_synonym_groups(groups, k, after=after)
         if use_result_cache:
             self._result_cache[key] = tuple(res)
             if len(self._result_cache) > self._result_cache_size:
@@ -1111,6 +1170,7 @@ class LocalSearcher:
         k: int,
         idfs: dict[str, float] | None = None,
         avgdl: float | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Core synonym-group evaluator. `groups` = sorted
         [(leader, sorted members)]. `idfs` (keyed by leader) / `avgdl`
@@ -1163,6 +1223,9 @@ class LocalSearcher:
                 norm = p.k1 * (1.0 - p.b + p.b * (dlv / avgdl))
             tf = gtf[pos]
             scores = scores + idf * (tf / (tf + norm))
+        if after is not None:
+            keep = _after_mask(cand, scores, after)
+            cand, scores = cand[keep], scores[keep]
         top = np.lexsort((cand, -scores))[:k]
         return [(int(cand[i]), float(scores[i])) for i in top]
 
@@ -2026,6 +2089,7 @@ class LocalSearcher:
         k: int,
         idfs: dict[str, float] | None = None,
         avgdl: float | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Disjunctive BM25 top-k with max-score pruning over block-max
         metadata (the WAND family):
@@ -2053,7 +2117,9 @@ class LocalSearcher:
             # _topk_and's champion fast path answers it without decoding
             # the posting list (the `head OR absent-term` worst case was
             # a full-list score: 306 ms → sub-ms)
-            return self._topk_and(present, k, idfs=idfs, avgdl=avgdl)
+            return self._topk_and(
+                present, k, idfs=idfs, avgdl=avgdl, after=after
+            )
         m, p = self.meta, self.meta.params
         k1, b = p.k1, p.b
         if avgdl is None:
@@ -2070,21 +2136,54 @@ class LocalSearcher:
         }
 
         # 1. θ from champion partials (exact lower bounds)
-        champ_scores: dict[int, float] = {}
-        for t in present:
-            tp = rows[t]
-            if tp.champ_doc is None or tp.champ_doc.size == 0:
-                continue
-            tf = tp.champ_tf.astype(np.float64)
-            norm = k1 * (1.0 - b + b * (tp.champ_dl.astype(np.float64) / avgdl))
-            contrib = idfs[t] * (tf / (tf + norm))
-            for d, c in zip(tp.champ_doc, contrib):
-                champ_scores[int(d)] = champ_scores.get(int(d), 0.0) + float(c)
-        theta = (
-            sorted(champ_scores.values(), reverse=True)[k - 1]
-            if len(champ_scores) >= k
-            else -np.inf
-        )
+        theta = -np.inf
+        if after is None:
+            champ_scores: dict[int, float] = {}
+            for t in present:
+                tp = rows[t]
+                if tp.champ_doc is None or tp.champ_doc.size == 0:
+                    continue
+                tf = tp.champ_tf.astype(np.float64)
+                norm = k1 * (
+                    1.0 - b + b * (tp.champ_dl.astype(np.float64) / avgdl)
+                )
+                contrib = idfs[t] * (tf / (tf + norm))
+                for d, c in zip(tp.champ_doc, contrib):
+                    champ_scores[int(d)] = (
+                        champ_scores.get(int(d), 0.0) + float(c)
+                    )
+            if len(champ_scores) >= k:
+                theta = sorted(champ_scores.values(), reverse=True)[k - 1]
+        else:
+            # cursor page: a champion PARTIAL lower bound says nothing about
+            # cursor acceptance (the doc's TRUE score may sit before the
+            # cursor), so seed θ with EXACT scores over the champion union —
+            # same probe kernel and sorted-term summation order as step 4,
+            # so the acceptance test sees bit-identical floats — and take
+            # the k-th best ACCEPTED score
+            champ_lists = [
+                rows[t].champ_doc
+                for t in present
+                if rows[t].champ_doc is not None and rows[t].champ_doc.size
+            ]
+            if champ_lists:
+                cu = np.unique(np.concatenate(champ_lists))
+                su = np.zeros(cu.size, dtype=np.float64)
+                for t in present:  # sorted order — fixed summation order
+                    mask0, tfv0, dlv0 = self._probe(rows[t], cu)
+                    hit0 = np.flatnonzero(mask0)
+                    if hit0.size == 0:
+                        continue
+                    tf0 = tfv0.astype(np.float64)
+                    norm0 = k1 * (
+                        1.0 - b + b * (dlv0.astype(np.float64) / avgdl)
+                    )
+                    su[hit0] = su[hit0] + idfs[t] * (tf0 / (tf0 + norm0))
+                acc = su[
+                    _after_mask(cu.astype(np.int64, copy=False), su, after)
+                ]
+                if acc.size >= k:
+                    theta = float(-np.partition(-acc, k - 1)[k - 1])
 
         # 2. essential prefix under (maxcontrib DESC, term ASC)
         by_contrib = sorted(present, key=lambda t: (-maxcontrib[t], t))
@@ -2120,6 +2219,11 @@ class LocalSearcher:
             norm = k1 * (1.0 - b + b * (dl / avgdl))
             scores[hit] = scores[hit] + idfs[t] * (tf / (tf + norm))
 
+        if after is not None:
+            keep = _after_mask(cand, scores, after)
+            cand, scores = cand[keep], scores[keep]
+            if cand.size == 0:
+                return []
         if cand.size > 4 * k:
             kth = np.partition(-scores, k - 1)[k - 1]
             sel = np.flatnonzero(-scores <= kth)
@@ -2139,6 +2243,7 @@ class LocalSearcher:
         prefix_expansions: dict[str, list[str]] | None = None,
         ast_override=None,
         budget_ms: float | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Boolean AND/OR/NOT BM25 top-k (`to_tsquery` / Lucene BooleanQuery
         semantics — see boolquery.py for the grammar and scoring contract;
@@ -2159,7 +2264,7 @@ class LocalSearcher:
                     query_text, k, use_result_cache=use_result_cache,
                     idfs=idfs, avgdl=avgdl,
                     prefix_expansions=prefix_expansions,
-                    ast_override=ast_override,
+                    ast_override=ast_override, after=after,
                 )
         from discogsography_spark.query.boolquery import (
             all_terms,
@@ -2188,7 +2293,7 @@ class LocalSearcher:
             use_result_cache and idfs is None and avgdl is None
             and prefix_expansions is None
         )
-        key = ("bool", ast, k)
+        key = ("bool", ast, k, after)
         if use_result_cache:
             hit = self._result_cache.get(key)
             if hit is not None:
@@ -2234,14 +2339,18 @@ class LocalSearcher:
             return ast[0] == kind and all(c[0] == "term" for c in ast[1])
 
         if not with_phrases and not neg_terms and _flat("and"):
-            res = self._topk_and(terms, k, idfs=idfs, avgdl=avgdl)
+            res = self._topk_and(
+                terms, k, idfs=idfs, avgdl=avgdl, after=after
+            )
             if use_result_cache:
                 self._result_cache[key] = tuple(res)
                 if len(self._result_cache) > self._result_cache_size:
                     self._result_cache.popitem(last=False)
             return res
         if not with_phrases and not neg_terms and _flat("or"):
-            res = self._topk_or(terms, k, idfs=idfs, avgdl=avgdl)
+            res = self._topk_or(
+                terms, k, idfs=idfs, avgdl=avgdl, after=after
+            )
             if use_result_cache:
                 self._result_cache[key] = tuple(res)
                 if len(self._result_cache) > self._result_cache_size:
@@ -2298,6 +2407,11 @@ class LocalSearcher:
                 dl = dlv.astype(np.float64)
                 norm = p2.k1 * (1.0 - p2.b + p2.b * (dl / avgdl2))
                 scores[hit2] = scores[hit2] + idf * (tf / (tf + norm))
+            if after is not None:
+                keep = _after_mask(cand, scores, after)
+                cand, scores = cand[keep], scores[keep]
+                if cand.size == 0:
+                    return []
             if cand.size > 4 * k:
                 kth = np.partition(-scores, k - 1)[k - 1]
                 sel = np.flatnonzero(-scores <= kth)
@@ -2339,6 +2453,11 @@ class LocalSearcher:
             norm = k1 * (1.0 - b + b * (dl / avgdl))
             scores[hit2] = scores[hit2] + idf * (tf / (tf + norm))
 
+        if after is not None:
+            keep = _after_mask(cand, scores, after)
+            cand, scores = cand[keep], scores[keep]
+            if cand.size == 0:
+                return []
         if cand.size > 4 * k:
             kth = np.partition(-scores, k - 1)[k - 1]
             sel = np.flatnonzero(-scores <= kth)

@@ -38,7 +38,7 @@ import numpy as np
 import pandas as pd
 
 from discogsography_spark.analysis import get_analyzer
-from discogsography_spark.query.engine import LocalSearcher
+from discogsography_spark.query.engine import LocalSearcher, _after_mask
 
 
 @dataclass
@@ -48,6 +48,10 @@ class SearchResponse:
     facets: dict[str, list[tuple[str, int]]] = field(default_factory=dict)
     headlines: dict[int, str] = field(default_factory=dict)
     rewrites: dict[str, str] = field(default_factory=dict)  # did-you-mean
+    # search_after cursor for the NEXT page — (score, doc_id) of this
+    # page's last hit (global doc_id on the sharded service); None when
+    # the page is empty (the ranking is exhausted)
+    next_after: tuple[float, int] | None = None
 
 
 _NULL_FACET = "(none)"
@@ -252,6 +256,31 @@ def _facet_arrays(
 
 
 
+_HIST_PERIODS = {"year": "Y", "month": "M", "day": "D"}
+
+
+def _histogram_arrays(
+    pdf: pd.DataFrame, field: str, interval: str, n_docs: int
+) -> tuple[np.ndarray, list[str]]:
+    """Dense per-docID period codes + ASC labels for a timestamp docmap
+    column — a date histogram is a derived facet whose labels are
+    date_trunc buckets ('2025-03' for month). Zero-padded period strings
+    sort lexicographically == chronologically, so the shared
+    _facet_arrays factorization already yields bucket-ASC labels."""
+    per = _HIST_PERIODS.get(interval)
+    if per is None:
+        raise ValueError(
+            f"interval must be one of {sorted(_HIST_PERIODS)}, got "
+            f"{interval!r}"
+        )
+
+    def spec(p: pd.DataFrame) -> pd.Series:
+        return pd.to_datetime(p[field]).dt.to_period(per).astype(str)
+
+    codes, cats = _facet_arrays(pdf, {field: spec}, n_docs)
+    return codes[field], cats[field]
+
+
 def assemble_facet_tree(
     pairs: list[tuple[str, str, int]],
 ) -> list[dict]:
@@ -296,6 +325,7 @@ class SearchService:
         self._facet_codes: dict[str, np.ndarray] = {}
         self._facet_cats: dict[str, list[str]] = {}
         self._collapse_cache: dict[str, tuple[np.ndarray, list[str]]] = {}
+        self._hist_cache: dict[tuple[str, str], tuple[np.ndarray, list[str]]] = {}
         self._ctx_index = None
         if facet_defs:
             self._load_facets(index_dir, facet_defs)
@@ -427,6 +457,36 @@ class SearchService:
                 if counts[i] > 0
             ]
         return out
+
+    def date_histogram(
+        self, matched: np.ndarray, field: str = "ts", interval: str = "month"
+    ) -> list[tuple[str, int]]:
+        """Date-histogram aggregation over the MATCHED set (Elasticsearch
+        date_histogram; the reference's time-bucketed dashboard counts,
+        date_trunc over a filtered set): the docmap timestamp column
+        factorizes ONCE into dense period codes, then every query pays one
+        O(|matched|) bincount — no corpus scan, no per-query date math.
+        Buckets (label, count) label-ASC == chronological, empty buckets
+        dropped. Shards are doc-disjoint, so per-shard bucket dicts SUM
+        exactly (ShardedSearchService.date_histogram)."""
+        codes, cats = self._hist_codes(field, interval)
+        counts = np.bincount(codes[matched], minlength=len(cats))
+        return [
+            (cats[i], int(counts[i]))
+            for i in range(len(cats))
+            if counts[i] > 0
+        ]
+
+    def _hist_codes(
+        self, field: str, interval: str
+    ) -> tuple[np.ndarray, list[str]]:
+        key = (field, interval)
+        hit = self._hist_cache.get(key)
+        if hit is None:
+            pdf = self._docs_pdf(self._index_dir, [field])
+            hit = _histogram_arrays(pdf, field, interval, self.meta.n_docs)
+            self._hist_cache[key] = hit
+        return hit
 
     def facet_tree_pairs(
         self, matched: np.ndarray, parent: str, child: str
@@ -606,6 +666,7 @@ class SearchService:
         fragment_mode: str = "term",
         offset: int = 0,
         budget_ms: float | None = None,
+        search_after: tuple[float, int] | None = None,
     ) -> SearchResponse:
         """`offset` pages the ranked results (reference:
         api/queries/search_queries.py:230-234 `ORDER BY rank DESC, id
@@ -622,9 +683,12 @@ class SearchService:
                     highlight=highlight, fuzzy=fuzzy, filter=filter,
                     highlight_fragments=highlight_fragments,
                     fragment_mode=fragment_mode, offset=offset,
+                    search_after=search_after,
                 )
         if offset < 0:
             raise ValueError(f"offset must be ≥ 0, got {offset}")
+        if search_after is not None and offset:
+            raise ValueError("offset and search_after are mutually exclusive")
         k = k + offset  # rank depth; sliced back to the page below
         if highlight_fragments is not None:
             highlight = True
@@ -685,7 +749,8 @@ class SearchService:
                 query_text, mode, filter, terms=qterms, ast_override=qast
             )
             results = self._rank_matched(
-                query_text, mode, matched, k, terms=qterms, ast_override=qast
+                query_text, mode, matched, k, terms=qterms,
+                ast_override=qast, after=search_after,
             )
         else:
             matched = self.matched_docs(
@@ -693,25 +758,33 @@ class SearchService:
             )
             if qterms is not None:
                 results = (
-                    self.searcher._topk_or(qterms, k)
+                    self.searcher._topk_or(qterms, k, after=search_after)
                     if mode == "or"
-                    else self.searcher._topk_and(qterms, k)
+                    else self.searcher._topk_and(
+                        qterms, k, after=search_after
+                    )
                 )
             elif qast is not None:
                 results = self.searcher.topk_bool(
-                    query_text, k, ast_override=qast
+                    query_text, k, ast_override=qast, after=search_after
                 )
             else:
                 results = (
-                    self.searcher.topk_bool(query_text, k)
+                    self.searcher.topk_bool(
+                        query_text, k, after=search_after
+                    )
                     if mode == "bool"
-                    else self.searcher.topk(query_text, k, mode=mode)
+                    else self.searcher.topk(
+                        query_text, k, mode=mode, after=search_after
+                    )
                 )
         if offset:
             results = results[offset:]
         resp = SearchResponse(
             results=results, total_matched=int(matched.size), rewrites=rewrites
         )
+        if results:
+            resp.next_after = (results[-1][1], results[-1][0])
         if facets is None and self._facet_codes:
             facets = sorted(self._facet_codes)
         if facets:
@@ -744,6 +817,7 @@ class SearchService:
         terms: list[str] | None = None,
         prefix_expansions: dict[str, list[str]] | None = None,
         ast_override=None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Exact BM25 top-k restricted to a pre-filtered matched docID set:
         probe each scoring term over the set, accumulate in sorted order
@@ -789,6 +863,11 @@ class SearchService:
                 1.0 - p.b + p.b * (dlv.astype(np.float64) / avgdl)
             )
             scores[hit] = scores[hit] + idf * (tf / (tf + norm))
+        if after is not None:
+            keep = _after_mask(matched, scores, after)
+            matched, scores = matched[keep], scores[keep]
+            if matched.size == 0:
+                return []
         if matched.size > 4 * k:
             kth = np.partition(-scores, k - 1)[k - 1]
             sel = np.flatnonzero(-scores <= kth)
@@ -921,6 +1000,25 @@ class ShardedSearchService:
                 acc[(p, c)] = acc.get((p, c), 0) + n
         return assemble_facet_tree([(p, c, n) for (p, c), n in acc.items()])
 
+    def date_histogram(
+        self,
+        matched_per_shard: list[np.ndarray],
+        field: str = "ts",
+        interval: str = "month",
+    ) -> list[tuple[str, int]]:
+        """Date histogram across shards: each shard bincounts its own
+        matched set over its local period codes (one RPC-sized
+        (label, count) vector per shard), the coordinator adds dicts —
+        exact, shards are doc-disjoint. Labels merge ASC."""
+        acc: dict[str, int] = {}
+        for pairs in self.sharded._fanout_heavy(
+            lambda im: im[1].date_histogram(im[0], field, interval),
+            list(zip(matched_per_shard, self.services)),
+        ):
+            for label, n in pairs:
+                acc[label] = acc.get(label, 0) + n
+        return sorted(acc.items())
+
     def search(
         self,
         query_text: str,
@@ -934,6 +1032,7 @@ class ShardedSearchService:
         fragment_mode: str = "term",
         offset: int = 0,
         budget_ms: float | None = None,
+        search_after: tuple[float, int] | None = None,
     ) -> SearchResponse:
         """`offset` pages exactly like SearchService.search: every shard
         ranks to depth k+offset (a shard may own the whole page), the
@@ -945,6 +1044,8 @@ class ShardedSearchService:
         shard service's deadline."""
         if offset < 0:
             raise ValueError(f"offset must be ≥ 0, got {offset}")
+        if search_after is not None and offset:
+            raise ValueError("offset and search_after are mutually exclusive")
         k = k + offset  # rank depth; sliced back to the page below
         if highlight_fragments is not None:
             highlight = True
@@ -1032,25 +1133,34 @@ class ShardedSearchService:
                 )
             _, idfs = self.sharded._global_idfs(score_terms)
 
-            def _filter_and_rank(svc: SearchService):
+            def _filter_and_rank(arg: tuple[SearchService, int]):
+                svc, off = arg
                 with svc.searcher.deadline(budget_ms):
-                    return _filter_and_rank_inner(svc)
+                    return _filter_and_rank_inner(svc, off)
 
-            def _filter_and_rank_inner(svc: SearchService):
+            def _filter_and_rank_inner(svc: SearchService, off: int):
                 m2 = svc._filtered_matched(
                     query_text, mode, filter,
                     terms=qterms, prefix_expansions=expansions,
                     ast_override=qast,
                 )
+                # global cursor → this shard's local id space (scores are
+                # globally comparable under the injected stats)
+                loc_after = (
+                    (search_after[0], int(search_after[1]) - off)
+                    if search_after is not None
+                    else None
+                )
                 return (m2, svc._rank_matched(
                     query_text, mode, m2, k,
                     idfs=idfs, avgdl=self.sharded.avgdl,
                     terms=qterms, prefix_expansions=expansions,
-                    ast_override=qast,
+                    ast_override=qast, after=loc_after,
                 ))
 
             per_shard = self.sharded._fanout_heavy(
-                _filter_and_rank, self.services
+                _filter_and_rank,
+                list(zip(self.services, (int(o) for o in self.offsets))),
             )
             merged: list[tuple[int, float]] = []
             for off, (_m, hits) in zip(self.offsets, per_shard):
@@ -1062,16 +1172,17 @@ class ShardedSearchService:
             if mode == "bool":
                 results = self.sharded.topk_bool(
                     query_text, k, expansions=expansions, ast_override=qast,
-                    budget_ms=budget_ms,
+                    budget_ms=budget_ms, after=search_after,
                 )
             elif qterms is not None:
                 results = self.sharded.topk(
                     query_text, k, mode=mode, terms=qterms,
-                    budget_ms=budget_ms,
+                    budget_ms=budget_ms, after=search_after,
                 )
             else:
                 results = self.sharded.topk(
-                    query_text, k, mode=mode, budget_ms=budget_ms
+                    query_text, k, mode=mode, budget_ms=budget_ms,
+                    after=search_after,
                 )
             matched_sets = None
         if offset:
@@ -1111,6 +1222,8 @@ class ShardedSearchService:
         resp = SearchResponse(
             results=results, total_matched=total, rewrites=rewrites
         )
+        if results:
+            resp.next_after = (results[-1][1], results[-1][0])
         if facets:
             resp.facets = {
                 name: sorted(acc.get(name, {}).items()) for name in facets
@@ -1290,6 +1403,7 @@ class MergedSearchService:
         self._facet_codes: dict[str, np.ndarray] = {}
         self._facet_cats: dict[str, list[str]] = {}
         self._collapse_cache: dict[str, tuple[np.ndarray, list[str]]] = {}
+        self._hist_cache: dict[tuple[str, str], tuple[np.ndarray, list[str]]] = {}
         self._ctx_index = None
         if facet_defs:
             cols: set[str] = {
@@ -1442,6 +1556,32 @@ class MergedSearchService:
                 if counts[i] > 0
             ]
         return out
+
+    def date_histogram(
+        self, matched: np.ndarray, field: str = "ts", interval: str = "month"
+    ) -> list[tuple[str, int]]:
+        """Date histogram over the ALIVE matched set of the live view —
+        period codes factorize once over base + delta docmaps (sized to
+        the id space; tombstoned slots never appear in matched sets, so
+        dead docs never count). Same contract as SearchService."""
+        codes, cats = self._hist_codes(field, interval)
+        counts = np.bincount(codes[matched], minlength=len(cats))
+        return [
+            (cats[i], int(counts[i]))
+            for i in range(len(cats))
+            if counts[i] > 0
+        ]
+
+    def _hist_codes(
+        self, field: str, interval: str
+    ) -> tuple[np.ndarray, list[str]]:
+        key = (field, interval)
+        hit = self._hist_cache.get(key)
+        if hit is None:
+            pdf = self._docs_pdf([field])
+            hit = _histogram_arrays(pdf, field, interval, self.n_docs)
+            self._hist_cache[key] = hit
+        return hit
 
     def _highlight_terms(
         self,
@@ -1675,6 +1815,7 @@ class MergedSearchService:
         idfs: dict[str, float] | None = None,
         avgdl: float | None = None,
         prefix_expansions: dict[str, list[str]] | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Exact BM25 over a pre-filtered matched set, combined base+delta
         stats, sorted-term accumulation — the drill-down ranking contract
@@ -1717,6 +1858,11 @@ class MergedSearchService:
                 1.0 - p.b + p.b * (dl[sel].astype(np.float64) / avgdl)
             )
             scores[mask] = scores[mask] + idf * (tfv / (tfv + norm))
+        if after is not None:
+            keep = _after_mask(matched, scores, after)
+            matched, scores = matched[keep], scores[keep]
+            if matched.size == 0:
+                return []
         if matched.size > 4 * k:
             kth = np.partition(-scores, k - 1)[k - 1]
             sel2 = np.flatnonzero(-scores <= kth)
@@ -1764,6 +1910,7 @@ class MergedSearchService:
         fragment_mode: str = "term",
         offset: int = 0,
         budget_ms: float | None = None,
+        search_after: tuple[float, int] | None = None,
     ) -> SearchResponse:
         """`offset` pages exactly like SearchService.search — rank the
         merged base+delta view to depth k+offset, slice out the page.
@@ -1776,9 +1923,12 @@ class MergedSearchService:
                     highlight=highlight, filter=filter,
                     highlight_fragments=highlight_fragments, fuzzy=fuzzy,
                     fragment_mode=fragment_mode, offset=offset,
+                    search_after=search_after,
                 )
         if offset < 0:
             raise ValueError(f"offset must be ≥ 0, got {offset}")
+        if search_after is not None and offset:
+            raise ValueError("offset and search_after are mutually exclusive")
         k = k + offset  # rank depth; sliced back to the page below
         if highlight_fragments is not None:
             highlight = True
@@ -1828,7 +1978,8 @@ class MergedSearchService:
                 query_text, mode, filter, terms=qterms, ast_override=qast
             )
             results = self._rank_matched(
-                query_text, mode, matched, k, terms=qterms, ast_override=qast
+                query_text, mode, matched, k, terms=qterms,
+                ast_override=qast, after=search_after,
             )
         else:
             matched = self.matched_docs(
@@ -1844,30 +1995,40 @@ class MergedSearchService:
             if qterms is not None:
                 node = _flat_ast(qterms, "or" if mode == "or" else "and")
                 results = (
-                    self.searcher.topk_bool(query_text, k, ast_override=node)
+                    self.searcher.topk_bool(
+                        query_text, k, ast_override=node, after=search_after
+                    )
                     if node is not None
                     else []
                 )
             elif qast is not None:
-                results = self.searcher.topk_bool(query_text, k, ast_override=qast)
+                results = self.searcher.topk_bool(
+                    query_text, k, ast_override=qast, after=search_after
+                )
             elif mode == "bool":
-                results = self.searcher.topk_bool(query_text, k)
+                results = self.searcher.topk_bool(
+                    query_text, k, after=search_after
+                )
             elif mode == "or":
                 node = _flat_ast(
                     sorted(set(self._an.analyze_query(query_text))), "or"
                 )
                 results = (
-                    self.searcher.topk_bool(query_text, k, ast_override=node)
+                    self.searcher.topk_bool(
+                        query_text, k, ast_override=node, after=search_after
+                    )
                     if node is not None
                     else []
                 )
             else:
-                results = self.searcher.topk(query_text, k)
+                results = self.searcher.topk(query_text, k, after=search_after)
         if offset:
             results = results[offset:]
         resp = SearchResponse(
             results=results, total_matched=int(matched.size), rewrites=rewrites
         )
+        if results:
+            resp.next_after = (results[-1][1], results[-1][0])
         if facets is None and self._facet_codes:
             facets = sorted(self._facet_codes)
         if facets:

@@ -219,6 +219,32 @@ class ShardedSearcher:
         }
         return per_shard_dfs, idfs
 
+    def _per_shard_kws(
+        self,
+        kw: dict,
+        after: tuple[float, int] | None,
+        flags: list[bool],
+    ) -> list[dict | None]:
+        """Per-shard kwargs for a cursor-paged fan-out: a global
+        search_after cursor (score, GLOBAL doc_id) translates to each
+        shard's LOCAL id space as (score, cursor_doc - shard_offset) —
+        local_doc > cursor_doc - offset ⟺ global_doc > cursor_doc, and
+        scores are globally comparable (injected global stats), so each
+        shard returns its exact k-after-cursor and the merge is the usual
+        concatenate-sort-cut. This is WHY search_after beats OFFSET at
+        scale: every shard ships k rows per page instead of offset+k."""
+        out: list[dict | None] = []
+        for off, ok in zip(self.offsets, flags):
+            if not ok:
+                out.append(None)
+            elif after is None:
+                out.append(kw)
+            else:
+                kwi = dict(kw)
+                kwi["after"] = (after[0], int(after[1]) - int(off))
+                out.append(kwi)
+        return out
+
     def _merge(self, per_shard: list[list[tuple[int, float]] | None], k: int):
         merged: list[tuple[int, float]] = []
         for offset, hits in zip(self.offsets, per_shard):
@@ -234,6 +260,7 @@ class ShardedSearcher:
         mode: str = "and",
         terms: list[str] | None = None,
         budget_ms: float | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Exact BM25 top-k across all shards, global docIDs, ordered
         (score DESC, global doc_id ASC) — bit-identical to a single
@@ -254,14 +281,19 @@ class ShardedSearcher:
             kw["_budget_ms"] = budget_ms
         if mode == "or":
             hits = self._call_shards(
-                "_topk_or", [kw if r else None for r in per_shard_dfs]
+                "_topk_or",
+                self._per_shard_kws(
+                    kw, after, [bool(r) for r in per_shard_dfs]
+                ),
             )
             return self._merge(hits, k)
         if len(idfs) != len(terms):
             return []  # conjunctive: term absent from the whole corpus
         hits = self._call_shards(
             "_topk_and",
-            [kw if len(r) == len(terms) else None for r in per_shard_dfs],
+            self._per_shard_kws(
+                kw, after, [len(r) == len(terms) for r in per_shard_dfs]
+            ),
         )
         return self._merge(hits, k)
 
@@ -415,6 +447,7 @@ class ShardedSearcher:
         expansions: dict[str, list[str]] | None = None,
         ast_override=None,
         budget_ms: float | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Boolean AND/OR/NOT top-k across shards. Doc-disjoint sharding
         makes the predicate exactly shard-local (every term occurrence of a
@@ -463,7 +496,10 @@ class ShardedSearcher:
         }
         if budget_ms is not None:
             kw["_budget_ms"] = budget_ms
-        hits = self._call_shards("topk_bool", [kw] * len(self.shards))
+        hits = self._call_shards(
+            "topk_bool",
+            self._per_shard_kws(kw, after, [True] * len(self.shards)),
+        )
         return self._merge(hits, k)
 
     def topk_within(
@@ -510,6 +546,7 @@ class ShardedSearcher:
         k: int,
         synonyms: dict[str, list[str]],
         budget_ms: float | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Synonym-aware conjunctive BM25 across shards (SynonymQuery
         semantics; see LocalSearcher.topk_synonym). Group statistics are
@@ -553,11 +590,13 @@ class ShardedSearcher:
         if budget_ms is not None:
             kw["_budget_ms"] = budget_ms
         # a shard participates only if EVERY group has ≥1 member there
-        kws = []
-        for r in per_shard_dfs:
-            ok = all(any(r.get(x, 0) > 0 for x in ms) for _, ms in groups)
-            kws.append(kw if ok else None)
-        hits = self._call_shards("_topk_synonym_groups", kws)
+        flags = [
+            all(any(r.get(x, 0) > 0 for x in ms) for _, ms in groups)
+            for r in per_shard_dfs
+        ]
+        hits = self._call_shards(
+            "_topk_synonym_groups", self._per_shard_kws(kw, after, flags)
+        )
         return self._merge(hits, k)
 
     def suggest_terms(

@@ -46,7 +46,11 @@ from discogsography_spark.index.builder import (
 )
 from discogsography_spark.index.manifest import Manifest, _atomic_write_json
 from discogsography_spark.params import BLOCK_SIZE, BM25Params
-from discogsography_spark.query.engine import IndexMeta, LocalSearcher
+from discogsography_spark.query.engine import (
+    IndexMeta,
+    LocalSearcher,
+    _after_mask,
+)
 
 
 def _deltas_root(index_dir: str) -> str:
@@ -525,6 +529,7 @@ def _exact_and_scores(
     p,
     avgdl: float,
     k: int,
+    after: tuple[float, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Exact conjunctive BM25 over per-term (docs, tf, dl) arrays:
     rarest-list-driven intersection, fixed summation order over `terms` —
@@ -550,6 +555,9 @@ def _exact_and_scores(
     for t in terms:  # fixed order — oracle-identical summation
         tf = tf_by_term[t].astype(np.float64)
         score = score + idfs[t] * (tf / (tf + norm))
+    if after is not None:
+        keep = _after_mask(cand, score, after)
+        cand, score = cand[keep], score[keep]
     order = np.lexsort((cand, -score))[:k]
     return [(int(cand[i]), float(score[i])) for i in order]
 
@@ -561,6 +569,7 @@ def _exact_or_scores(
     p,
     avgdl: float,
     k: int,
+    after: tuple[float, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Exact disjunctive BM25 over per-term (docs, tf, dl) arrays: union
     candidates, sorted-term probe/accumulate (absent term contributes
@@ -584,6 +593,9 @@ def _exact_or_scores(
             1.0 - p.b + p.b * (dl[sel].astype(np.float64) / avgdl)
         )
         scores[mask] = scores[mask] + idfs[t] * (tfv / (tfv + norm))
+    if after is not None:
+        keep = _after_mask(cand, scores, after)
+        cand, scores = cand[keep], scores[keep]
     order = np.lexsort((cand, -scores))[:k]
     return [(int(cand[i]), float(scores[i])) for i in order]
 
@@ -908,6 +920,7 @@ class MergedSearcher:
         idfs: dict[str, float],
         avgdl: float,
         searcher=None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Pruned base-leg top-k that survives tombstones: oversample the
         immutable base index's exact pruned ranking (its top-m is the true
@@ -919,7 +932,7 @@ class MergedSearcher:
         disjointness makes the same argument hold per leg)."""
         fn = getattr(searcher if searcher is not None else self.base, method)
         return self._leg_alive_call(
-            lambda kk: fn(terms, kk, idfs=idfs, avgdl=avgdl), k
+            lambda kk: fn(terms, kk, idfs=idfs, avgdl=avgdl, after=after), k
         )
 
     def _leg_alive_call(self, fn, k: int) -> list[tuple[int, float]]:
@@ -1064,7 +1077,11 @@ class MergedSearcher:
         }
 
     def topk(
-        self, query_text: str, k: int, budget_ms: float | None = None
+        self,
+        query_text: str,
+        k: int,
+        budget_ms: float | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Exact BM25 conjunctive top-k over the live base+delta view.
 
@@ -1081,13 +1098,13 @@ class MergedSearcher:
         equality is regression-tested across head/tail/delta-only terms."""
         if budget_ms is not None:
             with self.deadline(budget_ms):
-                return self.topk(query_text, k)
+                return self.topk(query_text, k, after=after)
         from discogsography_spark.analysis import get_analyzer
 
         terms = get_analyzer(self.base.meta.analyzer).analyze_query(query_text)
         if not terms or k <= 0:
             return []
-        return self._topk_and(terms, k)
+        return self._topk_and(terms, k, after=after)
 
     def _topk_and(
         self,
@@ -1095,17 +1112,23 @@ class MergedSearcher:
         k: int,
         idfs: dict[str, float] | None = None,
         avgdl: float | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Conjunctive evaluator with optional injected GLOBAL stats — the
         method a live sharded coordinator fans out to (the LocalSearcher
-        `_topk_and` contract on the merged view). Local stats when None."""
+        `_topk_and` contract on the merged view). Local stats when None.
+        `after` = search_after cursor, threaded into every leg (merged ids
+        are absolute across base/promoted/delta legs, so the cursor needs
+        no translation)."""
         if self._dead.size:
             # tombstone fast path: the base leg's pruned ranking is exact
             # (dead included), so oversample-filter-retry keeps the
             # champion/block-max machinery; alive stats come from
             # O(|dead| log n) searchsorted counts, never full-list masks.
             # _exact_and stays the reference; equality is tested.
-            return self._tomb_fast_and(terms, k, idfs=idfs, avgdl=avgdl)
+            return self._tomb_fast_and(
+                terms, k, idfs=idfs, avgdl=avgdl, after=after
+            )
         uniq = sorted(set(terms))
         base_rows = self.base.lookup_terms(uniq)
         dlists = self._delta_lists(uniq, small_only=True)
@@ -1138,15 +1161,21 @@ class MergedSearcher:
         hits: list[tuple[int, float]] = []
         if len(base_rows) == len(uniq):  # base can host a full AND match
             hits.extend(
-                self.base._topk_and(terms, k, idfs=idfs, avgdl=avgdl)
+                self.base._topk_and(
+                    terms, k, idfs=idfs, avgdl=avgdl, after=after
+                )
             )
         for ls, lr in leg_rows:  # each promoted leg prunes like a base
             if len(lr) == len(uniq):
-                hits.extend(ls._topk_and(terms, k, idfs=idfs, avgdl=avgdl))
+                hits.extend(
+                    ls._topk_and(
+                        terms, k, idfs=idfs, avgdl=avgdl, after=after
+                    )
+                )
         if all(dlists[t] is not None for t in uniq):  # so can the deltas
             lists = {t: dlists[t] for t in uniq}
             hits.extend(
-                _exact_and_scores(terms, lists, idfs, p, avgdl, k)
+                _exact_and_scores(terms, lists, idfs, p, avgdl, k, after=after)
             )
         hits.sort(key=lambda h: (-h[1], h[0]))
         return hits[:k]
@@ -1157,6 +1186,7 @@ class MergedSearcher:
         k: int,
         idfs: dict[str, float] | None = None,
         avgdl: float | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Disjunctive evaluator with optional injected GLOBAL stats (the
         sharded live coordinator's OR fan-out). Two pruned legs —
@@ -1189,7 +1219,8 @@ class MergedSearcher:
             if base_present:
                 hits.extend(
                     self._base_leg_alive(
-                        "_topk_or", base_present, k, idfs, avgdl
+                        "_topk_or", base_present, k, idfs, avgdl,
+                        after=after,
                     )
                 )
             for ls, lr in leg_rows:  # promoted legs prune + oversample
@@ -1198,11 +1229,13 @@ class MergedSearcher:
                     hits.extend(
                         self._base_leg_alive(
                             "_topk_or", leg_present, k, idfs, avgdl,
-                            searcher=ls,
+                            searcher=ls, after=after,
                         )
                     )
             if any(adl[t] is not None for t in uniq):
-                hits.extend(_exact_or_scores(uniq, adl, idfs, p, avgdl, k))
+                hits.extend(
+                    _exact_or_scores(uniq, adl, idfs, p, avgdl, k, after=after)
+                )
             hits.sort(key=lambda h: (-h[1], h[0]))
             return hits[:k]
         base_rows = self.base.lookup_terms(uniq)
@@ -1230,6 +1263,7 @@ class MergedSearcher:
                     k,
                     idfs=idfs,
                     avgdl=avgdl,
+                    after=after,
                 )
             )
         for ls, lr in leg_rows:  # each promoted leg prunes like a base
@@ -1237,15 +1271,22 @@ class MergedSearcher:
                 hits.extend(
                     ls._topk_or(
                         [t for t in uniq if t in lr], k,
-                        idfs=idfs, avgdl=avgdl,
+                        idfs=idfs, avgdl=avgdl, after=after,
                     )
                 )
         if any(dlists[t] is not None for t in uniq):
-            hits.extend(_exact_or_scores(uniq, dlists, idfs, p, avgdl, k))
+            hits.extend(
+                _exact_or_scores(uniq, dlists, idfs, p, avgdl, k, after=after)
+            )
         hits.sort(key=lambda h: (-h[1], h[0]))
         return hits[:k]
 
-    def topk_exact(self, query_text: str, k: int) -> list[tuple[int, float]]:
+    def topk_exact(
+        self,
+        query_text: str,
+        k: int,
+        after: tuple[float, int] | None = None,
+    ) -> list[tuple[int, float]]:
         """Reference implementation: single exact pass over the merged
         base+delta lists (no pruning). topk() must match this bit-for-bit;
         tests assert it."""
@@ -1254,7 +1295,7 @@ class MergedSearcher:
         terms = get_analyzer(self.base.meta.analyzer).analyze_query(query_text)
         if not terms or k <= 0:
             return []
-        return self._exact_and(terms, k)
+        return self._exact_and(terms, k, after=after)
 
     def _tomb_fast_and(
         self,
@@ -1262,6 +1303,7 @@ class MergedSearcher:
         k: int,
         idfs: dict[str, float] | None = None,
         avgdl: float | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Conjunctive fast path UNDER tombstones: alive stats from
         searchsorted dead-counts, pruned base leg via oversample-filter-
@@ -1285,18 +1327,23 @@ class MergedSearcher:
         hits: list[tuple[int, float]] = []
         if len(base_rows) == len(uniq):  # base can host a full AND match
             hits.extend(
-                self._base_leg_alive("_topk_and", terms, k, idfs, avgdl)
+                self._base_leg_alive(
+                    "_topk_and", terms, k, idfs, avgdl, after=after
+                )
             )
         for ls, lr in leg_rows:  # promoted legs prune + oversample alike
             if len(lr) == len(uniq):
                 hits.extend(
                     self._base_leg_alive(
-                        "_topk_and", terms, k, idfs, avgdl, searcher=ls
+                        "_topk_and", terms, k, idfs, avgdl, searcher=ls,
+                        after=after,
                     )
                 )
         if all(adl[t] is not None for t in uniq):  # so can the deltas
             lists = {t: adl[t] for t in uniq}
-            hits.extend(_exact_and_scores(terms, lists, idfs, p, avgdl, k))
+            hits.extend(
+                _exact_and_scores(terms, lists, idfs, p, avgdl, k, after=after)
+            )
         hits.sort(key=lambda h: (-h[1], h[0]))
         return hits[:k]
 
@@ -1306,6 +1353,7 @@ class MergedSearcher:
         k: int,
         idfs: dict[str, float] | None = None,
         avgdl: float | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         merged_all = self._merged_rows(sorted(set(terms)))
         merged: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
@@ -1321,7 +1369,7 @@ class MergedSearcher:
             idfs = {
                 t: p.idf(self.n_docs, int(merged[t][0].size)) for t in merged
             }
-        return _exact_and_scores(terms, merged, idfs, p, avgdl, k)
+        return _exact_and_scores(terms, merged, idfs, p, avgdl, k, after=after)
 
     def topk_synonym(
         self,
@@ -1329,6 +1377,7 @@ class MergedSearcher:
         k: int,
         synonyms: dict[str, list[str]],
         budget_ms: float | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Synonym-aware conjunctive BM25 over the live base+delta view
         (SynonymQuery semantics — see LocalSearcher.topk_synonym). Group
@@ -1339,7 +1388,7 @@ class MergedSearcher:
         alive-relation gather is the cost the exact tier already pays."""
         if budget_ms is not None:
             with self.deadline(budget_ms):
-                return self.topk_synonym(query_text, k, synonyms)
+                return self.topk_synonym(query_text, k, synonyms, after=after)
         if k <= 0:
             return []
         from discogsography_spark.analysis import get_analyzer
@@ -1357,7 +1406,7 @@ class MergedSearcher:
                 mem.update(an.analyze_query(s))
             groups.append((t, sorted(mem)))
         groups.sort(key=lambda g: g[0])
-        return self._topk_synonym_groups(groups, k)
+        return self._topk_synonym_groups(groups, k, after=after)
 
     def _topk_synonym_groups(
         self,
@@ -1365,6 +1414,7 @@ class MergedSearcher:
         k: int,
         idfs: dict[str, float] | None = None,
         avgdl: float | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Core synonym-group evaluator over alive merged relations —
         same injection contract as LocalSearcher._topk_synonym_groups
@@ -1416,6 +1466,9 @@ class MergedSearcher:
                 norm = p.k1 * (1.0 - p.b + p.b * (dlv / avgdl))
             tf = gtf[pos]
             scores = scores + idf * (tf / (tf + norm))
+        if after is not None:
+            keep = _after_mask(cand, scores, after)
+            cand, scores = cand[keep], scores[keep]
         top = np.lexsort((cand, -scores))[:k]
         return [(int(cand[i]), float(scores[i])) for i in top]
 
@@ -1524,6 +1577,7 @@ class MergedSearcher:
         avgdl: float | None = None,
         prefix_expansions: dict[str, list[str]] | None = None,
         budget_ms: float | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Boolean AND/OR/NOT BM25 over the live base+delta view — the same
         grammar/scoring contract as LocalSearcher.topk_bool (boolquery.py),
@@ -1538,6 +1592,7 @@ class MergedSearcher:
                 return self.topk_bool(
                     query_text, k, ast_override=ast_override, idfs=idfs,
                     avgdl=avgdl, prefix_expansions=prefix_expansions,
+                    after=after,
                 )
         from discogsography_spark.analysis import get_analyzer
         from discogsography_spark.query.boolquery import (
@@ -1582,7 +1637,9 @@ class MergedSearcher:
                 raise BoolQueryError(
                     "prefix expansion produced a match-all query"
                 )
-        return self._topk_bool_pruned(ast, k, idfs=idfs, avgdl=avgdl)
+        return self._topk_bool_pruned(
+            ast, k, idfs=idfs, avgdl=avgdl, after=after
+        )
 
     def _topk_bool_pruned(
         self,
@@ -1590,6 +1647,7 @@ class MergedSearcher:
         k: int,
         idfs: dict[str, float] | None = None,
         avgdl: float | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Pruned boolean evaluation over the live view — union of
         per-leg evaluations instead of full-corpus set algebra. Every doc
@@ -1642,9 +1700,9 @@ class MergedSearcher:
         # delegate to their pruned evaluators (promoted legs + tombstone
         # fast paths included)
         if not with_pos and not neg_terms and _flat("and"):
-            return self._topk_and(terms, k, idfs=idfs, avgdl=avgdl)
+            return self._topk_and(terms, k, idfs=idfs, avgdl=avgdl, after=after)
         if not with_pos and not neg_terms and _flat("or"):
-            return self._topk_or(terms, k, idfs=idfs, avgdl=avgdl)
+            return self._topk_or(terms, k, idfs=idfs, avgdl=avgdl, after=after)
 
         p = self.params
         if avgdl is None:
@@ -1666,12 +1724,15 @@ class MergedSearcher:
                         idfs=idfs,
                         avgdl=avgdl,
                         ast_override=ast,
+                        after=after,
                     ),
                     k,
                 )
             )
         hits.extend(
-            self._bool_small_tail(ast, pos_terms, terms, adl, idfs, avgdl, k)
+            self._bool_small_tail(
+                ast, pos_terms, terms, adl, idfs, avgdl, k, after=after
+            )
         )
         hits.sort(key=lambda h: (-h[1], h[0]))
         return hits[:k]
@@ -1685,6 +1746,7 @@ class MergedSearcher:
         idfs: dict[str, float],
         avgdl: float,
         k: int,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Exact boolean set algebra + BM25 over the UNPROMOTED delta
         tail only (alive-masked lists from _alive_term_stats) — the small
@@ -1720,6 +1782,9 @@ class MergedSearcher:
                 1.0 - p.b + p.b * (dl[sel].astype(np.float64) / avgdl)
             )
             scores[mask] = scores[mask] + idfs[t] * (tfv / (tfv + norm))
+        if after is not None:
+            keep = _after_mask(cand, scores, after)
+            cand, scores = cand[keep], scores[keep]
         order = np.lexsort((cand, -scores))[:k]
         return [(int(cand[i]), float(scores[i])) for i in order]
 
@@ -1729,6 +1794,7 @@ class MergedSearcher:
         k: int,
         idfs: dict[str, float] | None = None,
         avgdl: float | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Reference boolean implementation: exact set algebra over the
         FULL merged alive relations (the pre-r6 topk_bool body).
@@ -1772,6 +1838,9 @@ class MergedSearcher:
                 1.0 - p.b + p.b * (dl[sel].astype(np.float64) / avgdl)
             )
             scores[mask] = scores[mask] + idf * (tfv / (tfv + norm))
+        if after is not None:
+            keep = _after_mask(cand, scores, after)
+            cand, scores = cand[keep], scores[keep]
         order = np.lexsort((cand, -scores))[:k]
         return [(int(cand[i]), float(scores[i])) for i in order]
 
