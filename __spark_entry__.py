@@ -2408,6 +2408,27 @@ array_sort(
 
     q["fts_synonym_topk"] = fts_synonym_topk
 
+    def fts_synonym_drilldown(spark, sf_dir):
+        # Faceted drill-down on a synonym query (the served
+        # SearchService._search_synonym `filter=` contract): group
+        # statistics stay GLOBAL — scores identical to the unfiltered
+        # ranking — and only the candidate set narrows to lang='en'
+        # (broadcast semi-join before the top-k).
+        from discogsography_spark.query.dataframe_bm25 import (
+            bm25_synonym_topk_dataframe,
+        )
+
+        docs = _read(spark, sf_dir, "documents")
+        return bm25_synonym_topk_dataframe(
+            docs,
+            "table filter",
+            synonyms={"table": ["row"], "filter": ["scan", "query"]},
+            k=20,
+            restrict=docs.filter(F.col("lang") == "en").select("doc_id"),
+        )
+
+    q["fts_synonym_drilldown"] = fts_synonym_drilldown
+
     return q
 
 
@@ -4369,6 +4390,50 @@ scored AS (
 )
 SELECT doc_id, round(raw, 5) AS score FROM scored WHERE nt = 2
 ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+    o["fts_synonym_drilldown"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT count(*) FROM toks)::DOUBLE AS total_tokens
+),
+syn AS (
+  SELECT * FROM (VALUES
+    ('row', 'table'), ('table', 'table'),
+    ('filter', 'filter'), ('query', 'filter'), ('scan', 'filter')
+  ) AS v(member, leader)
+),
+mt AS (
+  SELECT t.doc_id, s.leader, t.term AS member
+  FROM toks t JOIN syn s ON t.term = s.member
+),
+gtf AS (
+  SELECT doc_id, leader, count(*)::DOUBLE AS tf FROM mt GROUP BY 1, 2
+),
+mdf AS (
+  SELECT member, count(DISTINCT doc_id)::DOUBLE AS df FROM mt GROUP BY 1
+),
+gdf AS (
+  SELECT s.leader, MAX(m.df) AS df
+  FROM mdf m JOIN syn s ON m.member = s.member GROUP BY 1
+),
+scored AS (
+  SELECT g.doc_id, count(*) AS nt,
+         sum( ln(1.0 + (s.n_docs - gd.df + 0.5) / (gd.df + 0.5))
+              * (g.tf / (g.tf + 1.2 * (0.25 + 0.75
+                  * (dl.dl / (s.total_tokens / s.n_docs))))) ) AS raw
+  FROM gtf g JOIN gdf gd USING (leader) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY g.doc_id
+)
+SELECT s.doc_id, round(s.raw, 5) AS score
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+WHERE s.nt = 2 AND d.lang = 'en'
+ORDER BY score DESC, s.doc_id ASC LIMIT 20
 """
 
     return o

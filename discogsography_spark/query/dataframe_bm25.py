@@ -1281,6 +1281,7 @@ def bm25_synonym_topk_dataframe(
     text_col: str = "text",
     params: BM25Params | None = None,
     round_dp: int = 5,
+    restrict: DataFrame | None = None,
 ) -> DataFrame:
     """Synonym-aware conjunctive BM25 — the declarative mirror of
     LocalSearcher.topk_synonym (Lucene SynonymQuery semantics: per query
@@ -1292,6 +1293,12 @@ def bm25_synonym_topk_dataframe(
     contributes to both (exactly like the index evaluator's independent
     group gathers). One token-explode scan feeds both the group tf and the
     member df aggregates; everything else is the standard BM25 plan.
+
+    `restrict` (a one-column `id_col` DataFrame) is the drill-down
+    contract of the served path (SearchService._search_synonym with
+    `filter=`): group statistics stay GLOBAL — scores are unchanged —
+    and only the ranked candidate set is narrowed, via a broadcast
+    semi-join before the top-k.
     """
     p = params or BM25Params()
     base = analyze_query(query_text)
@@ -1374,7 +1381,9 @@ def bm25_synonym_topk_dataframe(
             F.col("_id").alias(id_col),
             F.round("raw_score", round_dp).alias("score"),
         )
-        .orderBy(F.desc("score"), F.asc(id_col))
-        .limit(k)
     )
-    return scored
+    if restrict is not None:
+        scored = scored.join(
+            F.broadcast(restrict.select(id_col).distinct()), id_col, "semi"
+        )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

@@ -1171,6 +1171,7 @@ class LocalSearcher:
         idfs: dict[str, float] | None = None,
         avgdl: float | None = None,
         after: tuple[float, int] | None = None,
+        restrict: np.ndarray | None = None,
     ) -> list[tuple[int, float]]:
         """Core synonym-group evaluator. `groups` = sorted
         [(leader, sorted members)]. `idfs` (keyed by leader) / `avgdl`
@@ -1210,10 +1211,16 @@ class LocalSearcher:
             gtf = np.add.reduceat(tf, start)
             merged.append((idf, uniq, gtf, dl[start]))
         cand = merged[0][1]
+        if restrict is not None:
+            # drill-down: scores depend only on per-doc group tf/dl, so
+            # the restricted ranking's scores equal the global ranking's
+            cand = np.intersect1d(cand, restrict, assume_unique=True)
         for _idf, d, _gtf, _gdl in merged[1:]:
             cand = np.intersect1d(cand, d, assume_unique=True)
             if cand.size == 0:
                 return []
+        if cand.size == 0:
+            return []
         norm: np.ndarray | None = None
         scores = np.zeros(cand.size, dtype=np.float64)
         for idf, d, gtf, gdl in merged:  # sorted-leader summation order

@@ -302,6 +302,68 @@ def assemble_facet_tree(
     out.sort(key=lambda row: (-row["count"], row["name"]))
     return out
 
+def _synonym_groups(
+    an, query_text: str, synonyms: dict[str, list[str]]
+) -> list[tuple[str, list[str]]]:
+    """Sorted (leader, sorted members) synonym groups — the same
+    derivation LocalSearcher.topk_synonym / ShardedSearcher.topk_synonym
+    apply (leader = analyzed query term; members = leader + analyzed
+    synonym tokens), shared by the served synonym branch."""
+    base = an.analyze_query(query_text)
+    seen: set[str] = set()
+    terms = [t for t in base if not (t in seen or seen.add(t))]
+    groups: list[tuple[str, list[str]]] = []
+    for t in terms:
+        mem = {t}
+        for s_ in synonyms.get(t, ()):
+            mem.update(an.analyze_query(s_))
+        groups.append((t, sorted(mem)))
+    groups.sort(key=lambda g: g[0])
+    return groups
+
+
+def _facet_filter_keep(
+    facet_codes: dict[str, np.ndarray],
+    facet_cats: dict[str, list[str]],
+    matched: np.ndarray,
+    filter: dict[str, str],
+) -> np.ndarray:
+    """Faceted drill-down intersection through the dense code arrays —
+    O(|matched|) per filter field, zero index I/O (shared by the three
+    services' filtered branches)."""
+    keep = np.ones(matched.size, dtype=bool)
+    for fname, fval in filter.items():
+        codes = facet_codes.get(fname)
+        if codes is None:
+            raise ValueError(f"unknown facet field {fname!r}")
+        cats = facet_cats[fname]
+        try:
+            code = cats.index(str(fval))
+        except ValueError:
+            keep[:] = False
+            break
+        keep &= codes[matched] == code
+    return matched[keep]
+
+
+def _group_union_intersection(groups, rel_of) -> np.ndarray:
+    """Matched set of a synonym query: docs where EVERY group has ≥1
+    member present — intersection over groups of the union of member
+    posting docID arrays. `rel_of(term) -> sorted docID array | None`."""
+    cand: np.ndarray | None = None
+    for _leader, ms in groups:
+        arrs = [a for a in (rel_of(x) for x in ms) if a is not None]
+        if not arrs:
+            return np.empty(0, dtype=np.int64)
+        u = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+        cand = (
+            u if cand is None else np.intersect1d(cand, u, assume_unique=True)
+        )
+        if cand.size == 0:
+            break
+    return cand.astype(np.int64, copy=False)
+
+
 class SearchService:
     """One-stop search response over a LocalSearcher index.
 
@@ -440,6 +502,19 @@ class SearchService:
             if cand.size == 0:
                 break
         return cand
+
+    def matched_docs_synonym(
+        self, groups: list[tuple[str, list[str]]]
+    ) -> np.ndarray:
+        """Matched set of a synonym query (SynonymQuery semantics): docs
+        where EVERY group has ≥1 member present — the facet/total base of
+        the served synonym branch."""
+        s = self.searcher
+        members = sorted({x for _, ms in groups for x in ms})
+        rows = s.lookup_terms(members)
+        return _group_union_intersection(
+            groups, lambda t: s._decoded(rows[t])[0] if t in rows else None
+        )
 
     def facet_counts(
         self, matched: np.ndarray, facet_names: list[str] | None = None
@@ -667,6 +742,7 @@ class SearchService:
         offset: int = 0,
         budget_ms: float | None = None,
         search_after: tuple[float, int] | None = None,
+        synonyms: dict[str, list[str]] | None = None,
     ) -> SearchResponse:
         """`offset` pages the ranked results (reference:
         api/queries/search_queries.py:230-234 `ORDER BY rank DESC, id
@@ -683,7 +759,7 @@ class SearchService:
                     highlight=highlight, fuzzy=fuzzy, filter=filter,
                     highlight_fragments=highlight_fragments,
                     fragment_mode=fragment_mode, offset=offset,
-                    search_after=search_after,
+                    search_after=search_after, synonyms=synonyms,
                 )
         if offset < 0:
             raise ValueError(f"offset must be ≥ 0, got {offset}")
@@ -692,6 +768,14 @@ class SearchService:
         k = k + offset  # rank depth; sliced back to the page below
         if highlight_fragments is not None:
             highlight = True
+        if synonyms is not None:
+            return self._search_synonym(
+                query_text, k, synonyms, facets=facets, highlight=highlight,
+                fuzzy=fuzzy, filter=filter, mode=mode,
+                highlight_fragments=highlight_fragments,
+                fragment_mode=fragment_mode, offset=offset,
+                search_after=search_after,
+            )
         rewrites: dict[str, str] = {}
         qterms: list[str] | None = None  # analyzed-term override (fuzzy)
         qast = None  # rewritten boolean AST (fuzzy bool mode)
@@ -800,6 +884,67 @@ class SearchService:
                     d,
                     hterms,
                     max_fragments=highlight_fragments,
+                    fragment_mode=fragment_mode,
+                )
+                for d, _ in results
+            }
+        return resp
+
+    def _search_synonym(
+        self,
+        query_text: str,
+        k: int,
+        synonyms: dict[str, list[str]],
+        facets: list[str] | None,
+        highlight: bool,
+        fuzzy: bool,
+        filter: dict[str, str] | None,
+        mode: str,
+        highlight_fragments: int | None,
+        fragment_mode: str,
+        offset: int,
+        search_after: tuple[float, int] | None,
+    ) -> SearchResponse:
+        """Synonym-aware served response (SynonymQuery semantics on the
+        full /search shape): facets + total over the group-matched set,
+        ranking through the exact group evaluator (drill-down restricts
+        it to the filtered matched set — scores unchanged), pagination
+        via offset or search_after, group members highlighted. k arrives
+        already depth-extended by offset."""
+        if mode != "and":
+            raise ValueError(
+                "synonyms compose with mode='and' (SynonymQuery is "
+                f"conjunctive across groups), got mode={mode!r}"
+            )
+        if fuzzy:
+            raise ValueError("fuzzy and synonyms are mutually exclusive")
+        groups = _synonym_groups(self._an, query_text, synonyms)
+        matched = self.matched_docs_synonym(groups)
+        restrict = None
+        if filter:
+            matched = _facet_filter_keep(
+                self._facet_codes, self._facet_cats, matched, filter
+            )
+            restrict = matched
+        results = self.searcher._topk_synonym_groups(
+            groups, k, after=search_after, restrict=restrict
+        )
+        if offset:
+            results = results[offset:]
+        resp = SearchResponse(
+            results=results, total_matched=int(matched.size), rewrites={}
+        )
+        if results:
+            resp.next_after = (results[-1][1], results[-1][0])
+        if facets is None and self._facet_codes:
+            facets = sorted(self._facet_codes)
+        if facets:
+            resp.facets = self.facet_counts(matched, facets)
+        if highlight:
+            hterms = sorted({x for _, ms in groups for x in ms})
+            resp.headlines = {
+                d: self.headline(
+                    d, hterms, max_fragments=highlight_fragments,
                     fragment_mode=fragment_mode,
                 )
                 for d, _ in results
@@ -1033,6 +1178,7 @@ class ShardedSearchService:
         offset: int = 0,
         budget_ms: float | None = None,
         search_after: tuple[float, int] | None = None,
+        synonyms: dict[str, list[str]] | None = None,
     ) -> SearchResponse:
         """`offset` pages exactly like SearchService.search: every shard
         ranks to depth k+offset (a shard may own the whole page), the
@@ -1049,6 +1195,14 @@ class ShardedSearchService:
         k = k + offset  # rank depth; sliced back to the page below
         if highlight_fragments is not None:
             highlight = True
+        if synonyms is not None:
+            return self._search_synonym(
+                query_text, k, synonyms, facets=facets, highlight=highlight,
+                fuzzy=fuzzy, filter=filter, mode=mode,
+                highlight_fragments=highlight_fragments,
+                fragment_mode=fragment_mode, offset=offset,
+                budget_ms=budget_ms, search_after=search_after,
+            )
         rewrites: dict[str, str] = {}
         qterms: list[str] | None = None  # analyzed-term override (fuzzy)
         qast = None  # rewritten boolean AST (fuzzy bool mode)
@@ -1244,6 +1398,86 @@ class ShardedSearchService:
                     local,
                     hterms,
                     max_fragments=highlight_fragments,
+                    fragment_mode=fragment_mode,
+                )
+        return resp
+
+    def _search_synonym(
+        self,
+        query_text: str,
+        k: int,
+        synonyms: dict[str, list[str]],
+        facets: list[str] | None,
+        highlight: bool,
+        fuzzy: bool,
+        filter: dict[str, str] | None,
+        mode: str,
+        highlight_fragments: int | None,
+        fragment_mode: str,
+        offset: int,
+        budget_ms: float | None,
+        search_after: tuple[float, int] | None,
+    ) -> SearchResponse:
+        """Sharded synonym response: per-shard group-matched sets (facet
+        vectors + totals SUM exactly — doc-disjoint shards), ranking
+        through ShardedSearcher.topk_synonym (global group stats; the
+        drill-down case ships each shard its LOCAL filtered matched set
+        as `restrict`). k arrives already depth-extended by offset."""
+        if mode != "and":
+            raise ValueError(
+                "synonyms compose with mode='and' (SynonymQuery is "
+                f"conjunctive across groups), got mode={mode!r}"
+            )
+        if fuzzy:
+            raise ValueError("fuzzy and synonyms are mutually exclusive")
+        an = self.services[0]._an
+        groups = _synonym_groups(an, query_text, synonyms)
+        per_matched = self.sharded._fanout_heavy(
+            lambda svc: svc.matched_docs_synonym(groups), self.services
+        )
+        restricts = None
+        if filter:
+            per_matched = [
+                _facet_filter_keep(
+                    svc._facet_codes, svc._facet_cats, m, filter
+                )
+                for svc, m in zip(self.services, per_matched)
+            ]
+            restricts = per_matched
+        results = self.sharded.topk_synonym(
+            query_text, k, synonyms, budget_ms=budget_ms,
+            after=search_after, restricts=restricts,
+        )
+        if offset:
+            results = results[offset:]
+        resp = SearchResponse(
+            results=results,
+            total_matched=int(sum(m.size for m in per_matched)),
+            rewrites={},
+        )
+        if results:
+            resp.next_after = (results[-1][1], results[-1][0])
+        if facets is None and self.services[0]._facet_codes:
+            facets = sorted(self.services[0]._facet_codes)
+        if facets:
+            acc: dict[str, dict[str, int]] = {}
+            for svc, m in zip(self.services, per_matched):
+                for name, pairs in svc.facet_counts(m, facets).items():
+                    bucket = acc.setdefault(name, {})
+                    for value, n in pairs:
+                        bucket[value] = bucket.get(value, 0) + n
+            resp.facets = {
+                name: sorted(acc.get(name, {}).items()) for name in facets
+            }
+        if highlight:
+            hterms = sorted({x for _, ms in groups for x in ms})
+            for gid, _ in results:
+                shard = (
+                    int(np.searchsorted(self.offsets, gid, side="right")) - 1
+                )
+                local = gid - int(self.offsets[shard])
+                resp.headlines[gid] = self.services[shard].headline(
+                    local, hterms, max_fragments=highlight_fragments,
                     fragment_mode=fragment_mode,
                 )
         return resp
@@ -1541,6 +1775,78 @@ class MergedSearchService:
             if cand.size == 0:
                 break
         return cand
+
+    def matched_docs_synonym(
+        self, groups: list[tuple[str, list[str]]]
+    ) -> np.ndarray:
+        """Matched set of a synonym query over the ALIVE live view — the
+        merged relations are already tombstone-masked, so deleted turns
+        never match and upserts match once (latest version)."""
+        s = self.searcher
+        members = sorted({x for _, ms in groups for x in ms})
+        rels = s._merged_rows(members)
+        return _group_union_intersection(
+            groups,
+            lambda t: rels[t][0] if rels.get(t) is not None else None,
+        )
+
+    def _search_synonym(
+        self,
+        query_text: str,
+        k: int,
+        synonyms: dict[str, list[str]],
+        facets: list[str] | None,
+        highlight: bool,
+        fuzzy: bool,
+        filter: dict[str, str] | None,
+        mode: str,
+        highlight_fragments: int | None,
+        fragment_mode: str,
+        offset: int,
+        search_after: tuple[float, int] | None,
+    ) -> SearchResponse:
+        """Synonym-aware served response over the live view — same shape
+        as SearchService._search_synonym, alive semantics throughout
+        (group stats, matched set, facets, headlines)."""
+        if mode != "and":
+            raise ValueError(
+                "synonyms compose with mode='and' (SynonymQuery is "
+                f"conjunctive across groups), got mode={mode!r}"
+            )
+        if fuzzy:
+            raise ValueError("fuzzy and synonyms are mutually exclusive")
+        groups = _synonym_groups(self._an, query_text, synonyms)
+        matched = self.matched_docs_synonym(groups)
+        restrict = None
+        if filter:
+            matched = _facet_filter_keep(
+                self._facet_codes, self._facet_cats, matched, filter
+            )
+            restrict = matched
+        results = self.searcher._topk_synonym_groups(
+            groups, k, after=search_after, restrict=restrict
+        )
+        if offset:
+            results = results[offset:]
+        resp = SearchResponse(
+            results=results, total_matched=int(matched.size), rewrites={}
+        )
+        if results:
+            resp.next_after = (results[-1][1], results[-1][0])
+        if facets is None and self._facet_codes:
+            facets = sorted(self._facet_codes)
+        if facets:
+            resp.facets = self.facet_counts(matched, facets)
+        if highlight:
+            hterms = sorted({x for _, ms in groups for x in ms})
+            resp.headlines = {
+                d: self.headline(
+                    d, hterms, max_fragments=highlight_fragments,
+                    fragment_mode=fragment_mode,
+                )
+                for d, _ in results
+            }
+        return resp
 
     def facet_counts(
         self, matched: np.ndarray, facet_names: list[str] | None = None
@@ -1911,6 +2217,7 @@ class MergedSearchService:
         offset: int = 0,
         budget_ms: float | None = None,
         search_after: tuple[float, int] | None = None,
+        synonyms: dict[str, list[str]] | None = None,
     ) -> SearchResponse:
         """`offset` pages exactly like SearchService.search — rank the
         merged base+delta view to depth k+offset, slice out the page.
@@ -1923,7 +2230,7 @@ class MergedSearchService:
                     highlight=highlight, filter=filter,
                     highlight_fragments=highlight_fragments, fuzzy=fuzzy,
                     fragment_mode=fragment_mode, offset=offset,
-                    search_after=search_after,
+                    search_after=search_after, synonyms=synonyms,
                 )
         if offset < 0:
             raise ValueError(f"offset must be ≥ 0, got {offset}")
@@ -1932,6 +2239,14 @@ class MergedSearchService:
         k = k + offset  # rank depth; sliced back to the page below
         if highlight_fragments is not None:
             highlight = True
+        if synonyms is not None:
+            return self._search_synonym(
+                query_text, k, synonyms, facets=facets, highlight=highlight,
+                fuzzy=fuzzy, filter=filter, mode=mode,
+                highlight_fragments=highlight_fragments,
+                fragment_mode=fragment_mode, offset=offset,
+                search_after=search_after,
+            )
         rewrites: dict[str, str] = {}
         qterms: list[str] | None = None
         qast = None

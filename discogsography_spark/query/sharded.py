@@ -547,6 +547,7 @@ class ShardedSearcher:
         synonyms: dict[str, list[str]],
         budget_ms: float | None = None,
         after: tuple[float, int] | None = None,
+        restricts: list[np.ndarray | None] | None = None,
     ) -> list[tuple[int, float]]:
         """Synonym-aware conjunctive BM25 across shards (SynonymQuery
         semantics; see LocalSearcher.topk_synonym). Group statistics are
@@ -594,9 +595,16 @@ class ShardedSearcher:
             all(any(r.get(x, 0) > 0 for x in ms) for _, ms in groups)
             for r in per_shard_dfs
         ]
-        hits = self._call_shards(
-            "_topk_synonym_groups", self._per_shard_kws(kw, after, flags)
-        )
+        kws = self._per_shard_kws(kw, after, flags)
+        if restricts is not None:
+            # drill-down: each shard ranks only its LOCAL filtered matched
+            # set (scores unchanged — they depend only on group tf/dl and
+            # the injected global stats)
+            kws = [
+                (None if kwi is None else {**kwi, "restrict": r})
+                for kwi, r in zip(kws, restricts)
+            ]
+        hits = self._call_shards("_topk_synonym_groups", kws)
         return self._merge(hits, k)
 
     def suggest_terms(

@@ -1415,6 +1415,7 @@ class MergedSearcher:
         idfs: dict[str, float] | None = None,
         avgdl: float | None = None,
         after: tuple[float, int] | None = None,
+        restrict: np.ndarray | None = None,
     ) -> list[tuple[int, float]]:
         """Core synonym-group evaluator over alive merged relations —
         same injection contract as LocalSearcher._topk_synonym_groups
@@ -1453,10 +1454,14 @@ class MergedSearcher:
             gtf = np.add.reduceat(tf, start)
             merged.append((idf, uniq, gtf, dl[start]))
         cand = merged[0][1]
+        if restrict is not None:
+            cand = np.intersect1d(cand, restrict, assume_unique=True)
         for _idf, d, _gtf, _gdl in merged[1:]:
             cand = np.intersect1d(cand, d, assume_unique=True)
             if cand.size == 0:
                 return []
+        if cand.size == 0:
+            return []
         norm: np.ndarray | None = None
         scores = np.zeros(cand.size, dtype=np.float64)
         for idf, d, gtf, gdl in merged:  # sorted-leader summation order
