@@ -211,6 +211,46 @@ ORDER BY score DESC, doc_id ASC LIMIT {k} OFFSET {offset}
 """
 
 
+def _bm25_boosted_oracle(
+    boosts: dict[str, float], k: int, mode: str = "and"
+) -> str:
+    """Per-term boosted BM25 oracle (Lucene `clause^boost` semantics):
+    boost pre-multiplies the term idf. `boosts` keys are already-analyzed
+    terms (analysis.parse_boosted_query output)."""
+    tl = ", ".join(f"'{t}'" for t in sorted(boosts))
+    wv = ", ".join(
+        f"('{t}', {float(boosts[t])!r})" for t in sorted(boosts)
+    )
+    nt_filter = f"WHERE nt = {len(boosts)}" if mode != "or" else ""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT count(*) FROM toks)::DOUBLE AS total_tokens
+),
+w AS (SELECT * FROM (VALUES {wv}) AS v(term, boost)),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ({tl}) GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         count(*) AS nt,
+         sum( (w.boost * ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5)))
+              * (tf.tf / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * (dl.dl / (s.total_tokens / s.n_docs))))) ) AS raw
+  FROM tf JOIN dft USING (term) JOIN w USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw, 5) AS score FROM scored {nt_filter}
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _bm25_after_oracle(terms: list[str], k: int, after_rank: int) -> str:
     """search_after oracle: the cursor is the rank-`after_rank` row of the
     RAW-score ranking; the page is the k rows strictly after it under
@@ -2428,6 +2468,39 @@ array_sort(
         )
 
     q["fts_synonym_drilldown"] = fts_synonym_drilldown
+
+    def fts_boosted_topk(spark, sf_dir):
+        # Per-term boosted BM25 (Lucene `clause^boost` query syntax; the
+        # reference's Lucene tier supports boosted clauses, its PG tier
+        # weights tsvector ranks via setweight —
+        # schema-init/postgres_schema.py:66-83). Boost multiplies the
+        # term idf. Index-path twin: LocalSearcher.topk_boosted
+        # (identity-tested in tests/test_boosted.py).
+        from discogsography_spark.query.dataframe_bm25 import (
+            bm25_boosted_topk_dataframe,
+        )
+
+        return bm25_boosted_topk_dataframe(
+            _read(spark, sf_dir, "documents"), "table^2 value^0.5", k=20
+        )
+
+    q["fts_boosted_topk"] = fts_boosted_topk
+
+    def fts_boosted_or_topk(spark, sf_dir):
+        # Disjunctive boosted variant (mode='or'): absent-term clauses
+        # contribute nothing, present clauses scale by their boost.
+        from discogsography_spark.query.dataframe_bm25 import (
+            bm25_boosted_topk_dataframe,
+        )
+
+        return bm25_boosted_topk_dataframe(
+            _read(spark, sf_dir, "documents"),
+            "table^3 value^0.25",
+            k=20,
+            mode="or",
+        )
+
+    q["fts_boosted_or_topk"] = fts_boosted_or_topk
 
     return q
 

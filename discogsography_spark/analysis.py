@@ -53,6 +53,32 @@ def analyze_query(query_text: str) -> list[str]:
     return sorted(set(tokenize_py(query_text)))
 
 
+_BOOST_CLAUSE_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")
+
+
+def parse_boosted_query(
+    query_text: str, analyzer: "Analyzer | None" = None
+) -> tuple[list[str], dict[str, float]]:
+    """Lucene `clause^boost` query syntax (e.g. `spark^2 index^0.5 merge`):
+    whitespace-separated clauses, each optionally suffixed `^<float>`
+    (default 1.0). Each clause is analyzed with the index analyzer; every
+    resulting token carries the clause boost. A token produced by several
+    clauses SUMS their boosts — identical to Lucene's BooleanQuery scoring
+    two boosted clauses of the same term (b1·s + b2·s = (b1+b2)·s).
+
+    Returns (sorted unique terms, {term: boost}) — the sorted term list is
+    the deterministic BM25 summation order every evaluator uses.
+    """
+    an = analyzer if analyzer is not None else get_analyzer("simple")
+    boosts: dict[str, float] = {}
+    for clause in query_text.split():
+        m = _BOOST_CLAUSE_RE.match(clause)
+        raw, b = (m.group(1), float(m.group(2))) if m else (clause, 1.0)
+        for t in an.analyze_query(raw):
+            boosts[t] = boosts.get(t, 0.0) + b
+    return sorted(boosts), boosts
+
+
 WILD_TOKEN_RE = re.compile(r"[a-z0-9*?]+")
 
 

@@ -4,7 +4,7 @@ to the same query functions, SURVEY.md §3.3). This CLI, the pytest suite,
 and bench.py all consume the same library surface.
 
     python -m discogsography_spark.cli build  <transcripts.parquet> <index_dir> [--segments N]
-    python -m discogsography_spark.cli query  <index_dir> "<query text>" [--k K] [--mode and|or|prefix|wildcard|phrase|bool|suggest|near|mlt] [--syn TERM=ALT1,ALT2] [--show-text <transcripts>]
+    python -m discogsography_spark.cli query  <index_dir> "<query text or term^boost clauses>" [--k K] [--mode and|or|prefix|wildcard|phrase|bool|suggest|near|mlt] [--syn TERM=ALT1,ALT2] [--show-text <transcripts>]
     python -m discogsography_spark.cli stats  <index_dir>
     python -m discogsography_spark.cli compact <index_dir>
 """
@@ -236,6 +236,11 @@ def main(argv: list[str] | None = None) -> int:
             )
             for orig, repl in rewrites.items():
                 print(f"# did you mean: {orig} -> {repl}")
+        elif "^" in args.query_text:
+            # Lucene clause^boost syntax routes to the boosted evaluator
+            hits = searcher.topk_boosted(
+                args.query_text, args.k, mode=args.mode
+            )
         else:
             hits = searcher.topk(args.query_text, args.k, mode=args.mode)
         texts = {}

@@ -129,6 +129,51 @@ def bm25_topk(
     return scored[:k]
 
 
+def bm25_topk_boosted(
+    idx: OracleIndex, query_text: str, k: int, mode: str = "and"
+) -> list[tuple[int, float]]:
+    """Per-term boosted BM25 oracle — Lucene `clause^boost` syntax (see
+    analysis.parse_boosted_query / LocalSearcher.topk_boosted). The boost
+    pre-multiplies the term idf (boost·idf, THEN ·tfnorm — the engine's
+    float64 association order); summation in sorted term order."""
+    from discogsography_spark.analysis import parse_boosted_query
+
+    terms, boosts = parse_boosted_query(
+        query_text, get_analyzer(idx.analyzer)
+    )
+    present = [t for t in terms if idx.postings.get(t)]
+    if not present or (mode != "or" and len(present) != len(terms)):
+        return []
+    p_ = idx.params
+    n, avgdl = idx.n_docs, idx.avgdl
+    idfs = {
+        t: boosts[t] * p_.idf(n, len(idx.postings[t])) for t in present
+    }
+    if mode == "or":
+        candidates: set[int] = set()
+        for t in present:
+            candidates.update(idx.postings[t].keys())
+    else:
+        by_size = sorted(present, key=lambda t: len(idx.postings[t]))
+        candidates = set(idx.postings[by_size[0]].keys())
+        for t in by_size[1:]:
+            candidates &= idx.postings[t].keys()
+            if not candidates:
+                return []
+    scored: list[tuple[int, float]] = []
+    for d in candidates:
+        dl = idx.doc_len[d]
+        norm = p_.k1 * (1.0 - p_.b + p_.b * (dl / avgdl))
+        s = 0.0
+        for t in present:  # sorted order — fixed float64 summation order
+            tf = idx.postings[t].get(d)
+            if tf is not None:
+                s = s + idfs[t] * (float(tf) / (float(tf) + norm))
+        scored.append((d, s))
+    scored.sort(key=lambda ds: (-ds[1], ds[0]))
+    return scored[:k]
+
+
 def bm25_topk_bool(
     idx: OracleIndex, query_text: str, k: int
 ) -> list[tuple[int, float]]:

@@ -21,7 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from discogsography_spark.analysis import analyze_query, tokenize_py
+from discogsography_spark.analysis import (
+    analyze_query,
+    parse_boosted_query,
+    tokenize_py,
+)
 from discogsography_spark.operators.textstats import tokens_col
 from discogsography_spark.params import BM25Params
 
@@ -200,6 +204,104 @@ def bm25_topk_dataframe(
         .limit(k)
     )
     return scored
+
+def bm25_boosted_topk_dataframe(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 10,
+    mode: str = "and",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    params: BM25Params | None = None,
+    round_dp: int = 5,
+) -> DataFrame:
+    """Per-term boosted BM25 — the declarative mirror of
+    LocalSearcher.topk_boosted (Lucene `clause^boost` query syntax:
+    `spark^2 index^0.5 merge`; boost multiplies the term idf, scaling that
+    term's contribution linearly).
+
+    Identical plan to bm25_topk_dataframe plus ONE broadcast literal
+    (term, boost) relation joined into the scoring expression — no extra
+    scan or shuffle. mode='and' keeps conjunctive semantics (nt == #terms
+    filter); mode='or' drops the filter (disjunctive union).
+    """
+    p = params or BM25Params()
+    terms, boosts = parse_boosted_query(query_text)
+    spark = docs.sparkSession
+    if not terms:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    brel = F.broadcast(
+        spark.createDataFrame(
+            [(t, float(boosts[t])) for t in terms], "term string, boost double"
+        )
+    )
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("_dl"), F.lit(0)).alias("total_tokens"),
+    )
+    tf = (
+        toks.select("_id", "_dl", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("_dl").alias("dl"))
+    )
+    df_per_term = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(df_per_term), "term")
+        .join(brel, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.col("total_tokens") / F.col("n_docs"))
+        .withColumn(
+            "bidf",
+            F.col("boost")
+            * F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "partial",
+            F.col("bidf")
+            * (
+                F.col("tf").cast("double")
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(p.k1)
+                    * (
+                        F.lit(1.0 - p.b)
+                        + F.lit(p.b)
+                        * (F.col("dl").cast("double") / F.col("avgdl"))
+                    )
+                )
+            ),
+        )
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("nt"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "partial"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["partial"],
+            ).alias("raw_score"),
+        )
+    )
+    if mode != "or":
+        scored = scored.filter(F.col("nt") == F.lit(len(terms)))
+    return (
+        scored.select(
+            F.col("_id").alias(id_col),
+            F.round("raw_score", round_dp).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
 
 def bm25_prefix_topk_dataframe(
     docs: DataFrame,

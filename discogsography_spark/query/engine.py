@@ -43,7 +43,11 @@ import time
 from collections import OrderedDict
 from contextlib import contextmanager
 
-from discogsography_spark.analysis import analyze_query, get_analyzer
+from discogsography_spark.analysis import (
+    analyze_query,
+    get_analyzer,
+    parse_boosted_query,
+)
 from discogsography_spark.codec import decode_postings, delta_decode, varbyte_decode
 from discogsography_spark.index.builder import term_segment
 from discogsography_spark.index.manifest import Manifest
@@ -1158,6 +1162,70 @@ class LocalSearcher:
                 self._result_cache.move_to_end(key)
                 return list(hit)
         res = self._topk_synonym_groups(groups, k, after=after)
+        if use_result_cache:
+            self._result_cache[key] = tuple(res)
+            if len(self._result_cache) > self._result_cache_size:
+                self._result_cache.popitem(last=False)
+        return res
+
+    def topk_boosted(
+        self,
+        query_text: str,
+        k: int,
+        mode: str = "and",
+        use_result_cache: bool = True,
+        budget_ms: float | None = None,
+        after: tuple[float, int] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Per-term boosted BM25 — Lucene `clause^boost` query syntax
+        (`spark^2 index^0.5 merge`; the reference's Lucene tier supports
+        boosted clauses natively, and its PG tier weights tsvector ranks
+        with setweight — schema-init/postgres_schema.py:66-83).
+
+        A boost multiplies the term's idf, which scales that term's
+        contribution linearly — exactly Lucene's boost semantics. The
+        evaluation then rides the UNMODIFIED pruned evaluators via the
+        stats-injection contract (`idfs=`), so every fast path (champion
+        lists, dense bitmaps, block-max/WAND) stays engaged: champion
+        order is tfnorm order, which a positive per-term scalar cannot
+        change, and the OR-mode max-contribution bounds are computed FROM
+        the injected idfs (the sharded global-stats machinery). All-1.0
+        boosts are bit-identical to topk()."""
+        if budget_ms is not None:
+            with self.deadline(budget_ms):
+                return self.topk_boosted(
+                    query_text, k, mode=mode,
+                    use_result_cache=use_result_cache, after=after,
+                )
+        if k <= 0:
+            return []
+        terms, boosts = parse_boosted_query(
+            query_text, get_analyzer(self.meta.analyzer)
+        )
+        if not terms:
+            return []
+        key = (
+            "boost", mode, tuple((t, boosts[t]) for t in terms), k, after
+        )
+        if use_result_cache:
+            hit = self._result_cache.get(key)
+            if hit is not None:
+                self._result_cache.move_to_end(key)
+                return list(hit)
+        rows = self.lookup_terms(terms)
+        if mode != "or" and len(rows) != len(terms):
+            return []  # AND semantics: any missing term → empty
+        m, p = self.meta, self.meta.params
+        idfs = {
+            t: boosts[t] * p.idf(m.n_docs, rows[t].df)
+            for t in terms
+            if t in rows
+        }
+        res = (
+            self._topk_or(terms, k, idfs=idfs, after=after)
+            if mode == "or"
+            else self._topk_and(terms, k, idfs=idfs, after=after)
+        )
         if use_result_cache:
             self._result_cache[key] = tuple(res)
             if len(self._result_cache) > self._result_cache_size:

@@ -297,6 +297,50 @@ class ShardedSearcher:
         )
         return self._merge(hits, k)
 
+    def topk_boosted(
+        self,
+        query_text: str,
+        k: int,
+        mode: str = "and",
+        budget_ms: float | None = None,
+        after: tuple[float, int] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Per-term boosted BM25 across shards — Lucene `clause^boost`
+        syntax (see LocalSearcher.topk_boosted). Boosts scale the GLOBAL
+        idfs (df summed across shard dictionaries), then the fan-out is
+        the standard stats-injection call — per-shard scores stay
+        directly comparable and the merge is bit-identical to a single
+        whole-corpus index's topk_boosted."""
+        from discogsography_spark.analysis import parse_boosted_query
+
+        terms, boosts = parse_boosted_query(
+            query_text, get_analyzer(self.analyzer)
+        )
+        if not terms or k <= 0:
+            return []
+        per_shard_dfs, idfs = self._global_idfs(terms)
+        idfs = {t: boosts[t] * v for t, v in idfs.items()}
+        kw = {"terms": terms, "k": k, "idfs": idfs, "avgdl": self.avgdl}
+        if budget_ms is not None:
+            kw["_budget_ms"] = budget_ms
+        if mode == "or":
+            hits = self._call_shards(
+                "_topk_or",
+                self._per_shard_kws(
+                    kw, after, [bool(r) for r in per_shard_dfs]
+                ),
+            )
+            return self._merge(hits, k)
+        if len(idfs) != len(terms):
+            return []  # conjunctive: term absent from the whole corpus
+        hits = self._call_shards(
+            "_topk_and",
+            self._per_shard_kws(
+                kw, after, [len(r) == len(terms) for r in per_shard_dfs]
+            ),
+        )
+        return self._merge(hits, k)
+
     def topk_phrase(
         self, phrase: str, k: int, budget_ms: float | None = None
     ) -> list[tuple[int, float]]:

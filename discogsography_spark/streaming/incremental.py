@@ -1371,6 +1371,49 @@ class MergedSearcher:
             }
         return _exact_and_scores(terms, merged, idfs, p, avgdl, k, after=after)
 
+    def topk_boosted(
+        self,
+        query_text: str,
+        k: int,
+        mode: str = "and",
+        budget_ms: float | None = None,
+        after: tuple[float, int] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Per-term boosted BM25 over the live base+delta view — Lucene
+        `clause^boost` syntax (see LocalSearcher.topk_boosted). Boosts
+        scale ALIVE-stats idfs, then ride the existing injected-stats
+        evaluators (`_topk_and`/`_topk_or` with `idfs=`), so the live
+        fast paths — promoted-leg pruning, tombstone oversample-retry —
+        stay engaged and the result equals a fresh alive-corpus rebuild's
+        topk_boosted bit-identically."""
+        if budget_ms is not None:
+            with self.deadline(budget_ms):
+                return self.topk_boosted(query_text, k, mode=mode, after=after)
+        if k <= 0:
+            return []
+        from discogsography_spark.analysis import (
+            get_analyzer,
+            parse_boosted_query,
+        )
+
+        terms, boosts = parse_boosted_query(
+            query_text, get_analyzer(self.base.meta.analyzer)
+        )
+        if not terms:
+            return []
+        dfs = self.term_dfs(terms)
+        if mode != "or" and len(dfs) != len(terms):
+            return []  # AND semantics: any missing term → empty
+        p = self.params
+        idfs = {
+            t: boosts[t] * p.idf(self.n_docs, dfs[t])
+            for t in terms
+            if t in dfs
+        }
+        if mode == "or":
+            return self._topk_or(terms, k, idfs=idfs, after=after)
+        return self._topk_and(terms, k, idfs=idfs, after=after)
+
     def topk_synonym(
         self,
         query_text: str,

@@ -193,3 +193,18 @@ def test_cli_query_synonym(built_index):
     assert [(r["doc_id"], r["score"]) for r in syn] == [
         (d, round(s, 6)) for d, s in want
     ]
+
+
+def test_cli_query_boosted(built_index):
+    import json as _json
+
+    rows = [_json.loads(x) for x in _run(
+        ["query", built_index, "turn spark^2", "--k", "5"]
+    ).splitlines()]
+    assert len(rows) == 5 and rows[0]["rank"] == 1
+    from discogsography_spark.query.engine import LocalSearcher
+
+    want = LocalSearcher(built_index).topk_boosted("turn spark^2", 5)
+    assert [(r["doc_id"], r["score"]) for r in rows] == [
+        (d, round(s, 6)) for d, s in want
+    ]
