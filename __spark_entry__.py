@@ -2502,6 +2502,39 @@ array_sort(
 
     q["fts_boosted_or_topk"] = fts_boosted_or_topk
 
+    def fts_stats_agg(spark, sf_dir):
+        # Metric stats aggregation over the MATCHED set (Elasticsearch
+        # `stats`: count/min/max/sum/avg of a numeric field over the docs
+        # a query matches; the served twin is search(stats_fields=[...])
+        # → resp.stats on all three services). One explode scan for the
+        # match, one aggregate over the semi-joined rows.
+        from discogsography_spark.query.dataframe_bm25 import (
+            matched_stats_dataframe,
+        )
+
+        return matched_stats_dataframe(
+            _read(spark, sf_dir, "documents"), "table value", "n_chars"
+        )
+
+    q["fts_stats_agg"] = fts_stats_agg
+
+    def fts_significant_terms(spark, sf_dir):
+        # Significant-terms aggregation (Elasticsearch significant_terms,
+        # JLH heuristic): terms over-represented in the matched set vs
+        # the corpus — "what characterizes these results". Served twin:
+        # SearchService.significant_terms (sampled candidate discovery,
+        # EXACT posting∩matched statistics; identity-tested in
+        # tests/test_significant.py).
+        from discogsography_spark.query.dataframe_bm25 import (
+            significant_terms_dataframe,
+        )
+
+        return significant_terms_dataframe(
+            _read(spark, sf_dir, "documents"), "table value", k=15
+        )
+
+    q["fts_significant_terms"] = fts_significant_terms
+
     return q
 
 
@@ -4507,6 +4540,51 @@ SELECT s.doc_id, round(s.raw, 5) AS score
 FROM scored s JOIN documents d ON s.doc_id = d.doc_id
 WHERE s.nt = 2 AND d.lang = 'en'
 ORDER BY score DESC, s.doc_id ASC LIMIT 20
+"""
+
+    o["fts_stats_agg"] = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+),
+hits AS (
+  SELECT doc_id FROM dt WHERE term IN ('table', 'value')
+  GROUP BY doc_id HAVING count(*) = 2
+)
+SELECT count(d.n_chars)::BIGINT AS count,
+       round(min(d.n_chars)::DOUBLE, 5) AS min,
+       round(max(d.n_chars)::DOUBLE, 5) AS max,
+       round(sum(d.n_chars)::DOUBLE, 5) AS sum,
+       round(avg(d.n_chars::DOUBLE), 5) AS avg
+FROM documents d JOIN hits USING (doc_id)
+"""
+
+    o["fts_significant_terms"] = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+),
+hits AS (
+  SELECT doc_id FROM dt WHERE term IN ('table', 'value')
+  GROUP BY doc_id HAVING count(*) = 2
+),
+tot AS (
+  SELECT (SELECT count(*) FROM hits)::DOUBLE AS n_matched,
+         (SELECT count(*) FROM documents)::DOUBLE AS n_docs
+),
+fg AS (
+  SELECT term, count(*)::BIGINT AS fg
+  FROM dt JOIN hits USING (doc_id)
+  WHERE term NOT IN ('table', 'value')
+  GROUP BY term HAVING count(*) >= 3
+),
+bg AS (SELECT term, count(*)::BIGINT AS bg FROM dt GROUP BY term)
+SELECT term, fg, bg,
+       round( ((fg / t.n_matched) - (bg / t.n_docs))
+              * ((fg / t.n_matched) / (bg / t.n_docs)), 5) AS score
+FROM fg JOIN bg USING (term) CROSS JOIN tot t
+WHERE (fg / t.n_matched) > (bg / t.n_docs)
+ORDER BY score DESC, term ASC LIMIT 15
 """
 
     return o

@@ -1489,3 +1489,122 @@ def bm25_synonym_topk_dataframe(
             F.broadcast(restrict.select(id_col).distinct()), id_col, "semi"
         )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def matched_stats_dataframe(
+    docs: DataFrame,
+    query_text: str,
+    value_col: str,
+    mode: str = "and",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 5,
+) -> DataFrame:
+    """Metric stats aggregation over the MATCHED set — the declarative
+    mirror of SearchService.field_stats on search()'s stats_fields= (the
+    Elasticsearch `stats` aggregation: count/min/max/sum/avg of a numeric
+    field over the docs a query matches; the reference computes the same
+    shape with filtered SQL aggregates in its dashboard queries).
+
+    One token-explode scan finds the matched docs (conjunctive or
+    disjunctive term containment), then ONE aggregate over the semi-joined
+    doc rows — no per-doc Python, no second scan of the text.
+    """
+    terms = analyze_query(query_text)
+    spark = docs.sparkSession
+    if not terms:
+        return spark.createDataFrame(
+            [],
+            "count long, min double, max double, sum double, avg double",
+        )
+    hits = (
+        docs.select(F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks"))
+        .select("_id", F.explode(F.array_distinct("_toks")).alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("_id")
+        .agg(F.count("*").alias("nt"))
+    )
+    if mode != "or":
+        hits = hits.filter(F.col("nt") == F.lit(len(terms)))
+    matched = docs.join(
+        hits.select(F.col("_id").alias(id_col)), id_col, "semi"
+    )
+    v = F.col(value_col).cast("double")
+    return matched.agg(
+        F.count(v).alias("count"),
+        F.round(F.min(v), round_dp).alias("min"),
+        F.round(F.max(v), round_dp).alias("max"),
+        F.round(F.sum(v), round_dp).alias("sum"),
+        F.round(F.avg(v), round_dp).alias("avg"),
+    )
+
+
+def significant_terms_dataframe(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 10,
+    mode: str = "and",
+    min_doc_count: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 5,
+) -> DataFrame:
+    """Significant-terms aggregation — the declarative mirror of
+    SearchService.significant_terms (Elasticsearch significant_terms with
+    the JLH heuristic): terms over-represented in the MATCHED set vs the
+    whole corpus, score = (fg% − bg%)·(fg%/bg%), query terms excluded,
+    fg ≥ min_doc_count, ordered (score DESC, term ASC).
+
+    ONE distinct (doc, term) explode feeds foreground counts (semi-join
+    against the matched docs), background dfs, and the matched total —
+    Catalyst reuses the exchange; nothing is quadratic in vocabulary.
+    """
+    terms = analyze_query(query_text)
+    spark = docs.sparkSession
+    if not terms:
+        return spark.createDataFrame(
+            [], f"term string, fg long, bg long, score double"
+        )
+    doc_terms = docs.select(
+        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
+    ).select("_id", F.explode(F.array_distinct("_toks")).alias("term"))
+    hits = (
+        doc_terms.filter(F.col("term").isin(terms))
+        .groupBy("_id")
+        .agg(F.count("*").alias("nt"))
+    )
+    if mode != "or":
+        hits = hits.filter(F.col("nt") == F.lit(len(terms)))
+    matched_ids = hits.select("_id")
+    totals = matched_ids.agg(F.count("*").alias("n_matched")).crossJoin(
+        docs.agg(F.count("*").alias("n_docs"))
+    )
+    fg = (
+        doc_terms.join(F.broadcast(matched_ids), "_id", "semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("fg"))
+        .filter(~F.col("term").isin(terms))
+        .filter(F.col("fg") >= F.lit(min_doc_count))
+    )
+    bg = doc_terms.groupBy("term").agg(F.count("*").alias("bg"))
+    scored = (
+        fg.join(bg, "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("fg_pct", F.col("fg") / F.col("n_matched"))
+        .withColumn("bg_pct", F.col("bg") / F.col("n_docs"))
+        .filter(F.col("fg_pct") > F.col("bg_pct"))
+        .withColumn(
+            "score",
+            (F.col("fg_pct") - F.col("bg_pct"))
+            * (F.col("fg_pct") / F.col("bg_pct")),
+        )
+        .select(
+            "term",
+            F.col("fg").cast("long").alias("fg"),
+            F.col("bg").cast("long").alias("bg"),
+            F.round("score", round_dp).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(k)
+    )
+    return scored

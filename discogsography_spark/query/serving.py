@@ -52,6 +52,12 @@ class SearchResponse:
     # page's last hit (global doc_id on the sharded service); None when
     # the page is empty (the ranking is exhausted)
     next_after: tuple[float, int] | None = None
+    # metric aggregations over the MATCHED set (the Elasticsearch `stats`
+    # aggregation shape): field → {count, min, max, sum, avg}; count is
+    # non-null matched docs, min/max/avg None when count == 0
+    stats: dict[str, dict[str, float | int | None]] = field(
+        default_factory=dict
+    )
 
 
 _NULL_FACET = "(none)"
@@ -346,6 +352,78 @@ def _facet_filter_keep(
     return matched[keep]
 
 
+def _stats_of(values: np.ndarray) -> dict[str, float | int | None]:
+    """Elasticsearch `stats` metric shape over one field's matched values
+    (NaN = null, excluded from count like a SQL aggregate)."""
+    v = values[~np.isnan(values)]
+    n = int(v.size)
+    if not n:
+        return {"count": 0, "min": None, "max": None, "sum": 0.0, "avg": None}
+    s = float(v.sum())
+    return {
+        "count": n,
+        "min": float(v.min()),
+        "max": float(v.max()),
+        "sum": s,
+        "avg": s / n,
+    }
+
+
+def _combine_stats(
+    parts: list[dict[str, dict[str, float | int | None]]],
+) -> dict[str, dict[str, float | int | None]]:
+    """Merge per-shard stats exactly: count/sum add, min/max fold, avg
+    recomputed from the global sum/count (doc-disjoint shards)."""
+    out: dict[str, dict[str, float | int | None]] = {}
+    for part in parts:
+        for f, st in part.items():
+            acc = out.get(f)
+            if acc is None:
+                out[f] = dict(st)
+                continue
+            acc["count"] += st["count"]
+            acc["sum"] += st["sum"]
+            for key, fold in (("min", min), ("max", max)):
+                vals = [x for x in (acc[key], st[key]) if x is not None]
+                acc[key] = fold(vals) if vals else None
+    for st in out.values():
+        st["avg"] = st["sum"] / st["count"] if st["count"] else None
+    return out
+
+
+def _jlh_rows(
+    fg_map: dict[str, int],
+    dfs: dict[str, int],
+    n_matched: int,
+    n_docs: int,
+    exclude: set[str],
+    min_doc_count: int,
+    k: int,
+) -> list[tuple[str, int, int, float]]:
+    """Rank candidate terms by the JLH significance heuristic
+    (Elasticsearch significant_terms default): score =
+    (fg% − bg%)·(fg%/bg%) — absolute AND relative foreground lift, so
+    both common-but-lifted and rare-but-concentrated terms surface.
+    Returns [(term, fg, bg, score)] ordered (score DESC, term ASC);
+    query terms themselves are excluded (they trivially dominate)."""
+    out: list[tuple[str, int, int, float]] = []
+    for t in sorted(fg_map):
+        if t in exclude:
+            continue
+        fg = fg_map[t]
+        if fg < min_doc_count:
+            continue
+        df = dfs.get(t, fg)
+        fg_pct = fg / n_matched
+        bg_pct = df / n_docs
+        if fg_pct <= bg_pct:
+            continue  # not lifted above background
+        score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+        out.append((t, fg, df, score))
+    out.sort(key=lambda r: (-r[3], r[0]))
+    return out[:k]
+
+
 def _group_union_intersection(groups, rel_of) -> np.ndarray:
     """Matched set of a synonym query: docs where EVERY group has ≥1
     member present — intersection over groups of the union of member
@@ -388,6 +466,7 @@ class SearchService:
         self._facet_cats: dict[str, list[str]] = {}
         self._collapse_cache: dict[str, tuple[np.ndarray, list[str]]] = {}
         self._hist_cache: dict[tuple[str, str], tuple[np.ndarray, list[str]]] = {}
+        self._num_cols: dict[str, np.ndarray] = {}
         self._ctx_index = None
         if facet_defs:
             self._load_facets(index_dir, facet_defs)
@@ -532,6 +611,81 @@ class SearchService:
                 if counts[i] > 0
             ]
         return out
+
+    def _numeric_col(self, name: str) -> np.ndarray:
+        """Dense float64 doc-value array for a numeric docmap column
+        (NaN = null / absent row), loaded once per field — the doc-values
+        column a Lucene stats aggregation reads."""
+        arr = self._num_cols.get(name)
+        if arr is None:
+            pdf = self._docs_pdf(self._index_dir, [name])
+            arr = np.full(self.meta.n_docs, np.nan, dtype=np.float64)
+            arr[pdf["doc_id"].to_numpy()] = pd.to_numeric(
+                pdf[name], errors="coerce"
+            ).to_numpy(dtype=np.float64)
+            self._num_cols[name] = arr
+        return arr
+
+    def field_stats(
+        self, matched: np.ndarray, fields: list[str]
+    ) -> dict[str, dict[str, float | int | None]]:
+        """Elasticsearch `stats` metric aggregation over the MATCHED set:
+        field → {count, min, max, sum, avg}, one O(|matched|) gather per
+        field over the cached doc-value array — no corpus scan."""
+        return {f: _stats_of(self._numeric_col(f)[matched]) for f in fields}
+
+    def _sig_fg_counts(
+        self, matched: np.ndarray, sample: int | None
+    ) -> tuple[dict[str, int], dict[str, int]]:
+        """Foreground doc frequencies for significant-terms: candidate
+        terms come from the stored text of (up to `sample`) matched docs
+        — the bounded part; each candidate's fg count is then EXACT, one
+        sorted posting∩matched intersection (only discovery is sampled,
+        the statistics are not). Returns (fg_counts, background_dfs)."""
+        ids = (
+            matched
+            if sample is None or matched.size <= sample
+            else matched[:sample]
+        )
+        cand: set[str] = set()
+        for d in ids:
+            cand.update(self._an.tokenize_py(self._text_of(int(d))))
+        rows = self.searcher.lookup_terms(sorted(cand))
+        fg: dict[str, int] = {}
+        dfs: dict[str, int] = {}
+        for t, tp in rows.items():
+            docs = self.searcher._decoded(tp)[0]
+            n = int(np.intersect1d(docs, matched, assume_unique=True).size)
+            if n:
+                fg[t] = n
+                dfs[t] = int(tp.df)
+        return fg, dfs
+
+    def significant_terms(
+        self,
+        query_text: str,
+        k: int = 10,
+        mode: str = "and",
+        sample: int | None = 1000,
+        min_doc_count: int = 3,
+    ) -> list[tuple[str, int, int, float]]:
+        """Significant-terms aggregation (Elasticsearch significant_terms,
+        JLH heuristic): terms over-represented in the MATCHED set relative
+        to the whole corpus — "what characterizes these results". The
+        reference's co-occurrence analytics (genre→style trees, label
+        specialization) answer the same question with SQL GROUP BYs; here
+        it rides the index: candidate discovery from ≤`sample` matched
+        docs' stored text, exact fg = posting∩matched per candidate, bg =
+        the dictionary df. Returns [(term, fg_count, bg_count, score)]."""
+        matched = self.matched_docs(query_text, mode=mode)
+        if matched.size == 0:
+            return []
+        fg, dfs = self._sig_fg_counts(matched, sample)
+        exclude = set(self._an.analyze_query(query_text))
+        return _jlh_rows(
+            fg, dfs, int(matched.size), self.meta.n_docs, exclude,
+            min_doc_count, k,
+        )
 
     def date_histogram(
         self, matched: np.ndarray, field: str = "ts", interval: str = "month"
@@ -743,6 +897,7 @@ class SearchService:
         budget_ms: float | None = None,
         search_after: tuple[float, int] | None = None,
         synonyms: dict[str, list[str]] | None = None,
+        stats_fields: list[str] | None = None,
     ) -> SearchResponse:
         """`offset` pages the ranked results (reference:
         api/queries/search_queries.py:230-234 `ORDER BY rank DESC, id
@@ -760,6 +915,7 @@ class SearchService:
                     highlight_fragments=highlight_fragments,
                     fragment_mode=fragment_mode, offset=offset,
                     search_after=search_after, synonyms=synonyms,
+                    stats_fields=stats_fields,
                 )
         if offset < 0:
             raise ValueError(f"offset must be ≥ 0, got {offset}")
@@ -774,7 +930,7 @@ class SearchService:
                 fuzzy=fuzzy, filter=filter, mode=mode,
                 highlight_fragments=highlight_fragments,
                 fragment_mode=fragment_mode, offset=offset,
-                search_after=search_after,
+                search_after=search_after, stats_fields=stats_fields,
             )
         rewrites: dict[str, str] = {}
         qterms: list[str] | None = None  # analyzed-term override (fuzzy)
@@ -873,6 +1029,8 @@ class SearchService:
             facets = sorted(self._facet_codes)
         if facets:
             resp.facets = self.facet_counts(matched, facets)
+        if stats_fields:
+            resp.stats = self.field_stats(matched, stats_fields)
         if highlight:
             hterms = (
                 qterms
@@ -904,6 +1062,7 @@ class SearchService:
         fragment_mode: str,
         offset: int,
         search_after: tuple[float, int] | None,
+        stats_fields: list[str] | None = None,
     ) -> SearchResponse:
         """Synonym-aware served response (SynonymQuery semantics on the
         full /search shape): facets + total over the group-matched set,
@@ -940,6 +1099,8 @@ class SearchService:
             facets = sorted(self._facet_codes)
         if facets:
             resp.facets = self.facet_counts(matched, facets)
+        if stats_fields:
+            resp.stats = self.field_stats(matched, stats_fields)
         if highlight:
             hterms = sorted({x for _, ms in groups for x in ms})
             resp.headlines = {
@@ -1179,6 +1340,7 @@ class ShardedSearchService:
         budget_ms: float | None = None,
         search_after: tuple[float, int] | None = None,
         synonyms: dict[str, list[str]] | None = None,
+        stats_fields: list[str] | None = None,
     ) -> SearchResponse:
         """`offset` pages exactly like SearchService.search: every shard
         ranks to depth k+offset (a shard may own the whole page), the
@@ -1202,6 +1364,7 @@ class ShardedSearchService:
                 highlight_fragments=highlight_fragments,
                 fragment_mode=fragment_mode, offset=offset,
                 budget_ms=budget_ms, search_after=search_after,
+                stats_fields=stats_fields,
             )
         rewrites: dict[str, str] = {}
         qterms: list[str] | None = None  # analyzed-term override (fuzzy)
@@ -1361,14 +1524,20 @@ class ShardedSearchService:
                     ast_override=qast,
                 )
             )
-            return int(matched.size), (
-                svc.facet_counts(matched, facets) if facets else {}
+            return (
+                int(matched.size),
+                svc.facet_counts(matched, facets) if facets else {},
+                svc.field_stats(matched, stats_fields)
+                if stats_fields
+                else {},
             )
 
-        for size, fc in self.sharded._fanout_heavy(
+        stats_parts: list[dict] = []
+        for size, fc, st in self.sharded._fanout_heavy(
             _count_shard, list(enumerate(self.services))
         ):
             total += size
+            stats_parts.append(st)
             for name, pairs in fc.items():
                 bucket = acc.setdefault(name, {})
                 for value, n in pairs:
@@ -1382,6 +1551,8 @@ class ShardedSearchService:
             resp.facets = {
                 name: sorted(acc.get(name, {}).items()) for name in facets
             }
+        if stats_fields:
+            resp.stats = _combine_stats(stats_parts)
         if highlight:
             hterms = (
                 qterms
@@ -1417,6 +1588,7 @@ class ShardedSearchService:
         offset: int,
         budget_ms: float | None,
         search_after: tuple[float, int] | None,
+        stats_fields: list[str] | None = None,
     ) -> SearchResponse:
         """Sharded synonym response: per-shard group-matched sets (facet
         vectors + totals SUM exactly — doc-disjoint shards), ranking
@@ -1469,6 +1641,13 @@ class ShardedSearchService:
             resp.facets = {
                 name: sorted(acc.get(name, {}).items()) for name in facets
             }
+        if stats_fields:
+            resp.stats = _combine_stats(
+                self.sharded._fanout_heavy(
+                    lambda sm: sm[0].field_stats(sm[1], stats_fields),
+                    list(zip(self.services, per_matched)),
+                )
+            )
         if highlight:
             hterms = sorted({x for _, ms in groups for x in ms})
             for gid, _ in results:
@@ -1481,6 +1660,45 @@ class ShardedSearchService:
                     fragment_mode=fragment_mode,
                 )
         return resp
+
+    def significant_terms(
+        self,
+        query_text: str,
+        k: int = 10,
+        mode: str = "and",
+        sample_per_shard: int | None = 1000,
+        min_doc_count: int = 3,
+    ) -> list[tuple[str, int, int, float]]:
+        """Significant-terms (JLH) across shards, identical to a single
+        whole-corpus index when discovery isn't truncated: per-shard
+        EXACT fg counts (posting∩matched on each shard) SUM — shards are
+        doc-disjoint — and background dfs come from the same stats RPC
+        the ranked fan-out uses (df numbers only, no posting data moves).
+        Candidate discovery samples ≤sample_per_shard matched docs on
+        EACH shard (global statistics stay exact for every candidate)."""
+
+        def _part(svc: SearchService):
+            matched = svc.matched_docs(query_text, mode=mode)
+            fg, _ = svc._sig_fg_counts(matched, sample_per_shard)
+            return int(matched.size), fg
+
+        parts = self.sharded._fanout_heavy(_part, self.services)
+        n_matched = sum(m for m, _ in parts)
+        if n_matched == 0:
+            return []
+        fg: dict[str, int] = {}
+        for _m, part in parts:
+            for t, n in part.items():
+                fg[t] = fg.get(t, 0) + n
+        per_shard_dfs, _idfs = self.sharded._global_idfs(sorted(fg))
+        dfs = {
+            t: sum(r.get(t, 0) for r in per_shard_dfs) for t in fg
+        }
+        exclude = set(self.services[0]._an.analyze_query(query_text))
+        return _jlh_rows(
+            fg, dfs, n_matched, self.sharded.n_docs, exclude,
+            min_doc_count, k,
+        )
 
     def collapse(
         self,
@@ -1638,6 +1856,7 @@ class MergedSearchService:
         self._facet_cats: dict[str, list[str]] = {}
         self._collapse_cache: dict[str, tuple[np.ndarray, list[str]]] = {}
         self._hist_cache: dict[tuple[str, str], tuple[np.ndarray, list[str]]] = {}
+        self._num_cols: dict[str, np.ndarray] = {}
         self._ctx_index = None
         if facet_defs:
             cols: set[str] = {
@@ -1804,6 +2023,7 @@ class MergedSearchService:
         fragment_mode: str,
         offset: int,
         search_after: tuple[float, int] | None,
+        stats_fields: list[str] | None = None,
     ) -> SearchResponse:
         """Synonym-aware served response over the live view — same shape
         as SearchService._search_synonym, alive semantics throughout
@@ -1837,6 +2057,8 @@ class MergedSearchService:
             facets = sorted(self._facet_codes)
         if facets:
             resp.facets = self.facet_counts(matched, facets)
+        if stats_fields:
+            resp.stats = self.field_stats(matched, stats_fields)
         if highlight:
             hterms = sorted({x for _, ms in groups for x in ms})
             resp.headlines = {
@@ -1862,6 +2084,74 @@ class MergedSearchService:
                 if counts[i] > 0
             ]
         return out
+
+    def _numeric_col(self, name: str) -> np.ndarray:
+        """Dense doc-value array over base + delta docmaps (id-space
+        sized; tombstoned slots never appear in matched sets)."""
+        arr = self._num_cols.get(name)
+        if arr is None:
+            pdf = self._docs_pdf([name])
+            arr = np.full(self.n_docs, np.nan, dtype=np.float64)
+            arr[pdf["doc_id"].to_numpy()] = pd.to_numeric(
+                pdf[name], errors="coerce"
+            ).to_numpy(dtype=np.float64)
+            self._num_cols[name] = arr
+        return arr
+
+    def field_stats(
+        self, matched: np.ndarray, fields: list[str]
+    ) -> dict[str, dict[str, float | int | None]]:
+        """Stats metric aggregation over the ALIVE matched set of the
+        live view — same contract as SearchService.field_stats."""
+        return {f: _stats_of(self._numeric_col(f)[matched]) for f in fields}
+
+    def _sig_fg_counts(
+        self, matched: np.ndarray, sample: int | None
+    ) -> tuple[dict[str, int], dict[str, int]]:
+        """Foreground/background dfs over ALIVE merged relations — same
+        sampled-discovery / exact-statistics split as SearchService."""
+        ids = (
+            matched
+            if sample is None or matched.size <= sample
+            else matched[:sample]
+        )
+        cand: set[str] = set()
+        for d in ids:
+            cand.update(self._an.tokenize_py(self._text_of(int(d))))
+        rels = self.searcher._merged_rows(sorted(cand))
+        fg: dict[str, int] = {}
+        dfs: dict[str, int] = {}
+        for t, ent in rels.items():
+            if ent is None:
+                continue
+            docs = ent[0]
+            n = int(np.intersect1d(docs, matched, assume_unique=True).size)
+            if n:
+                fg[t] = n
+                dfs[t] = int(docs.size)
+        return fg, dfs
+
+    def significant_terms(
+        self,
+        query_text: str,
+        k: int = 10,
+        mode: str = "and",
+        sample: int | None = 1000,
+        min_doc_count: int = 3,
+    ) -> list[tuple[str, int, int, float]]:
+        """Significant-terms (JLH) over the ALIVE live view — tombstoned
+        docs never match, never count as foreground, and the background
+        dfs are alive dfs, so the result equals a fresh alive-corpus
+        rebuild's significant_terms."""
+        matched = self.matched_docs(query_text, mode=mode)
+        if matched.size == 0:
+            return []
+        fg, dfs = self._sig_fg_counts(matched, sample)
+        exclude = set(self._an.analyze_query(query_text))
+        return _jlh_rows(
+            fg, dfs, int(matched.size), self.searcher.n_docs, exclude,
+            min_doc_count, k,
+        )
 
     def date_histogram(
         self, matched: np.ndarray, field: str = "ts", interval: str = "month"
@@ -2218,6 +2508,7 @@ class MergedSearchService:
         budget_ms: float | None = None,
         search_after: tuple[float, int] | None = None,
         synonyms: dict[str, list[str]] | None = None,
+        stats_fields: list[str] | None = None,
     ) -> SearchResponse:
         """`offset` pages exactly like SearchService.search — rank the
         merged base+delta view to depth k+offset, slice out the page.
@@ -2231,6 +2522,7 @@ class MergedSearchService:
                     highlight_fragments=highlight_fragments, fuzzy=fuzzy,
                     fragment_mode=fragment_mode, offset=offset,
                     search_after=search_after, synonyms=synonyms,
+                    stats_fields=stats_fields,
                 )
         if offset < 0:
             raise ValueError(f"offset must be ≥ 0, got {offset}")
@@ -2245,7 +2537,7 @@ class MergedSearchService:
                 fuzzy=fuzzy, filter=filter, mode=mode,
                 highlight_fragments=highlight_fragments,
                 fragment_mode=fragment_mode, offset=offset,
-                search_after=search_after,
+                search_after=search_after, stats_fields=stats_fields,
             )
         rewrites: dict[str, str] = {}
         qterms: list[str] | None = None
@@ -2348,6 +2640,8 @@ class MergedSearchService:
             facets = sorted(self._facet_codes)
         if facets:
             resp.facets = self.facet_counts(matched, facets)
+        if stats_fields:
+            resp.stats = self.field_stats(matched, stats_fields)
         if highlight:
             hterms = (
                 qterms
