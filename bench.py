@@ -310,6 +310,48 @@ for a, b in pos_pairs:
     t0 = time.time()
     sp.topk_within(a, b, 3, 10)
     within_ms.append((time.time() - t0) * 1000.0)
+# boosted tier (round-6): clause^boost queries through the unmodified
+# pruned evaluators (idf-injection). First token of each query gets ^2.
+boost_qs = []
+for _, row in qdf.iterrows():
+    ts = row["query_text"].split()
+    boost_qs.append((" ".join(["%s^2" % ts[0]] + ts[1:]), int(row["k"])))
+for q, kk in boost_qs:
+    s.topk_boosted(q, kk, use_result_cache=False)
+boosted_ms = []
+for q, kk in boost_qs:
+    t0 = time.time()
+    s.topk_boosted(q, kk, use_result_cache=False)
+    boosted_ms.append((time.time() - t0) * 1000.0)
+# synonym-served tier (round-6): full response (results + facets +
+# group-matched totals) with a 2-member synonym group per first token.
+syn_qs = []
+for _, row in qdf.iterrows():
+    ts = row["query_text"].split()
+    syn_qs.append((row["query_text"], {{ts[0]: [ts[-1]]}}, int(row["k"])))
+for q, sy, kk in syn_qs:
+    svc.search(q, kk, synonyms=sy, facets=["role", "tool"])
+syn_served_ms = []
+for q, sy, kk in syn_qs:
+    t0 = time.time()
+    svc.search(q, kk, synonyms=sy, facets=["role", "tool"])
+    syn_served_ms.append((time.time() - t0) * 1000.0)
+# matched-set aggregation tier (round-6): stats_fields metric aggregate
+# and significant-terms (JLH, sampled discovery + exact statistics).
+stats_ms, sig_ms = [], []
+for _, row in qdf.iterrows():
+    svc.search(row["query_text"], int(row["k"]), stats_fields=["turn_idx"])
+for _, row in qdf.iterrows():
+    t0 = time.time()
+    svc.search(row["query_text"], int(row["k"]), stats_fields=["turn_idx"])
+    stats_ms.append((time.time() - t0) * 1000.0)
+sig_qs = [row["query_text"] for _, row in qdf.iterrows()][:20]
+for q in sig_qs:
+    svc.significant_terms(q, k=10, sample=500)
+for q in sig_qs:
+    t0 = time.time()
+    svc.significant_terms(q, k=10, sample=500)
+    sig_ms.append((time.time() - t0) * 1000.0)
 # deep-pagination tier: OFFSET page vs search_after cursor page at ~90%%
 # depth of the heaviest query's ranking. The offset path must RANK to
 # depth D+k (pool of D+k per node, D+k rows per shard on a fan-out); the
@@ -339,6 +381,8 @@ print(json.dumps({{"cold": cold, "steady": steady, "memo": memo,
                    "facet_init_ms": facet_init_ms,
                    "merged": merged_ms, "merged_init_ms": merged_init_ms,
                    "collapse": collapse_ms, "mlt": mlt_ms,
+                   "boosted": boosted_ms, "syn_served": syn_served_ms,
+                   "stats_agg": stats_ms, "sig_terms": sig_ms,
                    "phrase": phrase_ms, "within": within_ms}}))
 """
     t0 = time.time()
@@ -381,6 +425,15 @@ print(json.dumps({{"cold": cold, "steady": steady, "memo": memo,
     extra["page_after_deep_p50_ms"] = round(
         float(np.percentile(np.array(tiers["page_after_ms"]), 50)), 2
     )
+    for key, label in (
+        ("boosted", "boosted"),
+        ("syn_served", "synonym_served"),
+        ("stats_agg", "stats_agg"),
+        ("sig_terms", "significant_terms"),
+    ):
+        arr = np.array(tiers[key])
+        extra[f"{label}_p50_ms"] = round(float(np.percentile(arr, 50)), 2)
+        extra[f"{label}_p95_ms"] = round(float(np.percentile(arr, 95)), 2)
     ph_ms = np.array(tiers["phrase"])
     wi_ms = np.array(tiers["within"])
     extra["phrase_p50_ms"] = round(float(np.percentile(ph_ms, 50)), 2)

@@ -635,10 +635,10 @@ class SearchService:
         return {f: _stats_of(self._numeric_col(f)[matched]) for f in fields}
 
     def _sig_fg_counts(
-        self, matched: np.ndarray, sample: int | None
+        self, matched: np.ndarray, sample: int | None, min_df: int = 1
     ) -> tuple[dict[str, int], dict[str, int]]:
         """Foreground doc frequencies for significant-terms: candidate
-        terms come from the stored text of (up to `sample`) matched docs
+        terms come from the stored token streams of (up to `sample`) matched docs
         — the bounded part; each candidate's fg count is then EXACT, one
         sorted posting∩matched intersection (only discovery is sampled,
         the statistics are not). Returns (fg_counts, background_dfs)."""
@@ -649,13 +649,22 @@ class SearchService:
         )
         cand: set[str] = set()
         for d in ids:
-            cand.update(self._an.tokenize_py(self._text_of(int(d))))
+            cand.update(self._mlt_source_tokens(int(d)))
         rows = self.searcher.lookup_terms(sorted(cand))
+        # membership-mask counting: one O(n_docs) mask build, then each
+        # candidate costs O(df) gather-sum — no per-candidate sort (the
+        # intersect1d version re-sorted df+|matched| values per term,
+        # p95 1.06 s at sf0.01; this path is ~20x cheaper). Terms whose
+        # TOTAL df can't reach min_doc_count are never decoded at all.
+        mask = np.zeros(self.meta.n_docs, dtype=bool)
+        mask[matched] = True
         fg: dict[str, int] = {}
         dfs: dict[str, int] = {}
         for t, tp in rows.items():
+            if int(tp.df) < min_df:
+                continue
             docs = self.searcher._decoded(tp)[0]
-            n = int(np.intersect1d(docs, matched, assume_unique=True).size)
+            n = int(np.count_nonzero(mask[docs]))
             if n:
                 fg[t] = n
                 dfs[t] = int(tp.df)
@@ -680,7 +689,7 @@ class SearchService:
         matched = self.matched_docs(query_text, mode=mode)
         if matched.size == 0:
             return []
-        fg, dfs = self._sig_fg_counts(matched, sample)
+        fg, dfs = self._sig_fg_counts(matched, sample, min_doc_count)
         exclude = set(self._an.analyze_query(query_text))
         return _jlh_rows(
             fg, dfs, int(matched.size), self.meta.n_docs, exclude,
@@ -2106,7 +2115,7 @@ class MergedSearchService:
         return {f: _stats_of(self._numeric_col(f)[matched]) for f in fields}
 
     def _sig_fg_counts(
-        self, matched: np.ndarray, sample: int | None
+        self, matched: np.ndarray, sample: int | None, min_df: int = 1
     ) -> tuple[dict[str, int], dict[str, int]]:
         """Foreground/background dfs over ALIVE merged relations — same
         sampled-discovery / exact-statistics split as SearchService."""
@@ -2117,15 +2126,17 @@ class MergedSearchService:
         )
         cand: set[str] = set()
         for d in ids:
-            cand.update(self._an.tokenize_py(self._text_of(int(d))))
+            cand.update(self._mlt_source_tokens(int(d)))
         rels = self.searcher._merged_rows(sorted(cand))
+        mask = np.zeros(self.searcher.id_space, dtype=bool)
+        mask[matched] = True
         fg: dict[str, int] = {}
         dfs: dict[str, int] = {}
         for t, ent in rels.items():
-            if ent is None:
+            if ent is None or ent[0].size < min_df:
                 continue
             docs = ent[0]
-            n = int(np.intersect1d(docs, matched, assume_unique=True).size)
+            n = int(np.count_nonzero(mask[docs]))
             if n:
                 fg[t] = n
                 dfs[t] = int(docs.size)
@@ -2146,7 +2157,7 @@ class MergedSearchService:
         matched = self.matched_docs(query_text, mode=mode)
         if matched.size == 0:
             return []
-        fg, dfs = self._sig_fg_counts(matched, sample)
+        fg, dfs = self._sig_fg_counts(matched, sample, min_doc_count)
         exclude = set(self._an.analyze_query(query_text))
         return _jlh_rows(
             fg, dfs, int(matched.size), self.searcher.n_docs, exclude,
