@@ -108,6 +108,19 @@ def main(argv: list[str] | None = None) -> int:
         "tree), e.g. --facet-tree role,tool",
     )
     sr.add_argument(
+        "--stats", default=None, metavar="FIELD1,FIELD2",
+        help="metric stats aggregation over the matched set "
+        "(count/min/max/sum/avg of each numeric docmap field)",
+    )
+    sr.add_argument(
+        "--significant", action="store_true",
+        help="also return significant terms (JLH) for the matched set",
+    )
+    sr.add_argument(
+        "--syn", action="append", default=[], metavar="TERM=ALT1,ALT2",
+        help="synonym group (repeatable); full synonym-aware response",
+    )
+    sr.add_argument(
         "--collapse", default=None, metavar="FIELD",
         help="field-collapsed results: best hit per FIELD value (e.g. "
         "--collapse conv_id returns top-k CONVERSATIONS, each "
@@ -286,6 +299,14 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit("--after expects SCORE,DOC_ID")
             a_s, a_d = args.after.split(",", 1)
             search_after = (float(a_s), int(a_d))
+        synonyms = None
+        if args.syn:
+            synonyms = {}
+            for spec in args.syn:
+                term, _, alts = spec.partition("=")
+                if not alts:
+                    raise SystemExit("--syn expects TERM=ALT1,ALT2")
+                synonyms[term] = [a for a in alts.split(",") if a]
         kwargs = dict(
             mode=args.mode,
             facets=sorted(facet_defs) if facet_defs else None,
@@ -295,6 +316,8 @@ def main(argv: list[str] | None = None) -> int:
             fragment_mode=args.fragment_mode,
             offset=args.offset,
             search_after=search_after,
+            synonyms=synonyms,
+            stats_fields=args.stats.split(",") if args.stats else None,
         )
         if args.merged:
             from discogsography_spark.query.serving import MergedSearchService
@@ -374,6 +397,15 @@ def main(argv: list[str] | None = None) -> int:
                 else None
             ),
         }
+        if resp.stats:
+            payload["stats"] = resp.stats
+        if args.significant:
+            payload["significant_terms"] = [
+                {"term": t, "fg": fg, "bg": bg, "score": round(s, 6)}
+                for t, fg, bg, s in svc.significant_terms(
+                    args.query_text, k=10, mode=args.mode
+                )
+            ]
         if args.context is not None:
             payload["context"] = {
                 str(d): [

@@ -208,3 +208,27 @@ def test_cli_query_boosted(built_index):
     assert [(r["doc_id"], r["score"]) for r in rows] == [
         (d, round(s, 6)) for d, s in want
     ]
+
+
+def test_cli_search_stats_significant_synonym(built_index):
+    import json as _json
+
+    out = _json.loads(_run(
+        ["search", built_index, "turn spark", "--k", "3",
+         "--stats", "turn_idx", "--significant",
+         "--syn", "spark=stream"]
+    ))
+    st = out["stats"]["turn_idx"]
+    assert st["count"] > 0 and st["min"] <= st["avg"] <= st["max"]
+    assert isinstance(out["significant_terms"], list)
+    from discogsography_spark.query.serving import SearchService
+
+    svc = SearchService(built_index)
+    want = svc.search(
+        "turn spark", 3, synonyms={"spark": ["stream"]},
+        stats_fields=["turn_idx"],
+    )
+    assert out["total_matched"] == want.total_matched
+    assert [(r["doc_id"], r["score"]) for r in out["results"]] == [
+        (d, round(s, 6)) for d, s in want.results
+    ]
