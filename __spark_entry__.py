@@ -4542,6 +4542,15 @@ WHERE s.nt = 2 AND d.lang = 'en'
 ORDER BY score DESC, s.doc_id ASC LIMIT 20
 """
 
+    from discogsography_spark.analysis import parse_boosted_query as _pbq
+
+    o["fts_boosted_topk"] = _bm25_boosted_oracle(
+        _pbq("table^2 value^0.5")[1], 20
+    )
+    o["fts_boosted_or_topk"] = _bm25_boosted_oracle(
+        _pbq("table^3 value^0.25")[1], 20, mode="or"
+    )
+
     o["fts_stats_agg"] = f"""
 WITH dt AS (
   SELECT DISTINCT doc_id, term

@@ -150,6 +150,21 @@ def _position_keys(
 _FIRST_TIER = 4096
 
 
+def isect_sorted(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+    """Intersection of two SORTED-unique int arrays via membership probes
+    of the smaller into the larger — O(min log max), no re-sort (intersect1d
+    concatenates and sorts both: O((a+b) log(a+b)), the measured hot spot of
+    conjunctive candidate derivation on head terms). Result is sorted
+    ascending, identical to np.intersect1d(assume_unique=True)."""
+    if a.size > b.size:
+        a, b = b, a
+    if a.size == 0 or b.size == 0:
+        return a[:0]
+    pos = np.searchsorted(b, a)
+    pos[pos == b.size] = b.size - 1
+    return a[b[pos] == a]
+
+
 def _after_mask(
     docs: np.ndarray, scores: np.ndarray, after: tuple[float, int]
 ) -> np.ndarray:
@@ -1232,38 +1247,41 @@ class LocalSearcher:
                 self._result_cache.popitem(last=False)
         return res
 
-    def _topk_synonym_groups(
+    def _synonym_group_relations(
         self,
         groups: list[tuple[str, list[str]]],
-        k: int,
         idfs: dict[str, float] | None = None,
-        avgdl: float | None = None,
-        after: tuple[float, int] | None = None,
-        restrict: np.ndarray | None = None,
-    ) -> list[tuple[int, float]]:
-        """Core synonym-group evaluator. `groups` = sorted
-        [(leader, sorted members)]. `idfs` (keyed by leader) / `avgdl`
-        override local statistics — the sharded fan-out injects GLOBAL group
-        stats so per-shard scores are directly comparable (the same contract
-        as _topk_and)."""
+    ) -> list[tuple[float, np.ndarray, np.ndarray, np.ndarray]] | None:
+        """Per-group merged relation [(idf, docs, group_tf, dl)] for a
+        synonym query — the shared substrate of the matched-set derivation
+        AND the ranking (the served path builds it ONCE; computing the
+        matched set and then ranking used to decode and merge the same
+        postings twice). None = some group has no member in the
+        vocabulary (AND semantics: the whole query is empty)."""
         rows = self.lookup_terms(
             sorted({x for _, ms in groups for x in ms})
         )
         m = self.meta
         p = m.params
-        if avgdl is None:
-            avgdl = m.avgdl
         merged: list[tuple[float, np.ndarray, np.ndarray, np.ndarray]] = []
         for leader, ms in groups:
             present = [x for x in ms if x in rows]
             if not present:
-                return []
+                return None
             if idfs is None:
                 idf = p.idf(m.n_docs, max(rows[x].df for x in present))
             elif leader in idfs:
                 idf = idfs[leader]
             else:
-                return []  # group absent from the whole corpus
+                return None  # group absent from the whole corpus
+            if len(present) == 1:
+                # postings are already (doc ASC, unique) — the sort/unique
+                # merge is a no-op on a 1-member group, and head terms
+                # were paying its O(df log df) for nothing (the dominant
+                # cost of the served synonym tier at sf0.1)
+                d, tf, dl = self._decoded(rows[present[0]])
+                merged.append((idf, d, tf.astype(np.float64), dl))
+                continue
             d_parts, tf_parts, dl_parts = [], [], []
             for x in present:
                 d, tf, dl = self._decoded(rows[x])
@@ -1272,21 +1290,180 @@ class LocalSearcher:
                 dl_parts.append(dl)
             d = np.concatenate(d_parts)
             tf = np.concatenate(tf_parts).astype(np.float64)
+            if d.size * 8 >= m.id_space:
+                # dense merge for head groups: one O(id_space) bincount
+                # replaces the O(S log S) concat-sort (exact — per-doc
+                # group tf is a sum of integer-valued float64 tfs, order
+                # irrelevant; dl is identical across members of a doc)
+                gtf_dense = np.bincount(d, weights=tf, minlength=m.id_space)
+                uniq = np.flatnonzero(gtf_dense)
+                dl_dense = np.zeros(m.id_space, dtype=dl_parts[0].dtype)
+                for dd, dldd in zip(d_parts, dl_parts):
+                    dl_dense[dd] = dldd
+                merged.append(
+                    (idf, uniq, gtf_dense[uniq], dl_dense[uniq])
+                )
+                continue
             dl = np.concatenate(dl_parts)
             order = np.argsort(d, kind="stable")
             d, tf, dl = d[order], tf[order], dl[order]
             uniq, start = np.unique(d, return_index=True)
             gtf = np.add.reduceat(tf, start)
             merged.append((idf, uniq, gtf, dl[start]))
-        cand = merged[0][1]
-        if restrict is not None:
-            # drill-down: scores depend only on per-doc group tf/dl, so
-            # the restricted ranking's scores equal the global ranking's
-            cand = np.intersect1d(cand, restrict, assume_unique=True)
-        for _idf, d, _gtf, _gdl in merged[1:]:
-            cand = np.intersect1d(cand, d, assume_unique=True)
+        return merged
+
+    def _synonym_dense(
+        self,
+        groups: list[tuple[str, list[str]]],
+        k: int,
+        idfs: dict[str, float] | None = None,
+        avgdl: float | None = None,
+        after: tuple[float, int] | None = None,
+        restrict: np.ndarray | None = None,
+    ) -> tuple[list[tuple[int, float]], np.ndarray] | None:
+        """Dense-membership fast path for synonym groups — the `_topk_and`
+        dense-intersection recipe lifted to groups: group bitmap = OR of
+        (cached) member bitmaps, candidates = one vectorized AND, group tf
+        gathered per member through the cached rank alignment. Applicable
+        when EVERY member's postings cover ≥ 1/64 of the corpus (the same
+        head-heavy regime where the general group merge pays an O(S log S)
+        sort per query: measured 124 ms vs 15 ms for plain AND on the same
+        terms at sf0.1). Exact — same formulas, sorted-leader summation,
+        group tf a float64 sum of integer tfs (order-free).
+
+        Returns (results, matched) where `matched` is the full conjunctive
+        matched set BEFORE `restrict` (the served path's facet base), or
+        None when not applicable (some member too rare — caller falls back
+        to the general merge)."""
+        rows = self.lookup_terms(
+            sorted({x for _, ms in groups for x in ms})
+        )
+        m = self.meta
+        p = m.params
+        if avgdl is None:
+            avgdl = m.avgdl
+        empty = np.empty(0, dtype=np.int64)
+        per_group: list[tuple[float, list[str]]] = []
+        for leader, ms in groups:
+            present = [x for x in ms if x in rows]
+            if not present:
+                return [], empty
+            if not all(rows[x].df * 64 >= m.id_space for x in present):
+                return None  # tail member — general path handles it
+            if idfs is None:
+                idf = p.idf(m.n_docs, max(rows[x].df for x in present))
+            elif leader in idfs:
+                idf = idfs[leader]
+            else:
+                return [], empty
+            per_group.append((idf, present))
+        mask: np.ndarray | None = None
+        for _idf, present in per_group:
+            gm: np.ndarray | None = None
+            for x in present:
+                member, _ = self._membership(x, self._decoded(rows[x])[0])
+                if gm is None:
+                    gm = member if len(present) == 1 else member.copy()
+                else:
+                    gm |= member
+            mask = gm.copy() if mask is None else mask
+            if mask is not gm:
+                mask &= gm
+        matched = np.flatnonzero(mask)
+        cand = (
+            matched
+            if restrict is None
+            else isect_sorted(matched, restrict)
+        )
+        if cand.size == 0:
+            return [], matched
+        # dl of each cand doc from ANY containing member of the first
+        # group (a doc's length is member-independent)
+        dlv = np.zeros(cand.size, dtype=np.float64)
+        for x in per_group[0][1]:
+            member, rank = self._membership(x, self._decoded(rows[x])[0])
+            pres = member[cand]
+            if pres.any():
+                dl_x = self._decoded(rows[x])[2]
+                dlv[pres] = dl_x[rank[cand[pres]]]
+        norm = p.k1 * (1.0 - p.b + p.b * (dlv / avgdl))
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for idf, present in per_group:  # sorted-leader summation order
+            gtf = np.zeros(cand.size, dtype=np.float64)
+            for x in present:
+                member, rank = self._membership(x, self._decoded(rows[x])[0])
+                pres = member[cand]
+                if pres.any():
+                    tf_x = self._decoded(rows[x])[1]
+                    gtf[pres] += tf_x[rank[cand[pres]]]
+            scores = scores + idf * (gtf / (gtf + norm))
+        if after is not None:
+            keep = _after_mask(cand, scores, after)
+            cand, scores = cand[keep], scores[keep]
             if cand.size == 0:
-                return []
+                return [], matched
+        if cand.size > 4 * k:
+            kth = np.partition(-scores, k - 1)[k - 1]
+            sel = np.flatnonzero(-scores <= kth)
+            cand, scores = cand[sel], scores[sel]
+        top = np.lexsort((cand, -scores))[:k]
+        return (
+            [(int(cand[i]), float(scores[i])) for i in top],
+            matched,
+        )
+
+    def _topk_synonym_groups(
+        self,
+        groups: list[tuple[str, list[str]]],
+        k: int,
+        idfs: dict[str, float] | None = None,
+        avgdl: float | None = None,
+        after: tuple[float, int] | None = None,
+        restrict: np.ndarray | None = None,
+        relations: list | None = None,
+        cand: np.ndarray | None = None,
+    ) -> list[tuple[int, float]]:
+        """Core synonym-group evaluator. `groups` = sorted
+        [(leader, sorted members)]. `idfs` (keyed by leader) / `avgdl`
+        override local statistics — the sharded fan-out injects GLOBAL group
+        stats so per-shard scores are directly comparable (the same contract
+        as _topk_and). `relations` reuses a prebuilt
+        _synonym_group_relations result; `cand` supplies an
+        already-derived candidate set (must be a sorted subset of the
+        conjunctive intersection — the served path passes its matched
+        set so the derivation isn't paid twice)."""
+        m = self.meta
+        p = m.params
+        if avgdl is None:
+            avgdl = m.avgdl
+        if relations is None and cand is None:
+            dense = self._synonym_dense(
+                groups, k, idfs=idfs, avgdl=avgdl, after=after,
+                restrict=restrict,
+            )
+            if dense is not None:
+                return dense[0]
+        merged = (
+            relations
+            if relations is not None
+            else self._synonym_group_relations(groups, idfs=idfs)
+        )
+        if merged is None:
+            return []
+        if cand is None:
+            # conjunctive candidate set: set ops are commutative (score
+            # summation below keeps sorted-leader order) — drive from the
+            # SMALLEST group relation, probing (not merging) head groups
+            by_size = sorted(merged, key=lambda g: g[1].size)
+            cand = by_size[0][1]
+            if restrict is not None:
+                # drill-down: scores depend only on per-doc group tf/dl,
+                # so the restricted ranking scores equal the global ones
+                cand = isect_sorted(cand, restrict)
+            for _idf, d, _gtf, _gdl in by_size[1:]:
+                cand = isect_sorted(cand, d)
+                if cand.size == 0:
+                    return []
         if cand.size == 0:
             return []
         norm: np.ndarray | None = None

@@ -427,16 +427,22 @@ def _jlh_rows(
 def _group_union_intersection(groups, rel_of) -> np.ndarray:
     """Matched set of a synonym query: docs where EVERY group has ≥1
     member present — intersection over groups of the union of member
-    posting docID arrays. `rel_of(term) -> sorted docID array | None`."""
-    cand: np.ndarray | None = None
+    posting docID arrays (smallest union first, membership probes, no
+    re-sorts). `rel_of(term) -> sorted docID array | None`."""
+    from discogsography_spark.query.engine import isect_sorted
+
+    unions: list[np.ndarray] = []
     for _leader, ms in groups:
         arrs = [a for a in (rel_of(x) for x in ms) if a is not None]
         if not arrs:
             return np.empty(0, dtype=np.int64)
-        u = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
-        cand = (
-            u if cand is None else np.intersect1d(cand, u, assume_unique=True)
+        unions.append(
+            arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
         )
+    unions.sort(key=lambda u: u.size)
+    cand = unions[0]
+    for u in unions[1:]:
+        cand = isect_sorted(cand, u)
         if cand.size == 0:
             break
     return cand.astype(np.int64, copy=False)
@@ -1086,17 +1092,49 @@ class SearchService:
             )
         if fuzzy:
             raise ValueError("fuzzy and synonyms are mutually exclusive")
+        from discogsography_spark.query.engine import isect_sorted
+
         groups = _synonym_groups(self._an, query_text, synonyms)
-        matched = self.matched_docs_synonym(groups)
-        restrict = None
-        if filter:
-            matched = _facet_filter_keep(
-                self._facet_codes, self._facet_cats, matched, filter
-            )
-            restrict = matched
-        results = self.searcher._topk_synonym_groups(
-            groups, k, after=search_after, restrict=restrict
+        dense = (
+            self.searcher._synonym_dense(groups, k, after=search_after)
+            if hasattr(self.searcher, "_synonym_dense")
+            else None
         )
+        if dense is not None:
+            results, matched = dense
+            if filter:
+                matched = _facet_filter_keep(
+                    self._facet_codes, self._facet_cats, matched, filter
+                )
+                # re-rank restricted to the filtered set (bitmaps cached —
+                # the second dense pass is the cheap part; scores unchanged)
+                results = self.searcher._synonym_dense(
+                    groups, k, after=search_after, restrict=matched
+                )[0]
+        else:
+            # ONE relations build feeds the matched set AND the ranking —
+            # the matched-then-rank shape used to decode and merge the
+            # same group postings twice per request
+            relations = self.searcher._synonym_group_relations(groups)
+            if relations is None:
+                matched = np.empty(0, dtype=np.int64)
+                results = []
+            else:
+                by_size = sorted(
+                    (g[1] for g in relations), key=lambda d: d.size
+                )
+                matched = by_size[0]
+                for d in by_size[1:]:
+                    matched = isect_sorted(matched, d)
+                matched = matched.astype(np.int64, copy=False)
+                if filter:
+                    matched = _facet_filter_keep(
+                        self._facet_codes, self._facet_cats, matched, filter
+                    )
+                results = self.searcher._topk_synonym_groups(
+                    groups, k, after=search_after,
+                    relations=relations, cand=matched,
+                )
         if offset:
             results = results[offset:]
         resp = SearchResponse(
@@ -2044,17 +2082,30 @@ class MergedSearchService:
             )
         if fuzzy:
             raise ValueError("fuzzy and synonyms are mutually exclusive")
+        from discogsography_spark.query.engine import isect_sorted
+
         groups = _synonym_groups(self._an, query_text, synonyms)
-        matched = self.matched_docs_synonym(groups)
-        restrict = None
-        if filter:
-            matched = _facet_filter_keep(
-                self._facet_codes, self._facet_cats, matched, filter
+        # ONE relations build feeds the matched set AND the ranking —
+        # the matched-then-rank shape used to decode and merge the same
+        # group postings twice per request
+        relations = self.searcher._synonym_group_relations(groups)
+        if relations is None:
+            matched = np.empty(0, dtype=np.int64)
+            results: list[tuple[int, float]] = []
+        else:
+            by_size = sorted((g[1] for g in relations), key=lambda d: d.size)
+            matched = by_size[0]
+            for d in by_size[1:]:
+                matched = isect_sorted(matched, d)
+            matched = matched.astype(np.int64, copy=False)
+            if filter:
+                matched = _facet_filter_keep(
+                    self._facet_codes, self._facet_cats, matched, filter
+                )
+            results = self.searcher._topk_synonym_groups(
+                groups, k, after=search_after,
+                relations=relations, cand=matched,
             )
-            restrict = matched
-        results = self.searcher._topk_synonym_groups(
-            groups, k, after=search_after, restrict=restrict
-        )
         if offset:
             results = results[offset:]
         resp = SearchResponse(

@@ -1451,29 +1451,23 @@ class MergedSearcher:
         groups.sort(key=lambda g: g[0])
         return self._topk_synonym_groups(groups, k, after=after)
 
-    def _topk_synonym_groups(
+    def _synonym_group_relations(
         self,
         groups: list[tuple[str, list[str]]],
-        k: int,
         idfs: dict[str, float] | None = None,
-        avgdl: float | None = None,
-        after: tuple[float, int] | None = None,
-        restrict: np.ndarray | None = None,
-    ) -> list[tuple[int, float]]:
-        """Core synonym-group evaluator over alive merged relations —
-        same injection contract as LocalSearcher._topk_synonym_groups
-        (the live sharded tier injects GLOBAL alive group stats)."""
+    ) -> list[tuple[float, np.ndarray, np.ndarray, np.ndarray]] | None:
+        """Per-group merged ALIVE relation — the live-view analog of
+        LocalSearcher._synonym_group_relations (shared by the served
+        matched-set derivation and the ranking). None = empty query."""
         rels = self._merged_rows(
             sorted({x for _, ms in groups for x in ms})
         )
         p = self.params
-        if avgdl is None:
-            avgdl = self.avgdl
         merged: list[tuple[float, np.ndarray, np.ndarray, np.ndarray]] = []
         for leader, ms in groups:
             present = [x for x in ms if rels.get(x) is not None]
             if not present:
-                return []
+                return None
             if idfs is None:
                 idf = p.idf(
                     self.n_docs, max(int(rels[x][0].size) for x in present)
@@ -1481,7 +1475,14 @@ class MergedSearcher:
             elif leader in idfs:
                 idf = idfs[leader]
             else:
-                return []
+                return None
+            if len(present) == 1:
+                # merged relations are (doc ASC, unique) — skip the
+                # no-op sort/unique merge (LocalSearcher's 1-member
+                # fast path, same bit-identity argument)
+                d, tf, dl = rels[present[0]]
+                merged.append((idf, d, tf.astype(np.float64), dl))
+                continue
             d_parts, tf_parts, dl_parts = [], [], []
             for x in present:
                 d, tf, dl = rels[x]
@@ -1490,19 +1491,66 @@ class MergedSearcher:
                 dl_parts.append(dl)
             d = np.concatenate(d_parts)
             tf = np.concatenate(tf_parts).astype(np.float64)
+            if d.size * 8 >= self.id_space:
+                # dense head-group merge — LocalSearcher's bincount path,
+                # same exactness argument (ids here are absolute view ids)
+                gtf_dense = np.bincount(
+                    d, weights=tf, minlength=self.id_space
+                )
+                uniq = np.flatnonzero(gtf_dense)
+                dl_dense = np.zeros(
+                    self.id_space, dtype=dl_parts[0].dtype
+                )
+                for dd, dldd in zip(d_parts, dl_parts):
+                    dl_dense[dd] = dldd
+                merged.append(
+                    (idf, uniq, gtf_dense[uniq], dl_dense[uniq])
+                )
+                continue
             dl = np.concatenate(dl_parts)
             order = np.argsort(d, kind="stable")
             d, tf, dl = d[order], tf[order], dl[order]
             uniq, start = np.unique(d, return_index=True)
             gtf = np.add.reduceat(tf, start)
             merged.append((idf, uniq, gtf, dl[start]))
-        cand = merged[0][1]
-        if restrict is not None:
-            cand = np.intersect1d(cand, restrict, assume_unique=True)
-        for _idf, d, _gtf, _gdl in merged[1:]:
-            cand = np.intersect1d(cand, d, assume_unique=True)
-            if cand.size == 0:
-                return []
+        return merged
+
+    def _topk_synonym_groups(
+        self,
+        groups: list[tuple[str, list[str]]],
+        k: int,
+        idfs: dict[str, float] | None = None,
+        avgdl: float | None = None,
+        after: tuple[float, int] | None = None,
+        restrict: np.ndarray | None = None,
+        relations: list | None = None,
+        cand: np.ndarray | None = None,
+    ) -> list[tuple[int, float]]:
+        """Core synonym-group evaluator over alive merged relations —
+        same injection contract as LocalSearcher._topk_synonym_groups
+        (the live sharded tier injects GLOBAL alive group stats);
+        `relations`/`cand` reuse prebuilt state exactly as there."""
+        from discogsography_spark.query.engine import isect_sorted
+
+        p = self.params
+        if avgdl is None:
+            avgdl = self.avgdl
+        merged = (
+            relations
+            if relations is not None
+            else self._synonym_group_relations(groups, idfs=idfs)
+        )
+        if merged is None:
+            return []
+        if cand is None:
+            by_size = sorted(merged, key=lambda g: g[1].size)
+            cand = by_size[0][1]
+            if restrict is not None:
+                cand = isect_sorted(cand, restrict)
+            for _idf, d, _gtf, _gdl in by_size[1:]:
+                cand = isect_sorted(cand, d)
+                if cand.size == 0:
+                    return []
         if cand.size == 0:
             return []
         norm: np.ndarray | None = None
