@@ -709,6 +709,26 @@ class LocalSearcher:
         shards."""
         return {t: tp.df for t, tp in self.lookup_terms(terms).items()}
 
+    def sig_fg_counts(
+        self, matched: np.ndarray, terms: list[str]
+    ) -> dict[str, int]:
+        """Foreground doc frequencies for significant-terms: for each
+        candidate term, |posting ∩ matched| via one membership-mask
+        gather (exact, O(df) per term). A worker-pool RPC — the sharded
+        coordinator ships each shard its LOCAL matched set and the
+        GLOBALLY-pruned candidate list, so the decode-heavy counting runs
+        in the shard worker processes in parallel."""
+        rows = self.lookup_terms(sorted(terms))
+        mask = np.zeros(self.meta.id_space, dtype=bool)
+        mask[np.asarray(matched, dtype=np.int64)] = True
+        fg: dict[str, int] = {}
+        for t, tp in rows.items():
+            docs = self._decoded(tp)[0]
+            n = int(np.count_nonzero(mask[docs]))
+            if n:
+                fg[t] = n
+        return fg
+
     @contextmanager
     def deadline(self, budget_ms: float | None):
         """Per-query time budget: evaluators called inside this context

@@ -1724,24 +1724,53 @@ class ShardedSearchService:
         Candidate discovery samples ≤sample_per_shard matched docs on
         EACH shard (global statistics stay exact for every candidate)."""
 
-        def _part(svc: SearchService):
+        def _discover(svc: SearchService):
+            # phase 1 (coordinator threads, cheap): matched set + the
+            # candidate vocabulary of up to sample_per_shard matched docs
             matched = svc.matched_docs(query_text, mode=mode)
-            fg, _ = svc._sig_fg_counts(matched, sample_per_shard)
-            return int(matched.size), fg
+            ids = (
+                matched
+                if sample_per_shard is None
+                or matched.size <= sample_per_shard
+                else matched[:sample_per_shard]
+            )
+            cand: set[str] = set()
+            for d in ids:
+                cand.update(svc._mlt_source_tokens(int(d)))
+            return matched, cand
 
-        parts = self.sharded._fanout_heavy(_part, self.services)
-        n_matched = sum(m for m, _ in parts)
+        parts = self.sharded._fanout_heavy(_discover, self.services)
+        n_matched = sum(int(m.size) for m, _ in parts)
         if n_matched == 0:
             return []
-        fg: dict[str, int] = {}
-        for _m, part in parts:
-            for t, n in part.items():
-                fg[t] = fg.get(t, 0) + n
-        per_shard_dfs, _idfs = self.sharded._global_idfs(sorted(fg))
-        dfs = {
-            t: sum(r.get(t, 0) for r in per_shard_dfs) for t in fg
-        }
         exclude = set(self.services[0]._an.analyze_query(query_text))
+        union_cand = sorted(
+            set().union(*(c for _m, c in parts)) - exclude
+        )
+        # phase 2: ONE global stats RPC, then prune candidates whose
+        # GLOBAL df can't reach min_doc_count — exact (fg ≤ df) and it
+        # keeps the tail vocabulary out of phase 3's decodes entirely
+        per_shard_dfs, _idfs = self.sharded._global_idfs(union_cand)
+        dfs = {
+            t: sum(r.get(t, 0) for r in per_shard_dfs) for t in union_cand
+        }
+        keep = [t for t in union_cand if dfs[t] >= min_doc_count]
+        if not keep:
+            return []
+        # phase 3 (worker-pool RPC, parallel across shard processes):
+        # exact per-shard fg = posting∩matched for every kept candidate;
+        # doc-disjoint shards, so the maps SUM
+        fgs = self.sharded._call_shards(
+            "sig_fg_counts",
+            [
+                {"matched": m, "terms": keep}
+                for m, _c in parts
+            ],
+        )
+        fg: dict[str, int] = {}
+        for part in fgs:
+            for t, n in (part or {}).items():
+                fg[t] = fg.get(t, 0) + n
         return _jlh_rows(
             fg, dfs, n_matched, self.sharded.n_docs, exclude,
             min_doc_count, k,

@@ -1076,6 +1076,24 @@ class MergedSearcher:
             if ent is not None
         }
 
+    def sig_fg_counts(
+        self, matched: np.ndarray, terms: list[str]
+    ) -> dict[str, int]:
+        """Foreground doc frequencies over ALIVE merged relations — the
+        live-shard side of the significant-terms worker RPC (see
+        LocalSearcher.sig_fg_counts)."""
+        rels = self._merged_rows(sorted(terms))
+        mask = np.zeros(self.id_space, dtype=bool)
+        mask[np.asarray(matched, dtype=np.int64)] = True
+        fg: dict[str, int] = {}
+        for t, ent in rels.items():
+            if ent is None:
+                continue
+            n = int(np.count_nonzero(mask[ent[0]]))
+            if n:
+                fg[t] = n
+        return fg
+
     def topk(
         self,
         query_text: str,
