@@ -2535,6 +2535,21 @@ array_sort(
 
     q["fts_significant_terms"] = fts_significant_terms
 
+    def fts_histogram_agg(spark, sf_dir):
+        # Numeric histogram aggregation over the MATCHED set (Elasticsearch
+        # `histogram`; served twin: SearchService.numeric_histogram):
+        # n_chars bucketed at interval 100 for the docs matching the
+        # conjunctive query.
+        from discogsography_spark.query.dataframe_bm25 import (
+            matched_histogram_dataframe,
+        )
+
+        return matched_histogram_dataframe(
+            _read(spark, sf_dir, "documents"), "table value", "n_chars", 100.0
+        )
+
+    q["fts_histogram_agg"] = fts_histogram_agg
+
     return q
 
 
@@ -4594,6 +4609,22 @@ SELECT term, fg, bg,
 FROM fg JOIN bg USING (term) CROSS JOIN tot t
 WHERE (fg / t.n_matched) > (bg / t.n_docs)
 ORDER BY score DESC, term ASC LIMIT 15
+"""
+
+    o["fts_histogram_agg"] = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+),
+hits AS (
+  SELECT doc_id FROM dt WHERE term IN ('table', 'value')
+  GROUP BY doc_id HAVING count(*) = 2
+)
+SELECT floor(d.n_chars::DOUBLE / 100.0) * 100.0 AS bucket,
+       count(*)::BIGINT AS n
+FROM documents d JOIN hits USING (doc_id)
+WHERE d.n_chars IS NOT NULL
+GROUP BY 1 ORDER BY bucket
 """
 
     return o

@@ -1608,3 +1608,47 @@ def significant_terms_dataframe(
         .limit(k)
     )
     return scored
+
+
+def matched_histogram_dataframe(
+    docs: DataFrame,
+    query_text: str,
+    value_col: str,
+    interval: float,
+    mode: str = "and",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Numeric histogram aggregation over the MATCHED set — the
+    declarative mirror of SearchService.numeric_histogram (Elasticsearch
+    `histogram`: bucket = floor(value/interval)·interval, counts bucket-ASC,
+    empty buckets dropped, nulls excluded). One explode scan for the match,
+    one groupBy over the semi-joined rows."""
+    terms = analyze_query(query_text)
+    spark = docs.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "bucket double, n long")
+    hits = (
+        docs.select(
+            F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
+        )
+        .select("_id", F.explode(F.array_distinct("_toks")).alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("_id")
+        .agg(F.count("*").alias("nt"))
+    )
+    if mode != "or":
+        hits = hits.filter(F.col("nt") == F.lit(len(terms)))
+    matched = docs.join(
+        hits.select(F.col("_id").alias(id_col)), id_col, "semi"
+    )
+    bucket = (
+        F.floor(F.col(value_col).cast("double") / F.lit(float(interval)))
+        * F.lit(float(interval))
+    ).alias("bucket")
+    return (
+        matched.filter(F.col(value_col).isNotNull())
+        .groupBy(bucket)
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )

@@ -640,6 +640,27 @@ class SearchService:
         field over the cached doc-value array — no corpus scan."""
         return {f: _stats_of(self._numeric_col(f)[matched]) for f in fields}
 
+    def numeric_histogram(
+        self, matched: np.ndarray, field: str, interval: float
+    ) -> list[tuple[float, int]]:
+        """Numeric histogram aggregation over the MATCHED set
+        (Elasticsearch `histogram`): bucket = floor(value/interval) ·
+        interval, (bucket, count) bucket-ASC, empty buckets dropped,
+        nulls excluded — one O(|matched|) gather over the cached
+        doc-value array (the date_histogram contract for numbers; on the
+        live view `matched` is already alive-only)."""
+        if interval <= 0:
+            raise ValueError(f"interval must be > 0, got {interval}")
+        v = self._numeric_col(field)[matched]
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return []
+        b = np.floor(v / interval).astype(np.int64)
+        uniq, counts = np.unique(b, return_counts=True)
+        return [
+            (float(u * interval), int(c)) for u, c in zip(uniq, counts)
+        ]
+
     def _sig_fg_counts(
         self, matched: np.ndarray, sample: int | None, min_df: int = 1
     ) -> tuple[dict[str, int], dict[str, int]]:
@@ -1370,6 +1391,24 @@ class ShardedSearchService:
         ):
             for label, n in pairs:
                 acc[label] = acc.get(label, 0) + n
+        return sorted(acc.items())
+
+    def numeric_histogram(
+        self,
+        matched_per_shard: list[np.ndarray],
+        field: str,
+        interval: float,
+    ) -> list[tuple[float, int]]:
+        """Numeric histogram across shards — per-shard bucket vectors sum
+        exactly (doc-disjoint), buckets merge ASC (the date_histogram
+        recipe for numbers)."""
+        acc: dict[float, int] = {}
+        for pairs in self.sharded._fanout_heavy(
+            lambda im: im[1].numeric_histogram(im[0], field, interval),
+            list(zip(matched_per_shard, self.services)),
+        ):
+            for bucket, n in pairs:
+                acc[bucket] = acc.get(bucket, 0) + n
         return sorted(acc.items())
 
     def search(
@@ -2193,6 +2232,27 @@ class MergedSearchService:
         """Stats metric aggregation over the ALIVE matched set of the
         live view — same contract as SearchService.field_stats."""
         return {f: _stats_of(self._numeric_col(f)[matched]) for f in fields}
+
+    def numeric_histogram(
+        self, matched: np.ndarray, field: str, interval: float
+    ) -> list[tuple[float, int]]:
+        """Numeric histogram aggregation over the MATCHED set
+        (Elasticsearch `histogram`): bucket = floor(value/interval) ·
+        interval, (bucket, count) bucket-ASC, empty buckets dropped,
+        nulls excluded — one O(|matched|) gather over the cached
+        doc-value array (the date_histogram contract for numbers; on the
+        live view `matched` is already alive-only)."""
+        if interval <= 0:
+            raise ValueError(f"interval must be > 0, got {interval}")
+        v = self._numeric_col(field)[matched]
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return []
+        b = np.floor(v / interval).astype(np.int64)
+        uniq, counts = np.unique(b, return_counts=True)
+        return [
+            (float(u * interval), int(c)) for u, c in zip(uniq, counts)
+        ]
 
     def _sig_fg_counts(
         self, matched: np.ndarray, sample: int | None, min_df: int = 1

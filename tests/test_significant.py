@@ -213,3 +213,33 @@ def test_merged_stats_and_significant_equal_fresh(spark, tmp_path_factory):
         assert [(t, fg, bgc) for t, fg, bgc, _ in ga] == [
             (t, fg, bgc) for t, fg, bgc, _ in gb
         ], q
+
+
+def test_numeric_histogram_matches_pandas(served):
+    svc, tdf = served
+    matched = svc.matched_docs("spark index")
+    got = svc.numeric_histogram(matched, "turn_idx", 5.0)
+    exp = _matched(tdf, ["index", "spark"])["turn_idx"].astype(float)
+    want = (
+        (np.floor(exp / 5.0) * 5.0).groupby(np.floor(exp / 5.0) * 5.0)
+        .size().to_dict()
+    )
+    assert dict(got) == want
+    assert [b for b, _ in got] == sorted(b for b, _ in got)
+    with pytest.raises(ValueError):
+        svc.numeric_histogram(matched, "turn_idx", 0)
+    assert svc.numeric_histogram(matched[:0], "turn_idx", 5.0) == []
+
+
+def test_numeric_histogram_sharded_and_merged(sharded_pair):
+    from discogsography_spark.query.serving import ShardedSearchService
+
+    full_idx, shard_dirs = sharded_pair
+    single = SearchService(full_idx)
+    sharded = ShardedSearchService(shard_dirs)
+    for q in ["spark index", "merge"]:
+        m = single.matched_docs(q)
+        want = single.numeric_histogram(m, "turn_idx", 4.0)
+        per = [svc.matched_docs(q) for svc in sharded.services]
+        got = sharded.numeric_histogram(per, "turn_idx", 4.0)
+        assert got == want, q
