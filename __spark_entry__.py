@@ -2550,6 +2550,21 @@ array_sort(
 
     q["fts_histogram_agg"] = fts_histogram_agg
 
+    def fts_percentiles_agg(spark, sf_dir):
+        # Exact percentiles + distinct-value cardinality of a numeric
+        # field over the MATCHED set (served twins:
+        # SearchService.field_percentiles / field_cardinality — exact
+        # where ES uses t-digest/HLL).
+        from discogsography_spark.query.dataframe_bm25 import (
+            matched_percentiles_dataframe,
+        )
+
+        return matched_percentiles_dataframe(
+            _read(spark, sf_dir, "documents"), "table value", "n_chars"
+        )
+
+    q["fts_percentiles_agg"] = fts_percentiles_agg
+
     return q
 
 
@@ -4625,6 +4640,23 @@ SELECT floor(d.n_chars::DOUBLE / 100.0) * 100.0 AS bucket,
 FROM documents d JOIN hits USING (doc_id)
 WHERE d.n_chars IS NOT NULL
 GROUP BY 1 ORDER BY bucket
+"""
+
+    o["fts_percentiles_agg"] = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+),
+hits AS (
+  SELECT doc_id FROM dt WHERE term IN ('table', 'value')
+  GROUP BY doc_id HAVING count(*) = 2
+)
+SELECT round(quantile_cont(d.n_chars::DOUBLE, 0.25), 5) AS p25,
+       round(quantile_cont(d.n_chars::DOUBLE, 0.50), 5) AS p50,
+       round(quantile_cont(d.n_chars::DOUBLE, 0.75), 5) AS p75,
+       round(quantile_cont(d.n_chars::DOUBLE, 0.95), 5) AS p95,
+       count(DISTINCT d.n_chars)::BIGINT AS distinct_vals
+FROM documents d JOIN hits USING (doc_id)
 """
 
     return o

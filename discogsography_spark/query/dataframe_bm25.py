@@ -1652,3 +1652,50 @@ def matched_histogram_dataframe(
         .agg(F.count("*").alias("n"))
         .orderBy("bucket")
     )
+
+
+def matched_percentiles_dataframe(
+    docs: DataFrame,
+    query_text: str,
+    value_col: str,
+    mode: str = "and",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 5,
+) -> DataFrame:
+    """Exact percentiles (p25/p50/p75/p95, linear interpolation) + exact
+    distinct-value cardinality of a numeric field over the MATCHED set —
+    the declarative mirror of SearchService.field_percentiles /
+    field_cardinality. `percentile()` is Spark's exact evaluator (the
+    SQL quantile_cont semantics DuckDB mirrors); ES's t-digest/HLL
+    approximations are unnecessary when the gather is one scan."""
+    terms = analyze_query(query_text)
+    spark = docs.sparkSession
+    if not terms:
+        return spark.createDataFrame(
+            [],
+            "p25 double, p50 double, p75 double, p95 double, distinct_vals long",
+        )
+    hits = (
+        docs.select(
+            F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
+        )
+        .select("_id", F.explode(F.array_distinct("_toks")).alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("_id")
+        .agg(F.count("*").alias("nt"))
+    )
+    if mode != "or":
+        hits = hits.filter(F.col("nt") == F.lit(len(terms)))
+    matched = docs.join(
+        hits.select(F.col("_id").alias(id_col)), id_col, "semi"
+    )
+    v = F.col(value_col).cast("double")
+    pct = F.percentile(v, F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]))
+    return matched.agg(
+        F.round(pct[0], round_dp).alias("p25"),
+        F.round(pct[1], round_dp).alias("p50"),
+        F.round(pct[2], round_dp).alias("p75"),
+        F.round(pct[3], round_dp).alias("p95"),
+        F.countDistinct(v).alias("distinct_vals"),
+    )

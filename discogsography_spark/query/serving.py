@@ -640,6 +640,37 @@ class SearchService:
         field over the cached doc-value array — no corpus scan."""
         return {f: _stats_of(self._numeric_col(f)[matched]) for f in fields}
 
+
+    def field_percentiles(
+        self,
+        matched: np.ndarray,
+        field: str,
+        percents: tuple[float, ...] = (25.0, 50.0, 75.0, 95.0),
+    ) -> dict[float, float]:
+        """EXACT percentiles (linear interpolation — np.percentile /
+        SQL quantile_cont semantics) of a numeric field over the MATCHED
+        set; {} when no non-null values. The reference computes exact
+        percentiles in SQL for its rarity distribution endpoints; ES
+        `percentiles` is approximate t-digest — here exactness is cheap
+        because the doc-value gather is O(|matched|)."""
+        v = self._field_values(matched, field)
+        if v.size == 0:
+            return {}
+        return {
+            float(q): float(np.percentile(v, q)) for q in percents
+        }
+
+    def field_cardinality(self, matched: np.ndarray, field: str) -> int:
+        """EXACT distinct non-null value count of a numeric docmap field
+        over the MATCHED set (ES `cardinality` is HLL-approximate; the
+        sharded coordinator unions per-shard distinct-value arrays, so
+        the sharded number is exact too)."""
+        return int(np.unique(self._field_values(matched, field)).size)
+
+    def _field_values(self, matched: np.ndarray, field: str) -> np.ndarray:
+        v = self._numeric_col(field)[matched]
+        return v[~np.isnan(v)]
+
     def numeric_histogram(
         self, matched: np.ndarray, field: str, interval: float
     ) -> list[tuple[float, int]]:
@@ -1410,6 +1441,38 @@ class ShardedSearchService:
             for bucket, n in pairs:
                 acc[bucket] = acc.get(bucket, 0) + n
         return sorted(acc.items())
+
+    def field_percentiles(
+        self,
+        matched_per_shard: list[np.ndarray],
+        field: str,
+        percents: tuple[float, ...] = (25.0, 50.0, 75.0, 95.0),
+    ) -> dict[float, float]:
+        """EXACT global percentiles across shards: per-shard matched
+        value arrays concatenate at the coordinator (a percentile is not
+        shard-decomposable; shipping the matched values is O(|matched|),
+        the same bound the facet tier already pays per request)."""
+        parts = self.sharded._fanout_heavy(
+            lambda im: im[1]._field_values(im[0], field),
+            list(zip(matched_per_shard, self.services)),
+        )
+        v = np.concatenate([x for x in parts if x.size] or [np.empty(0)])
+        if v.size == 0:
+            return {}
+        return {float(q): float(np.percentile(v, q)) for q in percents}
+
+    def field_cardinality(
+        self, matched_per_shard: list[np.ndarray], field: str
+    ) -> int:
+        """EXACT distinct count across shards — union of per-shard
+        distinct-value arrays (each ≤ the shard's value domain, far
+        smaller than the matched set)."""
+        parts = self.sharded._fanout_heavy(
+            lambda im: np.unique(im[1]._field_values(im[0], field)),
+            list(zip(matched_per_shard, self.services)),
+        )
+        v = np.concatenate([x for x in parts if x.size] or [np.empty(0)])
+        return int(np.unique(v).size)
 
     def search(
         self,
@@ -2232,6 +2295,37 @@ class MergedSearchService:
         """Stats metric aggregation over the ALIVE matched set of the
         live view — same contract as SearchService.field_stats."""
         return {f: _stats_of(self._numeric_col(f)[matched]) for f in fields}
+
+
+    def field_percentiles(
+        self,
+        matched: np.ndarray,
+        field: str,
+        percents: tuple[float, ...] = (25.0, 50.0, 75.0, 95.0),
+    ) -> dict[float, float]:
+        """EXACT percentiles (linear interpolation — np.percentile /
+        SQL quantile_cont semantics) of a numeric field over the MATCHED
+        set; {} when no non-null values. The reference computes exact
+        percentiles in SQL for its rarity distribution endpoints; ES
+        `percentiles` is approximate t-digest — here exactness is cheap
+        because the doc-value gather is O(|matched|)."""
+        v = self._field_values(matched, field)
+        if v.size == 0:
+            return {}
+        return {
+            float(q): float(np.percentile(v, q)) for q in percents
+        }
+
+    def field_cardinality(self, matched: np.ndarray, field: str) -> int:
+        """EXACT distinct non-null value count of a numeric docmap field
+        over the MATCHED set (ES `cardinality` is HLL-approximate; the
+        sharded coordinator unions per-shard distinct-value arrays, so
+        the sharded number is exact too)."""
+        return int(np.unique(self._field_values(matched, field)).size)
+
+    def _field_values(self, matched: np.ndarray, field: str) -> np.ndarray:
+        v = self._numeric_col(field)[matched]
+        return v[~np.isnan(v)]
 
     def numeric_histogram(
         self, matched: np.ndarray, field: str, interval: float

@@ -243,3 +243,34 @@ def test_numeric_histogram_sharded_and_merged(sharded_pair):
         per = [svc.matched_docs(q) for svc in sharded.services]
         got = sharded.numeric_histogram(per, "turn_idx", 4.0)
         assert got == want, q
+
+
+def test_percentiles_and_cardinality_match_pandas(served):
+    svc, tdf = served
+    matched = svc.matched_docs("spark index")
+    got = svc.field_percentiles(matched, "turn_idx")
+    exp = _matched(tdf, ["index", "spark"])["turn_idx"].astype(float)
+    for q in (25.0, 50.0, 75.0, 95.0):
+        assert got[q] == pytest.approx(np.percentile(exp, q), rel=1e-12)
+    assert svc.field_cardinality(matched, "turn_idx") == exp.nunique()
+    assert svc.field_percentiles(matched[:0], "turn_idx") == {}
+    assert svc.field_cardinality(matched[:0], "turn_idx") == 0
+
+
+def test_percentiles_cardinality_sharded_equal_single(sharded_pair):
+    from discogsography_spark.query.serving import ShardedSearchService
+
+    full_idx, shard_dirs = sharded_pair
+    single = SearchService(full_idx)
+    sharded = ShardedSearchService(shard_dirs)
+    for q in ["spark index", "merge"]:
+        m = single.matched_docs(q)
+        per = [svc.matched_docs(q) for svc in sharded.services]
+        want = single.field_percentiles(m, "turn_idx")
+        got = sharded.field_percentiles(per, "turn_idx")
+        assert set(got) == set(want)
+        for k_ in want:
+            assert got[k_] == pytest.approx(want[k_], rel=1e-12), q
+        assert sharded.field_cardinality(per, "turn_idx") == (
+            single.field_cardinality(m, "turn_idx")
+        ), q
