@@ -722,7 +722,9 @@ class LocalSearcher:
         mask = np.zeros(self.meta.id_space, dtype=bool)
         mask[np.asarray(matched, dtype=np.int64)] = True
         fg: dict[str, int] = {}
-        for t, tp in rows.items():
+        for i, (t, tp) in enumerate(rows.items()):
+            if i % 64 == 0:
+                self._budget_check()  # candidate-batch boundary
             docs = self._decoded(tp)[0]
             n = int(np.count_nonzero(mask[docs]))
             if n:

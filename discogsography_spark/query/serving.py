@@ -718,7 +718,9 @@ class SearchService:
         mask[matched] = True
         fg: dict[str, int] = {}
         dfs: dict[str, int] = {}
-        for t, tp in rows.items():
+        for i, (t, tp) in enumerate(rows.items()):
+            if i % 64 == 0:
+                self.searcher._budget_check()
             if int(tp.df) < min_df:
                 continue
             docs = self.searcher._decoded(tp)[0]
@@ -735,6 +737,7 @@ class SearchService:
         mode: str = "and",
         sample: int | None = 1000,
         min_doc_count: int = 3,
+        budget_ms: float | None = None,
     ) -> list[tuple[str, int, int, float]]:
         """Significant-terms aggregation (Elasticsearch significant_terms,
         JLH heuristic): terms over-represented in the MATCHED set relative
@@ -744,6 +747,12 @@ class SearchService:
         it rides the index: candidate discovery from ≤`sample` matched
         docs' stored text, exact fg = posting∩matched per candidate, bg =
         the dictionary df. Returns [(term, fg_count, bg_count, score)]."""
+        if budget_ms is not None:
+            with self.searcher.deadline(budget_ms):
+                return self.significant_terms(
+                    query_text, k=k, mode=mode, sample=sample,
+                    min_doc_count=min_doc_count,
+                )
         matched = self.matched_docs(query_text, mode=mode)
         if matched.size == 0:
             return []
@@ -1817,6 +1826,7 @@ class ShardedSearchService:
         mode: str = "and",
         sample_per_shard: int | None = 1000,
         min_doc_count: int = 3,
+        budget_ms: float | None = None,
     ) -> list[tuple[str, int, int, float]]:
         """Significant-terms (JLH) across shards, identical to a single
         whole-corpus index when discovery isn't truncated: per-shard
@@ -1829,6 +1839,12 @@ class ShardedSearchService:
         def _discover(svc: SearchService):
             # phase 1 (coordinator threads, cheap): matched set + the
             # candidate vocabulary of up to sample_per_shard matched docs
+            # (each parallel leg gets the full budget — the fan-out
+            # contract every ranked RPC applies)
+            with svc.searcher.deadline(budget_ms):
+                return _discover_inner(svc)
+
+        def _discover_inner(svc: SearchService):
             matched = svc.matched_docs(query_text, mode=mode)
             ids = (
                 matched
@@ -1862,13 +1878,10 @@ class ShardedSearchService:
         # phase 3 (worker-pool RPC, parallel across shard processes):
         # exact per-shard fg = posting∩matched for every kept candidate;
         # doc-disjoint shards, so the maps SUM
-        fgs = self.sharded._call_shards(
-            "sig_fg_counts",
-            [
-                {"matched": m, "terms": keep}
-                for m, _c in parts
-            ],
-        )
+        kws = [{"matched": m, "terms": keep} for m, _c in parts]
+        if budget_ms is not None:
+            kws = [{**kw, "_budget_ms": budget_ms} for kw in kws]
+        fgs = self.sharded._call_shards("sig_fg_counts", kws)
         fg: dict[str, int] = {}
         for part in fgs:
             for t, n in (part or {}).items():
@@ -2366,7 +2379,9 @@ class MergedSearchService:
         mask[matched] = True
         fg: dict[str, int] = {}
         dfs: dict[str, int] = {}
-        for t, ent in rels.items():
+        for i, (t, ent) in enumerate(rels.items()):
+            if i % 64 == 0:
+                self.searcher._budget_check()
             if ent is None or ent[0].size < min_df:
                 continue
             docs = ent[0]
@@ -2383,11 +2398,18 @@ class MergedSearchService:
         mode: str = "and",
         sample: int | None = 1000,
         min_doc_count: int = 3,
+        budget_ms: float | None = None,
     ) -> list[tuple[str, int, int, float]]:
         """Significant-terms (JLH) over the ALIVE live view — tombstoned
         docs never match, never count as foreground, and the background
         dfs are alive dfs, so the result equals a fresh alive-corpus
         rebuild's significant_terms."""
+        if budget_ms is not None:
+            with self.searcher.deadline(budget_ms):
+                return self.significant_terms(
+                    query_text, k=k, mode=mode, sample=sample,
+                    min_doc_count=min_doc_count,
+                )
         matched = self.matched_docs(query_text, mode=mode)
         if matched.size == 0:
             return []

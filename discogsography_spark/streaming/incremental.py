@@ -1086,7 +1086,9 @@ class MergedSearcher:
         mask = np.zeros(self.id_space, dtype=bool)
         mask[np.asarray(matched, dtype=np.int64)] = True
         fg: dict[str, int] = {}
-        for t, ent in rels.items():
+        for i, (t, ent) in enumerate(rels.items()):
+            if i % 64 == 0:
+                self._budget_check()  # candidate-batch boundary
             if ent is None:
                 continue
             n = int(np.count_nonzero(mask[ent[0]]))

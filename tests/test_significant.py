@@ -274,3 +274,13 @@ def test_percentiles_cardinality_sharded_equal_single(sharded_pair):
         assert sharded.field_cardinality(per, "turn_idx") == (
             single.field_cardinality(m, "turn_idx")
         ), q
+
+
+def test_significant_terms_budget(served):
+    from discogsography_spark.query.engine import QueryBudgetExceeded
+
+    svc, _ = served
+    with pytest.raises(QueryBudgetExceeded):
+        svc.significant_terms("spark index", k=10, budget_ms=0.0)
+    # default unlimited unchanged
+    assert svc.significant_terms("spark index", k=5)
