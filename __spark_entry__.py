@@ -2565,6 +2565,21 @@ array_sort(
 
     q["fts_percentiles_agg"] = fts_percentiles_agg
 
+    def fts_grouped_topk(spark, sf_dir):
+        # Grouped relevance (Lucene grouping score modes; served twin:
+        # SearchService.grouped_topk): rank `source` groups by the SUM of
+        # their matched members' BM25 scores, with avg/max/count
+        # alongside — "rank conversations by total turn relevance".
+        from discogsography_spark.query.dataframe_bm25 import (
+            bm25_grouped_topk_dataframe,
+        )
+
+        return bm25_grouped_topk_dataframe(
+            _read(spark, sf_dir, "documents"), "table value", "source", k=10
+        )
+
+    q["fts_grouped_topk"] = fts_grouped_topk
+
     return q
 
 
@@ -4657,6 +4672,38 @@ SELECT round(quantile_cont(d.n_chars::DOUBLE, 0.25), 5) AS p25,
        round(quantile_cont(d.n_chars::DOUBLE, 0.95), 5) AS p95,
        count(DISTINCT d.n_chars)::BIGINT AS distinct_vals
 FROM documents d JOIN hits USING (doc_id)
+"""
+
+    o["fts_grouped_topk"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT count(*) FROM toks)::DOUBLE AS total_tokens
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ('table', 'value') GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, count(*) AS nt,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * (tf.tf / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * (dl.dl / (s.total_tokens / s.n_docs))))) ) AS raw
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT d.source AS "group",
+       count(*)::BIGINT AS n_matched,
+       round(sum(sc.raw), 5) AS sum_score,
+       round(avg(sc.raw), 5) AS avg_score,
+       round(max(sc.raw), 5) AS max_score
+FROM scored sc JOIN documents d USING (doc_id)
+WHERE sc.nt = 2
+GROUP BY d.source
+ORDER BY sum_score DESC, "group" ASC LIMIT 10
 """
 
     return o

@@ -1699,3 +1699,109 @@ def matched_percentiles_dataframe(
         F.round(pct[3], round_dp).alias("p95"),
         F.countDistinct(v).alias("distinct_vals"),
     )
+
+
+def bm25_grouped_topk_dataframe(
+    docs: DataFrame,
+    query_text: str,
+    group_col: str,
+    k: int = 10,
+    mode: str = "and",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    params: BM25Params | None = None,
+    round_dp: int = 5,
+) -> DataFrame:
+    """Grouped relevance — the declarative mirror of
+    SearchService.grouped_topk (Lucene grouping score modes): rank
+    `group_col` GROUPS by aggregates of their matched members' BM25
+    scores, one row per group (group, n_matched, sum_score, avg_score,
+    max_score) ordered (sum DESC, group ASC). collapse() returns the best
+    REPRESENTATIVE per group; this returns the group AGGREGATE — the
+    "rank conversations by total relevance of their turns" shape.
+
+    Plan: the standard BM25 scoring sub-plan (raw scores, no per-doc
+    rounding — aggregates round once) + one broadcast join to the group
+    column + one groupBy. Nothing beyond the facet-tier O(matched) cost.
+    """
+    p = params or BM25Params()
+    terms = analyze_query(query_text)
+    spark = docs.sparkSession
+    if not terms:
+        return spark.createDataFrame(
+            [],
+            "group string, n_matched long, sum_score double, "
+            "avg_score double, max_score double",
+        )
+    toks = docs.select(
+        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("_dl"), F.lit(0)).alias("total_tokens"),
+    )
+    tf = (
+        toks.select("_id", "_dl", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("_dl").alias("dl"))
+    )
+    df_per_term = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_per_term), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.col("total_tokens") / F.col("n_docs"))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "partial",
+            F.col("idf")
+            * (
+                F.col("tf").cast("double")
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(p.k1)
+                    * (
+                        F.lit(1.0 - p.b)
+                        + F.lit(p.b)
+                        * (F.col("dl").cast("double") / F.col("avgdl"))
+                    )
+                )
+            ),
+        )
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("nt"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "partial"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["partial"],
+            ).alias("raw_score"),
+        )
+    )
+    if mode != "or":
+        scored = scored.filter(F.col("nt") == F.lit(len(terms)))
+    return (
+        scored.join(
+            docs.select(
+                F.col(id_col).alias("_id"),
+                F.col(group_col).cast("string").alias("group"),
+            ),
+            "_id",
+        )
+        .groupBy("group")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.round(F.sum("raw_score"), round_dp).alias("sum_score"),
+            F.round(F.avg("raw_score"), round_dp).alias("avg_score"),
+            F.round(F.max("raw_score"), round_dp).alias("max_score"),
+        )
+        .orderBy(F.desc("sum_score"), F.asc("group"))
+        .limit(k)
+    )

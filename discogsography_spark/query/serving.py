@@ -391,6 +391,42 @@ def _combine_stats(
     return out
 
 
+def _grouped_rows(
+    hits: list[tuple[int, float]],
+    codes: "np.ndarray",
+    cats: list[str],
+    k: int,
+) -> list[tuple[str, float, float, float, int]]:
+    """Aggregate scored hits into per-group relevance rows
+    [(label, sum, avg, max, n_matched)] ordered (sum DESC, label ASC) —
+    the Lucene grouping score modes in one pass (collapse() remains the
+    pruned best-representative variant; this is the exact aggregate over
+    EVERY matched member)."""
+    if not hits:
+        return []
+    ids = np.fromiter((d for d, _ in hits), dtype=np.int64, count=len(hits))
+    sc = np.fromiter((s for _, s in hits), dtype=np.float64, count=len(hits))
+    g = codes[ids]
+    nc = len(cats)
+    sums = np.bincount(g, weights=sc, minlength=nc)
+    counts = np.bincount(g, minlength=nc)
+    maxs = np.full(nc, -np.inf)
+    np.maximum.at(maxs, g, sc)
+    present = np.flatnonzero(counts)
+    rows = [
+        (
+            cats[i],
+            float(sums[i]),
+            float(sums[i] / counts[i]),
+            float(maxs[i]),
+            int(counts[i]),
+        )
+        for i in present
+    ]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows[:k]
+
+
 def _jlh_rows(
     fg_map: dict[str, int],
     dfs: dict[str, int],
@@ -864,6 +900,26 @@ class SearchService:
         return service_collapse(
             self, query_text, field, k, mode=mode, counts=counts, probe_k=probe_k
         )
+
+    def grouped_topk(
+        self,
+        query_text: str,
+        field: str,
+        k: int,
+        mode: str = "and",
+    ) -> list[tuple[str, float, float, float, int]]:
+        """Grouped relevance: rank `field` GROUPS by aggregates of their
+        matched members\' BM25 scores — [(label, sum_score, avg_score,
+        max_score, n_matched)] ordered (sum DESC, label ASC). Lucene
+        grouping\'s score modes over the exact matched set; O(|matched|)
+        after the one-time group-code factorize (the facet-tier bound)."""
+        matched = self.matched_docs(query_text, mode=mode)
+        if matched.size == 0:
+            return []
+        hits = self._rank_matched(query_text, mode, matched, matched.size)
+        codes, cats = self._collapse_codes(field)
+        return _grouped_rows(hits, codes, cats, k)
+
 
     def _mlt_source_tokens(self, doc_id: int) -> list[str]:
         # fast path: re-analyze the in-memory stored text (bit-identical to
@@ -1482,6 +1538,55 @@ class ShardedSearchService:
         )
         v = np.concatenate([x for x in parts if x.size] or [np.empty(0)])
         return int(np.unique(v).size)
+
+    def grouped_topk(
+        self,
+        query_text: str,
+        field: str,
+        k: int,
+        mode: str = "and",
+    ) -> list[tuple[str, float, float, float, int]]:
+        """Grouped relevance across shards — per-shard aggregates with
+        GLOBAL stats injected (scores directly comparable), merged by
+        group LABEL (groups may span shards: sums/counts add, max folds,
+        avg recomputed from the global sum/count) — identical to the
+        single-index service."""
+        an = self.services[0]._an
+        terms = an.analyze_query(query_text)
+        if not terms:
+            return []
+        per_shard_dfs, idfs = self.sharded._global_idfs(terms)
+        if mode == "and" and len(idfs) != len(terms):
+            return []
+        avgdl = self.sharded.avgdl
+
+        def _part(svc: SearchService):
+            matched = svc.matched_docs(query_text, mode=mode)
+            if matched.size == 0:
+                return []
+            hits = svc._rank_matched(
+                query_text, mode, matched, matched.size,
+                idfs=idfs, avgdl=avgdl,
+            )
+            codes, cats = svc._collapse_codes(field)
+            return _grouped_rows(hits, codes, cats, len(cats))
+
+        acc: dict[str, list] = {}
+        for rows in self.sharded._fanout_heavy(_part, self.services):
+            for label, s_, _avg, mx, n in rows:
+                ent = acc.get(label)
+                if ent is None:
+                    acc[label] = [s_, mx, n]
+                else:
+                    ent[0] += s_
+                    ent[1] = max(ent[1], mx)
+                    ent[2] += n
+        out = [
+            (label, s_, s_ / n, mx, n)
+            for label, (s_, mx, n) in acc.items()
+        ]
+        out.sort(key=lambda r: (-r[1], r[0]))
+        return out[:k]
 
     def search(
         self,
@@ -2561,6 +2666,24 @@ class MergedSearchService:
         return service_collapse(
             self, query_text, field, k, mode=mode, counts=counts, probe_k=probe_k
         )
+
+    def grouped_topk(
+        self,
+        query_text: str,
+        field: str,
+        k: int,
+        mode: str = "and",
+    ) -> list[tuple[str, float, float, float, int]]:
+        """Grouped relevance over the ALIVE live view — same contract as
+        SearchService.grouped_topk (deleted turns never score, upserts
+        score once)."""
+        matched = self.matched_docs(query_text, mode=mode)
+        if matched.size == 0:
+            return []
+        hits = self._rank_matched(query_text, mode, matched, matched.size)
+        codes, cats = self._collapse_codes(field)
+        return _grouped_rows(hits, codes, cats, k)
+
 
     def _mlt_source_tokens(self, doc_id: int) -> list[str]:
         from discogsography_spark.streaming.incremental import list_deltas

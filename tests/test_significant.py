@@ -284,3 +284,77 @@ def test_significant_terms_budget(served):
         svc.significant_terms("spark index", k=10, budget_ms=0.0)
     # default unlimited unchanged
     assert svc.significant_terms("spark index", k=5)
+
+
+def test_grouped_topk_matches_pandas(served):
+    svc, tdf = served
+    rows = svc.grouped_topk("spark index", "role", 10)
+    assert rows
+    # group membership + counts from the brute matched scan
+    exp = _matched(tdf, ["index", "spark"])
+    want_counts = exp.groupby("role").size().to_dict()
+    assert {r[0]: r[4] for r in rows} == want_counts
+    # aggregates agree with aggregating the service's own full ranking
+    full = dict(svc.search("spark index", k=10**6).results)
+    by_group: dict[str, list[float]] = {}
+    for _, doc in exp.iterrows():
+        by_group.setdefault(doc["role"], []).append(full[doc["doc_id"]])
+    for label, s_, avg, mx, n in rows:
+        vals = by_group[label]
+        assert s_ == pytest.approx(sum(vals), rel=1e-9)
+        assert avg == pytest.approx(sum(vals) / len(vals), rel=1e-9)
+        assert mx == pytest.approx(max(vals), rel=1e-12)
+        assert n == len(vals)
+    # ordering: (sum DESC, label ASC)
+    sums = [r[1] for r in rows]
+    assert sums == sorted(sums, reverse=True)
+
+
+def test_grouped_topk_sharded_equal_single(sharded_pair):
+    from discogsography_spark.query.serving import ShardedSearchService
+
+    full_idx, shard_dirs = sharded_pair
+    single = SearchService(full_idx)
+    sharded = ShardedSearchService(shard_dirs)
+    for q in ["spark index", "merge"]:
+        a = single.grouped_topk(q, "conv_id", 15)
+        b = sharded.grouped_topk(q, "conv_id", 15)
+        assert [(r[0], r[4]) for r in a] == [(r[0], r[4]) for r in b], q
+        for ra, rb in zip(a, b):
+            for i in (1, 2, 3):
+                assert rb[i] == pytest.approx(ra[i], rel=1e-9), q
+
+
+def test_grouped_topk_merged_equals_fresh(spark, tmp_path_factory):
+    from discogsography_spark.corpus import make_transcripts
+    from discogsography_spark.query.serving import MergedSearchService
+    from discogsography_spark.streaming.incremental import DeltaIndexWriter
+
+    d = tmp_path_factory.mktemp("grpmrg")
+    tdf = make_transcripts(n_conversations=60, mean_turns=6, vocab_size=300)
+    convs = sorted(tdf["conv_id"].unique())
+    base_p = str(d / "base.parquet")
+    tdf[tdf["conv_id"].isin(convs[:30])].to_parquet(base_p, index=False)
+    idx = str(d / "idx")
+    IndexBuilder(idx, num_segments=2, store_text=True).build(
+        spark.read.parquet(base_p)
+    )
+    w = DeltaIndexWriter(idx)
+    p = str(d / "c0.parquet")
+    tdf[tdf["conv_id"].isin(convs[30:])].to_parquet(p, index=False)
+    w.write_batch(spark.read.parquet(p), 0)
+    fresh_p = str(d / "union.parquet")
+    tdf.to_parquet(fresh_p, index=False)
+    fresh_idx = str(d / "fresh")
+    IndexBuilder(fresh_idx, num_segments=2, store_text=True).build(
+        spark.read.parquet(fresh_p)
+    )
+    fresh = SearchService(fresh_idx)
+    live = MergedSearchService(idx)
+    for q in ["spark index", "merge"]:
+        a = fresh.grouped_topk(q, "role", 10)
+        b = live.grouped_topk(q, "role", 10)
+        assert [(r[0], r[4]) for r in a] == [(r[0], r[4]) for r in b], q
+        for ra, rb in zip(a, b):
+            for i in (1, 2, 3):
+                assert rb[i] == pytest.approx(ra[i], rel=1e-9), q
