@@ -352,6 +352,15 @@ for q in sig_qs:
     t0 = time.time()
     svc.significant_terms(q, k=10, sample=500)
     sig_ms.append((time.time() - t0) * 1000.0)
+# grouped-relevance tier (round-6): per-group sum/avg/max aggregates
+# over the exact matched set (the conversation-total-relevance shape).
+grouped_ms = []
+for _, row in qdf.iterrows():
+    svc.grouped_topk(row["query_text"], "conv_id", int(row["k"]))
+for _, row in qdf.iterrows():
+    t0 = time.time()
+    svc.grouped_topk(row["query_text"], "conv_id", int(row["k"]))
+    grouped_ms.append((time.time() - t0) * 1000.0)
 # deep-pagination tier: OFFSET page vs search_after cursor page at ~90%%
 # depth of the heaviest query's ranking. The offset path must RANK to
 # depth D+k (pool of D+k per node, D+k rows per shard on a fan-out); the
@@ -382,6 +391,7 @@ print(json.dumps({{"cold": cold, "steady": steady, "memo": memo,
                    "merged": merged_ms, "merged_init_ms": merged_init_ms,
                    "collapse": collapse_ms, "mlt": mlt_ms,
                    "boosted": boosted_ms, "syn_served": syn_served_ms,
+                   "grouped": grouped_ms,
                    "stats_agg": stats_ms, "sig_terms": sig_ms,
                    "phrase": phrase_ms, "within": within_ms}}))
 """
@@ -430,6 +440,7 @@ print(json.dumps({{"cold": cold, "steady": steady, "memo": memo,
         ("syn_served", "synonym_served"),
         ("stats_agg", "stats_agg"),
         ("sig_terms", "significant_terms"),
+        ("grouped", "grouped"),
     ):
         arr = np.array(tiers[key])
         extra[f"{label}_p50_ms"] = round(float(np.percentile(arr, 50)), 2)

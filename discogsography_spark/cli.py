@@ -121,6 +121,11 @@ def main(argv: list[str] | None = None) -> int:
         help="synonym group (repeatable); full synonym-aware response",
     )
     sr.add_argument(
+        "--grouped", default=None, metavar="FIELD",
+        help="grouped relevance: rank FIELD groups by sum/avg/max of "
+        "matched members' scores (vs --collapse's best-representative)",
+    )
+    sr.add_argument(
         "--collapse", default=None, metavar="FIELD",
         help="field-collapsed results: best hit per FIELD value (e.g. "
         "--collapse conv_id returns top-k CONVERSATIONS, each "
@@ -353,6 +358,21 @@ def main(argv: list[str] | None = None) -> int:
                     ],
                 }
                 for node in tree
+            ]}, indent=2))
+            if hasattr(svc, "close"):
+                svc.close()
+            return 0
+        if args.grouped:
+            rows = svc.grouped_topk(
+                args.query_text, args.grouped, args.k, mode=args.mode
+            )
+            print(json.dumps({"grouped": args.grouped, "groups": [
+                {
+                    "group": g, "sum_score": round(s, 6),
+                    "avg_score": round(a, 6), "max_score": round(x, 6),
+                    "n_matched": n,
+                }
+                for g, s, a, x, n in rows
             ]}, indent=2))
             if hasattr(svc, "close"):
                 svc.close()

@@ -232,3 +232,20 @@ def test_cli_search_stats_significant_synonym(built_index):
     assert [(r["doc_id"], r["score"]) for r in out["results"]] == [
         (d, round(s, 6)) for d, s in want.results
     ]
+
+
+def test_cli_search_grouped(built_index):
+    import json as _json
+
+    out = _json.loads(_run(
+        ["search", built_index, "turn spark", "--k", "5",
+         "--grouped", "role"]
+    ))
+    groups = out["groups"]
+    assert groups and groups[0]["n_matched"] > 0
+    from discogsography_spark.query.serving import SearchService
+
+    want = SearchService(built_index).grouped_topk("turn spark", "role", 5)
+    assert [(g["group"], g["n_matched"]) for g in groups] == [
+        (label, n) for label, _s, _a, _x, n in want
+    ]
