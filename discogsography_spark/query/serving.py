@@ -913,10 +913,12 @@ class SearchService:
         max_score, n_matched)] ordered (sum DESC, label ASC). Lucene
         grouping\'s score modes over the exact matched set; O(|matched|)
         after the one-time group-code factorize (the facet-tier bound)."""
-        matched = self.matched_docs(query_text, mode=mode)
-        if matched.size == 0:
-            return []
-        hits = self._rank_matched(query_text, mode, matched, matched.size)
+        # rank through the pruned evaluators at full depth (top-k of the
+        # whole matched set IS the matched set scored): the dense-bitmap
+        # fast paths apply, where a probe-per-term scoring of the matched
+        # set pays O(|matched| · terms · log df) — measured 902 ms vs
+        # ~15 ms on the dense worst query at sf0.1
+        hits = self._collapse_eval(query_text, mode)(2**31)
         codes, cats = self._collapse_codes(field)
         return _grouped_rows(hits, codes, cats, k)
 
@@ -2677,10 +2679,12 @@ class MergedSearchService:
         """Grouped relevance over the ALIVE live view — same contract as
         SearchService.grouped_topk (deleted turns never score, upserts
         score once)."""
-        matched = self.matched_docs(query_text, mode=mode)
-        if matched.size == 0:
-            return []
-        hits = self._rank_matched(query_text, mode, matched, matched.size)
+        # rank through the pruned evaluators at full depth (top-k of the
+        # whole matched set IS the matched set scored): the dense-bitmap
+        # fast paths apply, where a probe-per-term scoring of the matched
+        # set pays O(|matched| · terms · log df) — measured 902 ms vs
+        # ~15 ms on the dense worst query at sf0.1
+        hits = self._collapse_eval(query_text, mode)(2**31)
         codes, cats = self._collapse_codes(field)
         return _grouped_rows(hits, codes, cats, k)
 
