@@ -2580,6 +2580,21 @@ array_sort(
 
     q["fts_grouped_topk"] = fts_grouped_topk
 
+    def fts_range_filtered_topk(spark, sf_dir):
+        # Numeric-range drill-down (ES range filter; served twin:
+        # search(filter={"n_chars": (lo, hi)})): conjunctive match
+        # restricted to 120 <= n_chars <= 600, GLOBAL-stats scores.
+        from discogsography_spark.query.dataframe_bm25 import (
+            bm25_range_filtered_topk_dataframe,
+        )
+
+        return bm25_range_filtered_topk_dataframe(
+            _read(spark, sf_dir, "documents"), "table value", "n_chars",
+            120, 600, k=20,
+        )
+
+    q["fts_range_filtered_topk"] = fts_range_filtered_topk
+
     return q
 
 
@@ -4704,6 +4719,33 @@ FROM scored sc JOIN documents d USING (doc_id)
 WHERE sc.nt = 2
 GROUP BY d.source
 ORDER BY sum_score DESC, "group" ASC LIMIT 10
+"""
+
+    o["fts_range_filtered_topk"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT count(*) FROM toks)::DOUBLE AS total_tokens
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ('table', 'value') GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, count(*) AS nt,
+         sum( ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * (tf.tf / (tf.tf + {_K1} * ({1.0 - _B} + {_B} * (dl.dl / (s.total_tokens / s.n_docs))))) ) AS raw
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT sc.doc_id, round(sc.raw, 5) AS score
+FROM scored sc JOIN documents d USING (doc_id)
+WHERE sc.nt = 2 AND d.n_chars BETWEEN 120 AND 600
+ORDER BY score DESC, sc.doc_id ASC LIMIT 20
 """
 
     return o

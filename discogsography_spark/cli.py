@@ -62,7 +62,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     sr.add_argument(
         "--filter", default=None, metavar="FIELD=VALUE",
-        help="faceted drill-down, e.g. --filter role=assistant",
+        help="faceted drill-down: --filter role=assistant, or a numeric range --filter turn_idx=2..8 (open bounds: =..8 / =2..)",
     )
     sr.add_argument("--fuzzy", action="store_true")
     sr.add_argument(
@@ -295,9 +295,14 @@ def main(argv: list[str] | None = None) -> int:
         filt = None
         if args.filter:
             if "=" not in args.filter:
-                raise SystemExit("--filter expects FIELD=VALUE")
+                raise SystemExit("--filter expects FIELD=VALUE or FIELD=LO..HI")
             fk, fv = args.filter.split("=", 1)
-            filt = {fk: fv}
+            if ".." in fv:  # numeric range drill-down (either bound empty)
+                lo_s, hi_s = fv.split("..", 1)
+                filt = {fk: (float(lo_s) if lo_s else None,
+                             float(hi_s) if hi_s else None)}
+            else:
+                filt = {fk: fv}
         search_after = None
         if args.after:
             if "," not in args.after:

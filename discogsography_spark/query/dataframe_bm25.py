@@ -1805,3 +1805,90 @@ def bm25_grouped_topk_dataframe(
         .orderBy(F.desc("sum_score"), F.asc("group"))
         .limit(k)
     )
+
+
+def bm25_range_filtered_topk_dataframe(
+    docs: DataFrame,
+    query_text: str,
+    range_col: str,
+    lo: float | None,
+    hi: float | None,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    params: BM25Params | None = None,
+    round_dp: int = 5,
+) -> DataFrame:
+    """Numeric-range drill-down search — the DataFrame mirror of
+    SearchService.search(filter={col: (lo, hi)}): conjunctive match
+    restricted to rows with lo ≤ range_col ≤ hi (either bound None =
+    open), scored with CORPUS-GLOBAL statistics (the drill-down
+    contract — narrowing never changes a doc's score)."""
+    p = params or BM25Params()
+    terms = analyze_query(query_text)
+    spark = docs.sparkSession
+    if not terms:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(range_col).cast("double").alias("_rv"),
+        tokens_col(text_col).alias("_toks"),
+    ).withColumn("_dl", F.size("_toks"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("_dl"), F.lit(0)).alias("total_tokens"),
+    )
+    tf_all = (
+        toks.select("_id", "_dl", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("_dl").alias("dl"))
+    )
+    df_per_term = tf_all.groupBy("term").agg(F.count("*").alias("df"))
+    pred = F.col("_rv").isNotNull()
+    if lo is not None:
+        pred = pred & (F.col("_rv") >= F.lit(float(lo)))
+    if hi is not None:
+        pred = pred & (F.col("_rv") <= F.lit(float(hi)))
+    matched = toks.filter(pred).select("_id")
+    tf = tf_all.join(matched, "_id", "left_semi")
+    partial = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    ) * (
+        F.col("tf").cast("double")
+        / (
+            F.col("tf").cast("double")
+            + F.lit(p.k1)
+            * (
+                F.lit(1.0 - p.b)
+                + F.lit(p.b)
+                * (
+                    F.col("dl").cast("double")
+                    / (F.col("total_tokens") / F.col("n_docs"))
+                )
+            )
+        )
+    )
+    return (
+        tf.join(F.broadcast(df_per_term), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("partial", partial)
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("nt"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "partial"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["partial"],
+            ).alias("raw_score"),
+        )
+        .filter(F.col("nt") == F.lit(len(terms)))  # conjunctive
+        .select(
+            F.col("_id").alias(id_col),
+            F.round("raw_score", round_dp).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

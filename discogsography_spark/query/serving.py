@@ -332,13 +332,29 @@ def _facet_filter_keep(
     facet_codes: dict[str, np.ndarray],
     facet_cats: dict[str, list[str]],
     matched: np.ndarray,
-    filter: dict[str, str],
+    filter: dict,
+    svc=None,
 ) -> np.ndarray:
     """Faceted drill-down intersection through the dense code arrays —
     O(|matched|) per filter field, zero index I/O (shared by the three
-    services' filtered branches)."""
+    services' filtered branches). A filter VALUE that is a (lo, hi)
+    tuple is a NUMERIC RANGE predicate (either bound None = open; the
+    Elasticsearch range-filter shape) against the doc-value array —
+    `svc` supplies `_numeric_col` for that arm."""
     keep = np.ones(matched.size, dtype=bool)
     for fname, fval in filter.items():
+        if isinstance(fval, tuple):
+            if svc is None:
+                raise ValueError("range filters need a service handle")
+            lo, hi = fval
+            v = svc._numeric_col(fname)[matched]
+            m = ~np.isnan(v)
+            if lo is not None:
+                m &= v >= lo
+            if hi is not None:
+                m &= v <= hi
+            keep &= m
+            continue
         codes = facet_codes.get(fname)
         if codes is None:
             raise ValueError(f"unknown facet field {fname!r}")
@@ -1223,7 +1239,8 @@ class SearchService:
             results, matched = dense
             if filter:
                 matched = _facet_filter_keep(
-                    self._facet_codes, self._facet_cats, matched, filter
+                    self._facet_codes, self._facet_cats, matched, filter,
+                    svc=self,
                 )
                 # re-rank restricted to the filtered set (bitmaps cached —
                 # the second dense pass is the cheap part; scores unchanged)
@@ -1360,19 +1377,9 @@ class SearchService:
             query_text, mode=mode, terms=terms,
             prefix_expansions=prefix_expansions, ast_override=ast_override,
         )
-        keep = np.ones(matched.size, dtype=bool)
-        for fname, fval in filter.items():
-            codes = self._facet_codes.get(fname)
-            if codes is None:
-                raise ValueError(f"unknown facet field {fname!r}")
-            cats = self._facet_cats[fname]
-            try:
-                code = cats.index(str(fval))
-            except ValueError:
-                keep[:] = False
-                break
-            keep &= codes[matched] == code
-        return matched[keep]
+        return _facet_filter_keep(
+            self._facet_codes, self._facet_cats, matched, filter, svc=self
+        )
 
     def _highlight_terms(
         self,
@@ -1876,7 +1883,7 @@ class ShardedSearchService:
         if filter:
             per_matched = [
                 _facet_filter_keep(
-                    svc._facet_codes, svc._facet_cats, m, filter
+                    svc._facet_codes, svc._facet_cats, m, filter, svc=svc
                 )
                 for svc, m in zip(self.services, per_matched)
             ]
@@ -2351,7 +2358,8 @@ class MergedSearchService:
             matched = matched.astype(np.int64, copy=False)
             if filter:
                 matched = _facet_filter_keep(
-                    self._facet_codes, self._facet_cats, matched, filter
+                    self._facet_codes, self._facet_cats, matched, filter,
+                    svc=self,
                 )
             results = self.searcher._topk_synonym_groups(
                 groups, k, after=search_after,
@@ -2873,19 +2881,9 @@ class MergedSearchService:
             query_text, mode=mode, terms=terms, ast_override=ast_override,
             prefix_expansions=prefix_expansions,
         )
-        keep = np.ones(matched.size, dtype=bool)
-        for fname, fval in filter.items():
-            codes = self._facet_codes.get(fname)
-            if codes is None:
-                raise ValueError(f"unknown facet field {fname!r}")
-            cats = self._facet_cats[fname]
-            try:
-                code = cats.index(str(fval))
-            except ValueError:
-                keep[:] = False
-                break
-            keep &= codes[matched] == code
-        return matched[keep]
+        return _facet_filter_keep(
+            self._facet_codes, self._facet_cats, matched, filter, svc=self
+        )
 
     def search(
         self,

@@ -358,3 +358,45 @@ def test_grouped_topk_merged_equals_fresh(spark, tmp_path_factory):
         for ra, rb in zip(a, b):
             for i in (1, 2, 3):
                 assert rb[i] == pytest.approx(ra[i], rel=1e-9), q
+
+
+def test_range_filter_drilldown(served):
+    svc, tdf = served
+    full = svc.search("spark index", k=10**6)
+    full_scores = dict(full.results)
+    resp = svc.search("spark index", k=10,
+                      filter={"turn_idx": (2.0, 6.0)}, facets=["role"])
+    exp = _matched(tdf, ["index", "spark"])
+    exp = exp[(exp["turn_idx"] >= 2) & (exp["turn_idx"] <= 6)]
+    assert resp.total_matched == len(exp) > 0
+    for doc, score in resp.results:  # drill-down never changes scores
+        assert score == full_scores[doc]
+    assert dict(resp.facets["role"]) == exp.groupby("role").size().to_dict()
+    # open bounds + combined categorical+range filters
+    lo_only = svc.search("spark index", k=5, filter={"turn_idx": (4.0, None)})
+    assert lo_only.total_matched == len(
+        _matched(tdf, ["index", "spark"]).query("turn_idx >= 4")
+    )
+    both = svc.search("spark index", k=5,
+                      filter={"role": "user", "turn_idx": (2.0, 6.0)})
+    assert both.total_matched == len(exp[exp["role"] == "user"])
+
+
+def test_range_filter_sharded_and_synonym(sharded_pair):
+    from discogsography_spark.query.serving import ShardedSearchService
+
+    full_idx, shard_dirs = sharded_pair
+    defs = {"role": "role"}
+    single = SearchService(full_idx, facet_defs=defs)
+    sharded = ShardedSearchService(shard_dirs, facet_defs=defs)
+    for q in ["spark index", "merge"]:
+        a = single.search(q, k=10, filter={"turn_idx": (1.0, 7.0)})
+        b = sharded.search(q, k=10, filter={"turn_idx": (1.0, 7.0)})
+        assert a.results == b.results, q
+        assert a.total_matched == b.total_matched, q
+        sa = single.search(q, k=10, synonyms={"merge": ["join"]},
+                           filter={"turn_idx": (1.0, 7.0)})
+        sb = sharded.search(q, k=10, synonyms={"merge": ["join"]},
+                            filter={"turn_idx": (1.0, 7.0)})
+        assert sa.results == sb.results, q
+        assert sa.total_matched == sb.total_matched, q
