@@ -524,3 +524,50 @@ def test_live_sharded_synonym_matches_alive_rebuild(live_shards, par):
         assert n_nonempty >= 2
     finally:
         sh.close()
+
+
+def test_live_sharded_aggregations_match_alive_rebuild(live_shards):
+    """Round-6 aggregation surfaces on the LIVE sharded tier (mixed
+    live/static shards) ≡ a fresh single index over the alive corpus:
+    stats_fields, significant_terms (worker RPC routes to the
+    MergedSearcher sig_fg_counts on live shards), grouped relevance, and
+    numeric-range drill-down."""
+    import pytest as _pytest
+
+    from discogsography_spark.query.serving import (
+        SearchService,
+        ShardedSearchService,
+    )
+
+    svc = ShardedSearchService(live_shards["shard_dirs"], parallel=False)
+    ref = SearchService(live_shards["ref_dir"])
+    try:
+        assert svc.sharded.live
+        th, tm = _probe_terms(live_shards["alive"])
+        q = f"{th} {tm}"
+
+        a = ref.search(q, 5, stats_fields=["turn_idx"])
+        b = svc.search(q, 5, stats_fields=["turn_idx"])
+        assert a.stats["turn_idx"]["count"] == b.stats["turn_idx"]["count"]
+        assert b.stats["turn_idx"]["sum"] == _pytest.approx(
+            a.stats["turn_idx"]["sum"], rel=1e-12
+        )
+
+        ga = ref.significant_terms(q, k=10, sample=None)
+        gb = svc.significant_terms(q, k=10, sample_per_shard=None)
+        assert [(t, fg, bg) for t, fg, bg, _ in ga] == [
+            (t, fg, bg) for t, fg, bg, _ in gb
+        ]
+
+        ra = ref.grouped_topk(q, "role", 10)
+        rb = svc.grouped_topk(q, "role", 10)
+        assert [(r[0], r[4]) for r in ra] == [(r[0], r[4]) for r in rb]
+        for x, y in zip(ra, rb):
+            for i in (1, 2, 3):
+                assert y[i] == _pytest.approx(x[i], rel=1e-9)
+
+        fa = ref.search(q, 5, filter={"turn_idx": (1.0, 3.0)})
+        fb = svc.search(q, 5, filter={"turn_idx": (1.0, 3.0)})
+        assert fa.total_matched == fb.total_matched
+    finally:
+        svc.close()
