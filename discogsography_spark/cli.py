@@ -5,6 +5,7 @@ and bench.py all consume the same library surface.
 
     python -m discogsography_spark.cli build  <transcripts.parquet> <index_dir> [--segments N]
     python -m discogsography_spark.cli query  <index_dir> "<query text or term^boost clauses>" [--k K] [--mode and|or|prefix|wildcard|phrase|bool|suggest|near|mlt] [--syn TERM=ALT1,ALT2] [--show-text <transcripts>]
+    python -m discogsography_spark.cli request <index_dir> '<json body>' [--shards|--merged] [--facets role,tool]
     python -m discogsography_spark.cli stats  <index_dir>
     python -m discogsography_spark.cli compact <index_dir>
 """
@@ -131,6 +132,25 @@ def main(argv: list[str] | None = None) -> int:
         "--collapse conv_id returns top-k CONVERSATIONS, each "
         "represented by its best-scoring turn, with the group's total "
         "matched count)",
+    )
+
+    rq = sub.add_parser(
+        "request",
+        help="ES-style JSON request body (query/dsl.py): hits + "
+        "aggregations in one deterministic round trip",
+    )
+    rq.add_argument("index_dir")
+    rq.add_argument(
+        "body",
+        help="JSON request body, or @path/to/body.json",
+    )
+    rq.add_argument("--shards", action="store_true",
+                    help="index_dir is a comma-separated shard list")
+    rq.add_argument("--merged", action="store_true",
+                    help="serve the LIVE base+delta view")
+    rq.add_argument(
+        "--facets", default=None,
+        help="comma-separated docmap columns to register as facet fields",
     )
 
     s = sub.add_parser("stats", help="print index manifest stats")
@@ -440,6 +460,38 @@ def main(argv: list[str] | None = None) -> int:
                 for d, _ in resp.results
             }
         print(json.dumps(payload, indent=2))
+        return 0
+
+    if args.cmd == "request":
+        from discogsography_spark.query.dsl import run_request
+
+        raw = args.body
+        if raw.startswith("@"):
+            with open(raw[1:]) as f:
+                raw = f.read()
+        body = json.loads(raw)
+        facet_defs = (
+            {f: f for f in args.facets.split(",")} if args.facets else None
+        )
+        if args.merged:
+            from discogsography_spark.query.serving import MergedSearchService
+
+            svc = MergedSearchService(args.index_dir, facet_defs=facet_defs)
+        elif args.shards:
+            from discogsography_spark.query.serving import ShardedSearchService
+
+            svc = ShardedSearchService(
+                args.index_dir.split(","), facet_defs=facet_defs
+            )
+        else:
+            from discogsography_spark.query.serving import SearchService
+
+            svc = SearchService(args.index_dir, facet_defs=facet_defs)
+        try:
+            print(json.dumps(run_request(svc, body), indent=2))
+        finally:
+            if hasattr(svc, "close"):
+                svc.close()
         return 0
 
     if args.cmd == "stats":
