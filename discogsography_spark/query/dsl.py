@@ -23,6 +23,7 @@ query module, SURVEY.md §3.3).
             "card":    {"cardinality": {"field": "n_chars"}},
             "sig":     {"significant_terms": {"k": 10}},
             "by_conv": {"grouped": {"field": "conv_id", "k": 10}},
+            "best":    {"top_hits": {"field": "conv_id", "k": 5}},
         },
     }
 
@@ -45,7 +46,7 @@ _BODY_KEYS = {
 }
 _AGG_KINDS = {
     "terms", "stats", "histogram", "date_histogram", "percentiles",
-    "cardinality", "significant_terms", "grouped",
+    "cardinality", "significant_terms", "grouped", "top_hits",
 }
 
 
@@ -68,17 +69,50 @@ def _parse_filter(spec: dict | None) -> dict | None:
     return out
 
 
-def _matched_for(svc, query_text: str, mode: str, filt: dict | None):
+def _matched_for(
+    svc,
+    query_text: str,
+    mode: str,
+    filt: dict | None,
+    synonyms: dict | None = None,
+):
     """Matched set(s) for agg evaluation: one sorted array on the single/
     merged services, a per-shard list on the sharded service (its agg
-    methods combine exactly across doc-disjoint shards)."""
+    methods combine exactly across doc-disjoint shards). A synonym query
+    aggregates over the GROUP-matched set (every group has ≥1 member),
+    not the plain conjunctive one."""
+    from discogsography_spark.query.serving import (
+        _facet_filter_keep,
+        _synonym_groups,
+    )
+
     if hasattr(svc, "services"):  # ShardedSearchService
+        if synonyms:
+            an = svc.services[0]._an
+            groups = _synonym_groups(an, query_text, synonyms)
+            out = []
+            for s in svc.services:
+                m = s.matched_docs_synonym(groups)
+                if filt:
+                    m = _facet_filter_keep(
+                        s._facet_codes, s._facet_cats, m, filt, svc=s
+                    )
+                out.append(m)
+            return out
         return [
             s._filtered_matched(query_text, mode, filt)
             if filt
             else s.matched_docs(query_text, mode=mode)
             for s in svc.services
         ]
+    if synonyms:
+        groups = _synonym_groups(svc._an, query_text, synonyms)
+        m = svc.matched_docs_synonym(groups)
+        if filt:
+            m = _facet_filter_keep(
+                svc._facet_codes, svc._facet_cats, m, filt, svc=svc
+            )
+        return m
     if filt:
         return svc._filtered_matched(query_text, mode, filt)
     return svc.matched_docs(query_text, mode=mode)
@@ -100,6 +134,20 @@ def _run_agg(svc, name: str, spec: dict, ctx: dict) -> Any:
         return [
             {"term": t, "fg": fg, "bg": bg, "score": s}
             for t, fg, bg, s in rows
+        ]
+    if kind == "top_hits":
+        # ES top_hits-per-bucket: the best-scoring doc of each group with
+        # the group's exact matched count (the collapse surface)
+        rows = svc.collapse(
+            ctx["query"], params["field"], int(params.get("k", 10)),
+            mode=ctx["mode"],
+        )
+        return [
+            {
+                "group": g, "doc_id": int(d), "score": float(s),
+                "group_matched": int(c),
+            }
+            for g, d, s, c in rows
         ]
     if kind == "grouped":
         rows = svc.grouped_topk(
@@ -269,7 +317,9 @@ def run_request(svc, body: dict) -> dict:
         ctx = {
             "query": query,
             "mode": mode,
-            "matched": _matched_for(svc, query, mode, filt),
+            "matched": _matched_for(
+                svc, query, mode, filt, synonyms=body.get("synonyms")
+            ),
         }
         out["aggregations"] = {
             name: _run_agg(svc, name, spec, ctx)

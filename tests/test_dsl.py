@@ -220,3 +220,80 @@ def test_cli_request_roundtrip(spark, corpus_dir, tmp_path_factory):
     assert [tuple(x) for x in got["aggregations"]["roles"]] == [
         tuple(x) for x in want["aggregations"]["roles"]
     ]
+
+
+def test_synonym_aggs_use_group_matched_set(served):
+    body = {
+        "query": "turn spark", "k": 3,
+        "synonyms": {"spark": ["stream"]},
+        "aggs": {"roles": {"terms": {"field": "role"}},
+                 "len": {"stats": {"field": "turn_idx"}}},
+    }
+    out = run_request(served, body)
+    from discogsography_spark.query.serving import _synonym_groups
+
+    groups = _synonym_groups(
+        served._an, "turn spark", {"spark": ["stream"]}
+    )
+    m = served.matched_docs_synonym(groups)
+    assert out["total"] == int(m.size)
+    assert out["aggregations"]["roles"] == (
+        served.facet_counts(m, ["role"])["role"]
+    )
+    assert out["aggregations"]["len"] == (
+        served.field_stats(m, ["turn_idx"])["turn_idx"]
+    )
+
+
+def test_top_hits_agg(served):
+    out = run_request(
+        served,
+        {"query": "spark index", "k": 2,
+         "aggs": {"best": {"top_hits": {"field": "role", "k": 3}}}},
+    )
+    want = served.collapse("spark index", "role", 3)
+    assert out["aggregations"]["best"] == [
+        {"group": g, "doc_id": int(d), "score": float(s),
+         "group_matched": int(c)}
+        for g, d, s, c in want
+    ]
+
+
+def test_merged_request_matches_fresh(spark, tmp_path_factory):
+    from discogsography_spark.corpus import make_transcripts
+    from discogsography_spark.query.serving import MergedSearchService
+    from discogsography_spark.streaming.incremental import DeltaIndexWriter
+
+    d = tmp_path_factory.mktemp("dslmrg")
+    tdf = make_transcripts(n_conversations=60, mean_turns=6, vocab_size=300)
+    convs = sorted(tdf["conv_id"].unique())
+    base_p = str(d / "base.parquet")
+    tdf[tdf["conv_id"].isin(convs[:30])].to_parquet(base_p, index=False)
+    idx = str(d / "idx")
+    IndexBuilder(idx, num_segments=2, store_text=True).build(
+        spark.read.parquet(base_p)
+    )
+    w = DeltaIndexWriter(idx)
+    p = str(d / "c0.parquet")
+    tdf[tdf["conv_id"].isin(convs[30:])].to_parquet(p, index=False)
+    w.write_batch(spark.read.parquet(p), 0)
+    fresh_p = str(d / "union.parquet")
+    tdf.to_parquet(fresh_p, index=False)
+    fresh_idx = str(d / "fresh")
+    IndexBuilder(fresh_idx, num_segments=2, store_text=True).build(
+        spark.read.parquet(fresh_p)
+    )
+    body = {
+        "query": "spark index", "k": 5,
+        "aggs": {"roles": {"terms": {"field": "role"}},
+                 "hist": {"histogram": {"field": "turn_idx", "interval": 4}},
+                 "best": {"top_hits": {"field": "role", "k": 2}}},
+    }
+    a = run_request(
+        SearchService(fresh_idx, facet_defs={"role": "role"}), body
+    )
+    b = run_request(
+        MergedSearchService(idx, facet_defs={"role": "role"}), body
+    )
+    assert a["hits"] == b["hits"] and a["total"] == b["total"]
+    assert a["aggregations"] == b["aggregations"]
