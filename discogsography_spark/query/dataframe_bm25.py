@@ -18,6 +18,8 @@ TakeOrderedAndProject (per-partition heaps + merge).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -28,6 +30,134 @@ from discogsography_spark.analysis import (
 )
 from discogsography_spark.operators.textstats import tokens_col
 from discogsography_spark.params import BM25Params
+
+
+# ---------------------------------------------------------------------------
+# Shared two-pass skeleton (round-7 optimization; spark_optimization_guide
+# §2.3/§2.4 "shuffle fewer bytes / remove shuffles outright"):
+#
+# Pass 1 — ONE corpus scan feeding ONE map-side-combined scalar aggregate
+# (n_docs, total_tokens, per-term df), collected to the driver as bounded
+# planning state (exactly the contract of the index path's term_dfs and the
+# engine's cap-64 vocabulary expansions: O(#query terms) scalars, never
+# corpus rows).
+#
+# Pass 2 — ONE corpus scan that filters candidates with native
+# array_contains predicates and computes every per-term tf map-side
+# (size(filter(toks, = term))), scoring with the df/avgdl values folded in
+# as literals; global top-k is TakeOrderedAndProject.
+#
+# This replaces the previous shape — explode → filter → groupBy(_id, term)
+# shuffle, a second groupBy(term) shuffle for df, a separate stats scan,
+# two broadcast exchanges and a final groupBy(_id) shuffle — with ZERO
+# data-proportional shuffles: the only exchange left is the 1-row scalar
+# aggregate. At 10^12 docs the explode shuffle moved one row per matching
+# token occurrence; the new plan moves #terms + 2 numbers.
+#
+# Float parity with the previous plan (and the DuckDB oracle) is exact:
+# the literal idf/avgdl expressions replicate the former column expression
+# trees operation-for-operation (long→double casts, +0.5 promotions,
+# Math.log via Catalyst constant folding), per-term partials are summed in
+# term-ASC order starting from 0.0 (the former array_sort fold), and an
+# absent term's partial is exactly 0.0, which is an exact no-op in IEEE
+# addition of non-negative partials.
+# ---------------------------------------------------------------------------
+
+
+def _corpus_term_stats(
+    docs: DataFrame, terms: list[str], text_col: str = "text"
+) -> tuple[int, int, dict[str, int]]:
+    """One-scan corpus statistics: (n_docs, total_tokens, {term: df}).
+
+    df(term) = number of docs whose analyzed token array contains the term —
+    identical to the former tf-table groupBy(term).count(). The aggregate is
+    map-side combined; a single 1-row exchange reaches the driver."""
+    toks = docs.select(tokens_col(text_col).alias("_toks"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.size("_toks")), F.lit(0)).alias("total_tokens"),
+    ]
+    for i, t in enumerate(terms):
+        aggs.append(
+            F.count(F.when(F.array_contains("_toks", t), F.lit(1))).alias(f"_df{i}")
+        )
+    row = toks.agg(*aggs).collect()[0]
+    return (
+        int(row["n_docs"]),
+        int(row["total_tokens"]),
+        {t: int(row[f"_df{i}"]) for i, t in enumerate(terms)},
+    )
+
+
+def _tf_expr(term: str):
+    """Per-doc term frequency over the pre-projected `_toks` array — the
+    map-side replacement for the explode→groupBy(_id, term) shuffle."""
+    return F.size(F.filter("_toks", lambda x: x == F.lit(term))).cast("double")
+
+
+def _idf_expr(df: int, n_docs: int):
+    """Literal-folded BM25 idf, replicating the former column expression
+    (long arithmetic then +0.5 double promotion, Math.log via constant
+    folding) so the value is bit-identical to the joined-plan one."""
+    return F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.lit(df) + F.lit(0.5)) / (F.lit(df) + F.lit(0.5))
+    )
+
+
+def _partial_expr(
+    term: str, df: int, n_docs: int, total_tokens: int, p: BM25Params,
+    boost: float | None = None,
+):
+    """idf(term) * tfnorm(term) for one doc row (`_toks`, `_dl` projected) —
+    the exact expression tree of the former joined plan with stats inlined."""
+    idf = _idf_expr(df, n_docs)
+    if boost is not None:
+        idf = F.lit(float(boost)) * idf
+    tf = _tf_expr(term)
+    return idf * (
+        tf
+        / (
+            tf
+            + F.lit(p.k1)
+            * (
+                F.lit(1.0 - p.b)
+                + F.lit(p.b)
+                * (
+                    F.col("_dl").cast("double")
+                    / (F.lit(total_tokens) / F.lit(n_docs))
+                )
+            )
+        )
+    )
+
+
+def _score_sum(
+    terms: list[str], dfs: dict[str, int], n_docs: int, total_tokens: int,
+    p: BM25Params, boosts: dict[str, float] | None = None,
+):
+    """Sum of per-term partials in term-ASC order from 0.0 — the former
+    array_sort(collect_list(struct(term, partial))) left fold, with absent
+    terms contributing an exact 0.0 (an IEEE no-op over non-negative
+    partials)."""
+    raw = F.lit(0.0)
+    for t in sorted(set(terms)):
+        raw = raw + _partial_expr(
+            t, dfs[t], n_docs, total_tokens, p,
+            boost=None if boosts is None else boosts[t],
+        )
+    return raw
+
+
+def _project_toks(
+    docs: DataFrame, id_col: str, text_col: str, extra_cols: list[str] | None = None
+) -> DataFrame:
+    """(_id, [extras], _toks, _dl) projection — tokenize evaluated once per
+    row; everything downstream references the attribute."""
+    cols = [F.col(id_col).alias("_id")] + [
+        F.col(c) for c in (extra_cols or [])
+    ] + [tokens_col(text_col).alias("_toks")]
+    return docs.select(*cols).withColumn("_dl", F.size("_toks"))
 
 
 def bm25_batch_dataframe(
@@ -136,74 +266,36 @@ def bm25_topk_dataframe(
 
     Scores are rounded to `round_dp` decimals and the tiebreak is
     (rounded score DESC, id ASC) so results are stable across engines.
+
+    Two-pass plan (see module-level skeleton note): one scalar-aggregate
+    stats scan, one candidate scan with map-side tf + TakeOrdered top-k —
+    no data-proportional shuffle, no joins.
     """
     p = params or BM25Params()
     terms = analyze_query(query_text)
     spark = docs.sparkSession
     if not terms:
         return spark.createDataFrame([], f"{id_col} long, score double")
+    uterms = sorted(set(terms))
+    if len(uterms) != len(terms):
+        # duplicate analyzed terms make the conjunctive nt == len(terms)
+        # contract unsatisfiable (nt counts distinct matched terms)
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    n_docs, total_tokens, dfs = _corpus_term_stats(docs, uterms, text_col)
+    if n_docs == 0:
+        return spark.createDataFrame([], f"{id_col} long, score double")
 
-    toks = docs.select(
-        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
-    ).withColumn("_dl", F.size("_toks"))
-
-    stats = toks.agg(
-        F.count("*").alias("n_docs"),
-        F.coalesce(F.sum("_dl"), F.lit(0)).alias("total_tokens"),
+    toks = _project_toks(docs, id_col, text_col)
+    pred = reduce(
+        lambda a, b: a & b, [F.array_contains("_toks", t) for t in uterms]
     )
-
-    tf = (
-        toks.select("_id", "_dl", F.explode("_toks").alias("term"))
-        .filter(F.col("term").isin(terms))
-        .groupBy("_id", "term")
-        .agg(F.count("*").alias("tf"), F.first("_dl").alias("dl"))
-    )
-    df_per_term = tf.groupBy("term").agg(F.count("*").alias("df"))
-
-    scored = (
-        tf.join(F.broadcast(df_per_term), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("avgdl", F.col("total_tokens") / F.col("n_docs"))
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            ),
-        )
-        .withColumn(
-            "partial",
-            F.col("idf")
-            * (
-                F.col("tf").cast("double")
-                / (
-                    F.col("tf").cast("double")
-                    + F.lit(p.k1)
-                    * (
-                        F.lit(1.0 - p.b)
-                        + F.lit(p.b) * (F.col("dl").cast("double") / F.col("avgdl"))
-                    )
-                )
-            ),
-        )
-        .groupBy("_id")
-        .agg(
-            F.count("*").alias("nt"),
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("term", "partial"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["partial"],
-            ).alias("raw_score"),
-        )
-        .filter(F.col("nt") == F.lit(len(terms)))
-        .select(
-            F.col("_id").alias(id_col), F.round("raw_score", round_dp).alias("score")
-        )
+    raw = _score_sum(uterms, dfs, n_docs, total_tokens, p)
+    return (
+        toks.filter(pred)
+        .select(F.col("_id").alias(id_col), F.round(raw, round_dp).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
-    return scored
 
 def bm25_boosted_topk_dataframe(
     docs: DataFrame,
@@ -220,84 +312,30 @@ def bm25_boosted_topk_dataframe(
     `spark^2 index^0.5 merge`; boost multiplies the term idf, scaling that
     term's contribution linearly).
 
-    Identical plan to bm25_topk_dataframe plus ONE broadcast literal
-    (term, boost) relation joined into the scoring expression — no extra
-    scan or shuffle. mode='and' keeps conjunctive semantics (nt == #terms
-    filter); mode='or' drops the filter (disjunctive union).
+    Two-pass literal plan (module skeleton note): the boost multiplies the
+    literal idf exactly where the former broadcast relation did. mode='and'
+    keeps conjunctive semantics (every term present); mode='or' is the
+    disjunctive union.
     """
     p = params or BM25Params()
     terms, boosts = parse_boosted_query(query_text)
     spark = docs.sparkSession
     if not terms:
         return spark.createDataFrame([], f"{id_col} long, score double")
-    brel = F.broadcast(
-        spark.createDataFrame(
-            [(t, float(boosts[t])) for t in terms], "term string, boost double"
-        )
-    )
+    uterms = sorted(set(terms))
+    if mode != "or" and len(uterms) != len(terms):
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    n_docs, total_tokens, dfs = _corpus_term_stats(docs, uterms, text_col)
+    if n_docs == 0:
+        return spark.createDataFrame([], f"{id_col} long, score double")
 
-    toks = docs.select(
-        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
-    ).withColumn("_dl", F.size("_toks"))
-    stats = toks.agg(
-        F.count("*").alias("n_docs"),
-        F.coalesce(F.sum("_dl"), F.lit(0)).alias("total_tokens"),
-    )
-    tf = (
-        toks.select("_id", "_dl", F.explode("_toks").alias("term"))
-        .filter(F.col("term").isin(terms))
-        .groupBy("_id", "term")
-        .agg(F.count("*").alias("tf"), F.first("_dl").alias("dl"))
-    )
-    df_per_term = tf.groupBy("term").agg(F.count("*").alias("df"))
-
-    scored = (
-        tf.join(F.broadcast(df_per_term), "term")
-        .join(brel, "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("avgdl", F.col("total_tokens") / F.col("n_docs"))
-        .withColumn(
-            "bidf",
-            F.col("boost")
-            * F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            ),
-        )
-        .withColumn(
-            "partial",
-            F.col("bidf")
-            * (
-                F.col("tf").cast("double")
-                / (
-                    F.col("tf").cast("double")
-                    + F.lit(p.k1)
-                    * (
-                        F.lit(1.0 - p.b)
-                        + F.lit(p.b)
-                        * (F.col("dl").cast("double") / F.col("avgdl"))
-                    )
-                )
-            ),
-        )
-        .groupBy("_id")
-        .agg(
-            F.count("*").alias("nt"),
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("term", "partial"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["partial"],
-            ).alias("raw_score"),
-        )
-    )
-    if mode != "or":
-        scored = scored.filter(F.col("nt") == F.lit(len(terms)))
+    toks = _project_toks(docs, id_col, text_col)
+    contains = [F.array_contains("_toks", t) for t in uterms]
+    pred = reduce(lambda a, b: (a & b) if mode != "or" else (a | b), contains)
+    raw = _score_sum(uterms, dfs, n_docs, total_tokens, p, boosts=boosts)
     return (
-        scored.select(
-            F.col("_id").alias(id_col),
-            F.round("raw_score", round_dp).alias("score"),
-        )
+        toks.filter(pred)
+        .select(F.col("_id").alias(id_col), F.round(raw, round_dp).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
@@ -324,6 +362,12 @@ def bm25_prefix_topk_dataframe(
     matched at least one of its terms (conjunctive across prefixes, the
     reference's AND join of starred terms); score = sum of idf*tfnorm over
     the DISTINCT matched expanded terms, rounded to `round_dp`.
+
+    Three-job literal plan (module skeleton note): one vocabulary-expansion
+    job (explode → distinct → per-prefix capped term-ASC window, collected
+    as ≤ max_expansions × #prefixes strings — the engine's sanctioned
+    bounded expansion state), then the shared two-pass scoring skeleton
+    with per-prefix presence = OR over that prefix's expansions.
     """
     p = params or BM25Params()
     prefixes = analyze_query(query_text)
@@ -331,75 +375,11 @@ def bm25_prefix_topk_dataframe(
     if not prefixes:
         return spark.createDataFrame([], f"{id_col} long, score double")
 
-    toks = docs.select(
-        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
-    ).withColumn("_dl", F.size("_toks"))
-    stats = toks.agg(
-        F.count("*").alias("n_docs"),
-        F.coalesce(F.sum("_dl"), F.lit(0)).alias("total_tokens"),
+    exp = _expand_patterns_driver(
+        docs, prefixes, max_expansions, text_col, like=False
     )
-    exploded = toks.select("_id", "_dl", F.explode("_toks").alias("term"))
-
-    # prefix → expanded vocabulary terms (capped, term-ASC deterministic)
-    from pyspark.sql import Window as W
-
-    pdf = spark.createDataFrame([(x,) for x in prefixes], "prefix string")
-    vocab = exploded.select("term").distinct()
-    wexp = W.partitionBy("prefix").orderBy(F.asc("term"))
-    exp = (
-        vocab.join(F.broadcast(pdf), F.col("term").startswith(F.col("prefix")))
-        .withColumn("rn", F.row_number().over(wexp))
-        .filter(F.col("rn") <= max_expansions)
-        .select("prefix", "term")
-    )
-    terms_u = exp.select("term").distinct()
-
-    tf = (
-        exploded.join(F.broadcast(terms_u), "term")
-        .groupBy("_id", "term")
-        .agg(F.count("*").alias("tf"), F.first("_dl").alias("dl"))
-    )
-    df_per_term = tf.groupBy("term").agg(F.count("*").alias("df"))
-    presence = (
-        tf.join(F.broadcast(exp), "term")
-        .groupBy("_id")
-        .agg(F.countDistinct("prefix").alias("n_p"))
-        .filter(F.col("n_p") == F.lit(len(prefixes)))
-    )
-
-    partial = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    ) * (
-        F.col("tf").cast("double")
-        / (
-            F.col("tf").cast("double")
-            + F.lit(p.k1)
-            * (
-                F.lit(1.0 - p.b)
-                + F.lit(p.b)
-                * (F.col("dl").cast("double") / (F.col("total_tokens") / F.col("n_docs")))
-            )
-        )
-    )
-    return (
-        tf.join(F.broadcast(df_per_term), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("partial", partial)
-        .groupBy("_id")
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("term", "partial"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["partial"],
-            ).alias("raw_score")
-        )
-        .join(presence, "_id")
-        .select(
-            F.col("_id").alias(id_col), F.round("raw_score", round_dp).alias("score")
-        )
-        .orderBy(F.desc("score"), F.asc(id_col))
-        .limit(k)
+    return _expanded_group_topk(
+        docs, exp, k, id_col, text_col, p, round_dp
     )
 
 def bm25_wildcard_topk_dataframe(
@@ -425,89 +405,103 @@ def bm25_wildcard_topk_dataframe(
     to `round_dp`. The vocabulary join uses native LIKE (term-side column
     vs the broadcast pattern relation), so expansion stays inside
     whole-stage codegen.
+
+    Three-job literal plan — the prefix impl generalized (see
+    bm25_prefix_topk_dataframe): LIKE expansion job, then the shared
+    two-pass scoring skeleton.
     """
-    from discogsography_spark.analysis import (
-        parse_wildcard_query,
-        wildcard_to_like,
-    )
+    from discogsography_spark.analysis import parse_wildcard_query
 
     p = params or BM25Params()
     patterns = parse_wildcard_query(query_text)
-    prefixes = patterns  # scoring tail shared verbatim with the prefix impl
     spark = docs.sparkSession
     if not patterns:
         return spark.createDataFrame([], f"{id_col} long, score double")
 
-    toks = docs.select(
-        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
-    ).withColumn("_dl", F.size("_toks"))
-    stats = toks.agg(
-        F.count("*").alias("n_docs"),
-        F.coalesce(F.sum("_dl"), F.lit(0)).alias("total_tokens"),
+    exp = _expand_patterns_driver(
+        docs, patterns, max_expansions, text_col, like=True
     )
-    exploded = toks.select("_id", "_dl", F.explode("_toks").alias("term"))
+    return _expanded_group_topk(
+        docs, exp, k, id_col, text_col, p, round_dp
+    )
 
-    # pattern -> expanded vocabulary terms (capped, term-ASC deterministic)
+
+def _expand_patterns_driver(
+    docs: DataFrame,
+    patterns: list[str],
+    max_expansions: int,
+    text_col: str,
+    like: bool,
+) -> dict[str, list[str]]:
+    """pattern → first `max_expansions` matching vocabulary terms in
+    term-ASC order, collected to the driver (bounded: ≤ 64 × #patterns
+    strings — the same planning-state contract as the index path's
+    expand_prefix). One job: explode → distinct vocabulary → broadcast
+    pattern join (startswith / native LIKE) → per-pattern capped window."""
     from pyspark.sql import Window as W
 
-    pdf = spark.createDataFrame(
-        [(x, wildcard_to_like(x)) for x in patterns],
-        "prefix string, like_pat string",
+    from discogsography_spark.analysis import wildcard_to_like
+
+    spark = docs.sparkSession
+    if like:
+        pdf = spark.createDataFrame(
+            [(x, wildcard_to_like(x)) for x in patterns],
+            "prefix string, like_pat string",
+        )
+        cond = F.expr("term LIKE like_pat")
+    else:
+        pdf = spark.createDataFrame([(x,) for x in patterns], "prefix string")
+        cond = F.col("term").startswith(F.col("prefix"))
+    vocab = (
+        docs.select(F.explode(tokens_col(text_col)).alias("term")).distinct()
     )
-    vocab = exploded.select("term").distinct()
     wexp = W.partitionBy("prefix").orderBy(F.asc("term"))
-    exp = (
-        vocab.join(F.broadcast(pdf), F.expr("term LIKE like_pat"))
+    rows = (
+        vocab.join(F.broadcast(pdf), cond)
+        .select("prefix", "term")
         .withColumn("rn", F.row_number().over(wexp))
         .filter(F.col("rn") <= max_expansions)
         .select("prefix", "term")
+        .collect()
     )
-    terms_u = exp.select("term").distinct()
+    exp: dict[str, list[str]] = {x: [] for x in patterns}
+    for r in rows:
+        exp[r["prefix"]].append(r["term"])
+    return exp
 
-    tf = (
-        exploded.join(F.broadcast(terms_u), "term")
-        .groupBy("_id", "term")
-        .agg(F.count("*").alias("tf"), F.first("_dl").alias("dl"))
-    )
-    df_per_term = tf.groupBy("term").agg(F.count("*").alias("df"))
-    presence = (
-        tf.join(F.broadcast(exp), "term")
-        .groupBy("_id")
-        .agg(F.countDistinct("prefix").alias("n_p"))
-        .filter(F.col("n_p") == F.lit(len(prefixes)))
-    )
 
-    partial = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    ) * (
-        F.col("tf").cast("double")
-        / (
-            F.col("tf").cast("double")
-            + F.lit(p.k1)
-            * (
-                F.lit(1.0 - p.b)
-                + F.lit(p.b)
-                * (F.col("dl").cast("double") / (F.col("total_tokens") / F.col("n_docs")))
-            )
-        )
-    )
+def _expanded_group_topk(
+    docs: DataFrame,
+    exp: dict[str, list[str]],
+    k: int,
+    id_col: str,
+    text_col: str,
+    p: BM25Params,
+    round_dp: int,
+) -> DataFrame:
+    """Shared scoring tail for prefix/wildcard expansion queries: per-group
+    presence = OR over the group's expanded terms, conjunctive across
+    groups; score = sum over the distinct expanded terms' partials
+    (term-ASC, absent terms an exact 0.0) — the two-pass literal skeleton."""
+    spark = docs.sparkSession
+    uterms = sorted({t for ts in exp.values() for t in ts})
+    if any(not ts for ts in exp.values()) or not uterms:
+        # some pattern matched nothing — conjunctive semantics → empty
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    n_docs, total_tokens, dfs = _corpus_term_stats(docs, uterms, text_col)
+    if n_docs == 0:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+
+    toks = _project_toks(docs, id_col, text_col)
+    group_preds = [
+        reduce(lambda a, b: a | b, [F.array_contains("_toks", t) for t in ts])
+        for ts in exp.values()
+    ]
+    pred = reduce(lambda a, b: a & b, group_preds)
+    raw = _score_sum(uterms, dfs, n_docs, total_tokens, p)
     return (
-        tf.join(F.broadcast(df_per_term), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("partial", partial)
-        .groupBy("_id")
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("term", "partial"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["partial"],
-            ).alias("raw_score")
-        )
-        .join(presence, "_id")
-        .select(
-            F.col("_id").alias(id_col), F.round("raw_score", round_dp).alias("score")
-        )
+        toks.filter(pred)
+        .select(F.col("_id").alias(id_col), F.round(raw, round_dp).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
@@ -618,63 +612,26 @@ def bm25_phrase_topk_dataframe(
     ranked by the BM25 score of the phrase's terms — Lucene PhraseQuery with
     BM25 similarity. Statistics (n_docs, avgdl, per-term df) are
     CORPUS-GLOBAL, exactly like Lucene's phrase scoring; only the candidate
-    set is phrase-filtered (filter-before-rank-cap)."""
+    set is phrase-filtered (filter-before-rank-cap).
+
+    Two-pass literal plan (module skeleton note): a phrase match implies
+    every phrase term is present, so the candidate scan is one native
+    phrase predicate and the score sums every term's partial."""
     p = params or BM25Params()
     terms = analyze_query(phrase)
     ordered = tokenize_py(phrase)
     spark = docs.sparkSession
     if not terms:
         return spark.createDataFrame([], f"{id_col} long, score double")
+    n_docs, total_tokens, dfs = _corpus_term_stats(docs, terms, text_col)
+    if n_docs == 0:
+        return spark.createDataFrame([], f"{id_col} long, score double")
 
-    toks = docs.select(
-        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
-    ).withColumn("_dl", F.size("_toks"))
-    stats = toks.agg(
-        F.count("*").alias("n_docs"),
-        F.coalesce(F.sum("_dl"), F.lit(0)).alias("total_tokens"),
-    )
-    tf_all = (
-        toks.select("_id", "_dl", F.explode("_toks").alias("term"))
-        .filter(F.col("term").isin(terms))
-        .groupBy("_id", "term")
-        .agg(F.count("*").alias("tf"), F.first("_dl").alias("dl"))
-    )
-    df_per_term = tf_all.groupBy("term").agg(F.count("*").alias("df"))
-    matched_ids = docs.filter(phrase_match_col(ordered, text_col)).select(
-        F.col(id_col).alias("_id")
-    )
-    tf = tf_all.join(matched_ids, "_id", "left_semi")
-
-    partial = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    ) * (
-        F.col("tf").cast("double")
-        / (
-            F.col("tf").cast("double")
-            + F.lit(p.k1)
-            * (
-                F.lit(1.0 - p.b)
-                + F.lit(p.b)
-                * (F.col("dl").cast("double") / (F.col("total_tokens") / F.col("n_docs")))
-            )
-        )
-    )
+    toks = _project_toks(docs, id_col, text_col)
+    raw = _score_sum(terms, dfs, n_docs, total_tokens, p)
     return (
-        tf.join(F.broadcast(df_per_term), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("partial", partial)
-        .groupBy("_id")
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("term", "partial"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["partial"],
-            ).alias("raw_score")
-        )
-        .select(
-            F.col("_id").alias(id_col), F.round("raw_score", round_dp).alias("score")
-        )
+        toks.filter(_phrase_pred_on_toks(ordered))
+        .select(F.col("_id").alias(id_col), F.round(raw, round_dp).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
@@ -818,9 +775,16 @@ def bm25_bool_topk_dataframe(
     if not pos_terms:  # only-negative predicates are unsatisfiable post-parse
         return spark.createDataFrame([], f"{id_col} long, score double")
 
-    toks = docs.select(
-        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
-    ).withColumn("_dl", F.size("_toks"))
+    # two-pass literal plan (module skeleton note): pass 1 collects corpus
+    # stats + positive-term dfs; pass 2 is ONE scan applying the folded
+    # boolean predicate and summing the present positive terms' partials
+    # (absent terms are an exact 0.0) — no explode shuffle, no joins
+    uterms = sorted(set(pos_terms))
+    n_docs, total_tokens, dfs = _corpus_term_stats(docs, uterms, text_col)
+    if n_docs == 0:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+
+    toks = _project_toks(docs, id_col, text_col)
     pred = fold_predicate(
         ast,
         lambda t: F.array_contains(F.col("_toks"), t),
@@ -830,50 +794,10 @@ def bm25_bool_topk_dataframe(
         phrase_leaf=lambda ph: _phrase_pred_on_toks(list(ph)),
         within_leaf=lambda terms, ws: _within_pred_on_toks(terms, ws),
     )
-    matched = toks.filter(pred).select("_id")
-
-    stats = toks.agg(
-        F.count("*").alias("n_docs"),
-        F.coalesce(F.sum("_dl"), F.lit(0)).alias("total_tokens"),
-    )
-    tf = (
-        toks.select("_id", "_dl", F.explode("_toks").alias("term"))
-        .filter(F.col("term").isin(pos_terms))
-        .groupBy("_id", "term")
-        .agg(F.count("*").alias("tf"), F.first("_dl").alias("dl"))
-    )
-    df_per_term = tf.groupBy("term").agg(F.count("*").alias("df"))
-    partial = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    ) * (
-        F.col("tf").cast("double")
-        / (
-            F.col("tf").cast("double")
-            + F.lit(p.k1)
-            * (
-                F.lit(1.0 - p.b)
-                + F.lit(p.b)
-                * (F.col("dl").cast("double") / (F.col("total_tokens") / F.col("n_docs")))
-            )
-        )
-    )
+    raw = _score_sum(uterms, dfs, n_docs, total_tokens, p)
     return (
-        tf.join(matched, "_id", "left_semi")
-        .join(F.broadcast(df_per_term), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("partial", partial)
-        .groupBy("_id")
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("term", "partial"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["partial"],
-            ).alias("raw_score")
-        )
-        .select(
-            F.col("_id").alias(id_col), F.round("raw_score", round_dp).alias("score")
-        )
+        toks.filter(pred)
+        .select(F.col("_id").alias(id_col), F.round(raw, round_dp).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
@@ -934,7 +858,11 @@ def bm25_proximity_topk_dataframe(
     """Proximity top-k — the DataFrame mirror of LocalSearcher.topk_within:
     docs where the two analyzed terms occur within `window` positions
     (either order), ranked by conjunctive BM25 of the terms with
-    corpus-global stats (filter-before-rank-cap, phrase-style)."""
+    corpus-global stats (filter-before-rank-cap, phrase-style).
+
+    Two-pass literal plan (module skeleton note): a proximity match implies
+    both terms are present, so the candidate scan is one native position
+    predicate and the score sums both terms' partials."""
     p = params or BM25Params()
     spark = docs.sparkSession
     ts1 = analyze_query(word1)
@@ -943,62 +871,18 @@ def bm25_proximity_topk_dataframe(
         return spark.createDataFrame([], f"{id_col} long, score double")
     t1, t2 = ts1[0], ts2[0]
     terms = sorted({t1, t2})
+    n_docs, total_tokens, dfs = _corpus_term_stats(docs, terms, text_col)
+    if n_docs == 0:
+        return spark.createDataFrame([], f"{id_col} long, score double")
 
-    toks = docs.select(
-        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
-    ).withColumn("_dl", F.size("_toks"))
-    stats = toks.agg(
-        F.count("*").alias("n_docs"),
-        F.coalesce(F.sum("_dl"), F.lit(0)).alias("total_tokens"),
-    )
-    tf_all = (
-        toks.select("_id", "_dl", F.explode("_toks").alias("term"))
-        .filter(F.col("term").isin(terms))
-        .groupBy("_id", "term")
-        .agg(F.count("*").alias("tf"), F.first("_dl").alias("dl"))
-    )
-    df_per_term = tf_all.groupBy("term").agg(F.count("*").alias("df"))
-    matched_ids = docs.filter(
-        proximity_match_col(t1, t2, window, text_col)
-    ).select(F.col(id_col).alias("_id"))
-    tf = tf_all.join(matched_ids, "_id", "left_semi")
-
-    partial = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    ) * (
-        F.col("tf").cast("double")
-        / (
-            F.col("tf").cast("double")
-            + F.lit(p.k1)
-            * (
-                F.lit(1.0 - p.b)
-                + F.lit(p.b)
-                * (F.col("dl").cast("double") / (F.col("total_tokens") / F.col("n_docs")))
-            )
-        )
-    )
-    scored = (
-        tf.join(F.broadcast(df_per_term), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("partial", partial)
-        .groupBy("_id")
-        .agg(
-            F.count("*").alias("nt"),
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("term", "partial"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["partial"],
-            ).alias("raw_score"),
-        )
-        .filter(F.col("nt") == F.lit(len(terms)))
-        .select(
-            F.col("_id").alias(id_col), F.round("raw_score", round_dp).alias("score")
-        )
+    toks = _project_toks(docs, id_col, text_col)
+    raw = _score_sum(terms, dfs, n_docs, total_tokens, p)
+    return (
+        toks.filter(_proximity_pred_on(F.col("_toks"), t1, t2, window))
+        .select(F.col("_id").alias(id_col), F.round(raw, round_dp).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
-    return scored
 
 
 def bm25_filtered_topk_dataframe(
@@ -1016,62 +900,29 @@ def bm25_filtered_topk_dataframe(
     SearchService.search(filter=...): conjunctive match restricted to rows
     where `filter_col == filter_val`, scored with CORPUS-GLOBAL statistics
     (the drill-down contract: a doc's score does not change when the user
-    narrows the facet)."""
+    narrows the facet).
+
+    Two-pass literal plan (module skeleton note): statistics stay
+    corpus-global (pass 1 sees the whole corpus); the facet equality is one
+    more native predicate on the candidate scan — pushed to the parquet
+    scan as an EqualTo filter."""
     p = params or BM25Params()
     terms = analyze_query(query_text)
     spark = docs.sparkSession
     if not terms:
         return spark.createDataFrame([], f"{id_col} long, score double")
-    toks = docs.select(
-        F.col(id_col).alias("_id"),
-        F.col(filter_col).alias("_fv"),
-        tokens_col(text_col).alias("_toks"),
-    ).withColumn("_dl", F.size("_toks"))
-    stats = toks.agg(
-        F.count("*").alias("n_docs"),
-        F.coalesce(F.sum("_dl"), F.lit(0)).alias("total_tokens"),
+    n_docs, total_tokens, dfs = _corpus_term_stats(docs, terms, text_col)
+    if n_docs == 0:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+
+    toks = _project_toks(docs, id_col, text_col, extra_cols=[filter_col])
+    pred = reduce(
+        lambda a, b: a & b, [F.array_contains("_toks", t) for t in terms]
     )
-    tf_all = (
-        toks.select("_id", "_dl", F.explode("_toks").alias("term"))
-        .filter(F.col("term").isin(terms))
-        .groupBy("_id", "term")
-        .agg(F.count("*").alias("tf"), F.first("_dl").alias("dl"))
-    )
-    df_per_term = tf_all.groupBy("term").agg(F.count("*").alias("df"))
-    matched = toks.filter(F.col("_fv") == F.lit(filter_val)).select("_id")
-    tf = tf_all.join(matched, "_id", "left_semi")
-    partial = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    ) * (
-        F.col("tf").cast("double")
-        / (
-            F.col("tf").cast("double")
-            + F.lit(p.k1)
-            * (
-                F.lit(1.0 - p.b)
-                + F.lit(p.b)
-                * (F.col("dl").cast("double") / (F.col("total_tokens") / F.col("n_docs")))
-            )
-        )
-    )
+    raw = _score_sum(terms, dfs, n_docs, total_tokens, p)
     return (
-        tf.join(F.broadcast(df_per_term), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("partial", partial)
-        .groupBy("_id")
-        .agg(
-            F.count("*").alias("nt"),
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("term", "partial"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["partial"],
-            ).alias("raw_score"),
-        )
-        .filter(F.col("nt") == F.lit(len(terms)))  # conjunctive
-        .select(
-            F.col("_id").alias(id_col), F.round("raw_score", round_dp).alias("score")
-        )
+        toks.filter((F.col(filter_col) == F.lit(filter_val)) & pred)
+        .select(F.col("_id").alias(id_col), F.round(raw, round_dp).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
@@ -1095,10 +946,13 @@ def bm25_collapse_topk_dataframe(
     reference's per-entity-type rank-capped subqueries UNION ALL'd
     (api/queries/search_queries.py:105-197) with entity type as the group.
 
-    Plan shape at scale: the window partitions by group over the MATCHED
-    set only (conjunctive matches, not the corpus), so the collapse
-    shuffle is proportional to result cardinality; group counts reuse the
-    same shuffled partitioning (same key) in one groupBy."""
+    Plan shape at scale (two-pass literal plan, module skeleton note): the
+    candidate scan emits only MATCHED (group, id, score) rows; ONE
+    map-side-combined groupBy(group) computes the group best — max of
+    struct(score, -id), the lexicographic restatement of the former
+    (score DESC, id ASC) row_number window — and the group count together,
+    replacing the window exchange + counts groupBy + join with a single
+    aggregation on the same key."""
     p = params or BM25Params()
     terms = analyze_query(query_text)
     spark = docs.sparkSession
@@ -1106,70 +960,30 @@ def bm25_collapse_topk_dataframe(
         return spark.createDataFrame(
             [], f"{group_col} string, {id_col} long, score double, group_matched long"
         )
-    toks = docs.select(
-        F.col(id_col).alias("_id"),
-        F.col(group_col).alias("_gv"),
-        tokens_col(text_col).alias("_toks"),
-    ).withColumn("_dl", F.size("_toks"))
-    stats = toks.agg(
-        F.count("*").alias("n_docs"),
-        F.coalesce(F.sum("_dl"), F.lit(0)).alias("total_tokens"),
-    )
-    tf = (
-        toks.select("_id", "_gv", "_dl", F.explode("_toks").alias("term"))
-        .filter(F.col("term").isin(terms))
-        .groupBy("_id", "term")
-        .agg(
-            F.count("*").alias("tf"),
-            F.first("_dl").alias("dl"),
-            F.first("_gv").alias("_gv"),
+    n_docs, total_tokens, dfs = _corpus_term_stats(docs, terms, text_col)
+    if n_docs == 0:
+        return spark.createDataFrame(
+            [], f"{group_col} string, {id_col} long, score double, group_matched long"
         )
-    )
-    df_per_term = tf.groupBy("term").agg(F.count("*").alias("df"))
-    partial = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    ) * (
-        F.col("tf").cast("double")
-        / (
-            F.col("tf").cast("double")
-            + F.lit(p.k1)
-            * (
-                F.lit(1.0 - p.b)
-                + F.lit(p.b)
-                * (F.col("dl").cast("double") / (F.col("total_tokens") / F.col("n_docs")))
-            )
-        )
-    )
-    scored = (
-        tf.join(F.broadcast(df_per_term), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("partial", partial)
-        .groupBy("_id")
-        .agg(
-            F.count("*").alias("nt"),
-            F.first("_gv").alias("_gv"),
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("term", "partial"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["partial"],
-            ).alias("raw_score"),
-        )
-        .filter(F.col("nt") == F.lit(len(terms)))  # conjunctive
-        .select("_id", "_gv", F.round("raw_score", round_dp).alias("score"))
-    )
-    from pyspark.sql import Window as W
 
-    w = W.partitionBy("_gv").orderBy(F.desc("score"), F.asc("_id"))
-    counts = scored.groupBy("_gv").agg(F.count("*").alias("group_matched"))
+    toks = _project_toks(docs, id_col, text_col, extra_cols=[group_col])
+    pred = reduce(
+        lambda a, b: a & b, [F.array_contains("_toks", t) for t in terms]
+    )
+    raw = _score_sum(terms, dfs, n_docs, total_tokens, p)
+    scored = toks.filter(pred).select(
+        F.col(group_col).alias("_gv"),
+        "_id",
+        F.round(raw, round_dp).alias("score"),
+    )
+    best = F.max(F.struct(F.col("score"), (-F.col("_id")).alias("_nid")))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .join(counts, "_gv")
+        scored.groupBy("_gv")
+        .agg(best.alias("_best"), F.count(F.lit(1)).alias("group_matched"))
         .select(
             F.col("_gv").alias(group_col),
-            F.col("_id").alias(id_col),
-            "score",
+            (-F.col("_best._nid")).alias(id_col),
+            F.col("_best.score").alias("score"),
             "group_matched",
         )
         .orderBy(F.desc("score"), F.asc(id_col))
@@ -1233,88 +1047,68 @@ def more_like_this_dataframe(
     `max_terms` terms by round(tf·idf, dp) (ties term-ASC, corpus df >=
     min_df), then disjunctive BM25 top-k over them, source excluded.
 
-    Fully declarative — term selection stays in the plan: the selection
-    window partitions over ONE document's distinct terms (bounded by a
-    single doc's vocabulary), and the corpus scan is pruned to the source
-    terms by a broadcast semi-join before any scoring."""
-    from pyspark.sql import Window as W
-
+    Four-job literal plan (module skeleton note): (1) source-doc term
+    vector — a pushed-down id-equality scan, collected (Lucene MLT loads
+    the source term vector too; bounded by one doc's vocabulary); (2) the
+    shared one-scan stats aggregate over the source terms; (3) term
+    selection re-run as Spark expressions over a LITERAL (term, src_tf, df)
+    relation — no corpus scan, but bit-identical HALF_UP rounding and
+    (tf·idf DESC, term ASC) ordering; (4) one candidate scan scoring the
+    disjunctive union of the selected terms, source excluded."""
     p = params or BM25Params()
-    toks = docs.select(
-        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
-    ).withColumn("_dl", F.size("_toks"))
-    stats = toks.agg(
-        F.count("*").alias("n_docs"),
-        F.coalesce(F.sum("_dl"), F.lit(0)).alias("total_tokens"),
-    )
-    src_tf = (
-        toks.filter(F.col("_id") == F.lit(source_id))
-        .select(F.explode("_toks").alias("term"))
+    spark = docs.sparkSession
+    empty = f"{id_col} long, score double"
+    src_rows = (
+        docs.filter(F.col(id_col) == F.lit(source_id))
+        .select(F.explode(tokens_col(text_col)).alias("term"))
         .groupBy("term")
-        .agg(F.count("*").alias("src_tf"))
+        .agg(F.count(F.lit(1)).alias("src_tf"))
+        .collect()
     )
-    corpus_tf = (
-        toks.select("_id", "_dl", F.explode("_toks").alias("term"))
-        .join(F.broadcast(src_tf.select("term")), "term", "left_semi")
-        .groupBy("_id", "term")
-        .agg(F.count("*").alias("tf"), F.first("_dl").alias("dl"))
+    if not src_rows:
+        return spark.createDataFrame([], empty)
+    src_tf = {r["term"]: int(r["src_tf"]) for r in src_rows}
+    src_terms = sorted(src_tf)
+    n_docs, total_tokens, dfs = _corpus_term_stats(docs, src_terms, text_col)
+    if n_docs == 0:
+        return spark.createDataFrame([], empty)
+
+    # term selection over the literal relation — the same guard filters,
+    # round(tf·idf) expression and (DESC, term ASC) cap as the former
+    # windowed plan, evaluated by Spark so rounding semantics are identical
+    lit_rel = spark.createDataFrame(
+        [(t, src_tf[t], dfs[t]) for t in src_terms],
+        "term string, src_tf long, df long",
     )
-    dfa = corpus_tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log(
+    idf_rel = F.log(
         F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
-    sel = (
-        src_tf.join(F.broadcast(dfa), "term")
-        .crossJoin(F.broadcast(stats))
-        # minDocFreq + maxDocFreq guards (Lucene MLT): rare-noise terms
-        # select nothing transferable; head terms are non-discriminative
-        # and turn the OR scan into a multi-million-posting sweep
-        .filter(
+    sel_rows = (
+        lit_rel.filter(
             (F.col("df") >= F.lit(min_df))
-            & (F.col("df") <= F.lit(max_df_frac) * F.col("n_docs"))
+            & (F.col("df") <= F.lit(max_df_frac) * F.lit(n_docs))
         )
         .withColumn(
-            "_mlt", F.round(F.col("src_tf").cast("double") * idf, round_dp)
+            "_mlt", F.round(F.col("src_tf").cast("double") * idf_rel, round_dp)
         )
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                W.orderBy(F.desc("_mlt"), F.asc("term"))
-            ),
-        )
-        .filter(F.col("_rn") <= F.lit(max_terms))
+        .orderBy(F.desc("_mlt"), F.asc("term"))
+        .limit(max_terms)
         .select("term")
+        .collect()
     )
-    partial = idf * (
-        F.col("tf").cast("double")
-        / (
-            F.col("tf").cast("double")
-            + F.lit(p.k1)
-            * (
-                F.lit(1.0 - p.b)
-                + F.lit(p.b)
-                * (F.col("dl").cast("double") / (F.col("total_tokens") / F.col("n_docs")))
-            )
-        )
+    sel = sorted(r["term"] for r in sel_rows)
+    if not sel:
+        return spark.createDataFrame([], empty)
+
+    toks = _project_toks(docs, id_col, text_col)
+    pred = reduce(
+        lambda a, b: a | b, [F.array_contains("_toks", t) for t in sel]
     )
+    raw = _score_sum(sel, dfs, n_docs, total_tokens, p)
     return (
-        corpus_tf.join(F.broadcast(sel), "term", "left_semi")
-        .join(F.broadcast(dfa), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("partial", partial)
-        .groupBy("_id")
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("term", "partial"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["partial"],
-            ).alias("raw_score")
-        )
-        .filter(F.col("_id") != F.lit(source_id))
-        .select(
-            F.col("_id").alias(id_col), F.round("raw_score", round_dp).alias("score")
-        )
+        toks.filter(pred & (F.col("_id") != F.lit(source_id)))
+        .select(F.col("_id").alias(id_col), F.round(raw, round_dp).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
