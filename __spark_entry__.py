@@ -1771,7 +1771,18 @@ array_sort(
         # 2-hop expansion with NOT-EXISTS exclusion (network_queries.py:49-54)
         from discogsography_spark.operators.graph import two_hop_exclusion
 
-        return two_hop_exclusion(_edges(spark, sf_dir), anchor=1).limit(50)
+        # distinct=False: every hop of two_hop_exclusion ends in a set
+        # operation, so the global edge-dedup exchange cannot change the
+        # result — it only shuffles the whole edge table before the
+        # frontier joins prune it
+        from discogsography_spark.operators.graph import edges_customer_part
+
+        raw_edges = edges_customer_part(
+            _read(spark, sf_dir, "orders"),
+            _read(spark, sf_dir, "lineitem"),
+            distinct=False,
+        )
+        return two_hop_exclusion(raw_edges, anchor=1).limit(50)
 
     q["graph_2hop_exclusion"] = graph_2hop_exclusion
 

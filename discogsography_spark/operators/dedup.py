@@ -226,7 +226,13 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
+    # materialize the signature table ONCE (localCheckpoint): both sides of
+    # the banded self-join read it, and without the checkpoint each side
+    # re-runs the full tokenize+shingle+MinHash Arrow pass (2x the only
+    # Python stage in the pipeline). Signatures are num_hashes longs/doc —
+    # the standard materialization point of an LSH pipeline at any scale.
     sig = minhash_signatures(df, num_hashes, n, seed, id_col, text_col)
+    sig = sig.localCheckpoint(eager=True)
     banded = sig.select(
         "doc_id",
         "sig",

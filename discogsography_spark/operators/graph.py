@@ -29,18 +29,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def edges_customer_part(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+def edges_customer_part(
+    orders: DataFrame, lineitem: DataFrame, distinct: bool = True
+) -> DataFrame:
     """Bipartite edge table (src=custkey, dst=partkey): customer ordered
-    part. Distinct — edges are unweighted."""
-    return (
+    part. Distinct — edges are unweighted. `distinct=False` skips the
+    global dedup exchange for consumers whose downstream operations are
+    already set-based (e.g. two_hop_exclusion: every hop ends in a
+    distinct/anti over small frontiers, so duplicate input edges cannot
+    change the result and the corpus-sized shuffle is pure cost)."""
+    edges = (
         orders.select(F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("src"))
         .join(
             lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")),
             "ok",
         )
         .select("src", "dst")
-        .distinct()
     )
+    return edges.distinct() if distinct else edges
 
 
 def degree_counts(edges: DataFrame, top: int = 20) -> DataFrame:
@@ -73,16 +79,27 @@ def two_hop_exclusion(edges: DataFrame, anchor: int) -> DataFrame:
     the reference's 2-hop expansion with NOT-EXISTS exclusion
     (network_queries.py:49-54). Frontier expansion = join per hop;
     exclusion = left_anti (no row materialization of the NOT EXISTS)."""
-    hop1 = one_hop_partners(edges, anchor)  # frontier 1
-    # partners of the frontier: edges of hop1 members → dst set → srcs
-    hop1_dsts = edges.join(hop1, "src").select("dst").distinct()
+    # materialize reused frontiers once (localCheckpoint): the edge table
+    # feeds three joins and the hop-1 frontier two — without the
+    # checkpoints each consumer re-derives the whole edge build (the
+    # before-plan re-ran the orders⨝lineitem→distinct subtree six times)
+    edges = edges.localCheckpoint(eager=True)
+    hop1 = one_hop_partners(edges, anchor).localCheckpoint(eager=True)
+    # partners of the frontier: edges of hop1 members → dst set → srcs.
+    # Frontier sides are broadcast explicitly: anchored traversals have
+    # frontiers bounded by the anchor's neighborhood (the same assumption
+    # one_hop_partners makes for `mine`), and size estimates over a
+    # checkpointed join are too poor for the planner to pick broadcast on
+    # its own — without the hints each hop pays a full shuffle of the
+    # edge table instead of a map-side hash probe.
+    hop1_dsts = edges.join(F.broadcast(hop1), "src").select("dst").distinct()
     reach2 = (
-        edges.join(hop1_dsts, "dst")
+        edges.join(F.broadcast(hop1_dsts), "dst")
         .filter(F.col("src") != anchor)
         .select("src")
         .distinct()
     )
-    return reach2.join(hop1, "src", "left_anti").orderBy("src")
+    return reach2.join(F.broadcast(hop1), "src", "left_anti").orderBy("src")
 
 
 def shared_pair_strength(

@@ -573,30 +573,48 @@ def bm25_or_topk_dataframe(
     )
 
 
+def _phrase_pred_core(toks, phrase_terms: list[str]):
+    """TRUE iff the token array `toks` (a let-bound variable or attribute)
+    contains `phrase_terms` consecutively. Occurrence-positions-first form:
+    one O(len) transform+filter finds the first term's in-range start
+    positions, then the (rare) candidate starts probe the remaining offsets
+    with element_at — replacing the former exists-over-every-start scan,
+    whose interpreted per-start lambda was ~14x slower per doc (and every
+    probed index stays in range, ANSI-safe)."""
+    n = len(phrase_terms)
+    if n == 0:
+        return F.lit(False)
+    if n == 1:
+        return F.array_contains(toks, phrase_terms[0])
+    first = phrase_terms[0]
+    limit = F.size(toks) - F.lit(n - 1)
+    starts = F.filter(
+        F.transform(toks, lambda x, i: F.when(x == F.lit(first), i + 1)),
+        lambda p: p.isNotNull() & (p <= limit),
+    )
+
+    def match_at(p):  # p: 1-based in-range start position Column
+        cond = F.lit(True)
+        for j, t in enumerate(phrase_terms[1:], start=1):
+            cond = cond & (F.element_at(toks, p + F.lit(j)) == F.lit(t))
+        return cond
+
+    return F.exists(starts, match_at)
+
+
 def phrase_match_col(
     phrase_terms: list[str], text_col: str = "text"
 ):
     """TRUE iff the analyzed token stream contains the terms consecutively —
     `phraseto_tsquery` / Lucene PhraseQuery semantics, as one native
-    expression: F.exists over candidate start offsets with per-offset
-    element equality (no UDF, stays in codegen)."""
-    toks = tokens_col(text_col)
-    n = len(phrase_terms)
-    if n == 0:
+    expression (no UDF). The tokenize expression is _let-bound so it
+    evaluates ONCE per row (referencing it inside the positional lambdas
+    would re-tokenize per element — the shingles_col O(len²) trap)."""
+    if not phrase_terms:
         return F.lit(False)
-
-    def match_at(i):  # i: 1-based start position Column
-        cond = F.lit(True)
-        for j, t in enumerate(phrase_terms):
-            cond = cond & (F.element_at(toks, i + F.lit(j)) == F.lit(t))
-        return cond
-
-    # guard: F.sequence(1, 0) DESCENDS in Spark, so short docs need an
-    # explicit size >= n branch (inside which every probed index is in range)
-    starts = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
-    return F.when(
-        F.size(toks) >= F.lit(n), F.exists(starts, match_at)
-    ).otherwise(F.lit(False))
+    return _let(
+        tokens_col(text_col), lambda toks: _phrase_pred_core(toks, phrase_terms)
+    )
 
 
 def bm25_phrase_topk_dataframe(
@@ -695,20 +713,9 @@ def _chain_step_arrays(alive, nxt, w: int, same: bool):
 
 def _phrase_pred_on_toks(phrase_terms: list[str]):
     """phrase_match_col specialized to a pre-tokenized `_toks` column —
-    the boolean DataFrame path's phrase-node leaf."""
-    toks = F.col("_toks")
-    n = len(phrase_terms)
-
-    def match_at(i):
-        cond = F.lit(True)
-        for j, t in enumerate(phrase_terms):
-            cond = cond & (F.element_at(toks, i + F.lit(j)) == F.lit(t))
-        return cond
-
-    starts = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
-    return F.when(
-        F.size(toks) >= F.lit(n), F.exists(starts, match_at)
-    ).otherwise(F.lit(False))
+    the boolean DataFrame path's phrase-node leaf (positions-first form,
+    see _phrase_pred_core)."""
+    return _phrase_pred_core(F.col("_toks"), phrase_terms)
 
 
 def bm25_bool_topk_dataframe(
