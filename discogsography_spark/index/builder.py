@@ -483,33 +483,83 @@ class IndexBuilder:
         block_size = self.block_size
 
         docs = spark.read.parquet(self.docs_dir)
-        # raw token occurrences — ONE row per token. tf is computed by
-        # run-length inside the encoders, so the build has exactly one full
-        # shuffle of posting data (the term-hash repartition below) instead
-        # of a groupBy(term, doc) shuffle followed by a second one.
-        # with_positions: posexplode carries the token's index in the
-        # analyzed stream — the positional-postings payload for phrase
-        # queries (Lucene .pos analog); same shuffle, one extra int column.
-        if self.with_positions:
-            occurrences = docs.select(
-                "doc_id", "dl", F.posexplode("tokens").alias("pos", "term")
+        # MAP-SIDE PAIR AGGREGATION (optimization guide §2.3 "aggregate
+        # before you shuffle"): a document's tokens all live in one row, so
+        # per-(doc, term) tf — and the per-pair position array when
+        # with_positions — is computable inside the scan task with no
+        # cross-partition concern. One vectorized pandas pass replaces the
+        # former JVM explode (which ran three times: head-count aggregate,
+        # head semi-join branch, normal anti-join branch) and every shuffle
+        # downstream now moves one row per (doc, term) PAIR instead of one
+        # per token occurrence (12.4M vs 19.5M at the bench corpus; the
+        # ratio improves with tf). Encoders consume the pre_aggregated path
+        # (the compaction codepath), skipping run-length.
+        with_pos = self.with_positions
+        pair_schema = "doc_id long, term string, tf long, dl int" + (
+            ", pos array<long>" if with_pos else ""
+        )
+
+        def pair_rows(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                e = pdf[["doc_id", "dl", "tokens"]].explode("tokens")
+                e = e.rename(columns={"tokens": "term"})
+                e = e[e["term"].notna()]
+                if with_pos:
+                    # token's index in the analyzed stream (0-based, the
+                    # posexplode contract); exploded order within a doc is
+                    # stream order, and pandas groupby preserves it
+                    e["pos"] = e.groupby(level=0).cumcount()
+                    g = (
+                        e.groupby(["doc_id", "term"], sort=False)
+                        .agg(
+                            tf=("term", "size"),
+                            dl=("dl", "first"),
+                            pos=("pos", list),
+                        )
+                        .reset_index()
+                    )
+                    yield g[["doc_id", "term", "tf", "dl", "pos"]]
+                else:
+                    g = (
+                        e.groupby(["doc_id", "term"], sort=False)
+                        .agg(tf=("term", "size"), dl=("dl", "first"))
+                        .reset_index()
+                    )
+                    yield g[["doc_id", "term", "tf", "dl"]]
+
+        tokens = (
+            docs.select("doc_id", "dl", "tokens")
+            .mapInPandas(pair_rows, schema=pair_schema)
+            .withColumn(
+                "seg",
+                (F.crc32(F.col("term")) % F.lit(self.num_segments)).cast("int"),
             )
-        else:
-            occurrences = docs.select(
-                "doc_id", "dl", F.explode("tokens").alias("term")
-            )
-        tokens = occurrences.withColumn(
-            "seg",
-            (F.crc32(F.col("term")) % F.lit(self.num_segments)).cast("int"),
-        ).filter(F.col("seg").isin(pending))
+            .filter(F.col("seg").isin(pending))
+        )
+
+        # The pair stream still feeds three consumers; persist it in the
+        # columnar cache when it fits (the head-count aggregate below
+        # materializes it, the branches scan the cache, unpersisted right
+        # after the segment write). Bounded by token count, NOT tuned to
+        # this VM: ~30 B/pair ⇒ 400M tokens ≈ 12 GB spillable cache; past
+        # that re-scanning compressed parquet is the better trade, which is
+        # exactly the uncached plan.
+        cache_tokens = int(stats["total_tokens"]) <= 400_000_000
+        if cache_tokens:
+            from pyspark import StorageLevel
+
+            tokens = tokens.persist(StorageLevel.MEMORY_AND_DISK)
 
         # head-term detection on collection frequency (map-side combined agg
-        # → tiny shuffle). CF ≥ DF, so thresholding CF salts a superset of
+        # → tiny shuffle; cf = sum of pair tfs, identical to the former
+        # occurrence count). CF ≥ DF, so thresholding CF salts a superset of
         # the df-threshold terms — salting is a lossless safety valve, and
         # exact DF still lands in each encoded row.
         head_rows = (
             tokens.groupBy("term")
-            .agg(F.count("*").alias("cf"))
+            .agg(F.sum("tf").alias("cf"))
             .filter(F.col("cf") > self.head_df_threshold)
             .select("term")
             .collect()
@@ -532,30 +582,35 @@ class IndexBuilder:
                 "salt", (F.col("doc_id") / F.lit(salt_width)).cast("int")
             )
 
-            with_pos = self.with_positions
-
             def encode_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+                # pre-aggregated pair rows: one per (doc, term), tf computed
+                # map-side, positions already an ascending per-pair array
                 doc_arr = pdf["doc_id"].to_numpy().astype(np.int64)
+                order = np.argsort(doc_arr, kind="stable")
                 if with_pos:
-                    pos_arr = pdf["pos"].to_numpy().astype(np.int64)
-                    order = np.lexsort((pos_arr, doc_arr))
-                    pos_bytes = pos_arr[order].tobytes()
+                    pos_lists = pdf["pos"].to_numpy()[order]
+                    pos_bytes = (
+                        np.concatenate(
+                            [np.asarray(x, dtype=np.int64) for x in pos_lists]
+                        ).tobytes()
+                        if len(pos_lists)
+                        else b""
+                    )
                 else:
-                    order = np.argsort(doc_arr, kind="stable")
                     pos_bytes = b""
-                u, tf, dl_u = _runlength_tf(
-                    doc_arr[order],
-                    pdf["dl"].to_numpy()[order].astype(np.int64),
-                )
                 return pd.DataFrame(
                     [
                         {
                             "term": pdf["term"].iloc[0],
                             "seg": int(pdf["seg"].iloc[0]),
                             "salt": int(pdf["salt"].iloc[0]),
-                            "doc_bytes": u.tobytes(),
-                            "tf_bytes": tf.tobytes(),
-                            "dl_bytes": dl_u.tobytes(),
+                            "doc_bytes": doc_arr[order].tobytes(),
+                            "tf_bytes": pdf["tf"].to_numpy()[order]
+                            .astype(np.int64)
+                            .tobytes(),
+                            "dl_bytes": pdf["dl"].to_numpy()[order]
+                            .astype(np.int64)
+                            .tobytes(),
                             "pos_bytes": pos_bytes,
                         }
                     ]
@@ -608,20 +663,18 @@ class IndexBuilder:
 
         # normal terms: term-hash repartition + in-partition sort, then a
         # streaming mapInPandas encoder (one Arrow exchange per partition,
-        # not per term — see _encode_sorted_stream)
+        # not per term — see _encode_sorted_stream). Rows are pre-aggregated
+        # pairs, so the encoder takes the pre_aggregated (compaction) path.
         shuffle_p = int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
-        sort_cols = (
-            ["term", "doc_id", "pos"] if self.with_positions else ["term", "doc_id"]
-        )
-        wp = self.with_positions
         normal_encoded = (
             normal.repartition(shuffle_p, "term")
-            .sortWithinPartitions(*sort_cols)
+            .sortWithinPartitions("term", "doc_id")
             .mapInPandas(
                 lambda it: _encode_sorted_stream(
-                    it, k1, b, avgdl, block_size, with_positions=wp
+                    it, k1, b, avgdl, block_size, with_positions=with_pos,
+                    pre_aggregated=True,
                 ),
                 schema=SEGMENT_SCHEMA,
             )
@@ -648,6 +701,8 @@ class IndexBuilder:
             .option("parquet.block.size", str(256 * 1024))
             .parquet(tmp)
         )
+        if cache_tokens:
+            tokens.unpersist()
 
     def _promote_segments(
         self, spark: SparkSession, pending: list[int], fail_after: int | None

@@ -33,17 +33,18 @@ def test_segment_pruning_reads_only_matching_shards(built_index):
 
 
 def test_bm25_dataframe_plan_shape(spark):
+    """Round-7 two-pass literal contract: the candidate scan plan has NO
+    joins and NO exchanges (stats are collected scalars; tf is map-side),
+    and the global top-k is a heap-merge TakeOrderedAndProject."""
     from discogsography_spark.query.dataframe_bm25 import bm25_topk_dataframe
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     top = bm25_topk_dataframe(docs, "table value", k=10)
-    rep = plan_report(top)
-    assert rep["has_broadcast_join"], "df-stats and term-df joins must broadcast"
     s = explain_str(top, "simple")
     assert "TakeOrderedAndProject" in s, "global top-k must be heap-merge, not full sort"
-    # map-side partial aggregation before the shuffle (tf and score aggs)
-    assert "partial_count" in s
-    assert "CartesianProduct" not in s  # 1-row stats join is broadcast-NL, fine
+    assert "Exchange" not in s, f"candidate scan must be shuffle-free: {s}"
+    assert "Join" not in s, f"candidate scan must be join-free: {s}"
+    assert "CartesianProduct" not in s
 
 
 def test_broadcast_join_for_small_dim(spark):
@@ -108,14 +109,15 @@ def test_ivf_filter_is_native(spark):
     assert "TakeOrderedAndProject" in s
 
 
-def test_prefix_expansion_broadcasts(spark):
+def test_prefix_expansion_plan_shape(spark):
+    """Round-7 contract: after the capped driver-side vocabulary expansion,
+    the prefix scoring plan is the shuffle-free two-pass candidate scan."""
     import __spark_entry__ as entry
 
     df = entry.queries()["fts_autocomplete_prefix"](spark, SF_DIR)
-    rep = plan_report(df)
-    assert rep["has_broadcast_join"], "expansion/df maps must broadcast"
     s = explain_str(df, "simple")
     assert "TakeOrderedAndProject" in s
+    assert "Exchange" not in s, f"candidate scan must be shuffle-free: {s}"
 
 
 def test_pack_sequences_plan_has_no_single_partition_exchange(spark):
