@@ -175,6 +175,54 @@ def _encode_arrays(
     return enc
 
 
+def pair_schema(with_pos: bool) -> str:
+    """Schema of the map-side pre-aggregated (doc, term) pair stream."""
+    return "doc_id long, term string, tf long, dl int" + (
+        ", pos array<long>" if with_pos else ""
+    )
+
+
+def _pair_rows_fn(with_pos: bool):
+    """mapInPandas function: (doc_id, dl, tokens) rows → one row per
+    (doc, term) pair with tf (and the ascending position array when
+    with_pos) computed INSIDE the scan task — a document's tokens live in
+    one row, so the aggregation needs no shuffle (optimization guide §2.3
+    'aggregate before you shuffle'). Shared by the segment build and the
+    streaming delta writer."""
+
+    def pair_rows(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            e = pdf[["doc_id", "dl", "tokens"]].explode("tokens")
+            e = e.rename(columns={"tokens": "term"})
+            e = e[e["term"].notna()]
+            if with_pos:
+                # token's index in the analyzed stream (0-based, the
+                # posexplode contract); exploded order within a doc is
+                # stream order, and pandas groupby preserves it
+                e["pos"] = e.groupby(level=0).cumcount()
+                g = (
+                    e.groupby(["doc_id", "term"], sort=False)
+                    .agg(
+                        tf=("term", "size"),
+                        dl=("dl", "first"),
+                        pos=("pos", list),
+                    )
+                    .reset_index()
+                )
+                yield g[["doc_id", "term", "tf", "dl", "pos"]]
+            else:
+                g = (
+                    e.groupby(["doc_id", "term"], sort=False)
+                    .agg(tf=("term", "size"), dl=("dl", "first"))
+                    .reset_index()
+                )
+                yield g[["doc_id", "term", "tf", "dl"]]
+
+    return pair_rows
+
+
 def _runlength_tf(
     doc_ids: np.ndarray, dls: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -495,43 +543,9 @@ class IndexBuilder:
         # ratio improves with tf). Encoders consume the pre_aggregated path
         # (the compaction codepath), skipping run-length.
         with_pos = self.with_positions
-        pair_schema = "doc_id long, term string, tf long, dl int" + (
-            ", pos array<long>" if with_pos else ""
-        )
-
-        def pair_rows(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                e = pdf[["doc_id", "dl", "tokens"]].explode("tokens")
-                e = e.rename(columns={"tokens": "term"})
-                e = e[e["term"].notna()]
-                if with_pos:
-                    # token's index in the analyzed stream (0-based, the
-                    # posexplode contract); exploded order within a doc is
-                    # stream order, and pandas groupby preserves it
-                    e["pos"] = e.groupby(level=0).cumcount()
-                    g = (
-                        e.groupby(["doc_id", "term"], sort=False)
-                        .agg(
-                            tf=("term", "size"),
-                            dl=("dl", "first"),
-                            pos=("pos", list),
-                        )
-                        .reset_index()
-                    )
-                    yield g[["doc_id", "term", "tf", "dl", "pos"]]
-                else:
-                    g = (
-                        e.groupby(["doc_id", "term"], sort=False)
-                        .agg(tf=("term", "size"), dl=("dl", "first"))
-                        .reset_index()
-                    )
-                    yield g[["doc_id", "term", "tf", "dl"]]
-
         tokens = (
             docs.select("doc_id", "dl", "tokens")
-            .mapInPandas(pair_rows, schema=pair_schema)
+            .mapInPandas(_pair_rows_fn(with_pos), schema=pair_schema(with_pos))
             .withColumn(
                 "seg",
                 (F.crc32(F.col("term")) % F.lit(self.num_segments)).cast("int"),

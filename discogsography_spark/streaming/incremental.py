@@ -298,39 +298,36 @@ class DeltaIndexWriter:
         # nothing to merge and phrase queries would silently degrade
         wp = bool(self.meta.stats.get("with_positions", False))
 
-        def encode(g: pd.DataFrame) -> pd.DataFrame:
-            return _encode_pdf(
-                g, k1, b, avgdl_hint, block_size, is_head=False,
-                with_positions=wp,
-            )
+        # round-7: same shape as the segment build — map-side (doc, term)
+        # pair aggregation inside the scan task (no explode→groupBy
+        # shuffle), then ONE seg-keyed repartition + in-partition
+        # (seg, term, doc) sort feeding the streaming encoder. This
+        # replaces the former per-TERM applyInPandas (one pandas group per
+        # vocabulary term — O(vocab) Arrow framing per micro-batch, the
+        # exact overhead the builder's docstring warns about) with one
+        # Arrow exchange per partition, and writes ONE term-sorted file
+        # per touched segment instead of a file per (task, seg).
+        from discogsography_spark.index.builder import (
+            _pair_rows_fn,
+            pair_schema,
+        )
 
-        if wp:
-            grouped = (
-                docs.select(
-                    "doc_id", "dl", F.posexplode("tokens").alias("pos", "term")
-                )
-                .groupBy("term", "doc_id")
-                .agg(
-                    F.count("*").alias("tf"),
-                    F.first("dl").alias("dl"),
-                    # collect_list order is nondeterministic; positions are
-                    # distinct per (term, doc), so sort_array restores the
-                    # builder's ascending-within-posting contract exactly
-                    F.sort_array(F.collect_list("pos")).alias("pos"),
-                )
-            )
-        else:
-            grouped = (
-                docs.select("doc_id", "dl", F.explode("tokens").alias("term"))
-                .groupBy("term", "doc_id")
-                .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
-            )
+        grouped = docs.select("doc_id", "dl", "tokens").mapInPandas(
+            _pair_rows_fn(wp), schema=pair_schema(wp)
+        )
         encoded = (
             grouped.withColumn(
                 "seg", (F.crc32(F.col("term")) % F.lit(num_segments)).cast("int")
             )
-            .groupBy("seg", "term")
-            .applyInPandas(encode, schema=SEGMENT_SCHEMA)
+            .repartition(num_segments, "seg")
+            .sortWithinPartitions("seg", "term", "doc_id")
+            .mapInPandas(
+                lambda it: _encode_sorted_stream(
+                    it, k1, b, avgdl_hint, block_size,
+                    with_positions=wp, pre_aggregated=True,
+                ),
+                schema=SEGMENT_SCHEMA,
+            )
         )
 
         tmp = final + "__tmp"
