@@ -522,6 +522,13 @@ class LocalSearcher:
         self._dec_cache: OrderedDict[str, tuple] = OrderedDict()
         self._dec_cache_postings = 0
         self._dec_budget = int(postings_cache_budget)
+        # docs-only decode LRU (significant-terms fg counting): candidate
+        # vocabularies are mid-frequency and wide, and fg counting needs
+        # ONLY the doc array — a full (doc, tf, dl) decode would triple the
+        # varbyte work and evict the query-path cache. Quarter budget.
+        self._docs_cache: OrderedDict[str, np.ndarray] = OrderedDict()
+        self._docs_cache_postings = 0
+        self._docs_budget = max(1, int(postings_cache_budget) // 4)
         self._result_cache: OrderedDict[tuple, tuple] = OrderedDict()
         self._result_cache_size = int(result_cache_size)
         # term → TermPostings: parquet row-group hits still pay a to_pylist
@@ -570,6 +577,34 @@ class LocalSearcher:
             _, old = self._dec_cache.popitem(last=False)
             self._dec_cache_postings -= int(old[0].size)
         return ent
+
+    def _decoded_docs(self, tp: TermPostings) -> np.ndarray:
+        """Docs-only decode (significant-terms fg counting): one varbyte +
+        delta pass over doc_blob — a third of decode_all's work, cached in
+        a separate LRU so wide candidate sweeps don't evict the query
+        path's (doc, tf, dl) entries. Reuses a full-decode cache hit when
+        one exists."""
+        self._budget_check()  # candidate-decode boundary
+        ent = self._dec_cache.get(tp.term)
+        if ent is not None:
+            self._dec_cache.move_to_end(tp.term)
+            return ent[0]
+        d = self._docs_cache.get(tp.term)
+        if d is not None:
+            self._docs_cache.move_to_end(tp.term)
+            return d
+        from discogsography_spark.codec import delta_decode, varbyte_decode
+
+        d = delta_decode(varbyte_decode(tp.doc_blob), prev=-1)
+        self._docs_cache[tp.term] = d
+        self._docs_cache_postings += int(d.size)
+        while (
+            self._docs_cache_postings > self._docs_budget
+            and len(self._docs_cache) > 1
+        ):
+            _, old = self._docs_cache.popitem(last=False)
+            self._docs_cache_postings -= int(old.size)
+        return d
 
     def _probe(
         self, tp: TermPostings, cand: np.ndarray
@@ -725,7 +760,7 @@ class LocalSearcher:
         for i, (t, tp) in enumerate(rows.items()):
             if i % 64 == 0:
                 self._budget_check()  # candidate-batch boundary
-            docs = self._decoded(tp)[0]
+            docs = self._decoded_docs(tp)
             n = int(np.count_nonzero(mask[docs]))
             if n:
                 fg[t] = n

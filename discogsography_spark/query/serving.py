@@ -443,6 +443,48 @@ def _grouped_rows(
     return rows[:k]
 
 
+def _grouped_rows_arrays(
+    ids: "np.ndarray",
+    scores: "np.ndarray",
+    codes: "np.ndarray",
+    cats: list[str],
+    k: int,
+) -> list[tuple[str, float, float, float, int]]:
+    """_grouped_rows over ALIGNED (ids, scores) arrays: bincount sums and
+    counts, sort+reduceat group max (np.maximum.at is ~10x slower at this
+    size), and top-k group selection BEFORE any Python tuple is built —
+    the former path materialized one row per PRESENT group (120k for a
+    conv_id grouping of a dense query) just to cut k of them."""
+    if ids.size == 0:
+        return []
+    g = codes[ids]
+    nc = len(cats)
+    sums = np.bincount(g, weights=scores, minlength=nc)
+    counts = np.bincount(g, minlength=nc)
+    order = np.argsort(g, kind="stable")
+    gs = g[order]
+    starts = np.flatnonzero(np.concatenate(([True], gs[1:] != gs[:-1])))
+    maxs = np.full(nc, -np.inf)
+    maxs[gs[starts]] = np.maximum.reduceat(scores[order], starts)
+    present = np.flatnonzero(counts)
+    if present.size > k > 0:
+        psums = sums[present]
+        kth = np.partition(-psums, k - 1)[k - 1]
+        present = present[-psums <= kth]  # keep sum ties for the label sort
+    rows = [
+        (
+            cats[i],
+            float(sums[i]),
+            float(sums[i] / counts[i]),
+            float(maxs[i]),
+            int(counts[i]),
+        )
+        for i in present
+    ]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows[:k]
+
+
 def _jlh_rows(
     fg_map: dict[str, int],
     dfs: dict[str, int],
@@ -744,6 +786,27 @@ class SearchService:
             (float(u * interval), int(c)) for u, c in zip(uniq, counts)
         ]
 
+    def _candidate_terms(self, ids: np.ndarray) -> set[str]:
+        """Union of the sample docs' analyzed vocabularies — significant-
+        terms candidate discovery. When stored text is available the whole
+        sample tokenizes in ONE vectorized pandas pass (the per-doc
+        tokenize loop was the dominant sf0.1 cost: ~0.12 ms × sample);
+        falls back to the per-doc docmap stream otherwise."""
+        if self._texts is not None and len(ids):
+            import pandas as pd
+
+            arr = self._texts[np.asarray(ids, dtype=np.int64)]
+            s = pd.Series(arr, dtype=object).map(
+                lambda t: "" if t is None else str(t)
+            )
+            cand: set[str] = set()
+            for ts in self._an.tokenize_pandas(s):
+                cand.update(ts)
+            return cand
+        return {
+            t for d in ids for t in self._mlt_source_tokens(int(d))
+        }
+
     def _sig_fg_counts(
         self, matched: np.ndarray, sample: int | None, min_df: int = 1
     ) -> tuple[dict[str, int], dict[str, int]]:
@@ -757,9 +820,7 @@ class SearchService:
             if sample is None or matched.size <= sample
             else matched[:sample]
         )
-        cand: set[str] = set()
-        for d in ids:
-            cand.update(self._mlt_source_tokens(int(d)))
+        cand = self._candidate_terms(ids)
         rows = self.searcher.lookup_terms(sorted(cand))
         # membership-mask counting: one O(n_docs) mask build, then each
         # candidate costs O(df) gather-sum — no per-candidate sort (the
@@ -775,7 +836,8 @@ class SearchService:
                 self.searcher._budget_check()
             if int(tp.df) < min_df:
                 continue
-            docs = self.searcher._decoded(tp)[0]
+            # docs-only decode: fg needs |posting ∩ matched|, never tf/dl
+            docs = self.searcher._decoded_docs(tp)
             n = int(np.count_nonzero(mask[docs]))
             if n:
                 fg[t] = n
@@ -923,20 +985,35 @@ class SearchService:
         field: str,
         k: int,
         mode: str = "and",
+        budget_ms: float | None = None,
     ) -> list[tuple[str, float, float, float, int]]:
         """Grouped relevance: rank `field` GROUPS by aggregates of their
         matched members\' BM25 scores — [(label, sum_score, avg_score,
         max_score, n_matched)] ordered (sum DESC, label ASC). Lucene
         grouping\'s score modes over the exact matched set; O(|matched|)
-        after the one-time group-code factorize (the facet-tier bound)."""
-        # rank through the pruned evaluators at full depth (top-k of the
-        # whole matched set IS the matched set scored): the dense-bitmap
-        # fast paths apply, where a probe-per-term scoring of the matched
-        # set pays O(|matched| · terms · log df) — measured 902 ms vs
-        # ~15 ms on the dense worst query at sf0.1
-        hits = self._collapse_eval(query_text, mode)(2**31)
+        after the one-time group-code factorize (the facet-tier bound).
+
+        Round-7 shape (the r6 tail was 506 ms p95 on the dense worst
+        query): no ranking and no per-hit tuple materialization — the
+        matched set (bitmap fast paths) is probe-scored into ALIGNED numpy
+        arrays and aggregated with bincount/reduceat; the former path
+        ranked the whole matched set through the evaluator (full-depth
+        lexsort + one Python tuple per hit). `budget_ms` arms the
+        per-query deadline (QueryBudgetExceeded at lookup/decode
+        boundaries) — the same knob significant_terms has."""
+        with self.searcher.deadline(budget_ms):
+            if mode == "bool":
+                # boolean predicates keep the evaluator path (the folded
+                # predicate machinery owns the matched set there)
+                hits = self._collapse_eval(query_text, mode)(2**31)
+                codes, cats = self._collapse_codes(field)
+                return _grouped_rows(hits, codes, cats, k)
+            matched = self.matched_docs(query_text, mode=mode)
+            if matched.size == 0:
+                return []
+            scores = self._score_matched(query_text, mode, matched)
         codes, cats = self._collapse_codes(field)
-        return _grouped_rows(hits, codes, cats, k)
+        return _grouped_rows_arrays(matched, scores, codes, cats, k)
 
 
     def _mlt_source_tokens(self, doc_id: int) -> list[str]:
@@ -1317,6 +1394,38 @@ class SearchService:
         `ast_override` supplies a pre-parsed (fuzzy-rewritten) AST."""
         if matched.size == 0 or k <= 0:
             return []
+        scores = self._score_matched(
+            query_text, mode, matched, idfs=idfs, avgdl=avgdl, terms=terms,
+            prefix_expansions=prefix_expansions, ast_override=ast_override,
+        )
+        if after is not None:
+            keep = _after_mask(matched, scores, after)
+            matched, scores = matched[keep], scores[keep]
+            if matched.size == 0:
+                return []
+        if matched.size > 4 * k:
+            kth = np.partition(-scores, k - 1)[k - 1]
+            sel = np.flatnonzero(-scores <= kth)
+            matched, scores = matched[sel], scores[sel]
+        top = np.lexsort((matched, -scores))[:k]
+        return [(int(matched[i]), float(scores[i])) for i in top]
+
+    def _score_matched(
+        self,
+        query_text: str,
+        mode: str,
+        matched: np.ndarray,
+        idfs: dict[str, float] | None = None,
+        avgdl: float | None = None,
+        terms: list[str] | None = None,
+        prefix_expansions: dict[str, list[str]] | None = None,
+        ast_override=None,
+    ) -> np.ndarray:
+        """Exact BM25 scores ALIGNED with a pre-filtered matched docID
+        array, no ranking and no per-hit tuple materialization — the
+        probe-scoring core of _rank_matched, also the grouped-relevance
+        workhorse (aggregates need every member's score but no order).
+        Deadlines fire at the lookup/decode boundaries inside the probes."""
         s = self.searcher
         m, p = s.meta, s.meta.params
         if avgdl is None:
@@ -1352,17 +1461,7 @@ class SearchService:
                 1.0 - p.b + p.b * (dlv.astype(np.float64) / avgdl)
             )
             scores[hit] = scores[hit] + idf * (tf / (tf + norm))
-        if after is not None:
-            keep = _after_mask(matched, scores, after)
-            matched, scores = matched[keep], scores[keep]
-            if matched.size == 0:
-                return []
-        if matched.size > 4 * k:
-            kth = np.partition(-scores, k - 1)[k - 1]
-            sel = np.flatnonzero(-scores <= kth)
-            matched, scores = matched[sel], scores[sel]
-        top = np.lexsort((matched, -scores))[:k]
-        return [(int(matched[i]), float(scores[i])) for i in top]
+        return scores
 
     def _filtered_matched(
         self,
@@ -1966,10 +2065,7 @@ class ShardedSearchService:
                 or matched.size <= sample_per_shard
                 else matched[:sample_per_shard]
             )
-            cand: set[str] = set()
-            for d in ids:
-                cand.update(svc._mlt_source_tokens(int(d)))
-            return matched, cand
+            return matched, svc._candidate_terms(ids)
 
         parts = self.sharded._fanout_heavy(_discover, self.services)
         n_matched = sum(int(m.size) for m, _ in parts)
