@@ -217,12 +217,21 @@ def minhash_lsh_pairs(
     seed: int = 42,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures, with
     estimated Jaccard = fraction of matching signature positions.
 
     Shuffle profile: one shuffle to bucket (band_idx, band_hash), self-join
     inside buckets only, distinct pair dedup — no all-pairs comparison.
+
+    `max_bucket` (same knob as simhash_near_pairs): skip degenerate band
+    buckets shared by more than that many docs — a corpus of thousands of
+    near-identical documents otherwise goes quadratic INSIDE one bucket
+    (the pairs are real near-dups, but emitting n² of them is usually not
+    what a dedup pipeline wants; connected components reach the same
+    clusters from the surviving pairs). A documented recall trade for skew
+    safety at corpus scale; None (default) keeps exact LSH recall.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -248,6 +257,14 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+    if max_bucket is not None:
+        hot = (
+            banded.groupBy("band_idx", "band_hash")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("band_idx", "band_hash")
+        )
+        banded = banded.join(hot, ["band_idx", "band_hash"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

@@ -320,3 +320,34 @@ def test_simhash_near_pairs_planted_hamming2(spark):
     groups = simhash_dup_groups(sdf).collect()
     grouped = {tuple(g["doc_ids"]) for g in groups}
     assert (0, 3) in grouped and not any(1 in g for g in grouped)
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """A planted pathological bucket (many near-identical docs collapsing
+    into one band bucket) goes quadratic without the cap; with
+    max_bucket set, the degenerate bucket is skipped (documented recall
+    trade) while pairs outside it survive — the simhash_near_pairs knob
+    ported to the MinHash path."""
+    from discogsography_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    rows = [(i, base) for i in range(30)]  # 30 identical docs: one bucket
+    rows += [
+        (100, "unrelated text about cooking pasta dinner tonight folks yes"),
+        (101, "unrelated text about cooking pasta dinner tonight folks yes"),
+    ]
+    sdf = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = minhash_lsh_pairs(
+        sdf, num_hashes=32, bands=8, threshold=0.5, n=3
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in uncapped}
+    assert (100, 101) in got
+    n_planted = sum(1 for a, b in got if a < 100 and b < 100)
+    assert n_planted == 30 * 29 // 2  # quadratic inside the hot bucket
+
+    capped = minhash_lsh_pairs(
+        sdf, num_hashes=32, bands=8, threshold=0.5, n=3, max_bucket=10
+    ).collect()
+    got_c = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert (100, 101) in got_c  # small buckets untouched
+    assert not any(a < 100 and b < 100 for a, b in got_c)  # hot bucket skipped
