@@ -183,3 +183,26 @@ def test_service_budget(budget_idx):
         svc.search("merge", 5, facets=["role"], budget_ms=TINY)
     # searcher usable after the abort
     assert svc.search("spark index", 5).results == ref.results
+
+
+def test_grouped_and_significant_budget(budget_idx):
+    """Round-7: grouped_topk gained the budget_ms knob and
+    significant_terms keeps it through the array path — both follow the
+    module contract: exceeded -> QueryBudgetExceeded, never a silently
+    truncated aggregate; default None identical to unlimited."""
+    from discogsography_spark.query.serving import SearchService
+
+    svc = SearchService(budget_idx, facet_defs={"role": "role"})
+    ref_g = svc.grouped_topk("spark index", "role", 5)
+    assert svc.grouped_topk("spark index", "role", 5, budget_ms=60_000) == ref_g
+    with pytest.raises(QueryBudgetExceeded):
+        svc.grouped_topk("merge", "role", 5, budget_ms=TINY)
+    ref_s = svc.significant_terms("spark index", k=5, sample=200)
+    assert (
+        svc.significant_terms("spark index", k=5, sample=200, budget_ms=60_000)
+        == ref_s
+    )
+    with pytest.raises(QueryBudgetExceeded):
+        svc.significant_terms("merge", k=5, sample=None, budget_ms=TINY)
+    # service usable after the aborts
+    assert svc.grouped_topk("spark index", "role", 5) == ref_g
