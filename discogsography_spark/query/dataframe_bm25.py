@@ -449,11 +449,23 @@ def _expand_patterns_driver(
             "prefix string, like_pat string",
         )
         cond = F.expr("term LIKE like_pat")
+        any_match = reduce(
+            lambda a, b: a | b,
+            [F.col("term").like(wildcard_to_like(x)) for x in patterns],
+        )
     else:
         pdf = spark.createDataFrame([(x,) for x in patterns], "prefix string")
         cond = F.col("term").startswith(F.col("prefix"))
+        any_match = reduce(
+            lambda a, b: a | b,
+            [F.col("term").startswith(x) for x in patterns],
+        )
+    # filter BEFORE the distinct exchange: only pattern-matching tokens
+    # shuffle (the former shape deduped the whole vocabulary first)
     vocab = (
-        docs.select(F.explode(tokens_col(text_col)).alias("term")).distinct()
+        docs.select(F.explode(tokens_col(text_col)).alias("term"))
+        .filter(any_match)
+        .distinct()
     )
     wexp = W.partitionBy("prefix").orderBy(F.asc("term"))
     rows = (
@@ -755,10 +767,10 @@ def bm25_bool_topk_dataframe(
         ast = parse_bool_query(query_text, analyze_query, tokenize=tokenize_py)
     if ast is not None and has_prefix_nodes(ast):
         # vocabulary expansion with expand_prefix's exact deterministic
-        # rule: distinct corpus tokens, term-ASC, capped at 64
-        vocab = docs.select(
-            F.explode(tokens_col(text_col)).alias("t")
-        ).distinct()
+        # rule: distinct corpus tokens, term-ASC, capped at 64. The
+        # pattern filter runs BEFORE the distinct exchange (round 7) so
+        # only matching tokens shuffle, not the whole vocabulary.
+        exploded = docs.select(F.explode(tokens_col(text_col)).alias("t"))
 
         def expand(pre: str) -> list[str]:
             # wild leaves carry the raw pattern, prefix leaves the bare
@@ -772,7 +784,9 @@ def bm25_bool_topk_dataframe(
                 cond = F.col("t").like(wildcard_to_like(pre))
             else:
                 cond = F.col("t").startswith(pre)
-            rows_ = vocab.filter(cond).orderBy("t").limit(64).collect()
+            rows_ = (
+                exploded.filter(cond).distinct().orderBy("t").limit(64).collect()
+            )
             return [r["t"] for r in rows_]
 
         ast = expand_prefix_nodes(ast, expand)
