@@ -197,6 +197,11 @@ def _pair_rows_fn(with_pos: bool):
             e = pdf[["doc_id", "dl", "tokens"]].explode("tokens")
             e = e.rename(columns={"tokens": "term"})
             e = e[e["term"].notna()]
+            if len(e) == 0:
+                # an all-empty-token slice: an empty groupby result would
+                # carry default (float64) dtypes that Arrow cannot convert
+                # to the declared list<long>/long schema
+                continue
             if with_pos:
                 # token's index in the analyzed stream (0-based, the
                 # posexplode contract); exploded order within a doc is

@@ -2572,6 +2572,26 @@ class MergedSearchService:
             (float(u * interval), int(c)) for u, c in zip(uniq, counts)
         ]
 
+    def _candidate_terms(self, ids: np.ndarray) -> set[str]:
+        """Vectorized significant-terms candidate discovery over the live
+        view — same contract as SearchService._candidate_terms (one pandas
+        tokenize pass over stored text, per-doc stream fallback); also the
+        shape the sharded fan-out calls on live shards."""
+        if self._texts is not None and len(ids):
+            import pandas as pd
+
+            arr = self._texts[np.asarray(ids, dtype=np.int64)]
+            s = pd.Series(arr, dtype=object).map(
+                lambda t: "" if t is None else str(t)
+            )
+            cand: set[str] = set()
+            for ts in self._an.tokenize_pandas(s):
+                cand.update(ts)
+            return cand
+        return {
+            t for d in ids for t in self._mlt_source_tokens(int(d))
+        }
+
     def _sig_fg_counts(
         self, matched: np.ndarray, sample: int | None, min_df: int = 1
     ) -> tuple[dict[str, int], dict[str, int]]:
@@ -2582,9 +2602,7 @@ class MergedSearchService:
             if sample is None or matched.size <= sample
             else matched[:sample]
         )
-        cand: set[str] = set()
-        for d in ids:
-            cand.update(self._mlt_source_tokens(int(d)))
+        cand = self._candidate_terms(ids)
         rels = self.searcher._merged_rows(sorted(cand))
         mask = np.zeros(self.searcher.id_space, dtype=bool)
         mask[matched] = True
