@@ -248,11 +248,16 @@ def run_request(svc, body: dict) -> dict:
         # k+offset prefix can under-fill the filtered page); unfiltered
         # requests rank only to page depth
         depth = 2**31 if filt else k + offset
-        hits = ranker(
-            query, depth, mode=mode,
-            budget_ms=body.get("budget_ms"),
-            after=tuple(after) if after is not None else None,
-        )
+        kw = {
+            "budget_ms": body.get("budget_ms"),
+            "after": tuple(after) if after is not None else None,
+        }
+        if filt and not hasattr(svc, "sharded"):
+            # full-depth drill-down rankings are corpus-sized — keep them
+            # out of the COUNT-bounded result memo, where one head query
+            # could pin a corpus of tuples (ADVICE r6)
+            kw["use_result_cache"] = False
+        hits = ranker(query, depth, mode=mode, **kw)
         matched = _matched_for(svc, plain, mode, filt)
         if filt:
             if isinstance(matched, list):
