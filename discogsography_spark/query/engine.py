@@ -745,14 +745,24 @@ class LocalSearcher:
         return {t: tp.df for t, tp in self.lookup_terms(terms).items()}
 
     def sig_fg_counts(
-        self, matched: np.ndarray, terms: list[str]
+        self,
+        matched: np.ndarray | None = None,
+        terms: list[str] | None = None,
+        matched_vb: bytes | None = None,
     ) -> dict[str, int]:
         """Foreground doc frequencies for significant-terms: for each
         candidate term, |posting ∩ matched| via one membership-mask
         gather (exact, O(df) per term). A worker-pool RPC — the sharded
         coordinator ships each shard its LOCAL matched set and the
         GLOBALLY-pruned candidate list, so the decode-heavy counting runs
-        in the shard worker processes in parallel."""
+        in the shard worker processes in parallel. `matched_vb` is the
+        varbyte+delta-compressed form of the sorted matched ids (the
+        posting codec): a dense head-query matched set crosses the RPC as
+        ~1 byte/doc instead of 8 — the r6 tail's dominant transport cost."""
+        if matched is None:
+            from discogsography_spark.codec import delta_decode, varbyte_decode
+
+            matched = delta_decode(varbyte_decode(matched_vb), prev=-1)
         rows = self.lookup_terms(sorted(terms))
         mask = np.zeros(self.meta.id_space, dtype=bool)
         mask[np.asarray(matched, dtype=np.int64)] = True
@@ -829,10 +839,17 @@ class LocalSearcher:
     def _lookup_terms_uncached(self, terms: list[str]) -> dict[str, TermPostings]:
         out: dict[str, TermPostings] = {}
         for seg, seg_terms in self.meta.seg_dirs_for_terms(terms).items():
+            # per-segment boundary: a wide candidate sweep (significant-
+            # terms discovery at sf1.0 feeds thousands of terms) spends
+            # SECONDS in blob-row fetch — without this check an expired
+            # budget is only noticed after the whole fetch completes
+            self._budget_check()
             rd = self._reader(seg)
             if rd is None:
                 continue
-            for row in rd.lookup(sorted(seg_terms)):
+            for i, row in enumerate(rd.lookup(sorted(seg_terms))):
+                if i % 64 == 0:
+                    self._budget_check()  # row-batch boundary
                 out[row["term"]] = TermPostings(
                     term=row["term"],
                     df=int(row["df"]),

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import os
 import re
+import time
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -38,7 +39,11 @@ import numpy as np
 import pandas as pd
 
 from discogsography_spark.analysis import get_analyzer
-from discogsography_spark.query.engine import LocalSearcher, _after_mask
+from discogsography_spark.query.engine import (
+    LocalSearcher,
+    QueryBudgetExceeded,
+    _after_mask,
+)
 
 
 @dataclass
@@ -2047,14 +2052,31 @@ class ShardedSearchService:
         doc-disjoint — and background dfs come from the same stats RPC
         the ranked fan-out uses (df numbers only, no posting data moves).
         Candidate discovery samples ≤sample_per_shard matched docs on
-        EACH shard (global statistics stay exact for every candidate)."""
+        EACH shard (global statistics stay exact for every candidate).
+
+        `budget_ms` is ONE wall-clock allowance for the WHOLE request
+        (the single-index semantics): each sequential phase — discovery
+        fan-out, global stats RPC, fg-count RPC — receives only the
+        REMAINING budget, so an expired request aborts within one
+        bounded unit of work instead of granting every phase a fresh
+        allowance (which let a 250 ms budget run for ~3 phases × 250 ms
+        plus transport before raising)."""
+        t_start = time.monotonic()
+
+        def _remaining() -> float | None:
+            if budget_ms is None:
+                return None
+            left = budget_ms - (time.monotonic() - t_start) * 1000.0
+            if left <= 0:
+                raise QueryBudgetExceeded(
+                    budget_ms, (time.monotonic() - t_start) * 1000.0
+                )
+            return left
 
         def _discover(svc: SearchService):
-            # phase 1 (coordinator threads, cheap): matched set + the
-            # candidate vocabulary of up to sample_per_shard matched docs
-            # (each parallel leg gets the full budget — the fan-out
-            # contract every ranked RPC applies)
-            with svc.searcher.deadline(budget_ms):
+            # phase 1 (coordinator threads): parallel legs share the
+            # remaining allowance
+            with svc.searcher.deadline(_remaining()):
                 return _discover_inner(svc)
 
         def _discover_inner(svc: SearchService):
@@ -2078,7 +2100,11 @@ class ShardedSearchService:
         # phase 2: ONE global stats RPC, then prune candidates whose
         # GLOBAL df can't reach min_doc_count — exact (fg ≤ df) and it
         # keeps the tail vocabulary out of phase 3's decodes entirely
-        per_shard_dfs, _idfs = self.sharded._global_idfs(union_cand)
+        # (the remaining budget rides the RPC: the dictionary fetch for
+        # thousands of candidates is itself seconds-scale at sf1.0)
+        per_shard_dfs, _idfs = self.sharded._global_idfs(
+            union_cand, budget_ms=_remaining()
+        )
         dfs = {
             t: sum(r.get(t, 0) for r in per_shard_dfs) for t in union_cand
         }
@@ -2088,9 +2114,23 @@ class ShardedSearchService:
         # phase 3 (worker-pool RPC, parallel across shard processes):
         # exact per-shard fg = posting∩matched for every kept candidate;
         # doc-disjoint shards, so the maps SUM
-        kws = [{"matched": m, "terms": keep} for m, _c in parts]
+        # matched ids cross the RPC varbyte+delta-compressed (~1 byte/doc
+        # for dense head queries instead of 8 — the dominant transport
+        # cost of the r6 tail: a 10.7M-doc matched set was ~86 MB pickled)
+        from discogsography_spark.codec import delta_encode, varbyte_encode
+
+        kws: list[dict] = [
+            {
+                "matched_vb": varbyte_encode(
+                    delta_encode(np.asarray(m, dtype=np.int64))
+                ),
+                "terms": keep,
+            }
+            for m, _c in parts
+        ]
         if budget_ms is not None:
-            kws = [{**kw, "_budget_ms": budget_ms} for kw in kws]
+            left = _remaining()
+            kws = [{**kw, "_budget_ms": left} for kw in kws]
         fgs = self.sharded._call_shards("sig_fg_counts", kws)
         fg: dict[str, int] = {}
         for part in fgs:

@@ -200,15 +200,27 @@ class ShardedSearcher:
         return self._fanout(one, list(zip(self.shards, kwargs_list)))
 
     def _global_idfs(
-        self, terms: list[str]
+        self, terms: list[str], budget_ms: float | None = None
     ) -> tuple[list[dict[str, int]], dict[str, float]]:
         """Per-shard {term: df} + global idfs (df summed across shard
         dictionaries — the stats RPC of a real serving tier; only df
-        numbers move, never posting data)."""
+        numbers move, never posting data). `budget_ms` rides the RPC per
+        leg — a significant-terms candidate sweep can feed thousands of
+        terms, and the worker-side dictionary fetch must honor the
+        deadline like every other leg."""
         if self._procs is not None:
+            kw: dict = {"terms": terms}
+            if budget_ms is not None:
+                kw["_budget_ms"] = budget_ms
             per_shard_dfs = self._procs.call(
-                "term_stats", [{"terms": terms}] * len(self.shards)
+                "term_stats", [dict(kw)] * len(self.shards)
             )
+        elif budget_ms is not None:
+            def _leg(s):
+                with s.deadline(budget_ms):
+                    return s.term_dfs(terms)
+
+            per_shard_dfs = self._fanout(_leg, self.shards)
         else:
             per_shard_dfs = self._fanout(
                 lambda s: s.term_dfs(terms), self.shards

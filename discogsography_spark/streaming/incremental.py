@@ -1074,11 +1074,19 @@ class MergedSearcher:
         }
 
     def sig_fg_counts(
-        self, matched: np.ndarray, terms: list[str]
+        self,
+        matched: np.ndarray | None = None,
+        terms: list[str] | None = None,
+        matched_vb: bytes | None = None,
     ) -> dict[str, int]:
         """Foreground doc frequencies over ALIVE merged relations — the
         live-shard side of the significant-terms worker RPC (see
-        LocalSearcher.sig_fg_counts)."""
+        LocalSearcher.sig_fg_counts; matched_vb = varbyte+delta-compressed
+        matched ids)."""
+        if matched is None:
+            from discogsography_spark.codec import delta_decode, varbyte_decode
+
+            matched = delta_decode(varbyte_decode(matched_vb), prev=-1)
         rels = self._merged_rows(sorted(terms))
         mask = np.zeros(self.id_space, dtype=bool)
         mask[np.asarray(matched, dtype=np.int64)] = True
