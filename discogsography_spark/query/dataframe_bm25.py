@@ -71,22 +71,44 @@ def _corpus_term_stats(
 
     df(term) = number of docs whose analyzed token array contains the term —
     identical to the former tf-table groupBy(term).count(). The aggregate is
-    map-side combined; a single 1-row exchange reaches the driver."""
+    map-side combined; a single 1-row exchange reaches the driver.
+
+    Wide-vocabulary callers (MLT over a long source document) would build
+    one aggregate column per term; past 256 terms that expression list
+    strains codegen, so the per-term dfs fall back to the bounded
+    explode→isin→groupBy aggregation (identical values, one map-side-
+    combined shuffle of #terms rows)."""
     toks = docs.select(tokens_col(text_col).alias("_toks"))
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(F.sum(F.size("_toks")), F.lit(0)).alias("total_tokens"),
     ]
-    for i, t in enumerate(terms):
-        aggs.append(
-            F.count(F.when(F.array_contains("_toks", t), F.lit(1))).alias(f"_df{i}")
+    if len(terms) <= 256:
+        for i, t in enumerate(terms):
+            aggs.append(
+                F.count(
+                    F.when(F.array_contains("_toks", t), F.lit(1))
+                ).alias(f"_df{i}")
+            )
+        row = toks.agg(*aggs).collect()[0]
+        return (
+            int(row["n_docs"]),
+            int(row["total_tokens"]),
+            {t: int(row[f"_df{i}"]) for i, t in enumerate(terms)},
         )
     row = toks.agg(*aggs).collect()[0]
-    return (
-        int(row["n_docs"]),
-        int(row["total_tokens"]),
-        {t: int(row[f"_df{i}"]) for i, t in enumerate(terms)},
-    )
+    dfs = dict.fromkeys(terms, 0)
+    for r in (
+        toks.select(
+            F.explode(F.array_distinct("_toks")).alias("term")
+        )
+        .filter(F.col("term").isin(list(terms)))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    ):
+        dfs[r["term"]] = int(r["df"])
+    return int(row["n_docs"]), int(row["total_tokens"]), dfs
 
 
 def _tf_expr(term: str):
